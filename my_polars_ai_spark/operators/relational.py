@@ -1,0 +1,793 @@
+"""Core relational operators: scans, projections, filters, aggregations,
+joins, sorts, set operations (SURVEY.md §2b).
+
+Reference evidence: the filter/count example (reference
+examples/from_csv.py:12-14), scalar-agg example
+(examples/from_dataframe.py:13-15), join+argmax example
+(examples/with_multiple_dataframes.py:25-27), and the Polars expression
+surface reachable from the sandbox (reference polarsai/__init__.py:439-440).
+
+Scale notes (100 TB discipline):
+- Dimension joins (nation/region/supplier) are explicitly broadcast — the
+  fact side never shuffles for them.
+- Fact-fact joins (orders ⨝ lineitem, customer ⨝ orders) shuffle on the
+  join key; AQE picks sort-merge vs shuffled-hash and handles skew.
+- Aggregations rely on Catalyst's partial (map-side) aggregation; no
+  driver-side loops anywhere.
+- All filters/projections are plain Column expressions => pushed into the
+  parquet scan (verify via plans.explain_str: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_MONEY, ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
+
+@op(
+    "flagship_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), {ROUND_MONEY}) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: 3-way join + group-agg; nation is broadcast."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_REVENUE), ROUND_MONEY).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / predicates / conditionals / casts / nulls
+# ---------------------------------------------------------------------------
+
+@op(
+    "scan_project_derive",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 + l_tax), {ROUND_RATIO}) AS gross_price,
+           round(l_extendedprice * (1 - l_discount), {ROUND_RATIO}) AS net_price
+    FROM lineitem
+    """,
+    tags=("scan", "project"),
+)
+def scan_project_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan + derived arithmetic columns (pure projection).
+
+    Per-row derived doubles are rounded at scale 6 — at or above the exact
+    decimal scale of the product — so rounding is the identity and both
+    engines agree bit-for-bit (scale-2 rounding would sit exactly on .005
+    boundaries where Spark and DuckDB tie-break differently).
+    """
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), ROUND_RATIO).alias("gross_price"),
+        F.round(_REVENUE, ROUND_RATIO).alias("net_price"),
+    )
+
+
+@op(
+    "filter_compound_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+       OR (o_orderpriority IN ('1-URGENT', '2-HIGH') AND NOT o_orderstatus = 'F')
+    """,
+    tags=("filter",),
+)
+def filter_compound_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean predicate (AND/OR/NOT/IN) pushed to the scan.
+
+    Mirrors the reference's filter+count golden query shape
+    (reference examples/from_csv.py:12-14).
+    """
+    o = _t(spark, sf_dir, "orders")
+    pred = ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0)) | (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & ~(F.col("o_orderstatus") == "F")
+    )
+    return o.filter(pred).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@op(
+    "filter_between_isnull",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_shipdate IS NOT NULL
+      AND l_returnflag != 'A'
+    """,
+    tags=("filter",),
+)
+def filter_between_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """between / isNull / != predicate family."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_shipdate").isNotNull()
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@op(
+    "conditional_case_when",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 25 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("conditional", "agg"),
+)
+def conditional_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/then/otherwise (Polars pl.when surface -> F.when)."""
+    li = _t(spark, sf_dir, "lineitem")
+    size_class = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 25, "medium")
+        .otherwise("large")
+        .alias("size_class")
+    )
+    return li.groupBy(size_class).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
+
+
+@op(
+    "cast_rename_drop",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(o_orderdate AS DATE) AS order_date,
+           upper(o_orderstatus) AS status
+    FROM orders
+    """,
+    tags=("cast", "project"),
+)
+def cast_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts (double->bigint cents, timestamp->date) + rename + drop."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("price_cents", F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .withColumn("order_date", F.col("o_orderdate").cast("date"))
+        .withColumn("status", F.upper("o_orderstatus"))
+        .withColumnRenamed("o_orderkey", "order_id")
+        .drop("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .select("order_id", "price_cents", "order_date", "status")
+    )
+
+
+@op(
+    "null_handling_fill",
+    oracle=f"""
+    SELECT c.c_custkey,
+           round(coalesce(t.total_spend, 0.0), {ROUND_MONEY}) AS total_spend,
+           coalesce(t.n_orders, 0) AS n_orders,
+           t.total_spend IS NULL AS never_ordered
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey,
+               sum(o_totalprice) AS total_spend,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ) t ON t.o_custkey = c.c_custkey
+    """,
+    tags=("null", "join", "agg"),
+)
+def null_handling_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null creation via left join + coalesce/fillna + null predicate.
+
+    Mirrors the reference's imputation/clean-data shortcuts (reference
+    helpers/shortcuts.py:42-60) on the driver corpus.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = c.join(spend, c.c_custkey == spend.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.round(F.coalesce("total_spend", F.lit(0.0)), ROUND_MONEY).alias("total_spend"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("total_spend").isNull().alias("never_ordered"),
+    )
+
+
+@op(
+    "distinct_projection",
+    oracle="SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem",
+    tags=("dedup", "distinct"),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct() on a projection (Polars unique() surface)."""
+    return _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@op(
+    "agg_scalar_global",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), {ROUND_MONEY}) AS sum_qty,
+           round(avg(l_extendedprice), {ROUND_RATIO}) AS avg_price,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table scalar aggregation (reference examples/from_dataframe.py:13-15
+    'sum of gdp' shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), ROUND_MONEY).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), ROUND_RATIO).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@op(
+    "filtered_count",
+    oracle="""
+    SELECT count(*) AS n
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("agg", "filter"),
+)
+def filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter().count() — the reference's '247 loans paid off by men'
+    golden query shape (reference examples/from_csv.py:12-14)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@op(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), {ROUND_MONEY}) AS sum_qty,
+           round(sum(l_extendedprice), {ROUND_MONEY}) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), {ROUND_MONEY}) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {ROUND_MONEY}) AS sum_charge,
+           round(avg(l_quantity), {ROUND_RATIO}) AS avg_qty,
+           round(avg(l_extendedprice), {ROUND_RATIO}) AS avg_price,
+           round(avg(l_discount), {ROUND_RATIO}) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "benchmark"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: multi-agg group-by with derived measures; the canonical
+    partial+final hash-aggregation benchmark."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), ROUND_MONEY).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), ROUND_MONEY).alias("sum_base_price"),
+            F.round(F.sum(_REVENUE), ROUND_MONEY).alias("sum_disc_price"),
+            F.round(F.sum(_REVENUE * (1 + F.col("l_tax"))), ROUND_MONEY).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), ROUND_RATIO).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), ROUND_RATIO).alias("avg_price"),
+            F.round(F.avg("l_discount"), ROUND_RATIO).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@op(
+    "group_agg_multi",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), {ROUND_MONEY}) AS sum_price,
+           round(avg(o_totalprice), {ROUND_RATIO}) AS avg_price,
+           round(min(o_totalprice), {ROUND_MONEY}) AS min_price,
+           round(max(o_totalprice), {ROUND_MONEY}) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def group_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy with multiple named aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), ROUND_MONEY).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), ROUND_RATIO).alias("avg_price"),
+        F.round(F.min("o_totalprice"), ROUND_MONEY).alias("min_price"),
+        F.round(F.max("o_totalprice"), ROUND_MONEY).alias("max_price"),
+    )
+
+
+@op(
+    "distinct_counts",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (n_unique surface). The approximate variant
+    (HLL approx_count_distinct) lives in `approx_distinct` (rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@op(
+    "approx_distinct",
+    oracle=None,  # HLL sketch differs by implementation; rows-only check.
+    tags=("agg", "approx"),
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path where
+    exact distinct would shuffle every key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@op(
+    "median_quantiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), {ROUND_RATIO}) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.25), {ROUND_RATIO}) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), {ROUND_RATIO}) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "quantile"),
+)
+def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/quantiles per group (F.median / F.percentile are exact
+    interpolated, matching DuckDB quantile_cont). At 100 TB prefer
+    percentile_approx — see `approx_quantiles`."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), ROUND_RATIO).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), ROUND_RATIO).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), ROUND_RATIO).alias("p75_price"),
+    )
+
+
+@op(
+    "approx_quantiles",
+    oracle=None,  # sketch-based; rows-only.
+    tags=("agg", "quantile", "approx"),
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the scale path for quantiles (mergeable sketch,
+    no full sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+@op(
+    "stats_stddev_var",
+    oracle=f"""
+    SELECT l_linestatus,
+           round(stddev_samp(l_quantity), {ROUND_RATIO}) AS std_qty,
+           round(var_samp(l_quantity), {ROUND_RATIO}) AS var_qty,
+           round(stddev_pop(l_discount), {ROUND_RATIO}) AS stdp_disc
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+def stats_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion statistics (sample + population)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), ROUND_RATIO).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), ROUND_RATIO).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), ROUND_RATIO).alias("stdp_disc"),
+    )
+
+
+@op(
+    "argmax_top1",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 1
+    """,
+    tags=("sort", "limit"),
+)
+def argmax_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row with the max value ('who gets paid the most?' — reference
+    examples/with_multiple_dataframes.py:25-27). Catalyst compiles this to
+    TakeOrderedAndProject: no full sort, no full shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(1)
+    )
+
+
+@op(
+    "value_counts",
+    oracle="SELECT o_orderpriority AS value, count(*) AS n FROM orders GROUP BY o_orderpriority",
+    tags=("agg",),
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts (chart-feeding categorical counts, reference
+    helpers/shortcuts.py:82-102 pie/bar upstream agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("value")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@op(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) * 50000 AS BIGINT) AS bin_lo,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "chart"),
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (reference helpers/shortcuts.py:126-138
+    upstream agg)."""
+    o = _t(spark, sf_dir, "orders")
+    bin_lo = (F.floor(F.col("o_totalprice") / 50000.0) * 50000).cast("bigint").alias("bin_lo")
+    return o.groupBy(bin_lo).agg(F.count(F.lit(1)).alias("n"))
+
+
+@op(
+    "rollup_region_nation",
+    oracle=f"""
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), {ROUND_MONEY}) AS sum_bal,
+           count(*) AS n_custs,
+           CAST(grouping(r_name) AS INTEGER) * 2 + CAST(grouping(n_name) AS INTEGER) AS gid
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (Spark-free extension beyond the reference
+    surface — flagged optional in SURVEY.md §2b)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), ROUND_MONEY).alias("sum_bal"),
+            F.count(F.lit(1)).alias("n_custs"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+@op(
+    "cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), {ROUND_MONEY}) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), ROUND_MONEY).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@op(
+    "join_inner_broadcast",
+    oracle=f"""
+    SELECT n_name, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), {ROUND_MONEY}) AS sum_price
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name, o_orderpriority
+    """,
+    tags=("join", "agg"),
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join with an explicit broadcast of the dim side
+    (reference examples/with_multiple_dataframes.py:8-27 join shape)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), ROUND_MONEY).alias("sum_price"),
+        )
+    )
+
+
+@op(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers (count=0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@op(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS k, a.n_f AS n_f, b.n_o AS n_o
+    FROM (SELECT o_custkey AS k, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a
+    FULL JOIN (SELECT o_custkey AS k, count(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) b
+      ON a.k = b.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with disjoint key coverage."""
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        F.coalesce(a.k, b.k).alias("k"), "n_f", "n_o"
+    )
+
+
+@op(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@op(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers who never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@op(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (bounded to the fixed-size region dim; at scale cross
+    joins are only ever dim x dim)."""
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("r1"))
+    b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("r2"))
+    return a.crossJoin(b).filter(F.col("ka") < F.col("kb")).select("r1", "r2")
+
+
+@op(
+    "join_theta_inequality",
+    oracle="""
+    SELECT a.n_name AS n1, b.n_name AS n2
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi component (regionkey) + inequality predicate.
+    Catalyst uses the equi key for the join and applies the inequality as
+    a post-condition — not a BNLJ."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("n1"), F.col("n_regionkey").alias("ra"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("n2"), F.col("n_regionkey").alias("rb"))
+    return (
+        a.join(b, (F.col("ra") == F.col("rb")) & (F.col("ka") < F.col("kb")))
+        .select("n1", "n2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+@op(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — per-partition heaps, no full
+    sort; ties broken by key for determinism)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@op(
+    "union_concat",
+    oracle="""
+    SELECT o_custkey AS custkey, 'big_order' AS reason FROM orders WHERE o_totalprice > 250000.0
+    UNION ALL
+    SELECT c_custkey AS custkey, 'rich' AS reason FROM customer WHERE c_acctbal > 9000.0
+    """,
+    tags=("setop",),
+)
+def union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / concat (Polars pl.concat surface) via unionByName."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_totalprice") > 250000.0).select(
+        F.col("o_custkey").alias("custkey"), F.lit("big_order").alias("reason")
+    )
+    b = c.filter(F.col("c_acctbal") > 9000.0).select(
+        F.col("c_custkey").alias("custkey"), F.lit("rich").alias("reason")
+    )
+    return a.unionByName(b)
+
+
+@op(
+    "intersect_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (customers with both an 'F' and an 'O' order)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@op(
+    "except_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference on keys)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)

@@ -1,0 +1,74 @@
+"""Ingestion paths mirroring the reference's sources (SURVEY.md §2b scans).
+
+Reference surface: CSV with header+inference (examples/from_csv.py:8),
+Excel sheets (helpers/from_excel.py:11-24 — which inconsistently returned a
+pandas frame; here everything lands as a Spark DataFrame), in-memory
+dict-of-lists (examples/data/sample_dataframe.py:3-29), and the parquet /
+json readers reachable through the sandbox.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def from_csv(spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True, **options: Any) -> DataFrame:
+    """CSV scan with header + type inference (reference: examples/from_csv.py:8).
+
+    At scale prefer an explicit schema — inference is a full extra pass.
+    """
+    return (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .options(**options)
+        .csv(path)
+    )
+
+
+def from_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def from_json(spark: SparkSession, path: str, schema: Any = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def from_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
+    """Excel sheet -> Spark DataFrame (reference: helpers/from_excel.py:11-24).
+
+    Driver-side pandas read (sheets are small by nature), then Arrow
+    conversion. Fixes the reference's inconsistency of returning a pandas
+    frame from a Polars API.
+    """
+    try:
+        import pandas as pd
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("pandas is required for Excel ingestion") from exc
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError as exc:  # openpyxl missing in minimal envs
+        raise ImportError("openpyxl is required to read .xlsx files") from exc
+    return spark.createDataFrame(pdf)
+
+
+def from_records(
+    spark: SparkSession,
+    data: Mapping[str, Sequence[Any]] | Sequence[Mapping[str, Any]],
+    schema: Any = None,
+) -> DataFrame:
+    """In-memory table (reference: examples/data/sample_dataframe.py:3-29).
+
+    Accepts dict-of-lists (column-major, the reference's shape) or a list
+    of dicts (row-major).
+    """
+    if isinstance(data, Mapping):
+        cols = list(data)
+        n = len(next(iter(data.values()), []))
+        rows = [tuple(data[c][i] for c in cols) for i in range(n)]
+        return spark.createDataFrame(rows, schema=schema or cols)
+    return spark.createDataFrame(list(data), schema=schema)

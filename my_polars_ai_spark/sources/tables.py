@@ -1,0 +1,47 @@
+"""Access to the TPC-H-ish test corpus (TESTDATA.md).
+
+Tables are plain parquet files; at 100 TB these would be
+partitioned/bucketed tables behind a catalog, but the access pattern is
+identical: ``spark.read.parquet`` with Catalyst doing column pruning and
+predicate pushdown into the scan.
+
+``DIM_TABLES`` marks relations that stay small at any scale factor
+(region/nation are fixed-cardinality; supplier grows slowly) — joins
+against them should broadcast, never shuffle the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Fixed/slow-growing cardinality at any SF -> always broadcast-join these.
+DIM_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view for the SQL API / the engine."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,112 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registered op's Spark query and DuckDB oracle at a small SF and
+compares row-count + column names + sorted row values. Use while
+iterating; the driver does the authoritative run at sf0.01.
+
+Usage: python tools/verify_local.py [sf_dir] [op_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return float(v)
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _key(row):
+    return tuple((str(type(v)), str(v)) for v in row)
+
+
+def compare(spark_df, oracle_rows, oracle_cols):
+    spark_cols = spark_df.columns
+    rows = [tuple(r) for r in spark_df.collect()]
+    issues = []
+    if sorted(spark_cols) != sorted(oracle_cols):
+        issues.append(f"columns differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+        return issues
+    if len(rows) != len(oracle_rows):
+        issues.append(f"row count differs: spark={len(rows)} oracle={len(oracle_rows)}")
+    # align column order by name
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    o_idx = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    s_rows = sorted((_key([_norm(r[i]) for i in s_idx]) for r in rows))
+    o_rows = sorted((_key([_norm(r[i]) for i in o_idx]) for r in oracle_rows))
+    if s_rows != o_rows:
+        diff_s = [r for r in s_rows if r not in set(o_rows)][:3]
+        diff_o = [r for r in o_rows if r not in set(s_rows)][:3]
+        issues.append(f"values differ; spark-only sample={diff_s} oracle-only sample={diff_o}")
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.session import get_spark
+
+    spark = get_spark("verify_local", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    ops = all_ops()
+    n_pass = n_fail = n_rows_only = 0
+    for name, op_ in sorted(ops.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = op_.fn(spark, sf_dir)
+            if op_.oracle is None:
+                cnt = df.count()
+                dt = time.time() - t0
+                print(f"  ~ {name}: rows-only, {cnt} rows  [{dt:.1f}s]")
+                n_rows_only += 1
+                continue
+            cur = con.execute(op_.oracle)
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+            issues = compare(df, o_rows, o_cols)
+            dt = time.time() - t0
+            if issues:
+                n_fail += 1
+                print(f"  ✗ {name}  [{dt:.1f}s]")
+                for i in issues:
+                    print(f"      {i}")
+            else:
+                n_pass += 1
+                print(f"  ✓ {name} ({len(o_rows)} rows)  [{dt:.1f}s]")
+        except Exception as e:
+            n_fail += 1
+            print(f"  ✗ {name}: EXC {type(e).__name__}: {str(e)[:300]}")
+    print(f"\npass={n_pass} fail={n_fail} rows_only={n_rows_only}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
