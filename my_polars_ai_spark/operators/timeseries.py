@@ -1,0 +1,161 @@
+"""Time-window aggregation over the events table: tumbling, sliding,
+session (SURVEY.md §2b groupby_dynamic surface + streaming-equivalent
+rows; Polars groupby_dynamic).
+
+These are the *batch* twins of the Structured Streaming jobs in
+my_polars_ai_spark.streaming — identical F.window/F.session_window
+expressions, so the oracle-checked semantics here carry over to the
+streaming path (same operator, plus watermark).
+
+Scale notes: F.window is a narrow projection (bucket assignment) followed
+by a standard hash aggregation — partial aggregation applies, and a
+sliding window only multiplies rows by (length/slide), here 2x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+ROUND_WIN = 4
+
+
+@op(
+    "tumbling_window_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), {ROUND_WIN}) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "window"),
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (F.window; epoch-aligned, so
+    the window start equals date_trunc('hour'))."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), ROUND_WIN).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@op(
+    "sliding_window_1h_30m",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT unnest([
+                   CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+                   CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)
+               ]) AS window_start_epoch,
+               value
+        FROM events
+    )
+    SELECT window_start_epoch, count(*) AS n, round(sum(value), {ROUND_WIN}) AS sum_value
+    FROM exploded
+    GROUP BY 1
+    """,
+    tags=("timeseries", "window", "sliding"),
+)
+def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    exactly 2 windows. Window start exposed as epoch seconds (BIGINT) to
+    keep the oracle timezone-free."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), ROUND_WIN).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@op(
+    "session_window_10m",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), {ROUND_WIN}) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("timeseries", "session"),
+)
+def session_window_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap via
+    F.session_window (batch mode; window end = last event + gap). Oracle
+    reproduces the merge with lag + cumulative session ids."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), ROUND_WIN).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@op(
+    "daily_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n,
+           round(avg(value), {ROUND_WIN}) AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "agg"),
+)
+def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-day rollup with distinct users — the hypertable-style
+    downsample every monitoring pipeline needs."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), ROUND_WIN).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1,0 +1,251 @@
+"""Window functions: ranking, lag/lead, running aggregates, rolling
+windows, sessionization (SURVEY.md §2b window/time-series rows).
+
+Reference evidence: rolling mean/median/std shortcuts (reference
+helpers/shortcuts.py:295-352 — trailing row-frame semantics) and the
+Polars expression API (rank/shift/cumsum) reachable from the sandbox.
+
+Scale notes: every window here is partitioned by a high-cardinality key
+(custkey / user_id) — state per partition stays bounded and the single
+shuffle is on the partition key. Unpartitioned windows (percent_rank over
+the whole table) are flagged: they serialize into one partition and are
+only for dim-sized inputs; the scale path for global ranks is sort-based
+(zipWithIndex-style) or approximate quantiles.
+
+Float discipline: windowed averages/stddevs are rounded at scale 4
+(ROUND_WIN) — DuckDB computes sliding aggregates via segment trees while
+Spark re-aggregates the frame, so the two accumulate different last-ulp
+error; scale-4 rounding absorbs it for value magnitudes here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+ROUND_WIN = 4
+
+# Deterministic per-user event ordering (ts can tie; event_id is unique).
+_EVENT_ORDER = "ORDER BY ts, event_id"
+
+
+@op(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the scalable top-k-per-key
+    pattern (one shuffle on the key, per-partition sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@op(
+    "window_lag_lead",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER w, {ROUND_RATIO}) AS delta_value,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id {_EVENT_ORDER})
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event streams (Polars shift surface)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), ROUND_RATIO).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@op(
+    "window_running_agg",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 {ROUND_WIN}) AS running_spend,
+           row_number() OVER wp AS rn,
+           rank() OVER wv AS price_rank,
+           dense_rank() OVER wv AS price_dense_rank
+    FROM orders
+    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wv AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+    tags=("window", "rank", "cumsum"),
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + rank family per key (Polars cumsum/rank surface)."""
+    o = _t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wv = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(wp.rowsBetween(Window.unboundedPreceding, 0)), ROUND_WIN
+        ).alias("running_spend"),
+        F.row_number().over(wp).alias("rn"),
+        F.rank().over(wv).alias("price_rank"),
+        F.dense_rank().over(wv).alias("price_dense_rank"),
+    )
+
+
+@op(
+    "rolling_mean_std",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(avg(value) OVER w, {ROUND_WIN}) AS roll_mean,
+           round(coalesce(stddev_samp(value) OVER w, 0.0), {ROUND_WIN}) AS roll_std
+    FROM events
+    WINDOW w AS (PARTITION BY user_id {_EVENT_ORDER}
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "rolling"),
+)
+def rolling_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row rolling mean/std per user — the reference's
+    rolling_mean / rolling_std shortcut semantics (reference
+    helpers/shortcuts.py:295-312, 335-352: trailing row frame)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), ROUND_WIN).alias("roll_mean"),
+        F.round(F.coalesce(F.stddev_samp("value").over(w), F.lit(0.0)), ROUND_WIN).alias("roll_std"),
+    )
+
+
+@op(
+    "rolling_median",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER w, {ROUND_WIN}) AS roll_median
+    FROM events
+    WINDOW w AS (PARTITION BY user_id {_EVENT_ORDER}
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "rolling"),
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row rolling median (reference helpers/shortcuts.py:314-333).
+
+    Spark bans median/percentile with a window frame, so the frame's values
+    are gathered with collect_list (bounded: 7 rows) and the interpolated
+    median is computed from the sorted array — exact, matching DuckDB's
+    quantile_cont. For unbounded frames at 100 TB use percentile_approx.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_even = (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2
+    median = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(mid_even)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(median, ROUND_WIN).alias("roll_median"),
+    )
+
+
+@op(
+    "sessionize_gap",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id {_EVENT_ORDER})
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id {_EVENT_ORDER}) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id {_EVENT_ORDER}
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), {ROUND_WIN}) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session"),
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
+    session-start flags, then per-session aggregation. The batch twin of
+    streaming session_window (see timeseries.session_window_batch)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap_s.isNull() | (gap_s > 30 * 60), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_WIN).alias("sum_value"),
+        )
+    )
+
+
+@op(
+    "percent_rank_cume_dist",
+    oracle=f"""
+    SELECT c_custkey,
+           round(percent_rank() OVER (ORDER BY c_acctbal), {ROUND_RATIO}) AS pr,
+           round(cume_dist() OVER (ORDER BY c_acctbal), {ROUND_RATIO}) AS cd,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+    tags=("window", "rank"),
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distribution ranks. NOTE: an unpartitioned window funnels all
+    rows through one task — acceptable for dim-sized tables only; at fact
+    scale use approx quantiles or a range-partitioned sort instead."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal")
+    wt = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), ROUND_RATIO).alias("pr"),
+        F.round(F.cume_dist().over(w), ROUND_RATIO).alias("cd"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
