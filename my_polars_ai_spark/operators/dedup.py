@@ -1,0 +1,321 @@
+"""Deduplication operators — exact, keyed, fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash (training-data pipeline extensions; BASELINE.json
+north-star, beyond the reference's dropDuplicates surface).
+
+Portability contract: every hash is derived from md5 (identical in Spark
+and DuckDB), so even the MinHash/LSH and SimHash pipelines are fully
+oracle-checked — `portable_hash60` maps a string to a 60-bit integer via
+the first 15 hex chars of its md5 on both engines.
+
+Scale notes: all pipelines are shuffle-on-key aggregations over
+(doc, token/shingle) pairs. MinHash+LSH is the 100 TB path: candidate
+generation joins on band signatures (tiny) instead of the quadratic
+token join; the exact-Jaccard verify only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+N_PERMS = 16  # minhash permutations
+N_BANDS = 4  # LSH bands (4 rows/band)
+MINHASH_THRESHOLD = 0.95
+NGRAM_THRESHOLD = 0.5
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash from md5 — identical in Spark and DuckDB
+    (DuckDB twin: ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, tok) pairs from the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+@op(
+    "dedup_exact_text",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text: hash group-by keeping the lowest id —
+    the canonical first pass of a training-data pipeline (pure shuffle-on-
+    hash(text), no comparison of payloads)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_doc_id", "n_copies")
+
+
+@op(
+    "dedup_keyed_first",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "window"),
+)
+def dedup_keyed_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed dedup (dropDuplicates with a defined survivor):
+    keep the first line per order under a total ordering — unlike
+    dropDuplicates, the surviving row is well-defined (l_linenumber alone
+    is not unique in this corpus, so the ordering includes part/supp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+@op(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    tags=("dedup", "text"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lowercase + whitespace collapse +
+    md5): join/group on the 16-byte digest instead of the document body."""
+    d = _t(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@op(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS s
+        FROM toks
+        WHERE len(ts) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(ni * 1.0 / (sa.n + sb.n - ni), {ROUND_RATIO}) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {NGRAM_THRESHOLD}
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram (word shingle) Jaccard >= 0.5.
+
+    Quadratic in co-occurring shingles — correct but the brute-force
+    baseline; dedup_minhash_lsh is the sub-quadratic scale path.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    shingles = F.when(
+        F.size(ts) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 2),
+            lambda i: F.concat_ws(
+                "_", F.element_at(ts, i), F.element_at(ts, i + 1), F.element_at(ts, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= NGRAM_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, ROUND_RATIO).alias("jaccard"))
+    )
+
+
+@op(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), perms AS (
+        SELECT unnest(range({N_PERMS})) AS i
+    ), hashes AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))::BIGINT AS h
+        FROM toks CROSS JOIN perms
+    ), sig AS (
+        SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // {N_PERMS // N_BANDS} AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_sig
+        FROM sig GROUP BY doc_id, i // {N_PERMS // N_BANDS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ni
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(ni * 1.0 / (sa.n + sb.n - ni), {ROUND_RATIO}) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {MINHASH_THRESHOLD}
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, fully deterministic and
+    oracle-checked (portable md5-based hash family).
+
+    shingle -> 16 minhash perms -> 4 bands of 4 -> band-signature join for
+    candidates -> exact-Jaccard verify at >= 0.95. The band join replaces
+    the quadratic all-pairs comparison: at 100 TB only near-identical docs
+    collide in a band, so the verify stage is linear-ish in true dups.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    rows_per_band = N_PERMS // N_BANDS
+    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("i")
+    hashes = toks.select("doc_id", "tok", perms).select(
+        "doc_id",
+        "i",
+        portable_hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
+    )
+    sig = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = (
+        sig.groupBy("doc_id", (F.col("i") / rows_per_band).cast("int").alias("band"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("sig_arr"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.array_join(F.transform("sig_arr", lambda x: x["mh"].cast("string")), ",")
+            ).alias("band_sig"),
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, ROUND_RATIO).alias("jaccard"))
+    )
+
+
+@op(
+    "simhash_signature",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tok_vals AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS v FROM toks
+    ), bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN CAST(floor(v / power(2, b)) AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END) AS bal
+        FROM tok_vals CROSS JOIN (SELECT unnest(range(16)) AS b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bal > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash16
+    FROM bits
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (md5-derived bit votes over the token
+    set). Near-dups share signatures within small Hamming distance;
+    identical signatures give free dup buckets via a plain group-by."""
+    toks = _doc_tokens(spark, sf_dir)
+    v = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+    bits = (
+        toks.select("doc_id", v.alias("v"), F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.floor(F.col("v") / F.pow(F.lit(2.0), F.col("b"))).cast("bigint") % 2 == 1, 1
+                ).otherwise(-1)
+            ).alias("bal")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("bal") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash16")
+    )

@@ -1,0 +1,212 @@
+"""ML / analytics operators (SURVEY.md §2b ML rows): correlation matrix,
+imputation, confusion matrix, ROC points, k-means segmentation.
+
+Reference evidence: shortcuts correlation-heatmap (reference
+helpers/shortcuts.py:184-195), impute (42-60), confusion/ROC (197-241),
+segment_customers (354-376).
+
+All diagnostics are plain DataFrame aggregations/windows (oracle-checked);
+only k-means uses pyspark.ml (seeded, rows-only check since cluster ids
+are not portable across implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+# Deterministic binary labels/predictions derived from events: the "truth"
+# is value>50, the "prediction" is props.k>50 — both arbitrary but fixed.
+_TRUE = F.col("value") > 50.0
+_PRED = F.get_json_object("props", "$.k").cast("bigint") > 50
+
+
+@op(
+    "corr_matrix",
+    oracle=f"""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), {ROUND_RATIO}) AS pearson_r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), {ROUND_RATIO}) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), {ROUND_RATIO}) FROM lineitem
+    """,
+    tags=("ml", "stats"),
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation, flattened to rows (reference
+    correlation-heatmap upstream agg). One pass over the fact table: all
+    pairs aggregate in a single job, no per-pair scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), ROUND_RATIO).alias("qp"),
+        F.round(F.corr("l_quantity", "l_discount"), ROUND_RATIO).alias("qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), ROUND_RATIO).alias("pd"),
+    )
+    pairs = F.array(
+        F.struct(F.lit("l_quantity").alias("col_a"), F.lit("l_extendedprice").alias("col_b"), F.col("qp").alias("pearson_r")),
+        F.struct(F.lit("l_quantity").alias("col_a"), F.lit("l_discount").alias("col_b"), F.col("qd").alias("pearson_r")),
+        F.struct(F.lit("l_extendedprice").alias("col_a"), F.lit("l_discount").alias("col_b"), F.col("pd").alias("pearson_r")),
+    )
+    return agg.select(F.explode(pairs).alias("p")).select("p.col_a", "p.col_b", "p.pearson_r")
+
+
+@op(
+    "impute_mean",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c_custkey,
+               avg(o_totalprice) AS avg_spend
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_custkey,
+           round(coalesce(avg_spend, (SELECT avg(avg_spend) FROM spend)), {ROUND_RATIO}) AS avg_spend_imputed,
+           avg_spend IS NULL AS was_missing
+    FROM spend
+    """,
+    tags=("ml", "impute"),
+)
+def impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation of missing values (reference impute shortcut,
+    helpers/shortcuts.py:42-60): nulls arise for customers with no orders;
+    they are filled with the global mean of the non-null values. The mean
+    is computed distributed and broadcast back via a crossJoin of a 1-row
+    aggregate — no driver-side collect."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.avg("o_totalprice").alias("avg_spend"))
+    )
+    mean_row = spend.agg(F.avg("avg_spend").alias("__mean"))
+    return (
+        spend.crossJoin(F.broadcast(mean_row))
+        .select(
+            "c_custkey",
+            F.round(F.coalesce("avg_spend", "__mean"), ROUND_RATIO).alias("avg_spend_imputed"),
+            F.col("avg_spend").isNull().alias("was_missing"),
+        )
+    )
+
+
+@op(
+    "confusion_matrix",
+    oracle="""
+    SELECT (value > 50.0) AS y_true,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS y_pred,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ml", "eval"),
+)
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix as grouped counts (reference
+    helpers/shortcuts.py:197-219 upstream agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(_TRUE.alias("y_true"), _PRED.alias("y_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@op(
+    "roc_points",
+    oracle=f"""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END AS label,
+               event_id
+        FROM events
+    ), ranked AS (
+        SELECT score, label,
+               sum(label) OVER w AS cum_tp,
+               sum(1 - label) OVER w AS cum_fp,
+               row_number() OVER w AS rn
+        FROM scored
+        WINDOW w AS (ORDER BY score DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT rn,
+           round(cum_tp * 1.0 / (SELECT sum(label) FROM scored), {ROUND_RATIO}) AS tpr,
+           round(cum_fp * 1.0 / (SELECT sum(1 - label) FROM scored), {ROUND_RATIO}) AS fpr
+    FROM ranked
+    WHERE rn % 100 = 0
+    """,
+    tags=("ml", "eval"),
+)
+def roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve points via cumulative TP/FP window sums over descending
+    score (reference helpers/shortcuts.py:221-241 upstream computation),
+    sampled every 100th rank to keep the result set bounded.
+
+    NOTE: the global ORDER BY window serializes — fine for diagnostics
+    output; at fact-table scale bucket the scores first (histogram-based
+    ROC) instead."""
+    e = _t(spark, sf_dir, "events")
+    scored = e.select(
+        F.col("value").alias("score"),
+        F.when(_PRED, 1).otherwise(0).alias("label"),
+        "event_id",
+    )
+    totals = scored.agg(
+        F.sum("label").alias("__p"),
+        F.sum(1 - F.col("label")).alias("__n"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = scored.select(
+        F.sum("label").over(w).alias("cum_tp"),
+        F.sum(1 - F.col("label")).over(w).alias("cum_fp"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") % 100 == 0)
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "rn",
+        F.round(F.col("cum_tp") / F.col("__p"), ROUND_RATIO).alias("tpr"),
+        F.round(F.col("cum_fp") / F.col("__n"), ROUND_RATIO).alias("fpr"),
+    )
+
+
+@op(
+    "kmeans_segments",
+    oracle=None,  # cluster ids are implementation-specific; rows-only.
+    tags=("ml", "cluster"),
+)
+def kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation with seeded k-means over (acctbal, n_orders,
+    total_spend) — reference segment_customers shortcut
+    (helpers/shortcuts.py:354-376) re-grounded on pyspark.ml."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    feats = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").cast("double").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+    assembled = VectorAssembler(
+        inputCols=["c_acctbal", "n_orders", "total_spend"], outputCol="raw"
+    ).transform(feats)
+    scaled = (
+        StandardScaler(inputCol="raw", outputCol="features", withMean=True)
+        .fit(assembled)
+        .transform(assembled)
+    )
+    model = KMeans(k=4, seed=42, featuresCol="features", predictionCol="cluster").fit(scaled)
+    return model.transform(scaled).select("c_custkey", "cluster")

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode/feature-extract as Arrow-batched Pandas UDFs (training-data
+pipeline extension; BASELINE.json).
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic STUB (md5-derived fake features) — but the
+Spark-side plumbing is real and is what matters at 100 TB: binary columns
+flow through mapInPandas in Arrow batches, schemas are explicit, and
+nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes int, fake_width int, fake_height int, fake_mean_px double"
+)
+
+
+@op(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata columns: documents' text re-encoded as an
+    opaque binary column (stand-in for image/audio bytes), with byte
+    length and content digest — the metadata layer a multimodal table
+    keeps alongside the blob."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+def _fake_decode_batches(batches) -> Iterator:
+    """STUB image decode (no codecs in this container).
+
+    Deterministic fake: 'decodes' each payload into width/height/mean-pixel
+    derived from its md5. A real deployment replaces the body with e.g.
+    PIL/av decode — signature, schema, and Arrow batch flow stay identical.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        digests = [hashlib.md5(b).digest() for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in pdf["payload"]],
+                "fake_width": [16 + d[0] % 64 for d in digests],
+                "fake_height": [16 + d[1] % 64 for d in digests],
+                "fake_mean_px": [d[2] / 255.0 for d in digests],
+            }
+        )
+
+
+@op(
+    "multimodal_decode_stub",
+    oracle=None,  # decode itself is a stub; plumbing is unit-tested instead
+    tags=("multimodal", "udf", "stub"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over binary payloads (STUB decode body,
+    real plumbing: Arrow batches of binary columns in, typed feature
+    columns out, fully distributed)."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_fake_decode_batches, schema=DECODE_SCHEMA)

@@ -1,0 +1,165 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim):
+brute-force cosine top-k (exact baseline) and an LSH-bucketed ANN variant
+(the scale path). Training-data pipeline extension (BASELINE.json).
+
+Float discipline: embeddings are cast float->double *before* any
+arithmetic on both the Spark and oracle sides — float32 accumulation
+would diverge between engines at the 6th decimal.
+
+Scale notes: brute-force broadcasts the (small) query set and streams the
+corpus — one narrow pass + a per-query top-k (window on the bounded
+candidate set). The ANN variant buckets by random-hyperplane signs so
+each query only scans its bucket; hyperplanes are md5-derived, so
+deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 3
+N_PLANES = 8  # LSH hyperplanes -> 256 buckets
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+@op(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))),
+                 {ROUND_RATIO}) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("similarity", "embedding"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms + dimensionality — the sanity pass before any ANN build."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = _as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(_norm(a), ROUND_RATIO).alias("l2_norm"),
+    )
+
+
+@op(
+    "cosine_topk_brute",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, round(cos, {ROUND_RATIO}) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn"),
+)
+def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, one streaming pass over
+    the corpus, per-query top-k via window. The JVM-side zip_with/aggregate
+    dot product keeps the hot loop out of Python entirely."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    queries = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cos", ROUND_RATIO).alias("cos"), "rank")
+    )
+
+
+def _hyperplane_sign(v: Column, plane: int) -> Column:
+    """Sign bit of v . h_plane where h_plane[i] = ±1 from md5 parity —
+    deterministic pseudo-random hyperplanes, no stored model."""
+    signed = F.zip_with(
+        v,
+        F.sequence(F.lit(0), F.size(v) - 1),
+        lambda x, i: F.when(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 2), 16, 10)
+            .cast("int")
+            % 2
+            == 0,
+            x,
+        ).otherwise(-x),
+    )
+    return (F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
+
+
+@op(
+    "ann_lsh_cosine",
+    oracle=None,  # bucketed ANN (recall < 1); checked rows-only + unit test vs brute force
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: 8 md5-derived hyperplanes ->
+    256 buckets; queries only compare within their bucket, then exact
+    cosine rerank. At 100 TB the bucket join replaces the full cross
+    product (recall traded for a ~bucket-count fanout reduction)."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    bucket = sum(
+        (_hyperplane_sign(F.col("v"), p) * (1 << p) for p in range(N_PLANES)), F.lit(0)
+    ).alias("bucket")
+    bucketed = corpus.select("vec_id", "v", bucket)
+    queries = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cos", ROUND_RATIO).alias("cos"), "rank")
+    )

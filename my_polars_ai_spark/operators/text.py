@@ -1,0 +1,128 @@
+"""Text analysis operators: language ID, quality scoring, token counting
+(training-data pipeline extensions over the documents table).
+
+All heuristics are deterministic closed-form expressions (JVM-side
+functions only) so every one is oracle-checked; swap the scoring
+constants freely — the plumbing is what matters at 100 TB (narrow
+projections, no shuffle until the final aggregate if any).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+# English-ish stopword markers for the n-gram/stopword language heuristic.
+_EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is")
+_MARKERS_SQL = "(" + ", ".join(f"'{m}'" for m in _EN_MARKERS) + ")"
+
+
+@op(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS ts
+        FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(ts, x -> x IN {_MARKERS_SQL})) * 1.0
+                 / greatest(len(ts), 1), {ROUND_RATIO}) AS en_marker_ratio,
+           CASE WHEN len(list_filter(ts, x -> x IN {_MARKERS_SQL})) * 1.0
+                     / greatest(len(ts), 1) >= 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: fraction of tokens that are English
+    function words; >= 5% => 'en'. A real pipeline swaps in per-language
+    marker sets / char n-gram profiles — same shape, still one narrow
+    projection."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    n_marker = F.size(F.filter(ts, lambda x: F.array_contains(markers, x)))
+    ratio = n_marker / F.greatest(F.size(ts), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(ratio, ROUND_RATIO).alias("en_marker_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@op(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               string_split(text, ' ') AS ts
+        FROM documents
+    ), m AS (
+        SELECT doc_id, n_chars,
+               len(ts) AS n_tokens,
+               len(list_distinct(ts)) AS n_distinct
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_chars * 1.0 / greatest(n_tokens, 1), {ROUND_RATIO}) AS avg_token_len,
+           round(n_distinct * 1.0 / greatest(n_tokens, 1), {ROUND_RATIO}) AS distinct_ratio,
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.5 * (n_distinct * 1.0 / greatest(n_tokens, 1)), {ROUND_RATIO}) AS quality
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length component + lexical-diversity
+    component (the punctuation/stopword-ratio features every LLM-data
+    quality filter uses; this corpus has no punctuation so diversity and
+    length carry the signal)."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n_tokens = F.size(ts)
+    n_distinct = F.size(F.array_distinct(ts))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    diversity = n_distinct / safe_tokens
+    quality = 0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.5 * diversity
+    return d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_chars") / safe_tokens, ROUND_RATIO).alias("avg_token_len"),
+        F.round(diversity, ROUND_RATIO).alias("distinct_ratio"),
+        F.round(quality, ROUND_RATIO).alias("quality"),
+    )
+
+
+@op(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INTEGER) AS n_bpe_ish,
+           n_chars
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word regex, and a
+    BPE-ish bounded-piece regex (max-4-char chunks approximate subword
+    counts without a tokenizer model)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).alias("n_re_tokens"),
+        F.regexp_count("text", F.lit("[a-z0-9]{1,4}")).alias("n_bpe_ish"),
+        "n_chars",
+    )
