@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink so the full plan (including
+projected columns) executes — a count() would let Catalyst prune the
+work we mean to measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative slice of the registry: scan/agg, joins, windows,
+# time-series, dedup/LSH, similarity, text — the operators whose plans
+# differ structurally (no point benching 10 groupBys).
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "group_agg_multi",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "window_topk_per_group",
+    "rolling_mean_std",
+    "sessionize_gap",
+    "tumbling_window_hourly",
+    "asof_join_backward",
+    "explode_tokens",
+    "dedup_minhash_lsh",
+    "cosine_topk_brute",
+    "median_quantiles",
+    "scan_project_derive",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    ops = all_ops()
+
+    # Warm up the JVM / parquet footers with the flagship query once.
+    ops["flagship_revenue_by_nation"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,11 @@ OPS: dict[str, Op] = {}
 op = make_registrar(OPS)
 
 N_PERMS = 16  # minhash permutations
-N_BANDS = 4  # LSH bands (4 rows/band)
+# 2 bands x 8 rows: P(candidate) = 1-(1-j^8)^2 — steep around j≈0.9, which
+# matters on self-similar corpora (at 4x4 bands, a corpus with typical
+# pairwise j≈0.87 makes ~97% of ALL pairs candidates; at 2x8 it's ~half
+# that, with recall at the 0.95 threshold still ≈0.89).
+N_BANDS = 2
 MINHASH_THRESHOLD = 0.95
 NGRAM_THRESHOLD = 0.5
 
@@ -252,22 +256,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
+    # Verify stage: exact Jaccard via array_intersect on per-doc token
+    # arrays. Joining candidate pairs against the (compact) token-array
+    # table twice beats re-exploding to (pair, token) rows — the token
+    # arrays ride along the pair rows and the set math stays in the JVM.
+    # At 100 TB the token-array table is doc-count-sized, not corpus-sized.
+    tok_arrays = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("toks"), F.count(F.lit(1)).alias("n")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    arr_a = tok_arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
+    )
+    arr_b = tok_arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
+    )
+    paired = cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
+    ni = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = ni / (F.col("na") + F.col("nb") - ni)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= MINHASH_THRESHOLD)
+        paired.filter(jac >= MINHASH_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, ROUND_RATIO).alias("jaccard"))
     )
 
