@@ -26,7 +26,12 @@ op = make_registrar(OPS)
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 3
-N_PLANES = 8  # LSH hyperplanes -> 256 buckets
+# Multi-table LSH: L tables of k hyperplanes each. One k-bit table has
+# P(match) = (1 - theta/pi)^k per neighbor — with k=8 that's ~0 unless the
+# corpus is huge, so recall comes from the union over L independent
+# tables: P = 1 - (1 - p^k)^L.
+N_TABLES = 3
+PLANES_PER_TABLE = 4
 
 
 def _as_double(col) -> Column:
@@ -134,28 +139,42 @@ def _hyperplane_sign(v: Column, plane: int) -> Column:
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH: 8 md5-derived hyperplanes ->
-    256 buckets; queries only compare within their bucket, then exact
-    cosine rerank. At 100 TB the bucket join replaces the full cross
-    product (recall traded for a ~bucket-count fanout reduction)."""
+    """ANN top-k via multi-table random-hyperplane LSH: 3 tables x 4
+    md5-derived hyperplanes; a corpus vector is a candidate if it lands in
+    the query's bucket in ANY table, then exact cosine rerank over the
+    (small) candidate union. At 100 TB the per-table bucket join replaces
+    the full cross product; recall is tuned by (tables, planes), not by
+    scanning more."""
     e = _t(spark, sf_dir, "embeddings")
     corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    bucket = sum(
-        (_hyperplane_sign(F.col("v"), p) * (1 << p) for p in range(N_PLANES)), F.lit(0)
-    ).alias("bucket")
-    bucketed = corpus.select("vec_id", "v", bucket)
+    # (vec_id, v, table, bucket) — one row per table per vector.
+    tables = []
+    for t in range(N_TABLES):
+        bucket = sum(
+            (
+                _hyperplane_sign(F.col("v"), t * PLANES_PER_TABLE + p) * (1 << p)
+                for p in range(PLANES_PER_TABLE)
+            ),
+            F.lit(0),
+        ).alias("bucket")
+        tables.append(corpus.select("vec_id", "v", F.lit(t).alias("tbl"), bucket))
+    bucketed = tables[0]
+    for t_df in tables[1:]:
+        bucketed = bucketed.unionByName(t_df)
     queries = (
         bucketed.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket")
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket")
     )
-    scored = (
-        bucketed.join(F.broadcast(queries), "bucket")
+    candidates = (
+        bucketed.join(F.broadcast(queries), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
-        )
+        .select("q_id", "qv", "vec_id", "v")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

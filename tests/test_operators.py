@@ -1,0 +1,144 @@
+"""Operator-layer tests: registry integrity, targeted invariants the
+DuckDB harness can't express (ANN recall, stub determinism, portable-hash
+parity), and reader round-trips. Full oracle comparison lives in
+tools/verify_local.py (mirrored by the driver at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators import all_ops
+from my_polars_ai_spark.operators.asof import asof_join_backward
+from my_polars_ai_spark.sources.readers import from_csv, from_records
+
+
+def test_registry_integrity():
+    ops = all_ops()
+    assert len(ops) >= 70
+    for name, op_ in ops.items():
+        assert op_.name == name
+        assert callable(op_.fn)
+        if op_.oracle is not None:
+            assert "SELECT" in op_.oracle.upper()
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    words = ["alpha", "beta", "gamma", "0:delta", "héllo"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    spark_vals = {r.w: r.h for r in df.select("w", portable_hash60(F.col("w")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        (dd,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [w]
+        ).fetchone()
+        assert spark_vals[w] == dd, w
+
+
+def test_ann_recall_against_brute_force(spark, sf_dir):
+    ops = all_ops()
+    brute = {
+        (r.q_id, r.neighbor_id) for r in ops["cosine_topk_brute"].fn(spark, sf_dir).collect()
+    }
+    ann = {(r.q_id, r.neighbor_id) for r in ops["ann_lsh_cosine"].fn(spark, sf_dir).collect()}
+    # bucketed ANN trades recall for scan reduction; it must still find a
+    # meaningful share of the true top-k
+    assert len(ann & brute) / len(brute) >= 0.2
+
+
+def test_multimodal_stub_schema_and_determinism(spark, sf_dir):
+    ops = all_ops()
+    df = ops["multimodal_decode_stub"].fn(spark, sf_dir)
+    assert df.columns == ["doc_id", "n_bytes", "fake_width", "fake_height", "fake_mean_px"]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, ops["multimodal_decode_stub"].fn(spark, sf_dir).collect()))
+    assert a == b
+    assert all(16 <= r[2] < 80 for r in a)
+
+
+def test_minhash_pairs_are_subset_of_truth(spark, sf_dir):
+    """LSH candidates that pass the exact-Jaccard verify must be a subset
+    of the brute-force >=0.95 pairs (no false positives — verify stage is
+    exact)."""
+    ops = all_ops()
+    lsh = {(r.doc_a, r.doc_b) for r in ops["dedup_minhash_lsh"].fn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    truth = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        sizes AS (SELECT doc_id, count(*) n FROM toks GROUP BY 1),
+        inter AS (SELECT a.doc_id da, b.doc_id db, count(*) ni FROM toks a
+                  JOIN toks b ON a.tok=b.tok AND a.doc_id<b.doc_id GROUP BY 1,2)
+        SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id=da JOIN sizes sb ON sb.doc_id=db
+        WHERE ni*1.0/(sa.n+sb.n-ni) >= 0.95
+        """
+            ).fetchall(),
+        )
+    )
+    assert lsh <= truth
+    assert len(lsh) / max(len(truth), 1) >= 0.5  # decent recall on this corpus
+
+
+def test_asof_join_backward_known_answer(spark):
+    quotes = from_records(
+        spark,
+        [
+            {"k": "a", "t": 1, "q": 10.0},
+            {"k": "a", "t": 5, "q": 20.0},
+            {"k": "b", "t": 3, "q": 99.0},
+        ],
+    )
+    trades = from_records(
+        spark,
+        [
+            {"k": "a", "t": 0},   # before any quote -> null
+            {"k": "a", "t": 1},   # exact tie -> inclusive match 10.0
+            {"k": "a", "t": 7},   # latest prior -> 20.0
+            {"k": "b", "t": 4},   # -> 99.0
+        ],
+    )
+    out = asof_join_backward(
+        trades.select("k", "t"),
+        quotes.select("k", "t", "q"),
+        on="t",
+        by="k",
+        value_cols=["q"],
+    )
+    got = {(r.k, r.t): r.q for r in out.collect()}
+    assert got == {("a", 0): None, ("a", 1): 10.0, ("a", 7): 20.0, ("b", 4): 99.0}
+
+
+def test_from_csv_loan_fixture_shape(spark, tmp_path):
+    # loan-fixture semantics (FIXTURES.md §1): string dates M/d/yyyy, nulls
+    p = tmp_path / "loans.csv"
+    p.write_text(
+        "Loan_ID,loan_status,Principal,effective_date,past_due_days,Gender\n"
+        "a1,PAIDOFF,1000,9/8/2016,,male\n"
+        "a2,COLLECTION,300,9/9/2016,59,female\n"
+        "a3,PAIDOFF,1000,9/10/2016,,male\n"
+    )
+    df = from_csv(spark, str(p))
+    assert df.count() == 3
+    assert dict(df.dtypes)["Principal"] == "int"
+    # golden-query shape: filter+count (reference examples/from_csv.py:12-14)
+    n = df.filter((F.col("Gender") == "male") & (F.col("loan_status") == "PAIDOFF")).count()
+    assert n == 2
+    # date parsing M/d/yyyy
+    parsed = df.select(F.to_date("effective_date", "M/d/yyyy").alias("d")).collect()
+    assert str(parsed[0].d) == "2016-09-08"
+    # nullable numeric column
+    assert df.filter(F.col("past_due_days").isNull()).count() == 2
+
+
+def test_from_records_dict_and_rows(spark):
+    d1 = from_records(spark, {"x": [1, 2], "y": ["a", "b"]})
+    assert d1.columns == ["x", "y"] and d1.count() == 2
+    d2 = from_records(spark, [{"x": 1}, {"x": 2}])
+    assert d2.count() == 2
