@@ -20,6 +20,7 @@ _MODULES = (
     "similarity",
     "text",
     "multimodal",
+    "udfs",
 )
 
 

@@ -1,0 +1,110 @@
+"""UDF / UDAF surface (SURVEY.md §2b UDF rows): the three Python
+execution paths, each oracle-checked against the same closed-form SQL —
+demonstrating that dropping to Python preserves semantics, and in what
+order to prefer the paths:
+
+1. built-in F.* expressions         (JVM, codegen — everywhere else)
+2. @pandas_udf                      (Arrow-vectorized scalar path)
+3. applyInPandas                    (grouped-map UDAF path)
+4. row-at-a-time @udf               (kept ONLY as the documented anti-
+                                     pattern — ~10-100x slower than 2)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+ROUND_WIN = 4
+
+
+@op(
+    "pandas_udf_sigmoid",
+    oracle=f"""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-(value / 50.0 - 1.0))), {ROUND_RATIO}) AS sigmoid_score
+    FROM events
+    """,
+    tags=("udf", "pandas_udf"),
+)
+def pandas_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (the preferred Python path when
+    F.* can't express the logic; here it can — the oracle proves the UDF
+    matches the closed form)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def sigmoid(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-(v / 50.0 - 1.0)))
+
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", F.round(sigmoid("value"), ROUND_RATIO).alias("sigmoid_score"))
+
+
+@op(
+    "apply_in_pandas_zscore",
+    oracle=f"""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), {ROUND_WIN}) AS zscore
+    FROM events
+    """,
+    tags=("udf", "applyInPandas", "udaf"),
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDAF-equivalent path): per-group
+    z-score computed with pandas inside each group, matching the pure-SQL
+    window formulation. Groups arrive as whole Arrow batches — state is
+    bounded by the largest group, so partition by a high-cardinality key
+    at scale."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mean) / std).round(ROUND_WIN),
+            }
+        )
+
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        zscore, schema="event_id bigint, event_type string, zscore double"
+    )
+
+
+@op(
+    "row_udf_label",
+    oracle="""
+    SELECT event_id,
+           event_type || ':' || CAST(floor(value) AS BIGINT) AS label
+    FROM events
+    """,
+    tags=("udf", "row_udf", "anti-pattern"),
+)
+def row_udf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the documented ANTI-PATTERN (per-row
+    serde, no vectorization; ~10-100x slower than pandas_udf). Kept for
+    surface parity with the reference's arbitrary-Python capability
+    (reference polarsai/__init__.py:421-427 strips only imports/overwrites,
+    so generated code could always define row fns)."""
+
+    @F.udf(T.StringType())
+    def label(event_type: str, value: float) -> str:
+        return f"{event_type}:{math.floor(value)}"
+
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", label("event_type", "value").alias("label"))
