@@ -21,6 +21,7 @@ _MODULES = (
     "text",
     "multimodal",
     "udfs",
+    "sql_api",
 )
 
 

@@ -1,0 +1,137 @@
+"""SQL-API operators: queries expressed through spark.sql over temp views
+(entry point parity — the engine's generated code may use either the
+DataFrame API or SQL; Catalyst produces the same plans), plus patterns
+only reachable via SQL (GROUPING SETS) and explicit scale patterns
+(salted two-stage aggregation for skewed keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_MONEY, ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+N_SALTS = 8
+
+
+@op(
+    "sql_api_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), {ROUND_MONEY}) AS sum_price
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "agg"),
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: temp view + spark.sql — identical Catalyst
+    plan to the DataFrame formulation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), {ROUND_MONEY}) AS sum_price
+        FROM orders_v
+        WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@op(
+    "grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), {ROUND_MONEY}) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("sql", "agg", "grouping_sets"),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — only expressible through SQL in Spark; one pass,
+    expand + single hash aggregation (not a union of scans)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), {ROUND_MONEY}) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@op(
+    "salted_group_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), {ROUND_MONEY}) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: salt the hot key into N_SALTS
+    sub-keys, pre-aggregate, then merge — same answer as the direct
+    groupBy (the oracle), but no single reducer ever owns a whole hot key.
+
+    l_returnflag has ~3 distinct values over the whole fact table — the
+    canonical skewed aggregation. (For *joins* on skewed keys, prefer
+    AQE's skewJoin, already enabled in session.py.)
+
+    The salt must be deterministic for the oracle compare; a production
+    pipeline would use F.rand(seed) or a hash of a high-cardinality column
+    (as here).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", (F.crc32(F.col("l_orderkey").cast("string")) % N_SALTS))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum("l_extendedprice").alias("partial_sum"),
+        F.count(F.lit(1)).alias("partial_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("partial_sum"), ROUND_MONEY).alias("sum_price"),
+        F.sum("partial_n").alias("n"),
+    )
+
+
+@op(
+    "boxplot_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), {ROUND_RATIO}) AS q1,
+           round(quantile_cont(o_totalprice, 0.5), {ROUND_RATIO}) AS median,
+           round(quantile_cont(o_totalprice, 0.75), {ROUND_RATIO}) AS q3,
+           round(min(o_totalprice), {ROUND_RATIO}) AS lo,
+           round(max(o_totalprice), {ROUND_RATIO}) AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "chart", "quantile"),
+)
+def boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped boxplot statistics (reference boxplot shortcut upstream agg,
+    helpers/shortcuts.py:243-293): quartiles + extremes per group; the
+    driver-side matplotlib render consumes exactly this."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.25), ROUND_RATIO).alias("q1"),
+        F.round(F.percentile("o_totalprice", 0.5), ROUND_RATIO).alias("median"),
+        F.round(F.percentile("o_totalprice", 0.75), ROUND_RATIO).alias("q3"),
+        F.round(F.min("o_totalprice"), ROUND_RATIO).alias("lo"),
+        F.round(F.max("o_totalprice"), ROUND_RATIO).alias("hi"),
+    )

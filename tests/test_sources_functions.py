@@ -1,0 +1,71 @@
+"""Sinks, pandas fallbacks, and reader edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.functions.pandas_fallbacks import asof_join_pandas
+from my_polars_ai_spark.sources.readers import from_json, from_records
+from my_polars_ai_spark.sources.writers import write_csv, write_parquet
+
+
+def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
+    df = from_records(spark, {"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    out = str(tmp_path / "t")
+    write_parquet(df, out, partition_by=["k"])
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r.v for r in back.filter(F.col("k") == "a").collect()} == {1, 2}
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = from_records(spark, {"x": [1, 2], "y": ["p", "q"]})
+    out = str(tmp_path / "c")
+    write_csv(df, out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert sorted(map(tuple, back.collect())) == [(1, "p"), (2, "q")]
+
+
+def test_from_json_roundtrip(spark, tmp_path):
+    p = tmp_path / "j.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = from_json(spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_asof_join_pandas_matches_union_trick(spark):
+    from my_polars_ai_spark.operators.asof import asof_join_backward
+
+    quotes = from_records(
+        spark,
+        [
+            {"k": "a", "t": 1, "q": 10.0},
+            {"k": "a", "t": 5, "q": 20.0},
+            {"k": "b", "t": 3, "q": 99.0},
+        ],
+    )
+    trades = from_records(
+        spark, [{"k": "a", "t": 2}, {"k": "a", "t": 6}, {"k": "b", "t": 2}]
+    )
+    via_pandas = asof_join_pandas(
+        trades.select("k", "t"), quotes.select("k", "t", "q"), on="t", by="k", value_cols=["q"]
+    )
+    via_union = asof_join_backward(
+        trades.select("k", "t"), quotes.select("k", "t", "q"), on="t", by="k", value_cols=["q"]
+    )
+    p = {(r.k, r.t): r.q for r in via_pandas.collect()}
+    u = {(r.k, r.t): r.q for r in via_union.collect()}
+    assert p == u == {("a", 2): 10.0, ("a", 6): 20.0, ("b", 2): None}
+
+
+def test_from_excel_raises_cleanly_without_deps(spark, tmp_path):
+    """Without openpyxl the Excel path must fail with a clear error (the
+    reader is gated), never a silent wrong result. pandas may raise
+    FileNotFoundError/ValueError before reaching engine selection — any
+    of these is an acceptable clean failure."""
+    from my_polars_ai_spark.sources.readers import from_excel
+
+    (tmp_path / "x.xlsx").write_bytes(b"not a real xlsx")
+    with pytest.raises((ImportError, FileNotFoundError, ValueError)):
+        from_excel(spark, str(tmp_path / "x.xlsx"))
