@@ -22,6 +22,7 @@ _MODULES = (
     "multimodal",
     "udfs",
     "sql_api",
+    "extras",
 )
 
 

@@ -1,0 +1,151 @@
+"""Time-series derivative + completion operators rounding out the Polars
+expression surface (tier D in SURVEY.md §2b): diff, pct_change, forward
+fill, per-group mode, and gap filling onto a dense time grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+ROUND_WIN = 4
+
+
+@op(
+    "diff_pct_change",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER w, {ROUND_WIN}) AS diff,
+           round((value - lag(value) OVER w) / lag(value) OVER w, {ROUND_WIN}) AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "timeseries"),
+)
+def diff_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polars diff()/pct_change() surface: first differences and relative
+    change per user stream."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - prev, ROUND_WIN).alias("diff"),
+        F.round((F.col("value") - prev) / prev, ROUND_WIN).alias("pct_change"),
+    )
+
+
+@op(
+    "forward_fill",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(last_value(v_sparse IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {ROUND_WIN}) AS v_filled
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS v_sparse
+        FROM events
+    )
+    """,
+    tags=("window", "null", "ffill"),
+)
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (Polars fill_null(strategy='forward')): carry the last
+    non-null observation forward per key — last(ignorenulls) over an
+    ordered window, the same bounded-state pattern as the as-of join."""
+    e = _t(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(sparse, ignorenulls=True).over(w), ROUND_WIN).alias("v_filled"),
+    )
+
+
+@op(
+    "mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n
+    FROM (
+        SELECT user_id, event_type, count(*) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM events
+        GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per key with deterministic tie-break —
+    count + top-1-per-group window, no mode() builtin needed."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@op(
+    "time_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               count(*) AS n, round(sum(value), {ROUND_WIN}) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT g.hour_start,
+           coalesce(a.n, 0) AS n,
+           round(coalesce(a.sum_value, 0.0), {ROUND_WIN}) AS sum_value
+    FROM grid g LEFT JOIN agg a ON a.hour_start = g.hour_start
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling onto a dense hourly grid (Polars upsample / date_range
+    surface): sequence() builds the grid from the observed bounds — a
+    1-row aggregate exploded, so the grid is generated distributed, not
+    collected — then a left join pulls in the sparse aggregates."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), ROUND_WIN).alias("sum_value")
+    )
+    grid = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start")
+        )
+    )
+    joined = grid.join(agg, "hour_start", "left")
+    return joined.select(
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("sum_value", F.lit(0.0)), ROUND_WIN).alias("sum_value"),
+    )

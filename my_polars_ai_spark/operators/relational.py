@@ -609,6 +609,27 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+    FROM orders
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (Polars join(how='right') surface)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@op(
     "join_full_outer",
     oracle="""
     SELECT coalesce(a.k, b.k) AS k, a.n_f AS n_f, b.n_o AS n_o
