@@ -1,0 +1,94 @@
+"""Property-based operator correctness (SURVEY.md §5 test plan row 4):
+random small frames -> the same relational operation in Spark and DuckDB
+must agree. Integer domains keep the comparison exact (float rounding
+conventions are covered by the oracle harness instead)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+KEYS = st.sampled_from(["a", "b", "c", "d"])
+ROWS = st.lists(
+    st.tuples(KEYS, st.integers(min_value=-1000, max_value=1000)),
+    min_size=0,
+    max_size=50,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _to_pdf(rows):
+    return pd.DataFrame(rows, columns=["k", "v"]) if rows else pd.DataFrame({"k": pd.Series(dtype="object"), "v": pd.Series(dtype="int64")})
+
+
+@given(rows=ROWS, threshold=st.integers(min_value=-1000, max_value=1000))
+@_SETTINGS
+def test_filter_count_matches_duckdb(spark, rows, threshold):
+    pdf = _to_pdf(rows)
+    sdf = spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame(pdf, schema="k string, v long")
+    got = sdf.filter(F.col("v") > threshold).count()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    (want,) = con.execute("SELECT count(*) FROM t WHERE v > ?", [threshold]).fetchone()
+    assert got == want
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_group_agg_matches_duckdb(spark, rows):
+    pdf = _to_pdf(rows)
+    sdf = spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame(pdf, schema="k string, v long")
+    got = {
+        (r.k): (r.s, r.n, r.mn, r.mx)
+        for r in sdf.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT k, CAST(sum(v) AS BIGINT), count(*), min(v), max(v) FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(left=ROWS, right=ROWS)
+@_SETTINGS
+def test_inner_join_count_matches_duckdb(spark, left, right):
+    lp, rp = _to_pdf(left), _to_pdf(right)
+    ls = spark.createDataFrame(lp) if len(lp) else spark.createDataFrame(lp, schema="k string, v long")
+    rs = (spark.createDataFrame(rp) if len(rp) else spark.createDataFrame(rp, schema="k string, v long")).withColumnRenamed("v", "w")
+    got = ls.join(rs, "k").count()
+    con = duckdb.connect()
+    con.register("l", lp)
+    con.register("r", rp)
+    (want,) = con.execute("SELECT count(*) FROM l JOIN r USING (k)").fetchone()
+    assert got == want
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_distinct_and_sort_match_duckdb(spark, rows):
+    pdf = _to_pdf(rows)
+    sdf = spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame(pdf, schema="k string, v long")
+    got = [tuple(r) for r in sdf.select("k", "v").distinct().orderBy("k", "v").collect()]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("SELECT DISTINCT k, v FROM t ORDER BY k, v").fetchall()
+    assert got == [tuple(r) for r in want]
