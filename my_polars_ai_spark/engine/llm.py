@@ -92,6 +92,29 @@ class FakeLLM(LLM):
         return self._output
 
 
+class LangChainLLM(LLM):
+    """Adapter for any LangChain-style LLM object exposing ``predict`` or
+    ``invoke`` (parity with the reference's langchain wrapper,
+    llm/langchain_base.py:5-21 — which had a bug referencing an unbound
+    name; fixed here by holding the wrapped object). Import-free: accepts
+    any duck-typed object, so langchain itself is optional."""
+
+    def __init__(self, langchain_llm):
+        self._llm = langchain_llm
+
+    @property
+    def type(self) -> str:
+        return f"langchain_{getattr(self._llm, '_llm_type', type(self._llm).__name__)}"
+
+    def predict(self, text: str) -> str:
+        if hasattr(self._llm, "predict"):
+            return self._llm.predict(text)
+        if hasattr(self._llm, "invoke"):
+            out = self._llm.invoke(text)
+            return getattr(out, "content", str(out))
+        raise MethodNotImplementedError("wrapped LLM exposes neither predict nor invoke")
+
+
 class CallableLLM(LLM):
     """Adapter wrapping any ``fn(prompt) -> str`` (an OpenAI-compatible
     client, a local model server, ...) as an engine LLM."""

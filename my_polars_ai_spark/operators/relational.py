@@ -411,10 +411,21 @@ def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated, matching DuckDB quantile_cont). At 100 TB prefer
     percentile_approx — see `approx_quantiles`."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), ROUND_RATIO).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", 0.25), ROUND_RATIO).alias("p25_price"),
-        F.round(F.percentile("l_extendedprice", 0.75), ROUND_RATIO).alias("p75_price"),
+    # one percentile buffer for both price quantiles (array form) instead
+    # of two independent aggregates
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), ROUND_RATIO).alias("median_qty"),
+            pcts.alias("__p"),
+        )
+        .select(
+            "l_returnflag",
+            "median_qty",
+            F.round(F.element_at("__p", 1), ROUND_RATIO).alias("p25_price"),
+            F.round(F.element_at("__p", 2), ROUND_RATIO).alias("p75_price"),
+        )
     )
 
 

@@ -229,3 +229,33 @@ def test_shortcut_rolling_prompt_interpolates_window(spark, fruits):
 
     SpyAI(llm=FakeLLM()).rolling_mean(fruits, "A", 7)
     assert "7" in captured["prompt"] and "{window}" not in captured["prompt"]
+
+
+# -- providers / optional deps ----------------------------------------------
+
+def test_langchain_adapter_duck_typing():
+    from my_polars_ai_spark.engine.llm import LangChainLLM
+
+    class PredictStyle:
+        def predict(self, text):
+            return "<startCode>\nx = 1\nx\n<endCode>"
+
+    class InvokeStyle:
+        def invoke(self, text):
+            class Out:
+                content = "```python\ny = 2\n```"
+            return Out()
+
+    assert LangChainLLM(PredictStyle()).generate_code("inst", "q") == "x = 1\nx"
+    assert LangChainLLM(InvokeStyle()).generate_code("inst", "q") == "y = 2"
+
+
+def test_import_optional_dependency():
+    from my_polars_ai_spark.engine.optional_deps import import_optional_dependency
+
+    assert import_optional_dependency("json") is not None
+    assert import_optional_dependency("definitely_not_a_module", errors="ignore") is None
+    with pytest.raises(ImportError):
+        import_optional_dependency("definitely_not_a_module")
+    with pytest.raises(ImportError):
+        import_optional_dependency("pandas", min_version="999.0.0")
