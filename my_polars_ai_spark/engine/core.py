@@ -166,7 +166,10 @@ class SparkAI(Shortcuts):
             self.last_code_generated = code
             self.log(f"Code generated:\n{code}")
             if show_code:
-                print(code)
+                from my_polars_ai_spark.engine.notebook import show_code_in_new_cell
+
+                if not show_code_in_new_cell(code):
+                    print(code)
 
             answer = self.run_code(
                 code,
