@@ -230,35 +230,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _doc_tokens(spark, sf_dir)
     rows_per_band = N_PERMS // N_BANDS
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("i")
-    # Hash each DISTINCT token once per permutation and broadcast-join the
-    # (vocab x perms) table back onto the (doc, token) pairs — strictly
-    # less md5 work than hashing per occurrence (vocab << occurrences on
-    # any real corpus), and the join is a broadcast, not a shuffle.
-    vocab_hashes = (
-        toks.select("tok")
-        .distinct()
-        .select("tok", perms)
-        .select(
-            "tok",
-            "i",
-            portable_hash60(
-                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))
-            ).alias("h"),
+    # Hash each DISTINCT token once per permutation, as 16 WIDE columns on
+    # a small vocab table (vocab << occurrences on any corpus), broadcast-
+    # join it onto the (doc, token) pairs, and take per-column mins — the
+    # whole signature costs ONE shuffle of |doc,token| rows instead of an
+    # exploded |doc,token| x perms shuffle.
+    vocab_wide = toks.select("tok").distinct()
+    for i in range(N_PERMS):
+        vocab_wide = vocab_wide.withColumn(
+            f"h{i}", portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tok")))
         )
+    sig = (
+        toks.join(F.broadcast(vocab_wide), "tok")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_PERMS)])
     )
-    hashes = toks.join(F.broadcast(vocab_hashes), "tok").select("doc_id", "i", "h")
-    sig = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    bands = (
-        sig.groupBy("doc_id", (F.col("i") / rows_per_band).cast("int").alias("band"))
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("sig_arr"))
-        .select(
-            "doc_id",
-            "band",
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(F.transform("sig_arr", lambda x: x["mh"].cast("string")), ",")
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
             ).alias("band_sig"),
         )
+        for b in range(N_BANDS)
+    ]
+    # cache(): bands feeds both sides of the candidate self-join and the
+    # token arrays feed both sides of the verify join — without it Spark
+    # re-executes the scan->tokenize->sign subtree once per reference
+    # (measured 2.5x slower end-to-end).
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        .cache()
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
@@ -279,7 +288,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the token-array table is doc-count-sized, not corpus-sized.
     tok_arrays = toks.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("toks"), F.count(F.lit(1)).alias("n")
-    )
+    ).cache()
     arr_a = tok_arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
     )
