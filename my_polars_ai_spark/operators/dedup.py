@@ -155,9 +155,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = (
-        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
-    )
+    # cached: sh feeds the sizes aggregate and both sides of the pair join
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")

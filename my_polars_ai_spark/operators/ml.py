@@ -92,6 +92,7 @@ def impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.avg("o_totalprice").alias("avg_spend"))
+        .cache()  # feeds both the global-mean aggregate and the output
     )
     mean_row = spend.agg(F.avg("avg_spend").alias("__mean"))
     return (

@@ -146,7 +146,8 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full cross product; recall is tuned by (tables, planes), not by
     scanning more."""
     e = _t(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # cached: the corpus feeds every LSH table projection plus the query set
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v")).cache()
     # (vec_id, v, table, bucket) — one row per table per vector.
     tables = []
     for t in range(N_TABLES):
