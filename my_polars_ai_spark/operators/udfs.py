@@ -108,3 +108,18 @@ def row_udf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return e.select("event_id", label("event_type", "value").alias("label"))
+
+
+@op(
+    "ema_per_user",
+    oracle=None,  # recursive EMA has no closed-form SQL; stream-vs-batch
+    # equality is asserted in tests/test_streaming.py instead
+    tags=("udf", "applyInPandas", "timeseries", "stateful"),
+)
+def ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average (recursive/iterative operator —
+    the applyInPandas batch twin of the applyInPandasWithState streaming
+    job in my_polars_ai_spark.streaming.jobs)."""
+    from my_polars_ai_spark.streaming.jobs import ema_batch
+
+    return ema_batch(spark, sf_dir)

@@ -90,6 +90,78 @@ def stream_session_windows(spark: SparkSession, sf_dir: str, gap: str = "10 minu
     return _drain_to_memory(agg, "complete")
 
 
+EMA_ALPHA = 0.3
+
+
+def ema_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming EMA: per-user exponential
+    moving average of `value` over (ts, event_id) order, computed with
+    applyInPandas (recursive — not expressible in closed-form SQL)."""
+    import pandas as pd
+
+    from my_polars_ai_spark.sources.tables import load_table
+
+    def ema(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "n_events": [len(pdf)],
+                "ema_value": [
+                    round(pdf["value"].ewm(alpha=EMA_ALPHA, adjust=False).mean().iloc[-1], 6)
+                ],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(ema, schema="user_id bigint, n_events bigint, ema_value double")
+    )
+
+
+def stream_ema_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    carries (count, ema) per user across micro-batches. With the
+    availableNow file source this processes the corpus as one batch, but
+    the state plumbing (GroupState get/update, timeout conf) is the real
+    production shape for continuous sources."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, ema = state.get
+        else:
+            n, ema = 0, None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                ema = v if ema is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * ema
+                n += 1
+        state.update((n, float(ema if ema is not None else 0.0)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ema_value": [round(ema, 6)]}
+        )
+
+    result = (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, ema_value double",
+            stateStructType="n bigint, ema double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain_to_memory(result, "update")
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup on (user_id, event_type) within the watermark
     horizon — the streaming member of the dedup family."""

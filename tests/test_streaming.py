@@ -40,3 +40,13 @@ def test_stream_dedup_first_touch(spark, sf_dir):
         e.select("user_id", "event_type").distinct().groupBy("event_type").count().collect()
     )
     assert rows == {r.event_type: r["count"] for r in expected}
+
+
+def test_stream_stateful_ema_matches_batch(spark, sf_dir):
+    from my_polars_ai_spark.streaming.jobs import ema_batch, stream_ema_stateful
+
+    streamed = stream_ema_stateful(spark, sf_dir)
+    batch = ema_batch(spark, sf_dir)
+    s = {(r.user_id): (r.n_events, r.ema_value) for r in streamed.collect()}
+    b = {(r.user_id): (r.n_events, r.ema_value) for r in batch.collect()}
+    assert s == b
