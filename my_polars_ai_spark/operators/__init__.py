@@ -23,6 +23,7 @@ _MODULES = (
     "udfs",
     "sql_api",
     "extras",
+    "fuzzy",
 )
 
 

@@ -133,9 +133,58 @@ def _hyperplane_sign(v: Column, plane: int) -> Column:
     return (F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
 
 
+def _sign_expr_sql(plane: int) -> str:
+    """DuckDB twin of _hyperplane_sign: sign bit of v . h_plane."""
+    return (
+        "(list_sum(list_transform(range(1, len(v) + 1), i -> "
+        f"CASE WHEN ('0x' || substr(md5('{plane}:' || (i - 1)), 1, 2))::BIGINT % 2 = 0 "
+        "THEN v[i] ELSE -v[i] END)) > 0)::INT"
+    )
+
+
+def _bucket_expr_sql(table: int) -> str:
+    return " + ".join(
+        f"({_sign_expr_sql(table * PLANES_PER_TABLE + p)}) * {1 << p}"
+        for p in range(PLANES_PER_TABLE)
+    )
+
+
+_ANN_ORACLE = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), buckets AS (
+    SELECT vec_id, v, t.tbl,
+           CASE t.tbl
+                WHEN 0 THEN {_bucket_expr_sql(0)}
+                WHEN 1 THEN {_bucket_expr_sql(1)}
+                ELSE {_bucket_expr_sql(2)}
+           END AS bucket
+    FROM corpus CROSS JOIN (SELECT unnest(range({N_TABLES})) AS tbl) t
+), q AS (
+    SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id < {N_QUERIES}
+), cand AS (
+    SELECT DISTINCT q.q_id, b.vec_id AS neighbor_id
+    FROM buckets b
+    JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id != q.q_id
+), scored AS (
+    SELECT c.q_id, c.neighbor_id,
+           list_cosine_similarity(ca.v, cb.v) AS cos
+    FROM cand c
+    JOIN corpus ca ON ca.vec_id = c.q_id
+    JOIN corpus cb ON cb.vec_id = c.neighbor_id
+), ranked AS (
+    SELECT q_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, {ROUND_RATIO}) AS cos, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 @op(
     "ann_lsh_cosine",
-    oracle=None,  # bucketed ANN (recall < 1); checked rows-only + unit test vs brute force
+    oracle=_ANN_ORACLE,  # md5-derived hyperplanes => even the ANN is oracle-checked
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
