@@ -54,6 +54,7 @@ class SparkAI(Shortcuts):
         conversational: bool = False,
         verbose: bool = False,
         save_charts: bool = False,
+        enforce_privacy: bool = False,
         enable_cache: bool = True,
         cache_path: str = "cache/sparkai",
         count_rows: bool = False,
@@ -64,6 +65,7 @@ class SparkAI(Shortcuts):
         self._is_conversational_answer = conversational
         self._verbose = verbose
         self._save_charts = save_charts
+        self._enforce_privacy = enforce_privacy
         self._cache = Cache(cache_path) if enable_cache else None
         self._count_rows = count_rows
         self._extra_whitelist = tuple(custom_whitelisted_dependencies)
@@ -80,8 +82,19 @@ class SparkAI(Shortcuts):
 
     def _frame_metadata(self, df: DataFrame) -> tuple[str, str, str]:
         """(head_text, num_rows, num_columns) without full-table actions
-        unless count_rows=True."""
-        head = df.limit(5).toPandas().to_string(index=False)
+        unless count_rows=True.
+
+        With enforce_privacy=True no cell values leave the cluster: the
+        LLM sees only column names and types. (The reference accepted an
+        anonymize_df flag but never used it — polarsai/__init__.py:220;
+        implemented for real here.)
+        """
+        if self._enforce_privacy:
+            head = "Columns (values withheld for privacy):\n" + "\n".join(
+                f"  {f.name}: {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+        else:
+            head = df.limit(5).toPandas().to_string(index=False)
         num_rows = str(df.count()) if self._count_rows else "an unknown number of"
         return head, num_rows, str(len(df.columns))
 

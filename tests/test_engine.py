@@ -259,3 +259,19 @@ def test_import_optional_dependency():
         import_optional_dependency("definitely_not_a_module")
     with pytest.raises(ImportError):
         import_optional_dependency("pandas", min_version="999.0.0")
+
+
+def test_enforce_privacy_hides_values(spark, fruits):
+    llm = FakeLLM(output="<startCode>\ndf.agg(F.sum('A')).collect()[0][0]\n<endCode>")
+    ai = SparkAI(llm=llm, enforce_privacy=True, enable_cache=False)
+    assert ai.run(fruits, "sum of A?") == 15
+    # the prompt sent to the LLM must contain schema but no cell values
+    assert "banana" not in llm.last_prompt and "beetle" not in llm.last_prompt
+    assert "fruits: string" in llm.last_prompt
+
+
+def test_default_prompt_contains_sample_values(spark, fruits):
+    llm = FakeLLM(output="<startCode>\ndf.agg(F.sum('A')).collect()[0][0]\n<endCode>")
+    ai = SparkAI(llm=llm, enable_cache=False)
+    ai.run(fruits, "sum of A?")
+    assert "banana" in llm.last_prompt
