@@ -28,8 +28,9 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 def plan_summary(df: DataFrame) -> dict[str, object]:
     """Structural summary of the physical plan: operator counts that matter
     at scale (shuffles, broadcasts, scans with/without pushdown, codegen
-    coverage, Python evals)."""
-    text = explain_str(df)
+    coverage, Python evals). Uses simple mode so each operator is counted
+    once (formatted mode prints tree + details, double-counting)."""
+    text = explain_str(df, mode="simple")
     return {
         "exchanges": len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", text)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", text)),

@@ -31,6 +31,10 @@ def from_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def from_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def from_json(spark: SparkSession, path: str, schema: Any = None) -> DataFrame:
     reader = spark.read
     if schema is not None:

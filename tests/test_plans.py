@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the 100 TB properties claimed in
+PERF.md, asserted structurally so future rounds can't silently regress
+them (a slow plan that still returns correct rows would pass the oracle
+gate — these tests are the scale gate)."""
+
+from __future__ import annotations
+
+from my_polars_ai_spark.operators import all_ops
+from my_polars_ai_spark.plans.inspect import plan_summary, pushed_filters, read_schemas
+
+
+def test_flagship_broadcasts_dims_and_prunes_columns(spark, sf_dir):
+    df = all_ops()["flagship_revenue_by_nation"].fn(spark, sf_dir)
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 1  # nation must broadcast
+    assert s["nested_loop_joins"] == 0
+    assert s["python_evals"] == 0
+    schemas = read_schemas(df)
+    # lineitem scan reads exactly the 3 needed columns
+    assert any(
+        set(sch) >= set("l_orderkey") and "l_extendedprice" in sch and "l_quantity" not in sch
+        for sch in schemas
+    ), schemas
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = all_ops()["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p and "LessThanOrEqual" in p for p in pushed), pushed
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    df = all_ops()["topk_orders"].fn(spark, sf_dir)
+    assert plan_summary(df)["take_ordered"] >= 1
+
+
+def test_relational_ops_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation anywhere in the relational/window/timeseries
+    plans — UDF boundaries are only allowed in the explicitly-UDF ops."""
+    ops = all_ops()
+    for name in (
+        "tpch_q1_pricing_summary",
+        "join_inner_broadcast",
+        "window_topk_per_group",
+        "rolling_mean_std",
+        "sessionize_gap",
+        "tumbling_window_hourly",
+        "dedup_minhash_lsh",
+        "cosine_topk_brute",
+    ):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["python_evals"] == 0, name
+
+
+def test_udf_ops_have_exactly_one_python_boundary(spark, sf_dir):
+    ops = all_ops()
+    for name in ("pandas_udf_sigmoid", "apply_in_pandas_zscore", "multimodal_decode_stub"):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["python_evals"] == 1, name
+
+
+def test_brute_force_knn_broadcasts_query_side(spark, sf_dir):
+    s = plan_summary(all_ops()["cosine_topk_brute"].fn(spark, sf_dir))
+    # cross join with broadcast => BroadcastNestedLoopJoin, never CartesianProduct shuffle
+    assert s["nested_loop_joins"] >= 1
+    assert s["sortmerge_joins"] == 0

@@ -69,3 +69,13 @@ def test_from_excel_raises_cleanly_without_deps(spark, tmp_path):
     (tmp_path / "x.xlsx").write_bytes(b"not a real xlsx")
     with pytest.raises((ImportError, FileNotFoundError, ValueError)):
         from_excel(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from my_polars_ai_spark.sources.readers import from_orc
+    from my_polars_ai_spark.sources.writers import write_orc
+
+    df = from_records(spark, {"k": ["x", "y"], "v": [1, 2]})
+    out = str(tmp_path / "o")
+    write_orc(df, out)
+    assert sorted(map(tuple, from_orc(spark, out).collect())) == [("x", 1), ("y", 2)]
