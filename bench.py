@@ -38,6 +38,11 @@ HEADLINE = [
     "cosine_topk_brute",
     "median_quantiles",
     "scan_project_derive",
+    "grouping_sets",
+    "pivot_status_qty",
+    "quality_score",
+    "hash_sample",
+    "pandas_udf_sigmoid",
 ]
 
 
