@@ -149,3 +149,136 @@ def time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.round(F.coalesce("sum_value", F.lit(0.0)), ROUND_WIN).alias("sum_value"),
     )
+
+
+@op(
+    "interpolate_linear",
+    oracle=f"""
+    WITH sparse AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS v
+        FROM events
+    ), bounded AS (
+        SELECT user_id, event_id, ts, v,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+               first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+        FROM sparse
+    )
+    SELECT user_id, event_id,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN v_prev IS NOT NULL AND v_next IS NOT NULL AND t_next != t_prev
+                   THEN v_prev + (v_next - v_prev) * (epoch(ts) - t_prev) / (t_next - t_prev)
+               WHEN v_prev IS NOT NULL THEN v_prev
+               ELSE v_next
+           END, {ROUND_WIN}) AS v_interp
+    FROM bounded
+    """,
+    tags=("window", "interpolate", "timeseries"),
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse series (Polars interpolate()
+    surface): each gap value is reconstructed from the surrounding known
+    points, time-weighted. Two bounded-state window passes (carry-last
+    forward + carry-first backward) — no per-group materialization."""
+    e = _t(spark, sf_dir, "events")
+    sparse = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("v"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.col("ts").cast("double")
+    t_known = F.when(F.col("v").isNotNull(), t)
+    bounded = sparse.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(fwd).alias("v_prev"),
+        F.first("v", ignorenulls=True).over(bwd).alias("v_next"),
+        F.last(t_known, ignorenulls=True).over(fwd).alias("t_prev"),
+        F.first(t_known, ignorenulls=True).over(bwd).alias("t_next"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("v_prev").isNotNull()
+            & F.col("v_next").isNotNull()
+            & (F.col("t_next") != F.col("t_prev")),
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (t - F.col("t_prev"))
+            / (F.col("t_next") - F.col("t_prev")),
+        )
+        .when(F.col("v_prev").isNotNull(), F.col("v_prev"))
+        .otherwise(F.col("v_next"))
+    )
+    return bounded.select(
+        "user_id", "event_id", F.round(interp, ROUND_WIN).alias("v_interp")
+    )
+
+
+@op(
+    "rolling_min_max",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(min(value) OVER w, {ROUND_WIN}) AS roll_min,
+           round(max(value) OVER w, {ROUND_WIN}) AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "rolling"),
+)
+def rolling_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row rolling min/max per user (Polars rolling_min/max)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.min("value").over(w), ROUND_WIN).alias("roll_min"),
+        F.round(F.max("value").over(w), ROUND_WIN).alias("roll_max"),
+    )
+
+
+@op(
+    "weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), {ROUND_WIN})
+               AS qty_weighted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted"),
+)
+def weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average per group: sum(w*x)/sum(w) — one hash aggregation,
+    partial-agg friendly (unlike a naive avg over pre-multiplied rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"),
+            ROUND_WIN,
+        ).alias("qty_weighted_price")
+    )

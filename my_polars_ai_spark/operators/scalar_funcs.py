@@ -257,3 +257,27 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@op(
+    "string_pad_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_zfill,
+           rpad(p_brand, 12, '.') AS brand_padded,
+           reverse(p_name) AS name_reversed,
+           repeat('-', p_size % 5) AS size_dashes
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def string_pad_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding family: lpad (zfill), rpad, reverse, repeat."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_zfill"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_dashes"),
+    )
