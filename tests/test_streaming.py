@@ -50,3 +50,58 @@ def test_stream_stateful_ema_matches_batch(spark, sf_dir):
     s = {(r.user_id): (r.n_events, r.ema_value) for r in streamed.collect()}
     b = {(r.user_id): (r.n_events, r.ema_value) for r in batch.collect()}
     assert s == b
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """Real late-data semantics across micro-batches (maxFilesPerTrigger=1).
+
+    Append-mode subtlety (observed on Spark 4): a late row is only
+    guaranteed to be DROPPED once the window's state has been evicted —
+    if the state is still live the row merges despite being older than
+    the watermark. So: batch 1 fills the 10:00 window, batch 2 advances
+    the watermark past the window end (evicting + emitting it), batch 3
+    delivers a very late row for that window — which must be dropped and
+    must NOT re-emit the window."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    d = str(tmp_path / "stream_src")
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, ["ts_s", "v"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        ).coalesce(1).write.mode(mode).parquet(d)
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    write_batch([("2024-01-01 10:00:00", 1), ("2024-01-01 10:30:00", 2)], "overwrite")
+    # raises max event time to 12:00 -> watermark becomes 11:50 AFTER this batch
+    write_batch([("2024-01-01 12:00:00", 3)], "append")
+    # runs WITH watermark 11:50 -> evicts + emits the [10:00, 11:00) window
+    write_batch([("2024-01-01 12:05:00", 4)], "append")
+    # very late row for the ALREADY-EVICTED window + an on-time row
+    write_batch([("2024-01-01 10:05:00", 100), ("2024-01-01 12:10:00", 5)], "append")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .select(F.col("w.start").alias("ws"), "total")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = [(str(r.ws), r.total) for r in spark.table(name).collect()]
+    # the 10:00 window was emitted exactly once, without the late v=100 row
+    assert emitted.count(("2024-01-01 10:00:00", 3)) == 1, emitted
+    assert not any(ws == "2024-01-01 10:00:00" and total != 3 for ws, total in emitted), emitted
