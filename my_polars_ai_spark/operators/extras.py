@@ -282,3 +282,83 @@ def weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND_WIN,
         ).alias("qty_weighted_price")
     )
+
+
+@op(
+    "stats_extended",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(value > 99.0) AS any_extreme,
+           round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                 {ROUND_WIN}) AS cov_vk,
+           round(arg_min(value, event_id), {ROUND_WIN}) AS first_event_value,
+           round(arg_max(value, event_id), {ROUND_WIN}) AS last_event_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended aggregate family: count_if, bool_and/bool_or (every/any),
+    sample covariance, min_by/max_by (argmin/argmax as aggregates)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50.0).alias("n_high"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99.0).alias("any_extreme"),
+        F.round(F.covar_samp("value", k), ROUND_WIN).alias("cov_vk"),
+        F.round(F.min_by("value", "event_id"), ROUND_WIN).alias("first_event_value"),
+        F.round(F.max_by("value", "event_id"), ROUND_WIN).alias("last_event_value"),
+    )
+
+
+@op(
+    "hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family (md5 / sha256) — portable content
+    addressing for dedup and caching across engines."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@op(
+    "datetime_convert",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(floor(epoch_ms(ts)) AS BIGINT) AS epoch_ms,
+           strftime(ts, '%Y-%m-%d %H:%M') AS formatted,
+           CAST(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS TIMESTAMP) AS roundtrip
+    FROM events
+    """,
+    tags=("scalar", "date"),
+)
+def datetime_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch conversions + formatting round trip (unix_timestamp /
+    date_format / timestamp_seconds family)."""
+    e = _t(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    return e.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        (F.col("ts").cast("double") * 1000).cast("bigint").alias("epoch_ms"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("formatted"),
+        F.timestamp_seconds(epoch_s).alias("roundtrip"),
+    )

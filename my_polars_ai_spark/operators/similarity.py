@@ -232,3 +232,69 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "neighbor_id", F.round("cos", ROUND_RATIO).alias("cos"), "rank")
     )
+
+
+@op(
+    "ivf_cosine_topk",
+    oracle=None,  # coarse-quantizer assignment depends on pyspark.ml kmeans
+    # internals; recall vs brute force asserted in tests instead
+    tags=("similarity", "ann", "ivf"),
+)
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: seeded k-means coarse quantizer (16 cells), queries
+    probe their 2 nearest centroids and rerank exactly within the probed
+    cells. The standard embedding-retrieval layout: at 100 TB the corpus
+    is partitioned by cell id on disk, so a query touches ~2/16 of the
+    data instead of all of it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    N_CELLS = 16
+    N_PROBE = 2
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("features", array_to_vector("v")).cache()
+
+    model = KMeans(k=N_CELLS, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
+    assigned = model.transform(corpus).select("vec_id", "v", "cell")
+
+    # centroid table (16 rows) -> broadcast; each query ranks centroids by
+    # cosine and keeps its N_PROBE nearest cells
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, cv array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "qv",
+            "cell",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("c_cos"),
+        )
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= N_PROBE)
+        .select("q_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cos", ROUND_RATIO).alias("cos"), "rank")
+    )

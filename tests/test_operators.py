@@ -142,3 +142,12 @@ def test_from_records_dict_and_rows(spark):
     assert d1.columns == ["x", "y"] and d1.count() == 2
     d2 = from_records(spark, [{"x": 1}, {"x": 2}])
     assert d2.count() == 2
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    ops = all_ops()
+    brute = {
+        (r.q_id, r.neighbor_id) for r in ops["cosine_topk_brute"].fn(spark, sf_dir).collect()
+    }
+    ivf = {(r.q_id, r.neighbor_id) for r in ops["ivf_cosine_topk"].fn(spark, sf_dir).collect()}
+    assert len(ivf & brute) / len(brute) >= 0.2
