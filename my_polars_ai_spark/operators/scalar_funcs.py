@@ -281,3 +281,96 @@ def string_pad_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_name").alias("name_reversed"),
         F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_dashes"),
     )
+
+
+@op(
+    "array_set_ops",
+    oracle="""
+    WITH per_status AS (
+        SELECT l_orderkey,
+               list_sort(list(DISTINCT l_linenumber) FILTER (l_linestatus = 'O')) AS lines_o,
+               list_sort(list(DISTINCT l_linenumber) FILTER (l_linestatus = 'F')) AS lines_f
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           list_sort(list_intersect(coalesce(lines_o, []), coalesce(lines_f, []))) AS in_both,
+           list_sort(list_distinct(list_concat(coalesce(lines_o, []), coalesce(lines_f, [])))) AS in_either,
+           list_has_all(coalesce(lines_o, []), coalesce(lines_f, [])) AS o_covers_f
+    FROM per_status
+    """,
+    tags=("scalar", "array", "setop"),
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect/union/containment) on per-group
+    collected arrays — the JVM-side way to compare sets without exploding
+    back to rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    empty = F.array().cast("array<int>")
+    per_status = li.groupBy("l_orderkey").agg(
+        F.coalesce(
+            F.array_sort(F.array_distinct(F.collect_list(F.when(F.col("l_linestatus") == "O", F.col("l_linenumber"))))),
+            empty,
+        ).alias("lines_o"),
+        F.coalesce(
+            F.array_sort(F.array_distinct(F.collect_list(F.when(F.col("l_linestatus") == "F", F.col("l_linenumber"))))),
+            empty,
+        ).alias("lines_f"),
+    )
+    return per_status.select(
+        "l_orderkey",
+        F.array_sort(F.array_intersect("lines_o", "lines_f")).alias("in_both"),
+        F.array_sort(F.array_union("lines_o", "lines_f")).alias("in_either"),
+        (F.size(F.array_except("lines_f", "lines_o")) == 0).alias("o_covers_f"),
+    )
+
+
+@op(
+    "misc_scalar_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[a-z]+') AS words,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           CAST(ascii(p_name) AS INTEGER) AS first_char_code,
+           least(p_size, 25) AS size_capped,
+           greatest(p_size, 5) AS size_floored
+    FROM part
+    """,
+    tags=("scalar", "string", "misc"),
+)
+def misc_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misc scalar family: regexp_extract_all (list of matches),
+    translate, ascii, row-wise least/greatest (clip/clamp surface)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0).alias("words"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.ascii("p_name").alias("first_char_code"),
+        F.least("p_size", F.lit(25)).alias("size_capped"),
+        F.greatest("p_size", F.lit(5)).alias("size_floored"),
+    )
+
+
+@op(
+    "bit_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+           bit_or(CAST(l_quantity AS BIGINT)) AS qty_bit_or,
+           bit_xor(CAST(l_quantity AS BIGINT)) AS qty_bit_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitwise"),
+)
+def bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) — flag-mask
+    consolidation in one hash aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).alias("qty_bit_and"),
+        F.bit_or(q).alias("qty_bit_or"),
+        F.bit_xor(q).alias("qty_bit_xor"),
+    )
