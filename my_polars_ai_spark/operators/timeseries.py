@@ -25,6 +25,37 @@ op = make_registrar(OPS)
 
 ROUND_WIN = 4
 
+# Order-independent double aggregation: summing raw doubles gives
+# engine/partition-order-dependent ulps, which flips round(x, 4) on
+# half-way ties (seen on daily_rollup at sf0.001: 38.37875 → .3787/.3788).
+# Convention (verified on both engines):
+#  * cast each value to DECIMAL(28,6) first — the sum is then exact and
+#    order-independent, and round(decimal, 4) is HALF_UP on both engines;
+#  * averages are rounded in exact integer arithmetic — the quotient
+#    S_micro/(100n) lands exactly on half-way ties whenever 100n divides
+#    the sum, and neither round(double, 4) (DuckDB: exact binary) nor
+#    cast-to-DECIMAL(38,4) (engine-specific shortest-repr handling)
+#    agrees across engines there.  round_half_up(S_micro / (100n)) ==
+#    (2*S_micro + 100n) div (200n), all integral and exact on both
+#    engines (values are non-negative; half-up == half-away here).
+_DEC = "decimal(28,6)"
+_ORACLE_SUM4 = "CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)"
+_ORACLE_AVG4 = (
+    "CAST((2*CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS HUGEINT)"
+    " + 100*count(*)) // (200*count(*)) AS DOUBLE) / 10000"
+)
+
+
+def _sum4_value():
+    return F.round(F.sum(F.col("value").cast(_DEC)), 4).cast("double")
+
+
+def _avg4_value():
+    s_micro = (F.sum(F.col("value").cast(_DEC)) * 1000000).cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    q4 = F.floor((2 * s_micro + 100 * n) / (200 * n))
+    return q4.cast("double") / 10000
+
 
 @op(
     "tumbling_window_hourly",
@@ -32,7 +63,7 @@ ROUND_WIN = 4
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), {ROUND_WIN}) AS sum_value
+           {_ORACLE_SUM4} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -44,7 +75,7 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), ROUND_WIN).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum4_value().alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -65,7 +96,7 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                value
         FROM events
     )
-    SELECT window_start_epoch, count(*) AS n, round(sum(value), {ROUND_WIN}) AS sum_value
+    SELECT window_start_epoch, count(*) AS n, {_ORACLE_SUM4} AS sum_value
     FROM exploded
     GROUP BY 1
     """,
@@ -78,7 +109,7 @@ def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), ROUND_WIN).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum4_value().alias("sum_value"))
         .select(
             F.col("w.start").cast("long").alias("window_start_epoch"),
             "n",
@@ -107,7 +138,7 @@ def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) + INTERVAL 10 MINUTE AS session_end,
            count(*) AS n_events,
-           round(sum(value), {ROUND_WIN}) AS sum_value
+           {_ORACLE_SUM4} AS sum_value
     FROM numbered
     GROUP BY user_id, sid
     """,
@@ -120,7 +151,7 @@ def session_window_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), ROUND_WIN).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum4_value().alias("sum_value"))
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -137,7 +168,7 @@ def session_window_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            event_type,
            count(*) AS n,
-           round(avg(value), {ROUND_WIN}) AS avg_value,
+           {_ORACLE_AVG4} AS avg_value,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
     GROUP BY 1, 2
@@ -155,7 +186,7 @@ def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), ROUND_WIN).alias("avg_value"),
+            _avg4_value().alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
