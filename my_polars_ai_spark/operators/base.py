@@ -24,6 +24,31 @@ from pyspark.sql import DataFrame, SparkSession
 ROUND_MONEY = 2  # currency-scale sums (values up to ~1e10)
 ROUND_RATIO = 6  # averages, ratios, correlations, cosines
 
+
+def ratio_round(num, den, scale: int = ROUND_RATIO):
+    """Exact half-up rounding of ``num/den`` at ``scale`` for non-negative
+    integer columns — engine-portable where round(double, s) is not:
+    integer ratios land exactly on half-way ties (num*10^s*2 ≡ den), and
+    DuckDB rounds the binary double while Spark rounds its shortest decimal
+    repr, so the two flip on ties (see operators/timeseries.py).
+    round_half_up(num/den @ s) == (2*10^s*num + den) div (2*den), computed
+    in DECIMAL(38,0) so it cannot overflow at fact-table counts."""
+    from pyspark.sql import functions as F  # local import: keep module Spark-lazy
+
+    p = 10**scale
+    num_d = num.cast("decimal(38,0)")
+    den_d = den.cast("decimal(38,0)")
+    return (F.floor((2 * p * num_d + den_d) / (2 * den_d)).cast("double") / p).cast("double")
+
+
+def oracle_ratio_round(num_sql: str, den_sql: str, scale: int = ROUND_RATIO) -> str:
+    """DuckDB twin of :func:`ratio_round` (HUGEINT integer division)."""
+    p = 10**scale
+    return (
+        f"CAST((2*{p}*CAST({num_sql} AS HUGEINT) + CAST({den_sql} AS HUGEINT))"
+        f" // (2*CAST({den_sql} AS HUGEINT)) AS DOUBLE) / {p}"
+    )
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.operators.base import (
+    ROUND_RATIO,
+    Op,
+    make_registrar,
+    oracle_ratio_round,
+    ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -217,3 +223,73 @@ def kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = KMeans(k=4, seed=42, featuresCol="features", predictionCol="cluster").fit(scaled)
     return model.transform(scaled).select("c_custkey", "cluster")
+
+
+_ROC_TPR_ORACLE = oracle_ratio_round("cum_tp", "p_total")
+_ROC_FPR_ORACLE = oracle_ratio_round("cum_fp", "n_total")
+
+
+@op(
+    "roc_points_bucketed",
+    oracle=f"""
+    WITH scored AS (
+        SELECT LEAST(GREATEST(CAST(floor(value / 4) AS BIGINT), 0), 99) AS bucket,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END AS label
+        FROM events
+    ), hist AS (
+        SELECT bucket,
+               CAST(sum(label) AS BIGINT) AS tp_b,
+               CAST(sum(1 - label) AS BIGINT) AS fp_b
+        FROM scored GROUP BY bucket
+    ), cum AS (
+        SELECT bucket,
+               CAST(sum(tp_b) OVER w AS BIGINT) AS cum_tp,
+               CAST(sum(fp_b) OVER w AS BIGINT) AS cum_fp
+        FROM hist
+        WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT CAST(sum(tp_b) AS BIGINT) AS p_total, CAST(sum(fp_b) AS BIGINT) AS n_total
+        FROM hist
+    )
+    SELECT CAST(bucket * 4 AS DOUBLE) AS threshold,
+           {_ROC_TPR_ORACLE} AS tpr,
+           {_ROC_FPR_ORACLE} AS fpr
+    FROM cum CROSS JOIN tot
+    """,
+    tags=("ml", "eval", "approx"),
+)
+def roc_points_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of roc_points: ROC on a fixed 100-threshold grid.
+    Scores hash into fixed-width buckets (floor(value/4), clamped to
+    [0, 99]) with map-side partial aggregation; cumulative TP/FP run over
+    the <=100-row bucket histogram in descending-threshold order, never
+    over the table — the single-partition window of the exact version
+    disappears. tpr/fpr at threshold t = share of positives/negatives
+    scoring >= t (integer-exact rounding, see base.ratio_round)."""
+    e = _t(spark, sf_dir, "events")
+    scored = e.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 4).cast("long"), F.lit(0)), F.lit(99)
+        ).alias("bucket"),
+        F.when(_y_pred(), 1).otherwise(0).alias("label"),
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.sum("label").cast("long").alias("tp_b"),
+        F.sum(1 - F.col("label")).cast("long").alias("fp_b"),
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        F.sum("tp_b").over(w).cast("long").alias("cum_tp"),
+        F.sum("fp_b").over(w).cast("long").alias("cum_fp"),
+    )
+    tot = hist.agg(
+        F.sum("tp_b").cast("long").alias("p_total"),
+        F.sum("fp_b").cast("long").alias("n_total"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("bucket") * 4).cast("double").alias("threshold"),
+        ratio_round(F.col("cum_tp"), F.col("p_total")).alias("tpr"),
+        ratio_round(F.col("cum_fp"), F.col("n_total")).alias("fpr"),
+    )

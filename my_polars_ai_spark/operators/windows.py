@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.operators.base import (
+    ROUND_RATIO,
+    Op,
+    make_registrar,
+    oracle_ratio_round,
+    ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -248,4 +254,59 @@ def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), ROUND_RATIO).alias("pr"),
         F.round(F.cume_dist().over(w), ROUND_RATIO).alias("cd"),
         F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+_PR_BELOW_ORACLE = oracle_ratio_round("below", "n_total - 1")
+
+
+@op(
+    "percent_rank_approx",
+    oracle=f"""
+    WITH b AS (
+        SELECT c_custkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS bucket
+        FROM customer
+    ), hist AS (
+        SELECT bucket, count(*) AS n_b FROM b GROUP BY bucket
+    ), cum AS (
+        SELECT bucket,
+               COALESCE(CAST(sum(n_b) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS below
+        FROM hist
+    ), tot AS (
+        SELECT count(*) AS n_total FROM b
+    )
+    SELECT b.c_custkey, b.bucket, {_PR_BELOW_ORACLE} AS pr_approx
+    FROM b JOIN cum USING (bucket) CROSS JOIN tot
+    """,
+    tags=("window", "rank", "approx"),
+)
+def percent_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of percent_rank_cume_dist: bucketed approximate
+    percent_rank. Rows hash into fixed $100 acctbal buckets (map-side
+    partial agg); the only window runs over the ~110-row bucket histogram,
+    never the table, and rows rejoin their bucket's below-count via a
+    broadcast join — no global single-partition sort at any size.
+    pr_approx = (#rows in strictly lower buckets) / (N-1), i.e. exact
+    percent_rank computed at bucket granularity (error <= bucket mass/N).
+    """
+    c = _t(spark, sf_dir, "customer")
+    rows = c.select(
+        "c_custkey", F.floor(F.col("c_acctbal") / 100).cast("long").alias("bucket")
+    )
+    hist = rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bucket", F.coalesce(F.sum("n_b").over(w_cum), F.lit(0)).cast("long").alias("below")
+    )
+    tot = rows.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        rows.join(F.broadcast(cum), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_custkey",
+            "bucket",
+            ratio_round(F.col("below"), F.col("n_total") - 1).alias("pr_approx"),
+        )
     )

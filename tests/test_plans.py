@@ -59,6 +59,21 @@ def test_udf_ops_have_exactly_one_python_boundary(spark, sf_dir):
         assert s["python_evals"] == 1, name
 
 
+def test_scale_safe_twins_avoid_full_table_global_window(spark, sf_dir):
+    """percent_rank_approx / roc_points_bucketed: the global window runs
+    over the bucket histogram (post-aggregation), so the per-row path must
+    rejoin via broadcast (pr) / aggregate first (roc) — never sort the
+    table into one partition."""
+    ops = all_ops()
+    pr = plan_summary(ops["percent_rank_approx"].fn(spark, sf_dir))
+    assert pr["broadcast_joins"] >= 1
+    assert pr["sortmerge_joins"] == 0 and pr["nested_loop_joins"] >= 1  # tiny totals cross join
+    assert pr["python_evals"] == 0
+    roc = plan_summary(ops["roc_points_bucketed"].fn(spark, sf_dir))
+    assert roc["python_evals"] == 0
+    assert roc["sortmerge_joins"] == 0
+
+
 def test_brute_force_knn_broadcasts_query_side(spark, sf_dir):
     s = plan_summary(all_ops()["cosine_topk_brute"].fn(spark, sf_dir))
     # cross join with broadcast => BroadcastNestedLoopJoin, never CartesianProduct shuffle
