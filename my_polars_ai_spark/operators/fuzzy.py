@@ -29,15 +29,29 @@ op = make_registrar(OPS)
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-match pairs by edit distance over the distinct name
     vocabulary — the entity-resolution primitive. Pairing happens on the
-    DISTINCT values (vocab^2, not corpus^2); at 100 TB add a blocking key
-    (first char / length bucket) to the join condition."""
+    DISTINCT values (vocab, not corpus) under a LOSSLESS length-bucket
+    blocking key: edit distance <= 4 bounds |len(a)-len(b)| <= 4, so with
+    buckets of width 8 a qualifying pair's buckets differ by at most 1;
+    side b fans out to {bk-1, bk, bk+1} and the join is a plain equi-join
+    on the bucket — no BroadcastNestedLoopJoin over vocab^2.  Because the
+    blocking provably loses no pairs, the oracle stays the unblocked
+    all-pairs SQL and the match certifies losslessness.  Each qualifying
+    pair matches on exactly one key (the three fan-out keys are distinct),
+    so no dedup pass is needed.  At 100 TB, bucket-key cardinality (a few
+    length bands) caps join parallelism — compose with a second lossless
+    key (e.g. PassJoin segment signatures) or salt the bucket."""
     p = _t(spark, sf_dir, "part")
     names = p.select("p_name").distinct().cache()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
+    bk = F.floor(F.length("p_name") / 8).cast("long")
+    a = names.select(F.col("p_name").alias("name_a"), bk.alias("bk"))
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.explode(F.array(bk - 1, bk, bk + 1)).alias("bk"),
+    )
     dist = F.levenshtein("name_a", "name_b")
     return (
-        a.join(b, F.col("name_a") < F.col("name_b"))
+        a.join(b, "bk")
+        .filter(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") <= 4)
     )

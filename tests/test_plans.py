@@ -59,6 +59,14 @@ def test_udf_ops_have_exactly_one_python_boundary(spark, sf_dir):
         assert s["python_evals"] == 1, name
 
 
+def test_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    """fuzzy_levenshtein_pairs must join on the length-bucket blocking key
+    (hash join), not BNLJ over vocab^2."""
+    s = plan_summary(all_ops()["fuzzy_levenshtein_pairs"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["broadcast_joins"] + s["sortmerge_joins"] + s["shuffled_hash_joins"] >= 1, s
+
+
 def test_scale_safe_twins_avoid_full_table_global_window(spark, sf_dir):
     """percent_rank_approx / roc_points_bucketed: the global window runs
     over the bucket histogram (post-aggregation), so the per-row path must
