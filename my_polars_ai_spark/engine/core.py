@@ -126,7 +126,13 @@ class SparkAI(Shortcuts):
 
     def conversational_answer(self, question: str, answer: object) -> str:
         """Second LLM call rewriting the raw answer as prose (reference
-        polarsai/__init__.py:197-212)."""
+        polarsai/__init__.py:197-212).
+
+        With enforce_privacy=True the computed answer itself is a derived
+        cell value and must not leave the cluster either — the LLM sees
+        only its shape/type, never the value."""
+        if self._enforce_privacy:
+            answer = f"<a {type(answer).__name__} value, withheld for privacy>"
         prompt = self._prompt_overrides.get(
             "generate_response", GenerateResponsePrompt(question=question, answer=answer)
         )
@@ -251,17 +257,32 @@ class SparkAI(Shortcuts):
                     raise
                 code = self._retry_run_code(code, prompt, dfs, exc)
 
+    _MAX_ERROR_CHARS = 4000
+
+    def _format_error(self, exc: Exception) -> str:
+        """The error text embedded in correction prompts. Spark exception
+        messages can quote cell values (ANSI cast errors, UDF tracebacks),
+        so with enforce_privacy=True only the exception class name is sent;
+        otherwise the message is truncated to keep prompts bounded."""
+        if self._enforce_privacy:
+            return f"{type(exc).__name__} (message withheld for privacy)"
+        text = str(exc)
+        if len(text) > self._MAX_ERROR_CHARS:
+            text = text[: self._MAX_ERROR_CHARS] + " ... [truncated]"
+        return text
+
     def _retry_run_code(self, code: str, question: str, dfs: list[DataFrame], exc: Exception) -> str:
         """Build the error-correction prompt and regenerate (reference
         polarsai/__init__.py:452-488)."""
-        self.log(f"Failed with error: {exc}. Retrying")
+        self.log(f"Failed with error: {type(exc).__name__}. Retrying")
+        err = self._format_error(exc)
         if len(dfs) == 1:
             head, num_rows, num_cols = self._frame_metadata(dfs[0])
             instruction = self._prompt_overrides.get(
                 "correct_error",
                 CorrectErrorPrompt(
                     code=code,
-                    error_returned=exc,
+                    error_returned=err,
                     question=question,
                     df_head=head,
                     num_rows=num_rows,
@@ -274,7 +295,7 @@ class SparkAI(Shortcuts):
                 "correct_multiple_dataframes_error",
                 CorrectMultipleDataFramesErrorPrompt(
                     code=code,
-                    error_returned=exc,
+                    error_returned=err,
                     question=question,
                     dataframes=self._render_frames(dfs),
                     today_date=date.today(),

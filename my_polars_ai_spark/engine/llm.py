@@ -31,9 +31,12 @@ class LLM:
 
     @staticmethod
     def _polish_code(code: str) -> str:
-        """Strip language tags and stray backticks from an extracted block."""
+        """Strip language tags and fence remnants from an extracted block.
+        Only backtick runs at the payload edges are removed — backticks
+        inside the body (e.g. in a string literal or regex) are program
+        text and must survive."""
         code = re.sub(r"^\s*(python|py)\s*\n", "", code, flags=re.IGNORECASE)
-        code = code.replace("`", "")
+        code = re.sub(r"^\s*`+|`+\s*$", "", code)
         return code.strip()
 
     @staticmethod

@@ -72,20 +72,53 @@ def check_imports(node: ast.Import | ast.ImportFrom, extra_whitelist: tuple[str,
             raise BadImportError(root)
 
 
+def _direct_target_names(t: ast.expr):
+    """Names actually (re)bound by an assignment target, including tuple/
+    list unpacking and starred elements. Attribute/Subscript targets
+    mutate a container, not the protected binding, so an assignment like
+    ``results[df.columns[0]] = x`` merely *mentions* df and is kept."""
+    if isinstance(t, ast.Name):
+        yield t.id
+    elif isinstance(t, (ast.Tuple, ast.List)):
+        for e in t.elts:
+            yield from _direct_target_names(e)
+    elif isinstance(t, ast.Starred):
+        yield from _direct_target_names(t.value)
+
+
 def _is_protected_overwrite(node: ast.stmt) -> bool:
     """True for ``df = ...`` / ``spark = ...`` style rebinds of protected
-    names (any assignment target, not just the first — the reference only
-    checked targets[0], a gap we close)."""
-    targets: list[ast.expr] = []
+    names via direct (possibly unpacked) assignment targets — any target,
+    not just the first (the reference only checked targets[0])."""
     if isinstance(node, ast.Assign):
-        targets = node.targets
+        targets: list[ast.expr] = node.targets
     elif isinstance(node, (ast.AugAssign, ast.AnnAssign)):
         targets = [node.target]
-    for t in targets:
-        for leaf in ast.walk(t):
-            if isinstance(leaf, ast.Name) and _PROTECTED_RE.match(leaf.id):
-                return True
-    return False
+    else:
+        return False
+    return any(
+        _PROTECTED_RE.match(name) for t in targets for name in _direct_target_names(t)
+    )
+
+
+def _check_protected_loop_rebinds(tree: ast.AST) -> None:
+    """``for df in ...:`` / ``with ... as spark:`` rebind a protected name
+    in the enclosing scope but can't be stripped statement-wise without
+    corrupting the block — reject them instead. (Comprehension targets are
+    scoped to the comprehension in Python 3 and never leak, so they pass.)
+    """
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.For, ast.AsyncFor)):
+            candidates = list(_direct_target_names(node.target))
+        elif isinstance(node, ast.withitem) and node.optional_vars is not None:
+            candidates = list(_direct_target_names(node.optional_vars))
+        else:
+            continue
+        for name in candidates:
+            if _PROTECTED_RE.match(name):
+                raise ValueError(
+                    f"generated code rebinds protected name {name!r} in a for/with target"
+                )
 
 
 def _check_forbidden(tree: ast.AST) -> None:
@@ -113,6 +146,7 @@ def clean_code(code: str, extra_whitelist: tuple[str, ...] = ()) -> str:
     """
     tree = ast.parse(code)
     _check_forbidden(tree)
+    _check_protected_loop_rebinds(tree)
     body: list[ast.stmt] = []
     for node in tree.body:
         if isinstance(node, (ast.Import, ast.ImportFrom)):
@@ -122,6 +156,18 @@ def clean_code(code: str, extra_whitelist: tuple[str, ...] = ()) -> str:
             continue
         body.append(node)
     return ast.unparse(ast.Module(body=body, type_ignores=[]))
+
+
+def _safe_getattr(obj, name, *default):
+    """Sandbox replacement for the getattr builtin: refuses the attribute
+    names the AST pass rejects (write paths, session stop, dunders) so
+    ``getattr(df, 'write')`` / ``getattr(spark, 'stop')()`` cannot evade
+    the static checks."""
+    if isinstance(name, str) and (
+        name.startswith("__") or name in _FORBIDDEN_ATTRS or name in _FORBIDDEN_CALLS
+    ):
+        raise AttributeError(f"attribute {name!r} is not allowed in generated code")
+    return getattr(obj, name, *default)
 
 
 def build_environment(spark, dfs: dict[str, object], extra_whitelist: tuple[str, ...] = ()) -> dict:
@@ -144,4 +190,5 @@ def build_environment(spark, dfs: dict[str, object], extra_whitelist: tuple[str,
         except ImportError:
             continue  # optional library absent in this environment
     env["__builtins__"] = {name: getattr(builtins, name) for name in WHITELISTED_BUILTINS if hasattr(builtins, name)}
+    env["__builtins__"]["getattr"] = _safe_getattr
     return env

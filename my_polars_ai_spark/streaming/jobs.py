@@ -144,9 +144,12 @@ def stream_ema_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ema = v if ema is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * ema
                 n += 1
         state.update((n, float(ema if ema is not None else 0.0)))
-        yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "ema_value": [round(ema, 6)]}
-        )
+        if ema is not None:
+            # a group can fire with an empty batch iterator (e.g. timeout
+            # trigger) before any value arrived — nothing to emit then
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "ema_value": [round(ema, 6)]}
+            )
 
     result = (
         events.select("user_id", "ts", "event_id", "value")

@@ -67,11 +67,42 @@ def test_clean_code_drops_spark_rebind():
         "open('/etc/passwd')",
         "df.__class__",
         "exec('x')",
+        "for df in [1, 2]:\n    pass",
+        "with ctx() as spark:\n    pass",
     ],
 )
 def test_clean_code_forbidden(code):
     with pytest.raises(ValueError):
         clean_code(code)
+
+
+def test_clean_code_keeps_subscript_targets_mentioning_protected_names():
+    # the target merely *mentions* df — valid generated code, must survive
+    out = clean_code("results = {}\nresults[df.columns[0]] = 1")
+    assert "results[df.columns[0]] = 1" in out
+
+
+def test_clean_code_drops_unpacked_protected_rebinds():
+    out = clean_code("df, other = 1, 2\nkeep = 3")
+    assert "df" not in out and "keep = 3" in out
+
+
+def test_sandbox_getattr_cannot_reach_forbidden_attributes(spark, fruits):
+    from my_polars_ai_spark.engine.sandbox import build_environment
+
+    env = build_environment(spark, {"df": fruits})
+    g = env["__builtins__"]["getattr"]
+    for name in ("write", "stop", "__class__"):
+        with pytest.raises(AttributeError):
+            g(fruits, name)
+    # ordinary attribute access still works
+    assert g(fruits, "columns") == fruits.columns
+
+
+def test_polish_code_preserves_backticks_inside_strings():
+    llm = FakeLLM()
+    body = "pattern = 'a`b'\nprint(pattern)"
+    assert llm._extract_code(f"```python\n{body}\n```") == body
 
 
 # -- run_code on golden fixtures --------------------------------------------
@@ -268,6 +299,33 @@ def test_enforce_privacy_hides_values(spark, fruits):
     # the prompt sent to the LLM must contain schema but no cell values
     assert "banana" not in llm.last_prompt and "beetle" not in llm.last_prompt
     assert "fruits: string" in llm.last_prompt
+
+
+def test_enforce_privacy_redacts_conversational_and_retry_prompts(spark, fruits):
+    # retry path: the correction prompt must not carry the raw error text
+    # (Spark errors can quote cell values); conversational rewrite must not
+    # carry the computed answer
+    bad = "<startCode>\nnonexistent_fn(df)\n<endCode>"
+    good = "<startCode>\ndf.agg(F.sum('A')).collect()[0][0]\n<endCode>"
+    llm = FakeLLM(queue=[bad, good, "the sum is some number"])
+    ai = SparkAI(llm=llm, enforce_privacy=True, enable_cache=False, conversational=True)
+    ai.run(fruits, "sum of A?")
+    prompts = "\n".join(ai.logs)
+    assert "withheld for privacy" in llm.last_prompt  # answer value redacted
+    assert "15" not in llm.last_prompt
+
+
+def test_retry_prompt_redacts_error_under_privacy(spark, fruits):
+    llm = FakeLLM()
+    ai = SparkAI(llm=llm, enforce_privacy=True, enable_cache=False)
+    err = ai._format_error(ValueError("cannot cast 'secret-cell-value' to int"))
+    assert "secret-cell-value" not in err and "ValueError" in err
+    ai_open = SparkAI(llm=llm, enable_cache=False)
+    assert "secret-cell-value" in ai_open._format_error(
+        ValueError("cannot cast 'secret-cell-value' to int")
+    )
+    long = ai_open._format_error(ValueError("x" * 10000))
+    assert len(long) < 5000 and long.endswith("[truncated]")
 
 
 def test_default_prompt_contains_sample_values(spark, fruits):
