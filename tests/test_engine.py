@@ -281,6 +281,88 @@ def test_langchain_adapter_duck_typing():
     assert LangChainLLM(InvokeStyle()).generate_code("inst", "q") == "y = 2"
 
 
+def test_openai_provider_offline_roundtrip(spark, fruits):
+    from my_polars_ai_spark.engine.providers import OpenAILLM
+
+    seen = {}
+
+    def transport(url, headers, payload):
+        seen.update(url=url, headers=headers, payload=payload)
+        return {"choices": [{"message": {"content": "<startCode>\ndf.count()\n<endCode>"}}]}
+
+    llm = OpenAILLM(api_token="sk-test", model="m1", transport=transport)
+    ai = SparkAI(llm=llm, enable_cache=False)
+    assert ai.run(fruits, "how many rows?") == 5
+    assert seen["url"] == "https://api.openai.com/v1/chat/completions"
+    assert seen["headers"]["Authorization"] == "Bearer sk-test"
+    assert seen["payload"]["model"] == "m1"
+    assert "Today is" in seen["payload"]["messages"][0]["content"]
+
+
+def test_openai_provider_requires_key(monkeypatch):
+    from my_polars_ai_spark.engine.exceptions import APIKeyNotFoundError
+    from my_polars_ai_spark.engine.providers import OpenAILLM
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(APIKeyNotFoundError):
+        OpenAILLM()
+
+
+def test_azure_provider_url_and_header():
+    from my_polars_ai_spark.engine.providers import AzureOpenAILLM
+
+    seen = {}
+
+    def transport(url, headers, payload):
+        seen.update(url=url, headers=headers)
+        return {"choices": [{"message": {"content": "ok"}}]}
+
+    llm = AzureOpenAILLM(
+        api_token="az-test",
+        api_base="https://myres.openai.azure.com",
+        deployment_name="gpt4",
+        api_version="2024-02-01",
+        transport=transport,
+    )
+    assert llm.predict("hi") == "ok"
+    assert seen["url"] == (
+        "https://myres.openai.azure.com/openai/deployments/gpt4"
+        "/chat/completions?api-version=2024-02-01"
+    )
+    assert seen["headers"]["api-key"] == "az-test"
+
+
+def test_huggingface_providers():
+    from my_polars_ai_spark.engine.providers import FalconLLM, StarcoderLLM
+
+    def transport(url, headers, payload):
+        assert payload["inputs"] == "hi"
+        return [{"generated_text": f"from {url.rsplit('/', 1)[-1]}"}]
+
+    sc = StarcoderLLM(api_token="hf-test", transport=transport)
+    assert sc.predict("hi") == "from starcoder" and sc.type == "starcoder"
+    fa = FalconLLM(api_token="hf-test", transport=transport)
+    assert fa.predict("hi") == "from falcon-7b-instruct" and fa.type == "falcon"
+
+
+def test_load_llm_factory_switch():
+    from my_polars_ai_spark.engine.exceptions import BadImportError
+    from my_polars_ai_spark.engine.providers import OpenAILLM, load_llm
+
+    assert isinstance(load_llm("OpenAI", api_token="sk-x"), OpenAILLM)
+    assert load_llm("Fake").type == "fake"
+
+    class Duck:
+        def predict(self, text):
+            return "quack"
+
+    assert load_llm("Custom", langchain_llm=Duck()).predict("x") == "quack"
+    with pytest.raises(BadImportError):
+        load_llm("NotAProvider")
+    with pytest.raises(BadImportError):
+        load_llm("LlamaCpp", model_path="/tmp/x.gguf")  # langchain absent here
+
+
 def test_import_optional_dependency():
     from my_polars_ai_spark.engine.optional_deps import import_optional_dependency
 
