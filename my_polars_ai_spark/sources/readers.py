@@ -45,19 +45,23 @@ def from_json(spark: SparkSession, path: str, schema: Any = None) -> DataFrame:
 def from_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
     """Excel sheet -> Spark DataFrame (reference: helpers/from_excel.py:11-24).
 
-    Driver-side pandas read (sheets are small by nature), then Arrow
-    conversion. Fixes the reference's inconsistency of returning a pandas
-    frame from a Polars API.
+    Driver-side read (sheets are small by nature), then Arrow conversion.
+    Fixes the reference's inconsistency of returning a pandas frame from a
+    Polars API. Prefers pandas+openpyxl; without openpyxl it falls back to
+    the stdlib OOXML reader (sources/xlsx.py), so .xlsx ingestion works in
+    minimal environments too.
     """
     try:
         import pandas as pd
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError("pandas is required for Excel ingestion") from exc
-    try:
+
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl missing in minimal envs
-        raise ImportError("openpyxl is required to read .xlsx files") from exc
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        pass  # pandas or openpyxl absent — stdlib fallback below
+    from my_polars_ai_spark.sources.xlsx import read_xlsx
+
+    header, rows = read_xlsx(path, sheet_name=sheet_name)
+    return spark.createDataFrame([tuple(r) for r in rows], schema=header)
 
 
 def from_records(

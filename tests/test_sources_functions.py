@@ -59,16 +59,39 @@ def test_asof_join_pandas_matches_union_trick(spark):
     assert p == u == {("a", 2): 10.0, ("a", 6): 20.0, ("b", 2): None}
 
 
-def test_from_excel_raises_cleanly_without_deps(spark, tmp_path):
-    """Without openpyxl the Excel path must fail with a clear error (the
-    reader is gated), never a silent wrong result. pandas may raise
-    FileNotFoundError/ValueError before reaching engine selection — any
-    of these is an acceptable clean failure."""
+def test_from_excel_raises_cleanly_on_garbage(spark, tmp_path):
+    """A non-xlsx payload must fail with a clear error, never a silent
+    wrong result (zipfile.BadZipFile for the stdlib fallback; pandas may
+    raise ImportError/ValueError first when present)."""
+    import zipfile
+
     from my_polars_ai_spark.sources.readers import from_excel
 
     (tmp_path / "x.xlsx").write_bytes(b"not a real xlsx")
-    with pytest.raises((ImportError, FileNotFoundError, ValueError)):
+    with pytest.raises((ImportError, FileNotFoundError, ValueError, zipfile.BadZipFile)):
         from_excel(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_from_excel_happy_path_via_stdlib_fallback(spark, tmp_path):
+    """Real-data Excel ingestion without openpyxl: write a minimal OOXML
+    workbook with the stdlib writer, read it back as a Spark DataFrame."""
+    from my_polars_ai_spark.sources.readers import from_excel
+    from my_polars_ai_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "book.xlsx")
+    write_xlsx(
+        p,
+        ["name", "qty", "price", "active"],
+        [["widget", 3, 1.5, True], ["gadget <&> 'x'", 10, 2.25, False]],
+    )
+    header, rows = read_xlsx(p)
+    assert header == ["name", "qty", "price", "active"]
+    assert rows[1][0] == "gadget <&> 'x'"  # XML escaping round-trips
+
+    df = from_excel(spark, p)
+    assert df.columns == ["name", "qty", "price", "active"]
+    got = {r.name: (r.qty, r.price, r.active) for r in df.collect()}
+    assert got["widget"] == (3, 1.5, True)
 
 
 def test_orc_roundtrip(spark, tmp_path):
