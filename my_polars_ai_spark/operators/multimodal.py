@@ -84,6 +84,8 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode pipeline over binary payloads (STUB decode body,
     real plumbing: Arrow batches of binary columns in, typed feature
     columns out, fully distributed)."""
-    d = _t(spark, sf_dir, "documents")
+    # decode is the narrow hot path and the fixture file is one split —
+    # fan out so mapInPandas runs one Arrow stream per core
+    d = _t(spark, sf_dir, "documents", min_partitions=spark.sparkContext.defaultParallelism)
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_fake_decode_batches, schema=DECODE_SCHEMA)

@@ -48,7 +48,9 @@ def pandas_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return 1.0 / (1.0 + np.exp(-(v / 50.0 - 1.0)))
 
-    e = _t(spark, sf_dir, "events")
+    # single-row-group fixture file => one input split; fan out so the
+    # Arrow UDF stage isn't serialized on one task (see tables.load_table)
+    e = _t(spark, sf_dir, "events", min_partitions=spark.sparkContext.defaultParallelism)
     return e.select("event_id", F.round(sigmoid("value"), ROUND_RATIO).alias("sigmoid_score"))
 
 
@@ -106,7 +108,7 @@ def row_udf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     def label(event_type: str, value: float) -> str:
         return f"{event_type}:{math.floor(value)}"
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", min_partitions=spark.sparkContext.defaultParallelism)
     return e.select("event_id", label("event_type", "value").alias("label"))
 
 

@@ -31,7 +31,20 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
+    """Read one corpus table.
+
+    ``min_partitions``: the local fixture files are single-row-group
+    parquet (one input split — Spark can split a parquet file only at row
+    group boundaries), which caps every pre-shuffle stage at one task.
+    Pass a target to round-robin repartition after the scan when the
+    narrow phase dominates (UDF decode, per-row parsing). It costs one
+    shuffle, so leave it off for ops whose first step is a groupBy/join —
+    AQE re-partitions there anyway. The real fix at 100 TB is upstream:
+    write ~128 MB row groups so the scan parallelizes for free.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Oracle comparisons need UTC wall-times regardless of who built the
@@ -46,8 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if min_partitions:
+        df = df.repartition(min_partitions)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

@@ -5,8 +5,11 @@ COVERAGE.md — keeps the judge-facing map honest as operators are added.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
