@@ -25,10 +25,14 @@ OPS: dict[str, Op] = {}
 op = make_registrar(OPS)
 
 N_PERMS = 16  # minhash permutations
-# 2 bands x 8 rows: P(candidate) = 1-(1-j^8)^2 — steep around j≈0.9, which
-# matters on self-similar corpora (at 4x4 bands, a corpus with typical
-# pairwise j≈0.87 makes ~97% of ALL pairs candidates; at 2x8 it's ~half
-# that, with recall at the 0.95 threshold still ≈0.89).
+# Banding recall contract: with b bands of r rows and min_band_matches=1,
+# P(pair becomes a candidate | true jaccard j) = 1 - (1 - j^r)^b. The
+# 2x8 default gives recall ≈ 0.886 at the 0.95 threshold — a deliberate
+# tradeoff on this pathologically self-similar corpus (median pairwise
+# j ≈ 0.87: 4x4 banding admits ~97% of ALL pairs as candidates, 2x8
+# roughly half). The oracle mirrors the same algorithm, so a green
+# compare certifies determinism, not retrieval recall; tune (N_PERMS,
+# N_BANDS, min_band_matches) per corpus.
 N_BANDS = 2
 MINHASH_THRESHOLD = 0.95
 NGRAM_THRESHOLD = 0.5
@@ -196,25 +200,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_sig
         FROM sig GROUP BY doc_id, i // {N_PERMS // N_BANDS}
     ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
                      AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
     ), sizes AS (
         SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
-    ), inter AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS ni
+    ), pre AS (
+        -- lossless size-ratio prefilter: j >= t implies min(n)/max(n) >= t
+        SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
         FROM cand c
-        JOIN toks ta ON ta.doc_id = c.doc_a
-        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-        GROUP BY 1, 2
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE least(sa.n, sb.n) >= {MINHASH_THRESHOLD} * greatest(sa.n, sb.n)
+    ), inter AS (
+        SELECT p.doc_a, p.doc_b, p.na, p.nb, count(*) AS ni
+        FROM pre p
+        JOIN toks ta ON ta.doc_id = p.doc_a
+        JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+        GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b,
-           round(ni * 1.0 / (sa.n + sb.n - ni), {ROUND_RATIO}) AS jaccard
+           round(ni * 1.0 / (na + nb - ni), {ROUND_RATIO}) AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {MINHASH_THRESHOLD}
+    WHERE ni * 1.0 / (na + nb - ni) >= {MINHASH_THRESHOLD}
     """,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -222,27 +233,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection, fully deterministic and
     oracle-checked (portable md5-based hash family).
 
-    shingle -> 16 minhash perms -> 4 bands of 4 -> band-signature join for
-    candidates -> exact-Jaccard verify at >= 0.95. The band join replaces
-    the quadratic all-pairs comparison: at 100 TB only near-identical docs
-    collide in a band, so the verify stage is linear-ish in true dups.
+    token set -> N_PERMS minhash perms -> N_BANDS band signatures ->
+    band-signature equi-join for candidates (count of matching bands >=
+    min_band_matches) -> lossless size-ratio prefilter -> exact-Jaccard
+    verify at >= threshold. The band join replaces the quadratic
+    all-pairs comparison: at 100 TB only near-identical docs collide in
+    a band, so the verify stage is linear-ish in true dups. Recall
+    contract: see the banding note at the top of this module.
+    """
+    return minhash_lsh_pairs(spark, sf_dir)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    threshold: float = MINHASH_THRESHOLD,
+    min_band_matches: int = 1,
+) -> DataFrame:
+    """Parameterized MinHash+LSH pipeline behind dedup_minhash_lsh.
+
+    ``min_band_matches``: require a pair to collide in at least k bands
+    before the verify stage — the count is free (the candidate dedup is a
+    group-by either way) and on very self-similar corpora k=2 trades a
+    little recall (P = sum_{i>=k} C(b,i) p^i (1-p)^(b-i), p = j^r) for a
+    much smaller verify fan-in. The default k=1 is classic LSH.
     """
     toks = _doc_tokens(spark, sf_dir)
-    rows_per_band = N_PERMS // N_BANDS
-    # Hash each DISTINCT token once per permutation, as 16 WIDE columns on
-    # a small vocab table (vocab << occurrences on any corpus), broadcast-
-    # join it onto the (doc, token) pairs, and take per-column mins — the
-    # whole signature costs ONE shuffle of |doc,token| rows instead of an
-    # exploded |doc,token| x perms shuffle.
+    rows_per_band = n_perms // n_bands
+    # Hash each DISTINCT token once per permutation, as n_perms WIDE
+    # columns on a small vocab table (vocab << occurrences on any corpus),
+    # broadcast-join it onto the (doc, token) pairs, and take per-column
+    # mins — the whole signature costs ONE shuffle of |doc,token| rows
+    # instead of an exploded |doc,token| x perms shuffle.
     vocab_wide = toks.select("tok").distinct()
-    for i in range(N_PERMS):
+    for i in range(n_perms):
         vocab_wide = vocab_wide.withColumn(
             f"h{i}", portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tok")))
         )
     sig = (
         toks.join(F.broadcast(vocab_wide), "tok")
         .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_PERMS)])
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_perms)])
     )
     band_structs = [
         F.struct(
@@ -257,7 +290,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("band_sig"),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
     # cache(): bands feeds both sides of the candidate self-join and the
     # token arrays feed both sides of the verify join — without it Spark
@@ -270,35 +303,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
-    # Distinct before verify: a pair can collide in up to N_BANDS bands,
+    # Group-by before verify: a pair can collide in up to n_bands bands,
     # and verifying duplicates costs more than this one pair-key shuffle
-    # (measured: skipping the distinct and deduping after verify was 3x
-    # slower at sf0.1 on this corpus).
+    # (measured: skipping it and deduping after verify was 3x slower at
+    # sf0.1 on this corpus). Counting matches is free here and doubles as
+    # the min_band_matches prefilter.
     cand = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+        .filter(F.col("n_bands_matched") >= min_band_matches)
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    # Verify stage: exact Jaccard via array_intersect on per-doc token
-    # arrays. Joining candidate pairs against the (compact) token-array
-    # table twice beats re-exploding to (pair, token) rows — the token
-    # arrays ride along the pair rows and the set math stays in the JVM.
-    # At 100 TB the token-array table is doc-count-sized, not corpus-sized.
+    # Lossless size-ratio prefilter: ni <= min(na,nb) and union >= max, so
+    # j >= t implies min/max >= t. Sizes are a slim broadcastable table;
+    # filtering here spares the wide token arrays for ~60% of candidates
+    # on this corpus (2.37M -> 0.96M at sf0.1).
     tok_arrays = toks.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("toks"), F.count(F.lit(1)).alias("n")
     ).cache()
-    arr_a = tok_arrays.select(
-        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
+    sizes = tok_arrays.select("doc_id", "n")
+    pre = (
+        cand.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
     )
-    arr_b = tok_arrays.select(
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
-    )
-    paired = cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
+    # Verify stage: exact Jaccard via array_intersect on per-doc token
+    # arrays. Joining surviving pairs against the (compact) token-array
+    # table twice beats re-exploding to (pair, token) rows — the token
+    # arrays ride along the pair rows and the set math stays in the JVM.
+    # At 100 TB the token-array table is doc-count-sized, not corpus-sized.
+    arr_a = tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    arr_b = tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    paired = pre.join(arr_a, "doc_a").join(arr_b, "doc_b")
     ni = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = ni / (F.col("na") + F.col("nb") - ni)
     return (
-        paired.filter(jac >= MINHASH_THRESHOLD)
+        paired.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, ROUND_RATIO).alias("jaccard"))
     )
 
