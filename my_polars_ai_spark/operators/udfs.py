@@ -48,9 +48,11 @@ def pandas_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return 1.0 / (1.0 + np.exp(-(v / 50.0 - 1.0)))
 
-    # single-row-group fixture file => one input split; fan out so the
-    # Arrow UDF stage isn't serialized on one task (see tables.load_table)
-    e = _t(spark, sf_dir, "events", min_partitions=spark.sparkContext.defaultParallelism)
+    # NOTE: the fixture file is one input split, but a repartition here is
+    # a measured net loss — the sigmoid is too cheap to amortize the
+    # shuffle (bench +0.4s at sf0.1). Fan-out pays only for heavy UDFs;
+    # see multimodal_decode_stub for the pattern.
+    e = _t(spark, sf_dir, "events")
     return e.select("event_id", F.round(sigmoid("value"), ROUND_RATIO).alias("sigmoid_score"))
 
 
@@ -108,7 +110,7 @@ def row_udf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     def label(event_type: str, value: float) -> str:
         return f"{event_type}:{math.floor(value)}"
 
-    e = _t(spark, sf_dir, "events", min_partitions=spark.sparkContext.defaultParallelism)
+    e = _t(spark, sf_dir, "events")
     return e.select("event_id", label("event_type", "value").alias("label"))
 
 
