@@ -44,12 +44,10 @@ _PRIORITY = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "join_inner_broadcast",
-    "join_left_outer",
     "join_semi",
     "join_anti",
     "join_theta_inequality",
     "topk_orders",
-    "median_quantiles",
     # windows / reshape
     "window_topk_per_group",
     "window_lag_lead",
@@ -64,6 +62,7 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash_signature",
+    "dedup_embedding_cosine",
     # similarity / ANN
     "embedding_norms",
     "cosine_topk_brute",
@@ -81,6 +80,7 @@ _PRIORITY = (
     "apply_in_pandas_zscore",
     "row_udf_label",
     "ema_per_user",
+    "udtf_bigrams",
     # as-of + event-time windows
     "asof_join_backward",
     "tumbling_window_hourly",

@@ -298,3 +298,83 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "neighbor_id", F.round("cos", ROUND_RATIO).alias("cos"), "rank")
     )
+
+
+EMB_DEDUP_THRESHOLD = 0.3  # this synthetic corpus has no true near-dups
+# (max pairwise cosine ~0.51); 0.3 exercises the full pipeline with a
+# real result set. On a production corpus set ~0.95+.
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), buckets AS (
+    SELECT vec_id, v, t.tbl,
+           CASE t.tbl
+                WHEN 0 THEN {_bucket_expr_sql(0)}
+                WHEN 1 THEN {_bucket_expr_sql(1)}
+                ELSE {_bucket_expr_sql(2)}
+           END AS bucket
+    FROM corpus CROSS JOIN (SELECT unnest(range({N_TABLES})) AS tbl) t
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a
+    JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(ca.v, cb.v), {ROUND_RATIO}) AS cos
+FROM cand
+JOIN corpus ca ON ca.vec_id = vec_a
+JOIN corpus cb ON cb.vec_id = vec_b
+WHERE list_cosine_similarity(ca.v, cb.v) >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+@op(
+    "dedup_embedding_cosine",
+    oracle=_EMB_DEDUP_ORACLE,
+    tags=("dedup", "similarity", "embedding", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the semantic member of the dedup
+    family: candidate pairs from the same multi-table hyperplane-LSH
+    buckets as ann_lsh_cosine (bucket self-join, never the vec^2 cross
+    product), then exact cosine verify at >= EMB_DEDUP_THRESHOLD.
+    Recall contract: P(candidate | angle theta) = 1-(1-(1-theta/pi)^k)^L
+    with k=4 planes, L=3 tables — tune (k, L) per corpus like the MinHash
+    banding. Threshold is 0.3 here because the synthetic corpus has no
+    true near-dups (max pairwise cosine ~0.51); production near-dup
+    detection would use ~0.95+ where LSH recall is also far higher."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v")).cache()
+    tables = []
+    for t in range(N_TABLES):
+        bucket = sum(
+            (
+                _hyperplane_sign(F.col("v"), t * PLANES_PER_TABLE + p) * (1 << p)
+                for p in range(PLANES_PER_TABLE)
+            ),
+            F.lit(0),
+        ).alias("bucket")
+        tables.append(corpus.select("vec_id", F.lit(t).alias("tbl"), bucket))
+    bucketed = tables[0]
+    for t_df in tables[1:]:
+        bucketed = bucketed.unionByName(t_df)
+    bucketed = bucketed.cache()
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ca = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    cb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    paired = cand.join(ca, "vec_a").join(cb, "vec_b")
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        paired.withColumn("cos", cos)
+        .filter(F.col("cos") >= EMB_DEDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", ROUND_RATIO).alias("cos"))
+    )

@@ -127,3 +127,37 @@ def ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_polars_ai_spark.streaming.jobs import ema_batch
 
     return ema_batch(spark, sf_dir)
+
+
+@op(
+    "udtf_bigrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT t.doc_id, w[i] || ' ' || w[i + 1] AS bigram, CAST(i AS INTEGER) AS pos
+    FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row fans out to
+    N-1 word-bigram rows via LATERAL — the row-expanding UDF surface the
+    reference reached through generated explode logic (SURVEY.md §2b UDTF
+    row, previously marked optional). The plan is a single
+    BatchEvalPythonUDTF over the scan; at 100 TB this parallelizes per
+    input split like any narrow stage."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string, pos: int")
+    class Bigrams:
+        def eval(self, text: str):
+            words = (text or "").split(" ")
+            for i in range(len(words) - 1):
+                yield (words[i] + " " + words[i + 1], i + 1)
+
+    d = _t(spark, sf_dir, "documents")
+    view = "udtf_bigrams_docs"
+    d.select("doc_id", "text").createOrReplaceTempView(view)
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    return spark.sql(
+        f"SELECT d.doc_id, b.bigram, b.pos FROM {view} d, LATERAL bigrams_udtf(d.text) b"
+    )

@@ -35,6 +35,28 @@ def from_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def from_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC (Feather v2) file -> Spark DataFrame (SURVEY.md §2b
+    "Parquet/IPC/JSON" row; Polars scan_ipc surface).
+
+    Spark has no native IPC data source, so this is a driver-side
+    pyarrow read handed to Spark via Arrow conversion — right for the
+    dim/interchange files IPC is used for. A 100 TB fact table should be
+    parquet; for bulk IPC ingest, convert file-per-task via mapInPandas
+    over a file-list DataFrame instead.
+    """
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    try:
+        with ipc.open_file(path) as reader:  # random-access (Feather v2) layout
+            table = reader.read_all()
+    except pa.ArrowInvalid:
+        with ipc.open_stream(path) as reader:  # streaming IPC layout
+            table = reader.read_all()
+    return spark.createDataFrame(table.to_pandas())
+
+
 def from_json(spark: SparkSession, path: str, schema: Any = None) -> DataFrame:
     reader = spark.read
     if schema is not None:

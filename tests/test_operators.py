@@ -32,6 +32,7 @@ def test_registry_prefix_window_covers_north_star_families():
         # dedup family
         "dedup_exact_text", "dedup_keyed_first", "doc_fingerprint",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "simhash_signature",
+        "dedup_embedding_cosine",
         # similarity / ANN
         "embedding_norms", "cosine_topk_brute", "ann_lsh_cosine", "ivf_cosine_topk",
         # text analysis
@@ -40,6 +41,7 @@ def test_registry_prefix_window_covers_north_star_families():
         "multimodal_meta", "multimodal_decode_stub",
         # UDFs
         "pandas_udf_sigmoid", "apply_in_pandas_zscore", "row_udf_label", "ema_per_user",
+        "udtf_bigrams",
         # as-of + event-time windows
         "asof_join_backward", "tumbling_window_hourly", "sliding_window_1h_30m",
         "session_window_10m", "daily_rollup",

@@ -94,6 +94,25 @@ def test_from_excel_happy_path_via_stdlib_fallback(spark, tmp_path):
     assert got["widget"] == (3, 1.5, True)
 
 
+def test_from_ipc_roundtrip(spark, tmp_path):
+    """Arrow IPC ingestion: both the file (Feather v2) and stream layouts."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from my_polars_ai_spark.sources.readers import from_ipc
+
+    table = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    fpath, spath = str(tmp_path / "t.arrow"), str(tmp_path / "t.arrows")
+    with ipc.new_file(fpath, table.schema) as w:
+        w.write_table(table)
+    with ipc.new_stream(spath, table.schema) as w:
+        w.write_table(table)
+    for p in (fpath, spath):
+        df = from_ipc(spark, p)
+        assert df.columns == ["k", "v"]
+        assert sorted((r.k, r.v) for r in df.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_orc_roundtrip(spark, tmp_path):
     from my_polars_ai_spark.sources.readers import from_orc
     from my_polars_ai_spark.sources.writers import write_orc
