@@ -143,6 +143,33 @@ def test_asof_join_backward_known_answer(spark):
     assert got == {("a", 0): None, ("a", 1): 10.0, ("a", 7): 20.0, ("b", 4): 99.0}
 
 
+def test_asof_join_forward_known_answer(spark):
+    from my_polars_ai_spark.operators.asof import asof_join_forward
+
+    quotes = from_records(
+        spark,
+        [
+            {"k": "a", "t": 1, "q": 10.0},
+            {"k": "a", "t": 5, "q": 20.0},
+            {"k": "b", "t": 3, "q": 99.0},
+        ],
+    )
+    trades = from_records(
+        spark,
+        [
+            {"k": "a", "t": 0},   # next quote at 1 -> 10.0
+            {"k": "a", "t": 5},   # exact tie -> inclusive match 20.0
+            {"k": "a", "t": 7},   # after last quote -> null
+            {"k": "b", "t": 4},   # after b's only quote -> null
+        ],
+    )
+    out = asof_join_forward(
+        trades.select("k", "t"), quotes.select("k", "t", "q"), on="t", by="k", value_cols=["q"]
+    )
+    got = {(r.k, r.t): r.q for r in out.collect()}
+    assert got == {("a", 0): 10.0, ("a", 5): 20.0, ("a", 7): None, ("b", 4): None}
+
+
 def test_from_csv_loan_fixture_shape(spark, tmp_path):
     # loan-fixture semantics (FIXTURES.md §1): string dates M/d/yyyy, nulls
     p = tmp_path / "loans.csv"
