@@ -45,7 +45,6 @@ _PRIORITY = (
     "tpch_q5_local_supplier",
     "join_inner_broadcast",
     "join_semi",
-    "join_anti",
     "join_theta_inequality",
     "topk_orders",
     # windows / reshape
@@ -72,6 +71,7 @@ _PRIORITY = (
     "lang_id_heuristic",
     "quality_score",
     "token_counts",
+    "training_data_pipeline",
     # multimodal plumbing
     "multimodal_meta",
     "multimodal_decode_stub",

@@ -9,7 +9,7 @@ projections, no shuffle until the final aggregate if any).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
@@ -126,3 +126,60 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("[a-z0-9]{1,4}")).alias("n_bpe_ish"),
         "n_chars",
     )
+
+
+@op(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                     + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                              / greatest(len(string_split(text, ' ')), 1)),
+                     {ROUND_RATIO}) AS quality
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10
+    ), deduped AS (
+        SELECT doc_id, n_tokens, quality
+        FROM (
+            SELECT doc_id, n_tokens, quality,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+    FROM deduped
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+    """,
+    tags=("text", "pipeline", "dedup", "sample"),
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in one plan: quality filter ->
+    exact dedup (first doc per text) -> deterministic 50% hash sample.
+    The composition every LLM-data pipeline runs, expressed as a single
+    Catalyst plan: the quality filter pushes below the dedup shuffle, the
+    dedup is one shuffle on the text key, and the hash sample is a narrow
+    filter that stays reproducible across engines and runs (same doc ->
+    same fate, the property that keeps pipeline stages consistent)."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n_tokens = F.size(ts)
+    diversity = F.size(F.array_distinct(ts)) / F.greatest(n_tokens, F.lit(1))
+    quality = F.round(
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.5 * diversity, ROUND_RATIO
+    )
+    scored = d.select("doc_id", "text", n_tokens.alias("n_tokens"), quality.alias("quality"))
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "quality")
+    )
+    return deduped.filter(
+        portable_hash60(F.col("doc_id").cast("string")) % 2 == 0
+    ).select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality")

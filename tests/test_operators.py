@@ -36,7 +36,7 @@ def test_registry_prefix_window_covers_north_star_families():
         # similarity / ANN
         "embedding_norms", "cosine_topk_brute", "ann_lsh_cosine", "ivf_cosine_topk",
         # text analysis
-        "lang_id_heuristic", "quality_score", "token_counts",
+        "lang_id_heuristic", "quality_score", "token_counts", "training_data_pipeline",
         # multimodal
         "multimodal_meta", "multimodal_decode_stub",
         # UDFs
