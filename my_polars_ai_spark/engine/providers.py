@@ -214,4 +214,11 @@ def load_llm(llm_type: str, **options) -> LLM:
         except ImportError as exc:
             raise BadImportError("langchain_community (required for SageMaker)") from exc
         return LangChainLLM(SagemakerEndpoint(**options))
+    if llm_type == "GoogleVertexAI":
+        # reference examples/from_csv_vertexai.py surface
+        try:
+            from langchain_google_vertexai import VertexAI  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise BadImportError("langchain_google_vertexai (required for GoogleVertexAI)") from exc
+        return LangChainLLM(VertexAI(**options))
     raise BadImportError(f"llm not recognized: {llm_type}")

@@ -361,6 +361,8 @@ def test_load_llm_factory_switch():
         load_llm("NotAProvider")
     with pytest.raises(BadImportError):
         load_llm("LlamaCpp", model_path="/tmp/x.gguf")  # langchain absent here
+    with pytest.raises(BadImportError):
+        load_llm("GoogleVertexAI", model="text-bison")  # vertexai absent here
 
 
 def test_import_optional_dependency():

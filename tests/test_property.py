@@ -92,3 +92,38 @@ def test_distinct_and_sort_match_duckdb(spark, rows):
     con.register("t", pdf)
     want = con.execute("SELECT DISTINCT k, v FROM t ORDER BY k, v").fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_ratio_round_matches_exact_half_up(spark):
+    """base.ratio_round must equal exact rational half-up rounding for a
+    wide sweep of numerators/denominators (including half-way ties, the
+    cases where round(double, s) diverges between engines), and its
+    DuckDB twin must agree value-for-value."""
+    import random
+    from fractions import Fraction
+
+    from my_polars_ai_spark.operators.base import oracle_ratio_round, ratio_round
+
+    rng = random.Random(7)
+    pairs = [(rng.randint(0, 10**12), rng.randint(1, 10**9)) for _ in range(150)]
+    # deliberate half-way ties at scale 6: num/den = x.xxxxxx5 exactly
+    pairs += [(15, 2 * 10**7), (25, 2 * 10**7), (3, 2 * 10**6), (1, 2)]
+
+    sdf = spark.createDataFrame(pairs, "num long, den long")
+    got = {
+        (r.num, r.den): r.q
+        for r in sdf.select("num", "den", ratio_round(F.col("num"), F.col("den")).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    dd = {
+        (num, den): con.execute(
+            f"SELECT {oracle_ratio_round(str(num), str(den))}"
+        ).fetchone()[0]
+        for num, den in pairs
+    }
+    for num, den in pairs:
+        scaled = Fraction(num, den) * 10**6
+        expected = int(scaled) + (1 if scaled - int(scaled) >= Fraction(1, 2) else 0)
+        expected /= 10**6
+        assert got[(num, den)] == expected, (num, den)
+        assert dd[(num, den)] == expected, (num, den)
