@@ -66,13 +66,33 @@ def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window counts per event type (streaming twin of
-    operators.timeseries.tumbling_window_hourly)."""
+    operators.timeseries.tumbling_window_hourly; same exact-decimal sum so
+    stream==batch holds bit-for-bit, not just up to summation order)."""
+    from my_polars_ai_spark.operators.timeseries import _sum4_value
+
     events = read_events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", gap).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum4_value().alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding windows, 1 h length / 30 min slide (streaming
+    twin of operators.timeseries.sliding_window_1h_30m): every event lands
+    in exactly two overlapping windows; state per window is bounded and
+    evicted once the watermark passes the window end."""
+    from my_polars_ai_spark.operators.timeseries import _sum4_value
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum4_value().alias("sum_value"))
+        .select(F.col("w.start").cast("long").alias("window_start_epoch"), "n", "sum_value")
     )
     return _drain_to_memory(agg, "complete")
 

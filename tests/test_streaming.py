@@ -5,10 +5,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.timeseries import session_window_10m, tumbling_window_hourly
+from my_polars_ai_spark.operators.timeseries import (
+    session_window_10m,
+    sliding_window_1h_30m,
+    tumbling_window_hourly,
+)
 from my_polars_ai_spark.streaming.jobs import (
     stream_dedup_within_watermark,
     stream_session_windows,
+    stream_sliding_counts,
     stream_tumbling_counts,
 )
 
@@ -18,6 +23,14 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     batch = tumbling_window_hourly(spark, sf_dir)
     s = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in streamed.collect()}
     b = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    assert s == b
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    streamed = stream_sliding_counts(spark, sf_dir)
+    batch = sliding_window_1h_30m(spark, sf_dir)
+    s = {r.window_start_epoch: (r.n, r.sum_value) for r in streamed.collect()}
+    b = {r.window_start_epoch: (r.n, r.sum_value) for r in batch.collect()}
     assert s == b
 
 
