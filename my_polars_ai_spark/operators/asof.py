@@ -268,3 +268,91 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         both.filter(F.col("back_ts").isNotNull() | F.col("fwd_ts").isNotNull())
         .select("event_id", "user_id", "ts", nearest.alias("nearest_view_ts"), delta.alias("delta_us"))
     )
+
+
+@op(
+    "interval_join_bucketed",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM purchases
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 10 MINUTE AS session_end
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT e.event_id, e.user_id, e.ts AS error_ts,
+           s.session_start, s.session_end
+    FROM events e
+    JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.session_start AND e.ts < s.session_end
+    WHERE e.event_type = 'error'
+    """,
+    tags=("join", "interval", "range"),
+)
+def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO natural equi key beyond the by-key —
+    the range-join shape bucketing solves at scale: error events mapped
+    into the purchase-session interval containing them.
+
+    Intervals fan out to every calendar-day bucket they overlap
+    (F.sequence over day range — sessions are minutes long, so fan-out is
+    1-2 rows); points carry their single day bucket; the join is then a
+    plain equi-join on (user_id, day) plus the range post-filter. Without
+    the bucket, Spark would need a per-user BNLJ or an unbounded
+    sort-merge range join. Per-user sessions are disjoint and an error's
+    day matches exactly one exploded row of its session, so no dedup pass
+    is needed. The oracle states the same join directly as BETWEEN —
+    bucketing is lossless by construction, and the green compare proves
+    it."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap_s.isNull() | (gap_s > 10 * 60), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        purchases.withColumn("new_session", new_session)
+        .withColumn("sid", F.sum("new_session").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 10 MINUTES")).alias("session_end"),
+        )
+        .drop("sid")
+    )
+    # fan intervals out to each day bucket they overlap
+    s_bucketed = sessions.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "session_start").cast("date"),
+                F.date_trunc("day", "session_end").cast("date"),
+            )
+        ),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("error_ts"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    return (
+        errors.join(s_bucketed, ["user_id", "day"])
+        .filter(
+            (F.col("error_ts") >= F.col("session_start"))
+            & (F.col("error_ts") < F.col("session_end"))
+        )
+        .select("event_id", "user_id", "error_ts", "session_start", "session_end")
+    )

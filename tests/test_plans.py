@@ -59,6 +59,14 @@ def test_udf_ops_have_exactly_one_python_boundary(spark, sf_dir):
         assert s["python_evals"] == 1, name
 
 
+def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    """interval_join_bucketed: day-bucket fan-out must yield a hash/merge
+    equi-join, never a nested-loop range join."""
+    s = plan_summary(all_ops()["interval_join_bucketed"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["python_evals"] == 0
+
+
 def test_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
     """fuzzy_levenshtein_pairs must join on the length-bucket blocking key
     (hash join), not BNLJ over vocab^2."""
