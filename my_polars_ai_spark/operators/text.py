@@ -183,3 +183,33 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.filter(
         portable_hash60(F.col("doc_id").cast("string")) % 2 == 0
     ).select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality")
+
+
+@op(
+    "top_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM toks
+    WHERE tok != ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    tags=("text", "topk", "vocab"),
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: global top-20 tokens by frequency (tiebreak on the
+    token for determinism). Explode -> partial-agg count -> top-k compiles
+    to TakeOrderedAndProject: each partition keeps its own top-20, the
+    driver merges — no global sort of the vocabulary at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
