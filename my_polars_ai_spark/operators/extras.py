@@ -20,25 +20,49 @@ ROUND_WIN = 4
 @op(
     "diff_pct_change",
     oracle=f"""
+    WITH b AS (
+        SELECT user_id, event_id,
+               CAST(value AS DECIMAL(28,6)) AS vd,
+               lag(CAST(value AS DECIMAL(28,6))) OVER w AS pv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
     SELECT user_id, event_id,
-           round(value - lag(value) OVER w, {ROUND_WIN}) AS diff,
-           round((value - lag(value) OVER w) / lag(value) OVER w, {ROUND_WIN}) AS pct_change
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           CAST(round(vd - pv, {ROUND_WIN}) AS DOUBLE) AS diff,
+           CASE WHEN pv = 0 THEN NULL ELSE
+               CAST((CASE WHEN vd < pv THEN -1 ELSE 1 END)
+                    * ((2*10000*abs(CAST((vd - pv)*1000000 AS HUGEINT))
+                        + CAST(pv*1000000 AS HUGEINT))
+                       // (2*CAST(pv*1000000 AS HUGEINT))) AS DOUBLE) / 10000
+           END AS pct_change
+    FROM b
     """,
     tags=("window", "timeseries"),
 )
 def diff_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polars diff()/pct_change() surface: first differences and relative
-    change per user stream."""
+    change per user stream.
+
+    Numerics: values go through DECIMAL(28,6) so the difference is exact,
+    and pct_change is rounded with the signed integer half-away formula —
+    round(double, 4) flips on half-way ties between engines (27.45625 at
+    sf0.1), and a prior value of exactly 0 yields NULL (pandas-style),
+    not a DIVIDE_BY_ZERO under ANSI mode (also first seen at sf0.1)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("value").over(w)
+    vd = F.col("value").cast("decimal(28,6)")
+    pv = F.lag(vd).over(w)
+    diff_dec = vd - pv
+    d_micro = (diff_dec * 1000000).cast("decimal(38,0)")
+    p_micro = (pv * 1000000).cast("decimal(38,0)")
+    sign = F.when(diff_dec < 0, F.lit(-1)).otherwise(F.lit(1))
+    q4 = F.floor((2 * 10000 * F.abs(d_micro) + p_micro) / (2 * p_micro))
+    pct = F.when(p_micro == 0, F.lit(None)).otherwise((sign * q4).cast("double") / 10000)
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.col("value") - prev, ROUND_WIN).alias("diff"),
-        F.round((F.col("value") - prev) / prev, ROUND_WIN).alias("pct_change"),
+        F.round(diff_dec, ROUND_WIN).cast("double").alias("diff"),
+        pct.alias("pct_change"),
     )
 
 

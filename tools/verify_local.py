@@ -55,8 +55,11 @@ def compare(spark_df, oracle_rows, oracle_cols):
     s_rows = sorted((_key([_norm(r[i]) for i in s_idx]) for r in rows))
     o_rows = sorted((_key([_norm(r[i]) for i in o_idx]) for r in oracle_rows))
     if s_rows != o_rows:
-        diff_s = [r for r in s_rows if r not in set(o_rows)][:3]
-        diff_o = [r for r in o_rows if r not in set(s_rows)][:3]
+        # hoist the sets — rebuilding them inside the comprehension is
+        # O(n^2) and looked like a hang at 100k differing rows
+        o_set, s_set = set(o_rows), set(s_rows)
+        diff_s = [r for r in s_rows if r not in o_set][:3]
+        diff_o = [r for r in o_rows if r not in s_set][:3]
         issues.append(f"values differ; spark-only sample={diff_s} oracle-only sample={diff_o}")
     return issues
 
