@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import Op, make_registrar
@@ -95,4 +95,65 @@ def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.array_join(statuses, ",").alias("statuses"),
         F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
+    )
+
+
+@op(
+    "stratified_sample",
+    oracle="""
+    WITH rates AS (
+        SELECT 'purchase' AS et, 50 AS pct UNION ALL
+        SELECT 'view', 10 UNION ALL
+        SELECT 'error', 100
+    )
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    JOIN rates r ON e.event_type = r.et
+    WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < r.pct
+    """,
+    tags=("sample", "stratified"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-balancing primitive
+    for training-data pipelines (downsample the dominant class, keep all
+    of the rare one). Rates ride in on a broadcast dim table; membership
+    is a pure hash of the row key, so the sample is reproducible across
+    engines, runs, and pipeline stages, and composes with hash_sample
+    (same key -> same fate at any rate)."""
+    rates = [("purchase", 50), ("view", 10), ("error", 100)]
+    e = _t(spark, sf_dir, "events")
+    r = e.sparkSession.createDataFrame(rates, "et string, pct int")
+    return (
+        e.join(F.broadcast(r), e.event_type == r.et)
+        .filter(portable_hash60(F.col("event_id").cast("string")) % 100 < F.col("pct"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@op(
+    "group_topk_percent",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, value,
+               percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr
+        FROM events
+    )
+    SELECT user_id, event_id, value
+    FROM ranked WHERE pr >= 0.9
+    """,
+    tags=("window", "filter", "topk"),
+)
+def group_topk_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each group's top 10% rows by value — quality-based pruning per
+    source/domain, the shape used to keep only the best documents per
+    bucket. percent_rank is PARTITIONED by a high-cardinality key here
+    (unlike the flagged global-window ops), so state stays bounded and the
+    one shuffle is on the group key. Tie-broken on event_id for
+    determinism."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        e.select("user_id", "event_id", "value", F.percent_rank().over(w).alias("pr"))
+        .filter(F.col("pr") >= 0.9)
+        .select("user_id", "event_id", "value")
     )

@@ -135,3 +135,41 @@ def boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), ROUND_RATIO).alias("lo"),
         F.round(F.max("o_totalprice"), ROUND_RATIO).alias("hi"),
     )
+
+
+@op(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND_MONEY}) AS revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_returnflag
+    """,
+    tags=("join", "skew", "salting"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the manual skew-mitigation pattern, oracle-proved
+    equivalent to the plain join. The probe side's key is salted with a
+    deterministic hash; the build side replicates each row across all
+    N_SALTS sub-keys (explode of a literal range), so a hot key's rows
+    spread over N_SALTS reducers instead of one. Same result as the
+    unsalted join — the oracle states the plain join. In production
+    prefer AQE skew-join (enabled in session.py) and reach for manual
+    salting only when AQE's split granularity isn't enough."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    salt = (F.crc32(F.col("l_linenumber").cast("string")) % N_SALTS).cast("int")
+    probe = li.withColumn("__salt", salt)
+    build = o.select(
+        "o_orderkey", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])).alias("__salt")
+    )
+    joined = probe.join(build, (probe.l_orderkey == build.o_orderkey) & (probe.__salt == build.__salt))
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_MONEY).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
