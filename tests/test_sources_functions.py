@@ -113,6 +113,33 @@ def test_from_ipc_roundtrip(spark, tmp_path):
         assert sorted((r.k, r.v) for r in df.collect()) == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Two tables bucketed by the same key into the same bucket count must
+    join with ZERO Exchange operators — the co-located layout that makes
+    recurring fact-fact joins shuffle-free at 100 TB."""
+    from my_polars_ai_spark.plans.inspect import explain_str
+    from my_polars_ai_spark.sources.writers import write_bucketed
+
+    a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS vb")
+    try:
+        write_bucketed(a, "bkt_a", ["k"], 4, sort_by=["k"])
+        write_bucketed(b, "bkt_b", ["k"], 4, sort_by=["k"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = explain_str(j, mode="simple")
+            assert plan.count("Exchange") == 0, plan
+            assert "SortMergeJoin" in plan
+            assert j.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_orc_roundtrip(spark, tmp_path):
     from my_polars_ai_spark.sources.readers import from_orc
     from my_polars_ai_spark.sources.writers import write_orc
