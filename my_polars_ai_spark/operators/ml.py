@@ -293,3 +293,38 @@ def roc_points_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(F.col("cum_tp"), F.col("p_total")).alias("tpr"),
         ratio_round(F.col("cum_fp"), F.col("n_total")).alias("fpr"),
     )
+
+
+_PROFILE_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@op(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count({c}) AS BIGINT) AS n_non_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM customer"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("profile", "metadata"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profiling (row/non-null/distinct counts per column) —
+    the first query every data pipeline runs on a new table. One wide
+    aggregation row (all counts in a single pass over the data), then a
+    stack() unpivot to one row per column; no per-column scans."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(col).alias(f"nn_{col}") for col in _PROFILE_COLS],
+        *[F.countDistinct(col).alias(f"nd_{col}") for col in _PROFILE_COLS],
+    )
+    stack = "stack({}, {}) AS (column_name, n_non_null, n_distinct)".format(
+        len(_PROFILE_COLS),
+        ", ".join(f"'{col}', nn_{col}, nd_{col}" for col in _PROFILE_COLS),
+    )
+    return wide.select(F.expr(stack), "n_rows").select(
+        "column_name", "n_rows", "n_non_null", "n_distinct"
+    )

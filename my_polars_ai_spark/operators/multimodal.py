@@ -89,3 +89,44 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents", min_partitions=spark.sparkContext.defaultParallelism)
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_fake_decode_batches, schema=DECODE_SCHEMA)
+
+
+FRAME_LEN = 16   # bytes per "frame" of the opaque payload
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@op(
+    "frame_sample_chunks",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(text) / {FRAME_LEN}.0) AS BIGINT))) AS frame_idx,
+               text
+        FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(text, CAST(frame_idx * {FRAME_LEN} + 1 AS INTEGER), {FRAME_LEN})) AS frame_hash
+    FROM frames
+    WHERE frame_idx % {FRAME_STRIDE} = 0
+    """,
+    tags=("multimodal", "sample", "frames"),
+)
+def frame_sample_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque payload: chunk each document into
+    fixed-length frames and keep every FRAME_STRIDE-th — the video
+    keyframe-sampling shape, expressed entirely in JVM expressions
+    (sequence/explode/substring/md5; the decode-the-frame step is where
+    a codec UDF would slot in, cf. multimodal_decode_stub). Frame count
+    scales with payload size, never with corpus size, and the explode is
+    a narrow operation."""
+    d = _t(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_LEN))).cast("long")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+    chunk = F.substring(
+        F.col("text"), (F.col("frame_idx") * FRAME_LEN + 1).cast("int"), FRAME_LEN
+    )
+    return frames.select("doc_id", "frame_idx", F.md5(chunk).alias("frame_hash"))
