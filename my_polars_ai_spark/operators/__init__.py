@@ -36,8 +36,6 @@ _MODULES = (
 _PRIORITY = (
     # core relational + TPC-H shapes (scan/filter/agg/join/top-k)
     "flagship_revenue_by_nation",
-    "scan_project_derive",
-    "filter_compound_predicates",
     "conditional_case_when",
     "group_agg_multi",
     "tpch_q1_pricing_summary",
@@ -46,6 +44,7 @@ _PRIORITY = (
     "join_inner_broadcast",
     "join_semi",
     "join_theta_inequality",
+    "interval_join_bucketed",
     "topk_orders",
     # windows / reshape
     "window_topk_per_group",
@@ -90,6 +89,7 @@ _PRIORITY = (
     # fuzzy matching / sampling / SQL entry
     "fuzzy_levenshtein_pairs",
     "hash_sample",
+    "stratified_sample",
     "sql_api_revenue",
     # scale-safe twins of the global-window ops (round 2)
     "percent_rank_approx",
