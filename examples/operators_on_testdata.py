@@ -15,6 +15,14 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 spark = get_spark("example_operators")
 ops = all_ops()
 
-for name in ("flagship_revenue_by_nation", "tpch_q1_pricing_summary", "cosine_topk_brute"):
+for name in (
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "cosine_topk_brute",
+    "dedup_minhash_lsh",
+    "training_data_pipeline",
+    "asof_join_nearest",
+    "profile_columns",
+):
     print(f"\n=== {name} ===")
     ops[name].fn(spark, sf_dir).show(5, truncate=False)

@@ -22,6 +22,7 @@ EXAMPLES = [
     "from_dataframe.py",
     "from_dataframe_azure.py",
     "save_chart.py",
+    "operators_on_testdata.py",
 ]
 
 
