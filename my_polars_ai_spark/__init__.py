@@ -24,4 +24,12 @@ reference implementation.
 __version__ = "0.1.0"
 
 from my_polars_ai_spark.engine.core import SparkAI  # noqa: F401
+from my_polars_ai_spark.engine.llm import CallableLLM, FakeLLM, LangChainLLM  # noqa: F401
+from my_polars_ai_spark.engine.providers import (  # noqa: F401
+    AzureOpenAILLM,
+    FalconLLM,
+    OpenAILLM,
+    StarcoderLLM,
+    load_llm,
+)
 from my_polars_ai_spark.session import get_spark  # noqa: F401
