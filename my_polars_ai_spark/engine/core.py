@@ -197,6 +197,11 @@ class SparkAI(Shortcuts):
                 prompt=prompt,
             )
             self.log(f"Answer: {answer}")
+            if isinstance(answer, DataFrame):
+                from my_polars_ai_spark.plans.guardrails import lint_plan
+
+                for warning in lint_plan(answer):
+                    self.log(f"Plan warning: {warning}")
 
             conversational = (
                 self._is_conversational_answer

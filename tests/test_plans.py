@@ -95,3 +95,41 @@ def test_brute_force_knn_broadcasts_query_side(spark, sf_dir):
     # cross join with broadcast => BroadcastNestedLoopJoin, never CartesianProduct shuffle
     assert s["nested_loop_joins"] >= 1
     assert s["sortmerge_joins"] == 0
+
+
+def test_lint_plan_flags_scale_killers(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from my_polars_ai_spark.plans.guardrails import lint_plan
+    from my_polars_ai_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # global window -> flagged
+    w = Window.orderBy("value")
+    global_rank = e.select("event_id", F.percent_rank().over(w).alias("pr"))
+    assert any("PARTITION BY" in x for x in lint_plan(global_rank))
+    # row UDF -> flagged
+    label = F.udf(lambda s: s + "!")
+    row_udf = e.select(label("event_type").alias("x"))
+    assert any("row-at-a-time" in x for x in lint_plan(row_udf))
+    # healthy partitioned aggregation -> clean
+    clean = e.groupBy("event_type").count()
+    assert lint_plan(clean) == []
+    # the flagship join plan -> clean
+    assert lint_plan(all_ops()["flagship_revenue_by_nation"].fn(spark, sf_dir)) == []
+
+
+def test_engine_logs_plan_warnings(spark, sf_dir):
+    from my_polars_ai_spark.engine.core import SparkAI
+    from my_polars_ai_spark.engine.llm import FakeLLM
+    from my_polars_ai_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    llm = FakeLLM(
+        output="<startCode>\n"
+        "df.select('event_id', F.percent_rank().over(W.orderBy('value')).alias('pr'))\n"
+        "<endCode>"
+    )
+    ai = SparkAI(llm=llm, enable_cache=False)
+    ai.run(e, "rank all events by value")
+    assert any("Plan warning" in line and "PARTITION BY" in line for line in ai.logs)
