@@ -386,3 +386,51 @@ def datetime_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm").alias("formatted"),
         F.timestamp_seconds(epoch_s).alias("roundtrip"),
     )
+
+
+@op(
+    "describe_stats",
+    oracle=f"""
+    SELECT 'count' AS stat, CAST(count(o_totalprice) AS DOUBLE) AS o_totalprice
+    FROM orders
+    UNION ALL SELECT 'mean',
+        CAST((2*CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) * 1000000 AS HUGEINT)
+              + 100*count(*)) // (200*count(*)) AS DOUBLE) / 10000
+    FROM orders
+    UNION ALL SELECT 'stddev', round(stddev_samp(o_totalprice), {ROUND_WIN}) FROM orders
+    UNION ALL SELECT 'min', round(min(o_totalprice), {ROUND_WIN}) FROM orders
+    UNION ALL SELECT '25%', round(quantile_cont(o_totalprice, 0.25), {ROUND_WIN}) FROM orders
+    UNION ALL SELECT '50%', round(quantile_cont(o_totalprice, 0.5), {ROUND_WIN}) FROM orders
+    UNION ALL SELECT '75%', round(quantile_cont(o_totalprice, 0.75), {ROUND_WIN}) FROM orders
+    UNION ALL SELECT 'max', round(max(o_totalprice), {ROUND_WIN}) FROM orders
+    """,
+    tags=("agg", "stats", "describe"),
+)
+def describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/Polars describe() surface: the 8-stat summary of a numeric
+    column, computed in ONE aggregation pass (a single wide agg row,
+    unpivoted with stack — not 8 scans like a naive UNION ALL). The mean
+    uses the exact integer half-up formula (see timeseries.py) because
+    round(double, 4) flips on half-way ties between engines."""
+    o = _t(spark, sf_dir, "orders")
+    s_micro = (F.sum(F.col("o_totalprice").cast("decimal(28,6)")) * 1000000).cast(
+        "decimal(38,0)"
+    )
+    n = F.count(F.lit(1))
+    mean4 = (F.floor((2 * s_micro + 100 * n) / (200 * n))).cast("double") / 10000
+    pcts = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    wide = o.agg(
+        F.count("o_totalprice").cast("double").alias("s_count"),
+        mean4.alias("s_mean"),
+        F.round(F.stddev_samp("o_totalprice"), ROUND_WIN).alias("s_stddev"),
+        F.round(F.min("o_totalprice"), ROUND_WIN).alias("s_min"),
+        F.round(F.element_at(pcts, 1), ROUND_WIN).alias("s_p25"),
+        F.round(F.element_at(pcts, 2), ROUND_WIN).alias("s_p50"),
+        F.round(F.element_at(pcts, 3), ROUND_WIN).alias("s_p75"),
+        F.round(F.max("o_totalprice"), ROUND_WIN).alias("s_max"),
+    )
+    stack = (
+        "stack(8, 'count', s_count, 'mean', s_mean, 'stddev', s_stddev, 'min', s_min, "
+        "'25%', s_p25, '50%', s_p50, '75%', s_p75, 'max', s_max) AS (stat, o_totalprice)"
+    )
+    return wide.select(F.expr(stack))
