@@ -56,10 +56,11 @@ _PRIORITY = (
     # LLM-data-pipeline: dedup family
     "dedup_exact_text",
     "dedup_keyed_first",
-    "doc_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     "simhash_signature",
+    "simhash_near_dup",
     "dedup_embedding_cosine",
     # similarity / ANN
     "embedding_norms",
@@ -70,6 +71,7 @@ _PRIORITY = (
     "lang_id_heuristic",
     "quality_score",
     "token_counts",
+    "tfidf_top_terms",
     "training_data_pipeline",
     # multimodal plumbing
     "multimodal_meta",
@@ -77,15 +79,12 @@ _PRIORITY = (
     # UDF surfaces
     "pandas_udf_sigmoid",
     "apply_in_pandas_zscore",
-    "row_udf_label",
     "ema_per_user",
     "udtf_bigrams",
     # as-of + event-time windows
     "asof_join_backward",
     "tumbling_window_hourly",
-    "sliding_window_1h_30m",
     "session_window_10m",
-    "daily_rollup",
     # fuzzy matching / sampling / SQL entry
     "fuzzy_levenshtein_pairs",
     "hash_sample",

@@ -181,9 +181,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Shared by the dedup_minhash_lsh oracle and the clustering oracle (which
+# embeds the whole pair query as a derived table inside a recursive CTE).
+_MINHASH_PAIRS_SQL = f"""
     WITH toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
@@ -226,7 +226,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ni * 1.0 / (na + nb - ni), {ROUND_RATIO}) AS jaccard
     FROM inter
     WHERE ni * 1.0 / (na + nb - ni) >= {MINHASH_THRESHOLD}
-    """,
+    """
+
+
+@op(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_PAIRS_SQL,
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,9 +356,7 @@ def minhash_lsh_pairs(
     )
 
 
-@op(
-    "simhash_signature",
-    oracle="""
+_SIMHASH_SQL = """
     WITH toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
@@ -371,13 +374,23 @@ def minhash_lsh_pairs(
                AS simhash16
     FROM bits
     GROUP BY doc_id
-    """,
+"""
+
+
+@op(
+    "simhash_signature",
+    oracle=_SIMHASH_SQL,
     tags=("dedup", "simhash"),
 )
 def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (md5-derived bit votes over the token
     set). Near-dups share signatures within small Hamming distance;
     identical signatures give free dup buckets via a plain group-by."""
+    return _simhash16(spark, sf_dir)
+
+
+def _simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash16) — shared by the signature op and the pairing op."""
     toks = _doc_tokens(spark, sf_dir)
     v = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
     bits = (
@@ -397,4 +410,146 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("simhash16")
+    )
+
+
+# SimHash near-dup pairing: 4 bands x 4 bits. Pigeonhole: hamming(a, b) <= 3
+# flipped bits cannot touch all 4 bands, so every true pair collides in at
+# least one band — band equality is a LOSSLESS candidate filter for the
+# <= 3 threshold. (At 100 TB the same arithmetic runs on a 64-bit simhash
+# with 4 x 16-bit bands; 16 bits here keeps the md5-vote oracle cheap.)
+SIMHASH_HAMMING_MAX = 3
+
+
+@op(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, simhash16 FROM ({_SIMHASH_SQL})
+    ), bands AS (
+        SELECT doc_id, b AS band,
+               CAST(floor(simhash16 / power(2, 4 * b)) AS BIGINT) % 16 AS band_val,
+               simhash16
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash16 AS sig_a, b.simhash16 AS sig_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 3, blocked on 4-bit
+    bands (pigeonhole guarantees zero missed pairs at this threshold, so
+    the band equi-join replaces the all-pairs XOR with no recall loss —
+    unlike probabilistic MinHash banding). Verify stage is a single
+    bit_count(xor) per candidate, all JVM-side."""
+    sig = _simhash16(spark, sf_dir)
+    # cache(): sig feeds both sides of the band self-join
+    bands = sig.select(
+        "doc_id",
+        "simhash16",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_val", F.expr("shiftright(simhash16, cast(4 * band AS int)) & 15")
+    ).cache()
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("sig_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sig_b"), "band", "band_val"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .filter(hamming <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+@op(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label
+        FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id,
+           min(label) AS cluster_id,
+           CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+    FROM walk
+    GROUP BY node
+    """,
+    tags=("dedup", "cluster", "graph"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash+LSH pair
+    graph, canonical doc = min doc_id per component — the step that turns
+    pairwise near-dup hits into the keep/drop decision every training-data
+    pipeline actually needs (pairs alone over-delete: a~b and b~c must
+    collapse to ONE survivor even when a~c was never emitted).
+
+    Spark side is iterative min-label propagation (Pregel-style): each
+    round every node takes the min of its own label and its neighbors',
+    with localCheckpoint() truncating the lineage per round; rounds =
+    graph diameter, which for near-dup graphs is tiny (clusters are
+    near-cliques — this corpus converges in 2-3 rounds). The
+    driver-side loop is iteration control only; all per-round work is a
+    distributed join + partial-agg min. At higher diameters the same loop
+    upgrades to large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") without changing the contract.
+    Oracle-checkable despite being iterative: the RESULT (min id per
+    component) is algorithm-independent, so DuckDB computes it with a
+    recursive-CTE label closure.
+    """
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = docs.select("node", F.col("node").alias("comp")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(50):  # safety bound only; convergence breaks the loop
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease => equal sum == fixpoint
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("connected components did not converge in 50 rounds")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("node")).cast("int").alias("is_canonical"),
     )

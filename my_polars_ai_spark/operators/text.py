@@ -129,6 +129,69 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok != ''
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0),
+                     {ROUND_RATIO}) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the sklearn-style smooth variant) — the
+    standard relevance/topic signal for corpus filtering. Shape: one
+    shuffle on (doc, tok) for TF, a partial-agg DF over the (small) vocab
+    broadcast back onto it, the corpus size as a broadcast scalar, and a
+    per-doc window for the top-3 — no global sort, no Python. Ties broken
+    on the token so the top-3 is deterministic on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                ROUND_RATIO,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@op(
     "training_data_pipeline",
     oracle=f"""
     WITH scored AS (

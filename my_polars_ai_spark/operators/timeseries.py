@@ -14,7 +14,7 @@ sliding window only multiplies rows by (length/slide), here 2x.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import Op, make_registrar
@@ -190,3 +190,43 @@ def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@op(
+    "sequence_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS anchor
+        FROM days
+    )
+    SELECT user_id,
+           min(day) AS start_day,
+           max(day) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM grp
+    GROUP BY user_id, anchor
+    """,
+    tags=("timeseries", "window", "islands"),
+)
+def sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE calendar days with
+    activity, per user (streak detection — the sessionize_gap idea at day
+    granularity). Classic anchor trick: day minus its per-user row_number
+    is constant exactly within a consecutive run, so one keyed window plus
+    one group-by finds every island — no self-join, no iteration; a single
+    shuffle on user_id at any scale."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return grp.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select("user_id", "start_day", "end_day", "n_days")

@@ -310,3 +310,74 @@ def percent_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.col("below"), F.col("n_total") - 1).alias("pr_approx"),
         )
     )
+
+
+@op(
+    "ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+    tags=("window", "rank"),
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) balance quartiles within each nation — the remaining
+    ranking function after rank/dense_rank/percent_rank/cume_dist. The
+    window is keyed on c_nationkey (one shuffle, per-key sort); the
+    c_custkey tiebreak makes bucket assignment deterministic on both
+    engines (ntile splits ties by position, not value)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@op(
+    "rolling_range_7d",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS o_day,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS spend_7d,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_7d
+    FROM orders
+    """,
+    tags=("window", "rolling", "range"),
+)
+def rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-DAY spend per customer — a VALUE-range frame
+    (rangeBetween on epoch days), not a row-count frame: gaps in the
+    order history shrink the window, same-day orders are peers, so the
+    result is deterministic without any tiebreak. One shuffle on
+    o_custkey, per-partition sort, O(1) running state per row. The sum
+    runs over exact DECIMAL(28,6) so partial-order differences between
+    engines can't flip the rounding (operators/base.py convention)."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("o_day"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w), 2)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )

@@ -102,3 +102,18 @@ def from_records(
         rows = [tuple(data[c][i] for c in cols) for i in range(n)]
         return spark.createDataFrame(rows, schema=schema or cols)
     return spark.createDataFrame(list(data), schema=schema)
+
+
+def from_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-asset ingestion for multimodal pipelines: Spark's built-in
+    ``binaryFile`` source yields (path, modificationTime, length, content)
+    with ``content`` as an opaque binary column — the entry point that
+    feeds operators/multimodal.py's Arrow-batched decode stages. Reads are
+    distributed (one task per file split-group); nothing collects to the
+    driver."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

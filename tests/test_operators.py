@@ -29,22 +29,22 @@ def test_registry_prefix_window_covers_north_star_families():
     registry; every LLM-data-pipeline family must land inside it."""
     window = set(list(all_ops())[:50])
     must_have = {
-        # dedup family
-        "dedup_exact_text", "dedup_keyed_first", "doc_fingerprint",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "simhash_signature",
-        "dedup_embedding_cosine",
+        # dedup family (pairs AND the clustering/canonical step)
+        "dedup_exact_text", "dedup_keyed_first",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_cluster_canonical",
+        "simhash_signature", "simhash_near_dup", "dedup_embedding_cosine",
         # similarity / ANN
         "embedding_norms", "cosine_topk_brute", "ann_lsh_cosine", "ivf_cosine_topk",
         # text analysis
-        "lang_id_heuristic", "quality_score", "token_counts", "training_data_pipeline",
+        "lang_id_heuristic", "quality_score", "token_counts", "tfidf_top_terms",
+        "training_data_pipeline",
         # multimodal
         "multimodal_meta", "multimodal_decode_stub",
         # UDFs
-        "pandas_udf_sigmoid", "apply_in_pandas_zscore", "row_udf_label", "ema_per_user",
+        "pandas_udf_sigmoid", "apply_in_pandas_zscore", "ema_per_user",
         "udtf_bigrams",
         # as-of + event-time windows
-        "asof_join_backward", "tumbling_window_hourly", "sliding_window_1h_30m",
-        "session_window_10m", "daily_rollup",
+        "asof_join_backward", "tumbling_window_hourly", "session_window_10m",
         # fuzzy / sampling / SQL API
         "fuzzy_levenshtein_pairs", "hash_sample", "sql_api_revenue",
     }
@@ -206,3 +206,45 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     }
     ivf = {(r.q_id, r.neighbor_id) for r in ops["ivf_cosine_topk"].fn(spark, sf_dir).collect()}
     assert len(ivf & brute) / len(brute) >= 0.2
+
+def test_cluster_canonical_is_transitive_closure(spark, sf_dir):
+    """Every near-dup pair must land in the same cluster (even when the
+    closing edge was never emitted), and canonical ids must be cluster
+    minima that are members of their own cluster."""
+    from my_polars_ai_spark.operators.dedup import dedup_cluster_canonical, minhash_lsh_pairs
+
+    labels = {r.doc_id: r.cluster_id for r in dedup_cluster_canonical(spark, sf_dir).collect()}
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    assert pairs, "corpus should contain near-dup pairs"
+    for r in pairs:
+        assert labels[r.doc_a] == labels[r.doc_b]
+    clusters: dict[int, list[int]] = {}
+    for doc, c in labels.items():
+        clusters.setdefault(c, []).append(doc)
+    for c, members in clusters.items():
+        assert c == min(members)
+
+
+def test_simhash_band_blocking_is_lossless(spark, sf_dir):
+    """Pigeonhole check: 4-bit band blocking finds EXACTLY the pairs a
+    brute-force all-pairs XOR finds at hamming <= 3."""
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        _simhash16,
+        simhash_near_dup,
+    )
+
+    sig = _simhash16(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= SIMHASH_HAMMING_MAX)
+        .collect()
+    }
+    blocked = {(r.doc_a, r.doc_b) for r in simhash_near_dup(spark, sf_dir).collect()}
+    assert blocked == brute

@@ -148,3 +148,16 @@ def test_orc_roundtrip(spark, tmp_path):
     out = str(tmp_path / "o")
     write_orc(df, out)
     assert sorted(map(tuple, from_orc(spark, out).collect())) == [("x", 1), ("y", 2)]
+
+
+def test_from_binary_files(spark, tmp_path):
+    from my_polars_ai_spark.sources.readers import from_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    df = from_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"] == (12, b"\x00\x01\x02payload-a")
+    assert dict(df.dtypes)["content"] == "binary"
