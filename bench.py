@@ -43,6 +43,9 @@ HEADLINE = [
     "quality_score",
     "hash_sample",
     "pandas_udf_sigmoid",
+    "tfidf_top_terms",
+    "rolling_range_7d",
+    "sequence_islands",
 ]
 
 

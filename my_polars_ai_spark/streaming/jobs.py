@@ -194,3 +194,52 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first_touch"))
     return _drain_to_memory(counted, "complete")
+
+
+def _user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small static dimension for enrichment joins: one tier per user
+    (derived deterministically so the batch twin agrees). In production
+    this is a real dim table; its provenance is irrelevant to the join
+    mechanics under test."""
+    from my_polars_ai_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    tiers = F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold"))
+    return (
+        e.select("user_id")
+        .distinct()
+        .withColumn("tier", F.element_at(tiers, (F.col("user_id") % 3 + 1).cast("int")))
+    )
+
+
+def _enrich_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Shared stream/batch expression: enrich with the static dim, then
+    hourly counts + exact-decimal value sums per tier."""
+    from my_polars_ai_spark.operators.timeseries import _sum4_value
+
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count(F.lit(1)).alias("n"), _sum4_value().alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "tier", "n", "sum_value")
+    )
+
+
+def enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_static_enrich (same expressions, no stream)."""
+    from my_polars_ai_spark.sources.tables import load_table
+
+    return _enrich_agg(load_table(spark, sf_dir, "events"), _user_tier_dim(spark, sf_dir))
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard production shape for
+    decorating an event stream with dimension attributes before a
+    windowed aggregation. The static side is broadcast to every task and
+    the join is STATELESS (no watermark state, unlike stream-stream
+    joins); only the downstream windowed agg keeps state, bounded by the
+    watermark. At scale the dim refreshes per micro-batch via the normal
+    batch-table resolution — no code change."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = _enrich_agg(events, _user_tier_dim(spark, sf_dir))
+    return _drain_to_memory(agg, "complete")

@@ -118,3 +118,12 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
     # the 10:00 window was emitted exactly once, without the late v=100 row
     assert emitted.count(("2024-01-01 10:00:00", 3)) == 1, emitted
     assert not any(ws == "2024-01-01 10:00:00" and total != 3 for ws, total in emitted), emitted
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from my_polars_ai_spark.streaming.jobs import enrich_batch, stream_static_enrich
+
+    got = sorted(map(tuple, stream_static_enrich(spark, sf_dir).collect()))
+    want = sorted(map(tuple, enrich_batch(spark, sf_dir).collect()))
+    assert got == want
+    assert len(got) > 0
