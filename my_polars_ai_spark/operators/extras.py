@@ -434,3 +434,101 @@ def describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'25%', s_p25, '50%', s_p50, '75%', s_p75, 'max', s_max) AS (stat, o_totalprice)"
     )
     return wide.select(F.expr(stack))
+
+
+@op(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT sum(n) AS total, CAST(count(*) AS BIGINT) AS n_keys FROM counts
+    )
+    SELECT l_suppkey, n,
+           CAST((2*1000000*CAST(n AS HUGEINT) + CAST(total AS HUGEINT))
+                // (2*CAST(total AS HUGEINT)) AS DOUBLE) / 1000000 AS share,
+           n_keys
+    FROM counts CROSS JOIN tot
+    ORDER BY n DESC, l_suppkey
+    LIMIT 20
+    """,
+    tags=("profiling", "skew", "topk"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic for join/agg keys: top-20 keys by row
+    count with their share of the table and the total key cardinality —
+    the measurement you take BEFORE choosing salting / AQE skew handling
+    (join_salted_skew is the companion treatment). One partial-agg
+    group-by, a 1-row broadcast total, and TakeOrderedAndProject for the
+    top-20 — no global sort. Shares use exact integer half-up rounding
+    (base.ratio_round) so the hash matches across engines."""
+    from my_polars_ai_spark.operators.base import ratio_round
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n",
+            ratio_round(F.col("n"), F.col("total")).alias("share"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+@op(
+    "anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, {ROUND_RATIO}) AS value_r,
+           round(m.med, {ROUND_RATIO}) AS med,
+           round(m.mad, {ROUND_RATIO}) AS mad
+    FROM events e JOIN mad m USING (event_type)
+    WHERE abs(e.value - m.med) > 3 * m.mad
+    """,
+    tags=("quality", "anomaly", "stats"),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose value deviates from
+    the per-type median by more than 3x the median absolute deviation
+    (MAD) — the standard robust alternative to z-scores (unbounded
+    breakdown point of mean/std under the very outliers being hunted).
+    Two grouped exact percentiles (per-type groups are few and bounded,
+    so percentile buffering is safe; the global-percentile caveat in
+    PERF.md does not apply), stats broadcast back onto the rows, flag is
+    a narrow filter. The un-rounded flag comparison is engine-portable
+    because both engines interpolate medians identically (evidenced by
+    the driver-green median_quantiles op)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", ROUND_RATIO).alias("value_r"),
+            F.round("med", ROUND_RATIO).alias("med"),
+            F.round("mad", ROUND_RATIO).alias("mad"),
+        )
+    )

@@ -276,3 +276,84 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+# BM25 constants (Robertson/Sparck Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "stream")
+_BM25_QUERY_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+
+
+@op(
+    "bm25_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks WHERE tok != '' GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(dl) * 1.0 / count(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN {_BM25_QUERY_SQL} GROUP BY 1, 2
+    ), df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                           + {BM25_B} * dl.dl / s.avgdl))) AS score
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1
+    )
+    SELECT doc_id, round(score, {ROUND_RATIO}) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "search", "bm25"),
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: BM25 top-20 docs for a fixed query
+    (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))) — TF-IDF's
+    production successor and the classic retrieval baseline. The term
+    filter prunes the exploded token stream to query terms BEFORE the TF
+    shuffle (at 100 TB the scan emits only query-term hits); doc lengths
+    are one narrow aggregate; df and the corpus stats ride broadcasts;
+    top-20 compiles to TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", ROUND_RATIO).alias("bm25"))
+    )
