@@ -230,3 +230,93 @@ def sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("end_day"),
         F.count(F.lit(1)).alias("n_days"),
     ).select("user_id", "start_day", "end_day", "n_days")
+
+
+@op(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                           THEN 1 END) AS BIGINT) AS n_click_after_view,
+           CAST(count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                AND t_purchase > t_click
+                           THEN 1 END) AS BIGINT) AS n_purchase_after_click
+    FROM per_user
+    """,
+    tags=("timeseries", "funnel", "analytics"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: users whose FIRST click follows
+    their first view, and first purchase follows that click (the standard
+    loose-ordering product funnel). Conditional min-aggregation collapses
+    each user to one row in a single shuffle — no per-step self-joins,
+    which is what makes the same query viable on a 100 TB event log
+    (NULL comparisons are three-valued, so `t_click > t_view` silently
+    drops users missing either step on both engines)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    step2 = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(step2, 1)).alias("n_click_after_view"),
+        F.count(F.when(step3, 1)).alias("n_purchase_after_click"),
+    )
+
+
+@op(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.active_week) // 7 AS INTEGER)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "retention", "analytics"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each later week they return — the triangle every growth
+    dashboard renders. Two aggregations on user_id (cohort assignment +
+    distinct active weeks) joined back on the same key, so the second
+    shuffle co-locates with the first; offsets are integer day arithmetic
+    (both engines truncate weeks to ISO Monday)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("cohort_week", "week_offset", "n_users")
+    )

@@ -15,14 +15,41 @@ from pyspark.sql import DataFrame
 
 from my_polars_ai_spark.plans.inspect import explain_str
 
+def _top_level_groups(s: str) -> list[str]:
+    """Split ``[a], [b, [c]], [d]`` into its top-level bracket groups."""
+    groups: list[str] = []
+    depth, start = 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]" and depth > 0:
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
 # A window with no PARTITION BY compiles to Exchange SinglePartition ->
-# Sort -> Window: the whole input funnels through one task. Simple-mode
-# plans omit the partition bracket entirely for global windows, so the
-# SinglePartition exchange alongside a Window operator is the signal.
-# (Bounded inputs — e.g. a pre-aggregated histogram — trip this too; the
-# warning is advisory and such plans should say so where they're built.)
+# Sort -> Window: the whole input funnels through one task. A simple-mode
+# Window node prints ``Window [exprs], [partition], [order]`` and OMITS
+# the partition group entirely when it is empty, so a Window line with
+# only two top-level groups is the global-window signal. (Checking the
+# node itself — not "a SinglePartition exchange exists somewhere in the
+# plan" — keeps a keyed window from being blamed for an unrelated scalar
+# aggregate's exchange. Bounded inputs — e.g. a pre-aggregated histogram
+# — still trip this; the warning is advisory and such plans should say so
+# where they're built.)
 def _has_global_window(text: str) -> bool:
-    return "Exchange SinglePartition" in text and re.search(r"\bWindow \[", text) is not None
+    for line in text.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if m is None:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) == 2 or (len(groups) >= 3 and groups[-2].strip() == ""):
+            return True
+    return False
 
 
 def lint_plan(df: DataFrame) -> list[str]:
