@@ -20,9 +20,14 @@ for name in (
     "tpch_q1_pricing_summary",
     "cosine_topk_brute",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     "training_data_pipeline",
     "asof_join_nearest",
     "profile_columns",
+    "bm25_scores",
+    "funnel_conversion",
+    "retention_cohorts",
+    "key_skew_profile",
 ):
     print(f"\n=== {name} ===")
     ops[name].fn(spark, sf_dir).show(5, truncate=False)
