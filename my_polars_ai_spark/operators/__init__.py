@@ -59,6 +59,7 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
+    "pagerank_near_dup",
     "simhash_signature",
     "simhash_near_dup",
     "dedup_embedding_cosine",

@@ -553,3 +553,96 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         (F.col("comp") == F.col("node")).cast("int").alias("is_canonical"),
     )
+
+
+# PageRank in exact integer arithmetic: ranks live in micro-units
+# (1.0 == 1_000_000) and each edge contribution is floor(85*r / (100*deg))
+# — floor division and integer sums are bit-identical on both engines, so
+# a FIXED iteration count makes even PageRank hash-comparable with zero
+# float drift (the same trick as ratio_round, applied per edge).
+PAGERANK_ITERS = 5
+_PR_BASE = 150_000  # (1 - 0.85) in micro-units
+
+
+def _pagerank_oracle() -> str:
+    # Every CTE is referenced ONCE per later CTE and the heavy ones are
+    # MATERIALIZED — a naive chain referencing r{i} twice per step makes
+    # an inlining planner recompute the embedded MinHash query
+    # exponentially many times.
+    ctes = [
+        f"""pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), deg AS MATERIALIZED (
+        SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+    ), nodes AS MATERIALIZED (
+        SELECT doc_id AS node FROM documents
+    ), r0 AS (
+        SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+    )"""
+    ]
+    for i in range(PAGERANK_ITERS):
+        ctes.append(
+            f"""c{i + 1} AS (
+        SELECT e.dst AS node, sum((85 * p.r) // (100 * d.deg)) AS in_sum
+        FROM edges e
+        JOIN r{i} p ON p.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY 1
+    ), r{i + 1} AS (
+        SELECT n.node, CAST({_PR_BASE} + coalesce(c.in_sum, 0) AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c{i + 1} c USING (node)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS doc_id, r AS rank_micro FROM r{PAGERANK_ITERS}"
+    )
+
+
+@op(
+    "pagerank_near_dup",
+    oracle=_pagerank_oracle(),
+    tags=("dedup", "graph", "pagerank"),
+)
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (damping 0.85, 5 fixed
+    iterations) — ranks the most-connected documents inside duplicate
+    neighborhoods, the centrality signal for picking cluster
+    representatives by connectivity instead of min-id. Exactly
+    hash-comparable across engines because all arithmetic is integer:
+    micro-unit ranks, per-edge floor-division contributions, exact sums
+    (doubles would drift with summation order). Per iteration: one join
+    of the rank table onto the edge list + one partial-agg sum — the
+    standard Pregel/GraphX layout; lineage is truncated per round with
+    localCheckpoint like dedup_cluster_canonical."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = docs.select("node", F.lit(1_000_000).cast("bigint").alias("r")).localCheckpoint()
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("(85 * r) DIV (100 * deg)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(_PR_BASE) + F.coalesce("in_sum", F.lit(0))).cast("bigint").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))

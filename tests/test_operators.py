@@ -32,6 +32,7 @@ def test_registry_prefix_window_covers_north_star_families():
         # dedup family (pairs AND the clustering/canonical step)
         "dedup_exact_text", "dedup_keyed_first",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_cluster_canonical",
+        "pagerank_near_dup",
         "simhash_signature", "simhash_near_dup", "dedup_embedding_cosine",
         # similarity / ANN
         "embedding_norms", "cosine_topk_brute", "ann_lsh_cosine", "ivf_cosine_topk",
