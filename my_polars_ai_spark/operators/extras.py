@@ -532,3 +532,50 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", ROUND_RATIO).alias("mad"),
         )
     )
+
+
+@op(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey,
+               round(c_acctbal + 100.0, 2) AS c_acctbal,
+               'updated' AS row_status
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT b.c_custkey,
+           b.c_name,
+           round(coalesce(u.c_acctbal, b.c_acctbal), 2) AS c_acctbal,
+           coalesce(u.row_status, 'unchanged') AS row_status
+    FROM customer b
+    LEFT JOIN updates u USING (c_custkey)
+    """,
+    tags=("merge", "upsert", "sink"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (MERGE INTO semantics without a table format): update
+    rows override base rows on the key, everything else passes through
+    with provenance. The updates side here is derived deterministically
+    from the corpus (every 10th customer gets +100 balance) so the merge
+    is oracle-checkable; in production it is yesterday's snapshot vs
+    today's changes. Shape: one left join on the merge key — broadcast
+    when changes are small (the common case), sort-merge on the shuffled
+    key when both sides are fact-sized; no driver-side diffing."""
+    c = _t(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("u_acctbal"),
+            F.lit("updated").alias("u_status"),
+        )
+    )
+    return (
+        c.join(updates, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.coalesce("u_acctbal", "c_acctbal"), 2).alias("c_acctbal"),
+            F.coalesce("u_status", F.lit("unchanged")).alias("row_status"),
+        )
+    )
