@@ -381,3 +381,38 @@ def rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_7d"),
         F.count(F.lit(1)).over(w).alias("n_orders_7d"),
     )
+
+
+@op(
+    "first_last_nth_value",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_partkey) OVER w AS first_part,
+           last_value(l_partkey) OVER w AS last_part,
+           nth_value(l_partkey, 2) OVER w AS second_part
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "navigation"),
+)
+def first_last_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation functions over a full-partition frame: first/last/2nd
+    part per order under a total ordering. The explicit UNBOUNDED
+    FOLLOWING frame matters twice — last_value under the default frame is
+    the running current row (a classic silent bug), and the full frame is
+    what both engines agree on. One shuffle on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(w).alias("last_part"),
+        F.nth_value("l_partkey", 2).over(w).alias("second_part"),
+    )
