@@ -905,3 +905,124 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return a.subtract(b)
+
+
+@op(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY 1
+    ), small AS (
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))) * 1000000
+                    AS HUGEINT) AS sum_micro
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+        JOIN per_part a ON a.l_partkey = l.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS DECIMAL(28,6)) * a.n < a.sum_qty
+    )
+    SELECT CAST((2*100*sum_micro + 7000000) // (2*7000000) AS DOUBLE) / 100
+               AS avg_yearly
+    FROM small
+    """,
+    tags=("tpch", "join", "agg", "correlated"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    low-quantity orders (below 20% of the per-part average) for one brand
+    went unfilled. The correlated subquery decorrelates into one per-part
+    aggregate joined back to lineitem — the standard Catalyst-friendly
+    rewrite. Cross-engine exactness: the 20%-of-average threshold is
+    multiplied through (5*qty*n < sum_qty) so there is NO division or
+    rounding in the filter, quantities/prices sum as exact DECIMAL(28,6),
+    and the final /7 is exact integer half-up on micro-units."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    dec = "decimal(28,6)"
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    small = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(per_part, "l_partkey")
+        .filter(5 * F.col("l_quantity").cast(dec) * F.col("n") < F.col("sum_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(dec)) * 1000000)
+            .cast("decimal(38,0)")
+            .alias("sum_micro")
+        )
+    )
+    avg_yearly = (
+        F.floor((2 * 100 * F.col("sum_micro") + 7000000) / (2 * 7000000)).cast("double") / 100
+    )
+    return small.select(avg_yearly.alias("avg_yearly"))
+
+
+@op(
+    "revenue_share_of_region",
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) * 1000000 AS HUGEINT) AS rev_micro
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT region, nation, rev_micro,
+               sum(rev_micro) OVER (PARTITION BY region) AS region_micro
+        FROM nat
+    )
+    SELECT region, nation,
+           CAST((2*100*rev_micro + 1000000) // 2000000 AS DOUBLE) / 100 AS revenue,
+           CAST((2*1000000*rev_micro + region_micro) // (2*region_micro)
+                AS DOUBLE) / 1000000 AS share_of_region
+    FROM tot
+    """,
+    tags=("window", "agg", "ratio", "bi"),
+)
+def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of its
+    region's revenue — the classic BI windowed ratio. Revenue aggregates
+    in exact DECIMAL micro-units; the region total is a keyed window sum
+    over the (25-row) nation aggregate, so the window state is bounded by
+    the dim cardinality at any fact size; the share divides the two exact
+    integers with half-up rounding (no float summation anywhere)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    nat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg((F.sum(rev) * 1000000).cast("decimal(38,0)").alias("rev_micro"))
+    )
+    region_micro = F.sum("rev_micro").over(Window.partitionBy("region"))
+    share = (
+        F.floor((2 * 1000000 * F.col("rev_micro") + F.col("region_micro"))
+                / (2 * F.col("region_micro"))).cast("double") / 1000000
+    )
+    return (
+        nat.withColumn("region_micro", region_micro)
+        .select(
+            "region",
+            "nation",
+            (F.floor((2 * 100 * F.col("rev_micro") + 1000000) / 2000000).cast("double") / 100)
+            .alias("revenue"),
+            share.alias("share_of_region"),
+        )
+    )

@@ -47,7 +47,17 @@ def _has_global_window(text: str) -> bool:
         if m is None:
             continue
         groups = _top_level_groups(m.group(1))
-        if len(groups) == 2 or (len(groups) >= 3 and groups[-2].strip() == ""):
+        if len(groups) >= 3:
+            if groups[-2].strip() == "":  # explicit empty partition spec
+                return True
+        elif len(groups) == 2:
+            # two groups is ambiguous: [exprs], [order] (global ordered —
+            # the killer) vs [exprs], [partition] (partitioned, unordered
+            # — fine). Order specs carry sort directions; partition specs
+            # are bare columns.
+            if re.search(r"\b(ASC|DESC)\b", groups[1]):
+                return True
+        elif len(groups) == 1:  # no partition, no order: one task
             return True
     return False
 
