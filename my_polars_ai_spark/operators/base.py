@@ -25,6 +25,22 @@ ROUND_MONEY = 2  # currency-scale sums (values up to ~1e10)
 ROUND_RATIO = 6  # averages, ratios, correlations, cosines
 
 
+def exact_floor_div(num, den):
+    """Exact integer floor-division of two non-negative integer-valued
+    DECIMAL columns. ``F.floor(a / b)`` is NOT exact on decimals: Spark
+    rounds the decimal quotient HALF_UP to the result scale (6) *before*
+    the floor, so whenever the true fractional part is within 5e-7 of 1
+    the floor lands one too high and diverges from an integer ``//``
+    oracle. Subtracting the remainder first makes the divide exact:
+    ``(a - a % b) / b`` is an integer, representable losslessly at any
+    result scale."""
+    from pyspark.sql import functions as F  # local import: keep module Spark-lazy
+
+    a = num.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)")
+    return ((a - F.pmod(a, b)) / b).cast("decimal(38,0)")
+
+
 def ratio_round(num, den, scale: int = ROUND_RATIO):
     """Exact half-up rounding of ``num/den`` at ``scale`` for non-negative
     integer columns — engine-portable where round(double, s) is not:
@@ -33,12 +49,10 @@ def ratio_round(num, den, scale: int = ROUND_RATIO):
     repr, so the two flip on ties (see operators/timeseries.py).
     round_half_up(num/den @ s) == (2*10^s*num + den) div (2*den), computed
     in DECIMAL(38,0) so it cannot overflow at fact-table counts."""
-    from pyspark.sql import functions as F  # local import: keep module Spark-lazy
-
     p = 10**scale
     num_d = num.cast("decimal(38,0)")
     den_d = den.cast("decimal(38,0)")
-    return (F.floor((2 * p * num_d + den_d) / (2 * den_d)).cast("double") / p).cast("double")
+    return (exact_floor_div(2 * p * num_d + den_d, 2 * den_d).cast("double") / p).cast("double")
 
 
 def oracle_ratio_round(num_sql: str, den_sql: str, scale: int = ROUND_RATIO) -> str:

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, exact_floor_div, make_registrar
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -56,7 +56,7 @@ def diff_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_micro = (diff_dec * 1000000).cast("decimal(38,0)")
     p_micro = (pv * 1000000).cast("decimal(38,0)")
     sign = F.when(diff_dec < 0, F.lit(-1)).otherwise(F.lit(1))
-    q4 = F.floor((2 * 10000 * F.abs(d_micro) + p_micro) / (2 * p_micro))
+    q4 = exact_floor_div(2 * 10000 * F.abs(d_micro) + p_micro, 2 * p_micro)
     pct = F.when(p_micro == 0, F.lit(None)).otherwise((sign * q4).cast("double") / 10000)
     return e.select(
         "user_id",
@@ -417,7 +417,7 @@ def describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(38,0)"
     )
     n = F.count(F.lit(1))
-    mean4 = (F.floor((2 * s_micro + 100 * n) / (200 * n))).cast("double") / 10000
+    mean4 = exact_floor_div(2 * s_micro + 100 * n, 200 * n).cast("double") / 10000
     pcts = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     wide = o.agg(
         F.count("o_totalprice").cast("double").alias("s_count"),

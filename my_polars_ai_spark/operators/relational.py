@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_MONEY, ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.operators.base import (
+    ROUND_MONEY,
+    ROUND_RATIO,
+    Op,
+    exact_floor_div,
+    make_registrar,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -957,7 +963,8 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     avg_yearly = (
-        F.floor((2 * 100 * F.col("sum_micro") + 7000000) / (2 * 7000000)).cast("double") / 100
+        exact_floor_div(2 * 100 * F.col("sum_micro") + 7000000, F.lit(2 * 7000000))
+        .cast("double") / 100
     )
     return small.select(avg_yearly.alias("avg_yearly"))
 
@@ -1013,15 +1020,16 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region_micro = F.sum("rev_micro").over(Window.partitionBy("region"))
     share = (
-        F.floor((2 * 1000000 * F.col("rev_micro") + F.col("region_micro"))
-                / (2 * F.col("region_micro"))).cast("double") / 1000000
+        exact_floor_div(2 * 1000000 * F.col("rev_micro") + F.col("region_micro"),
+                        2 * F.col("region_micro")).cast("double") / 1000000
     )
     return (
         nat.withColumn("region_micro", region_micro)
         .select(
             "region",
             "nation",
-            (F.floor((2 * 100 * F.col("rev_micro") + 1000000) / 2000000).cast("double") / 100)
+            (exact_floor_div(2 * 100 * F.col("rev_micro") + 1000000, F.lit(2000000))
+             .cast("double") / 100)
             .alias("revenue"),
             share.alias("share_of_region"),
         )

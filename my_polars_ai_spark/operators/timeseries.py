@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import Op, make_registrar
+from my_polars_ai_spark.operators.base import Op, exact_floor_div, make_registrar
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -53,7 +53,7 @@ def _sum4_value():
 def _avg4_value():
     s_micro = (F.sum(F.col("value").cast(_DEC)) * 1000000).cast("decimal(38,0)")
     n = F.count(F.lit(1))
-    q4 = F.floor((2 * s_micro + 100 * n) / (200 * n))
+    q4 = exact_floor_div(2 * s_micro + 100 * n, 200 * n)
     return q4.cast("double") / 10000
 
 
