@@ -28,72 +28,71 @@ _MODULES = (
 
 
 # Registry ordering contract: the driver's CORRECTNESS gate verifies a
-# prefix window of ``all_ops()`` insertion order (50 entries in round 1).
-# _PRIORITY pins the window's composition so every north-star family
-# (dedup / ANN / text / multimodal / UDF / as-of / time-series / fuzzy)
-# has driver-side green rows, interleaved with the load-bearing
-# relational/window ops.  Everything not listed follows in module order.
+# prefix window of ``all_ops()`` insertion order (first 50 entries).
+# _PRIORITY pins the window's composition.  Round-3 rotation: the r01+r02
+# windows cumulatively gave 84 ops driver-side green rows; this round keeps
+# one canary per family and promotes 35 ops that have NEVER had a driver
+# row (the remaining 15 never-verified ops rotate in next round).
+# Everything not listed follows in module order.
 _PRIORITY = (
-    # core relational + TPC-H shapes (scan/filter/agg/join/top-k)
+    # family canaries — already driver-green in r01/r02, kept so every
+    # north-star family still has a fresh green row each round
     "flagship_revenue_by_nation",
-    "conditional_case_when",
-    "group_agg_multi",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "join_inner_broadcast",
-    "join_semi",
-    "join_theta_inequality",
-    "interval_join_bucketed",
-    "topk_orders",
-    # windows / reshape
-    "window_topk_per_group",
-    "window_lag_lead",
-    "rolling_mean_std",
-    "sessionize_gap",
-    "pivot_status_qty",
-    "explode_tokens",
-    # LLM-data-pipeline: dedup family
-    "dedup_exact_text",
-    "dedup_keyed_first",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
-    "pagerank_near_dup",
-    "simhash_signature",
-    "simhash_near_dup",
-    "dedup_embedding_cosine",
-    # similarity / ANN
-    "embedding_norms",
-    "cosine_topk_brute",
     "ann_lsh_cosine",
-    "ivf_cosine_topk",
-    # text analysis
-    "lang_id_heuristic",
-    "quality_score",
-    "token_counts",
     "tfidf_top_terms",
-    "training_data_pipeline",
-    # multimodal plumbing
-    "multimodal_meta",
-    "multimodal_decode_stub",
-    # UDF surfaces
-    "pandas_udf_sigmoid",
-    "apply_in_pandas_zscore",
-    "ema_per_user",
-    "udtf_bigrams",
-    # as-of + event-time windows
     "asof_join_backward",
     "tumbling_window_hourly",
-    "session_window_10m",
-    # fuzzy matching / sampling / SQL entry
-    "fuzzy_levenshtein_pairs",
-    "hash_sample",
+    "pandas_udf_sigmoid",
+    "udtf_bigrams",
     "stratified_sample",
     "sql_api_revenue",
-    # scale-safe twins of the global-window ops (round 2)
-    "percent_rank_approx",
-    "roc_points_bucketed",
+    # rows-only ops gaining oracles this round (driver re-attests them)
+    "ema_per_user",
+    "ivf_cosine_topk",
+    "multimodal_decode",
+    # never-driver-verified: TPC-H / relational tail
+    "tpch_q17_small_qty_revenue",
+    "revenue_share_of_region",
+    "grouping_sets",
+    "salted_group_agg",
+    "join_salted_skew",
+    "merge_upsert",
+    "describe_stats",
+    "stats_extended",
+    "anomaly_mad",
+    # never-driver-verified: windows / time-series
+    "ntile_quartiles",
+    "rolling_range_7d",
+    "sliding_window_1h_30m",
+    "daily_rollup",
+    "sequence_islands",
+    "funnel_conversion",
+    "retention_cohorts",
+    "diff_pct_change",
+    "forward_fill",
+    "time_gapfill",
+    "interpolate_linear",
+    # never-driver-verified: as-of variants
+    "asof_join_forward",
+    "asof_join_nearest",
+    # never-driver-verified: scalar-function families
+    "array_funcs",
+    "higher_order_array_funcs",
+    "array_set_ops",
+    "struct_map_access",
+    "json_funcs",
+    "datetime_convert",
+    # never-driver-verified: ML / stats / text / multimodal
+    "corr_matrix",
+    "impute_mean",
+    "confusion_matrix",
+    "doc_fingerprint",
+    "top_tokens",
+    "bm25_scores",
+    "frame_sample_chunks",
 )
 
 
@@ -112,6 +111,11 @@ def all_ops() -> dict[str, Op]:
             merged[name] = op_
     if len(set(_PRIORITY)) != len(_PRIORITY):
         raise ValueError("duplicate name in _PRIORITY")
-    ordered: dict[str, Op] = {n: merged[n] for n in _PRIORITY if n in merged}
+    # A typo'd or renamed op must fail loudly: silently skipping it would
+    # shift the driver's 50-entry CORRECTNESS prefix window.
+    missing = [n for n in _PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"_PRIORITY names not in registry: {missing}")
+    ordered: dict[str, Op] = {n: merged[n] for n in _PRIORITY}
     ordered.update((n, op_) for n, op_ in merged.items() if n not in ordered)
     return ordered

@@ -2,11 +2,14 @@
 decode/feature-extract as Arrow-batched Pandas UDFs (training-data
 pipeline extension; BASELINE.json).
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic STUB (md5-derived fake features) — but the
-Spark-side plumbing is real and is what matters at 100 TB: binary columns
-flow through mapInPandas in Arrow batches, schemas are explicit, and
-nothing ever collects to the driver.
+The container has no image/audio codec libraries, so the image format
+used is netpbm P6 (PPM) — a public format trivially encodable/decodable
+in pure Python — which lets the decode step be REAL: a parser that reads
+the magic number, dimensions, and pixel bytes out of a binary column.
+The Spark-side shape is what matters at 100 TB: binary columns flow
+through mapInPandas in Arrow batches, schemas are explicit, and nothing
+ever collects to the driver; swapping the PPM parser body for PIL/av
+changes nothing about the plan.
 """
 
 from __future__ import annotations
@@ -22,8 +25,10 @@ from my_polars_ai_spark.sources.tables import load_table as _t
 OPS: dict[str, Op] = {}
 op = make_registrar(OPS)
 
+PPM_WIDTH = 16  # pixels per row in the synthesized images (3 bytes/pixel)
+
 DECODE_SCHEMA = (
-    "doc_id bigint, n_bytes int, fake_width int, fake_height int, fake_mean_px double"
+    "doc_id bigint, fmt string, width int, height int, n_px_bytes bigint, mean_px double"
 )
 
 
