@@ -19,13 +19,19 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import Op, make_registrar
+from my_polars_ai_spark.operators.base import (
+    ROUND_RATIO,
+    Op,
+    make_registrar,
+    oracle_ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
 op = make_registrar(OPS)
 
 PPM_WIDTH = 16  # pixels per row in the synthesized images (3 bytes/pixel)
+_ROW_BYTES = PPM_WIDTH * 3  # one pixel row = width * RGB
 
 DECODE_SCHEMA = (
     "doc_id bigint, fmt string, width int, height int, n_px_bytes bigint, mean_px double"
@@ -56,44 +62,123 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode_batches(batches) -> Iterator:
-    """STUB image decode (no codecs in this container).
+def _encode_ppm(text_bytes: bytes) -> bytes:
+    """Pure-Python netpbm P6 encoder: pack a byte string into a
+    PPM_WIDTH-pixel-wide RGB image, zero-padding the last pixel row."""
+    height = max(1, -(-len(text_bytes) // _ROW_BYTES))  # ceil div
+    pixels = text_bytes.ljust(_ROW_BYTES * height, b"\x00")
+    return b"P6\n%d %d\n255\n" % (PPM_WIDTH, height) + pixels
 
-    Deterministic fake: 'decodes' each payload into width/height/mean-pixel
-    derived from its md5. A real deployment replaces the body with e.g.
-    PIL/av decode — signature, schema, and Arrow batch flow stay identical.
-    """
-    import hashlib
 
+def _encode_ppm_batches(batches) -> Iterator:
+    """mapInPandas stage 1: text -> opaque binary image payload."""
     import pandas as pd
 
     for pdf in batches:
-        digests = [hashlib.md5(b).digest() for b in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": [len(b) for b in pdf["payload"]],
-                "fake_width": [16 + d[0] % 64 for d in digests],
-                "fake_height": [16 + d[1] % 64 for d in digests],
-                "fake_mean_px": [d[2] / 255.0 for d in digests],
+                "payload": [_encode_ppm(t.encode("utf-8")) for t in pdf["text"]],
+            }
+        )
+
+
+def _decode_ppm_batches(batches) -> Iterator:
+    """mapInPandas stage 2: REAL P6 parser — reads the magic number,
+    dimensions, and maxval out of the header, then the raw pixel bytes.
+    Swapping this body for PIL/av changes nothing about the Spark plan:
+    Arrow batches of binary in, typed feature columns out, distributed.
+
+    ``mean_px`` is rounded by the exact integer half-up rule shared with
+    the DuckDB oracle (see base.ratio_round) so the hash compare cannot
+    drift on float ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    p = 10**ROUND_RATIO
+
+    def parse(buf: bytes):
+        # P6 header: magic, whitespace-separated width/height/maxval,
+        # single whitespace byte, then width*height*3 raw bytes.
+        if buf[:2] != b"P6":
+            raise ValueError("not a P6 PPM payload")
+        header, fields, i = [], [], 2
+        while len(fields) < 3:
+            while buf[i : i + 1].isspace():
+                i += 1
+            j = i
+            while not buf[j : j + 1].isspace():
+                j += 1
+            fields.append(int(buf[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported maxval {maxval}")
+        n_px = width * height * 3
+        px = np.frombuffer(buf, dtype=np.uint8, count=n_px, offset=i)
+        total = int(px.sum(dtype=np.int64))
+        mean_px = ((2 * p * total + n_px) // (2 * n_px)) / p  # exact half-up
+        return width, height, n_px, mean_px
+
+    for pdf in batches:
+        parsed = [parse(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": "P6",
+                "width": np.array([r[0] for r in parsed], dtype=np.int32),
+                "height": np.array([r[1] for r in parsed], dtype=np.int32),
+                "n_px_bytes": np.array([r[2] for r in parsed], dtype=np.int64),
+                "mean_px": [r[3] for r in parsed],
             }
         )
 
 
 @op(
-    "multimodal_decode_stub",
-    oracle=None,  # decode itself is a stub; plumbing is unit-tested instead
-    tags=("multimodal", "udf", "stub"),
+    "multimodal_decode",
+    # Oracle recomputes the decode outputs straight from the source text:
+    # documents are ASCII (verified all SFs), so the pixel-byte sum is the
+    # codepoint sum and the zero padding contributes nothing.
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               len(text) AS n_bytes,
+               list_aggregate(
+                   list_transform(range(1, len(text) + 1),
+                                  i -> unicode(substr(text, CAST(i AS INTEGER), 1))),
+                   'sum') AS sum_bytes
+        FROM documents
+    ), d AS (
+        SELECT doc_id, sum_bytes,
+               CAST(greatest(1, ceil(n_bytes / {float(_ROW_BYTES)})) AS INTEGER) AS height
+        FROM b
+    )
+    SELECT doc_id,
+           'P6' AS fmt,
+           {PPM_WIDTH} AS width,
+           height,
+           CAST({_ROW_BYTES} * height AS BIGINT) AS n_px_bytes,
+           {oracle_ratio_round('sum_bytes', f'{_ROW_BYTES} * height')} AS mean_px
+    FROM d
+    """,
+    tags=("multimodal", "udf", "decode"),
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pipeline over binary payloads (STUB decode body,
-    real plumbing: Arrow batches of binary columns in, typed feature
-    columns out, fully distributed)."""
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode->decode image pipeline over binary payloads: documents'
+    bytes are packed into real netpbm P6 images (the one raster format
+    encodable/decodable in pure Python — no codec libs in this
+    container), then a REAL parser reads magic/dimensions/pixels back out
+    and derives typed features. Both stages are Arrow-batched mapInPandas
+    over binary columns; nothing collects to the driver."""
     # decode is the narrow hot path and the fixture file is one split —
     # fan out so mapInPandas runs one Arrow stream per core
     d = _t(spark, sf_dir, "documents", min_partitions=spark.sparkContext.defaultParallelism)
-    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return payloads.mapInPandas(_fake_decode_batches, schema=DECODE_SCHEMA)
+    payloads = d.select("doc_id", "text").mapInPandas(
+        _encode_ppm_batches, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(_decode_ppm_batches, schema=DECODE_SCHEMA)
 
 
 FRAME_LEN = 16   # bytes per "frame" of the opaque payload
@@ -121,7 +206,7 @@ def frame_sample_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-length frames and keep every FRAME_STRIDE-th — the video
     keyframe-sampling shape, expressed entirely in JVM expressions
     (sequence/explode/substring/md5; the decode-the-frame step is where
-    a codec UDF would slot in, cf. multimodal_decode_stub). Frame count
+    a codec UDF would slot in, cf. multimodal_decode). Frame count
     scales with payload size, never with corpus size, and the explode is
     a narrow operation."""
     d = _t(spark, sf_dir, "documents")

@@ -51,7 +51,7 @@ def pandas_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: the fixture file is one input split, but a repartition here is
     # a measured net loss — the sigmoid is too cheap to amortize the
     # shuffle (bench +0.4s at sf0.1). Fan-out pays only for heavy UDFs;
-    # see multimodal_decode_stub for the pattern.
+    # see multimodal_decode for the pattern.
     e = _t(spark, sf_dir, "events")
     return e.select("event_id", F.round(sigmoid("value"), ROUND_RATIO).alias("sigmoid_score"))
 

@@ -54,9 +54,13 @@ def test_relational_ops_stay_jvm_side(spark, sf_dir):
 
 def test_udf_ops_have_exactly_one_python_boundary(spark, sf_dir):
     ops = all_ops()
-    for name in ("pandas_udf_sigmoid", "apply_in_pandas_zscore", "multimodal_decode_stub"):
+    for name in ("pandas_udf_sigmoid", "apply_in_pandas_zscore"):
         s = plan_summary(ops[name].fn(spark, sf_dir))
         assert s["python_evals"] == 1, name
+    # multimodal_decode is a two-stage pipeline (encode + decode), each an
+    # Arrow-batched mapInPandas: exactly two Python boundaries, no more
+    s = plan_summary(ops["multimodal_decode"].fn(spark, sf_dir))
+    assert s["python_evals"] == 2, s
 
 
 def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
