@@ -234,54 +234,110 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE = 4   # cells each query probes (recall 0.60-0.67 vs brute on this corpus)
+
+_IVF_ORACLE = f"""
+WITH corpus AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+           v AS cv
+    FROM corpus QUALIFY cell < {N_CELLS}
+), assigned AS MATERIALIZED (
+    SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(c.v, s.cv), {ROUND_RATIO}) DESC,
+                            s.cell) AS arank
+        FROM corpus c CROSS JOIN seeds s
+    ) WHERE arank = 1
+), probed AS (
+    SELECT q_id, cell FROM (
+        SELECT c.vec_id AS q_id, s.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(c.v, s.cv), {ROUND_RATIO}) DESC,
+                            s.cell) AS prank
+        FROM corpus c CROSS JOIN seeds s WHERE c.vec_id < {N_QUERIES}
+    ) WHERE prank <= {N_PROBE}
+), qv AS (
+    SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT p.q_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, a.v) AS cos
+    FROM probed p JOIN assigned a USING (cell) JOIN qv q USING (q_id)
+    WHERE a.vec_id != p.q_id
+), ranked AS (
+    SELECT q_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, {ROUND_RATIO}) AS cos, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 @op(
     "ivf_cosine_topk",
-    oracle=None,  # coarse-quantizer assignment depends on pyspark.ml kmeans
-    # internals; recall vs brute force asserted in tests instead
+    oracle=_IVF_ORACLE,  # deterministic md5-seeded codebook => fully oracle-checked
     tags=("similarity", "ann", "ivf"),
 )
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: seeded k-means coarse quantizer (16 cells), queries
-    probe their 2 nearest centroids and rerank exactly within the probed
-    cells. The standard embedding-retrieval layout: at 100 TB the corpus
-    is partitioned by cell id on disk, so a query touches ~2/16 of the
-    data instead of all of it."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF-style ANN with a deterministic coarse quantizer: the codebook is
+    the N_CELLS corpus vectors ranked first by md5(vec_id) (a seeded
+    sample — no trained k-means state, so the whole operator is a pure
+    function of the data and oracle-checkable). Queries probe their
+    N_PROBE nearest cells and rerank exactly within them.
 
-    N_CELLS = 16
-    N_PROBE = 2
-
+    100 TB shape: the codebook is a bounded N_CELLS-row artifact
+    (materialized driver-side exactly like KMeansModel.clusterCenters())
+    baked into a NARROW projection — cell assignment adds zero shuffles;
+    the corpus would be written partitioned by cell so a query reads
+    N_PROBE/N_CELLS of the data. Cosines are rounded before the argmax so
+    engine ulp drift can't flip cell assignment (ties fall to the lower
+    cell id on both sides)."""
     e = _t(spark, sf_dir, "embeddings")
-    corpus = e.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("v"),
-    ).withColumn("features", array_to_vector("v")).cache()
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
 
-    model = KMeans(k=N_CELLS, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
-    assigned = model.transform(corpus).select("vec_id", "v", "cell")
+    # codebook: top-N_CELLS rows by (md5, vec_id) — TakeOrderedAndProject,
+    # not a global sort; bounded by the constant, not the data
+    seeds = (
+        corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(N_CELLS)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: (r.h, r.vec_id))
+    codebook = [(cell, list(r.v)) for cell, r in enumerate(seeds)]
 
-    # centroid table (16 rows) -> broadcast; each query ranks centroids by
-    # cosine and keeps its N_PROBE nearest cells
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        schema="cell int, cv array<double>",
-    )
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
-    probed = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            "q_id",
-            "qv",
-            "cell",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("c_cos"),
+    def _lit_vec(values: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    def _cos_to(cv: list[float]) -> Column:
+        lv = _lit_vec(cv)
+        return F.round(
+            _dot(F.col("v"), lv) / (_norm(F.col("v")) * _norm(lv)), ROUND_RATIO
         )
-        .withColumn("prank", F.row_number().over(probe_w))
-        .filter(F.col("prank") <= N_PROBE)
-        .select("q_id", "qv", "cell")
+
+    # argmax/top-N_PROBE over the literal codebook: array_sort on
+    # (-cos, cell) structs — a pure projection, no join, no shuffle
+    ranked_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct((-_cos_to(cv)).alias("neg_cos"), F.lit(cell).alias("cell"))
+                for cell, cv in codebook
+            ]
+        )
+    )
+    assigned = corpus.withColumn("cell", ranked_cells[0]["cell"])
+
+    probed = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice(ranked_cells, 1, N_PROBE)["cell"]).alias("cell"),
+        )
     )
     scored = (
         assigned.join(F.broadcast(probed), "cell")

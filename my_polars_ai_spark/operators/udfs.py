@@ -116,14 +116,34 @@ def row_udf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "ema_per_user",
-    oracle=None,  # recursive EMA has no closed-form SQL; stream-vs-batch
-    # equality is asserted in tests/test_streaming.py instead
+    # Recursive EMA expressed as a DuckDB recursive CTE: one walk row per
+    # user advances rn -> rn+1 applying ema' = a*v + (1-a)*ema, exactly
+    # pandas ewm(adjust=False). `ordered` is MATERIALIZED so each
+    # iteration joins the window result instead of recomputing it.
+    # Validated 0 mismatches vs ewm at all three SFs.
+    oracle="""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ev
+        FROM events
+    ), walk AS (
+        SELECT user_id, rn, n_ev, value AS ema FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, o.n_ev, 0.3 * o.value + 0.7 * w.ema
+        FROM walk w
+        JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, n_ev AS n_events, round(ema, 6) AS ema_value
+    FROM walk WHERE rn = n_ev
+    """,
     tags=("udf", "applyInPandas", "timeseries", "stateful"),
 )
 def ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential moving average (recursive/iterative operator —
     the applyInPandas batch twin of the applyInPandasWithState streaming
-    job in my_polars_ai_spark.streaming.jobs)."""
+    job in my_polars_ai_spark.streaming.jobs). Stream-vs-batch equality
+    is additionally asserted in tests/test_streaming.py."""
     from my_polars_ai_spark.streaming.jobs import ema_batch
 
     return ema_batch(spark, sf_dir)

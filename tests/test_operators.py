@@ -211,7 +211,10 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
         (r.q_id, r.neighbor_id) for r in ops["cosine_topk_brute"].fn(spark, sf_dir).collect()
     }
     ivf = {(r.q_id, r.neighbor_id) for r in ops["ivf_cosine_topk"].fn(spark, sf_dir).collect()}
-    assert len(ivf & brute) / len(brute) >= 0.2
+    # deterministic md5-seeded codebook, 4-probe of 16 cells: measured
+    # recall is 9/15 at sf0.001 and 10/15 at sf0.01 — a real quantizer
+    # regression (wrong assignment, wrong probe order) drops well below
+    assert len(ivf & brute) / len(brute) >= 0.6
 
 def test_cluster_canonical_is_transitive_closure(spark, sf_dir):
     """Every near-dup pair must land in the same cluster (even when the
