@@ -270,6 +270,32 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_sessions(purchases: DataFrame) -> DataFrame:
+    """Sessionize purchase events per user with a 10-minute gap rule.
+
+    The gap compare is in exact integer MICROseconds (unix_micros), never
+    ``ts.cast("long")`` — the cast truncates to whole seconds, so a gap
+    of 600.5s would read as 600 and wrongly merge two sessions while a
+    full-precision oracle splits them."""
+    gap_limit_us = 10 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap_us.isNull() | (gap_us > gap_limit_us), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        purchases.withColumn("new_session", new_session)
+        .withColumn("sid", F.sum("new_session").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 10 MINUTES")).alias("session_end"),
+        )
+        .drop("sid")
+    )
+
+
 @op(
     "interval_join_bucketed",
     oracle="""
@@ -317,23 +343,7 @@ def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing is lossless by construction, and the green compare proves
     it."""
     e = _t(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap_s.isNull() | (gap_s > 10 * 60), 1).otherwise(0)
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sessions = (
-        purchases.withColumn("new_session", new_session)
-        .withColumn("sid", F.sum("new_session").over(cum))
-        .groupBy("user_id", "sid")
-        .agg(
-            F.min("ts").alias("session_start"),
-            (F.max("ts") + F.expr("INTERVAL 10 MINUTES")).alias("session_end"),
-        )
-        .drop("sid")
-    )
+    sessions = _purchase_sessions(e.filter(F.col("event_type") == "purchase"))
     # fan intervals out to each day bucket they overlap
     s_bucketed = sessions.withColumn(
         "day",

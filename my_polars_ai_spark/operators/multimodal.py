@@ -209,13 +209,25 @@ def frame_sample_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     a codec UDF would slot in, cf. multimodal_decode). Frame count
     scales with payload size, never with corpus size, and the explode is
     a narrow operation."""
-    d = _t(spark, sf_dir, "documents")
+    return _frame_hashes(_t(spark, sf_dir, "documents"))
+
+
+def _frame_hashes(d: DataFrame) -> DataFrame:
+    """Chunk ``text`` into FRAME_LEN frames, keep every FRAME_STRIDE-th.
+
+    Empty documents are filtered BEFORE the sequence: ``F.sequence(0, -1)``
+    steps backward and would emit a bogus frame_idx=0 row for a zero-length
+    payload where the oracle's ``range(0, 0)`` emits none."""
     n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_LEN))).cast("long")
-    frames = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
-    ).filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+    frames = (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+    )
     chunk = F.substring(
         F.col("text"), (F.col("frame_idx") * FRAME_LEN + 1).cast("int"), FRAME_LEN
     )

@@ -141,41 +141,48 @@ def ema_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ema_state_update(key, pdf_iter, state):
+    """applyInPandasWithState update fn for the per-user EMA (module-level
+    so the empty-batch contract is unit-testable).
+
+    A group can fire with an empty batch iterator (e.g. a timeout
+    trigger) before any value arrived; in that case the state must be
+    left UNTOUCHED — seeding it with (0, 0.0) would make the next real
+    batch blend its first value against a spurious 0.0."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, ema = state.get
+    else:
+        n, ema = 0, None
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            ema = v if ema is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * ema
+            n += 1
+    if ema is not None:
+        state.update((n, float(ema)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ema_value": [round(ema, 6)]}
+        )
+
+
 def stream_ema_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     carries (count, ema) per user across micro-batches. With the
     availableNow file source this processes the corpus as one batch, but
     the state plumbing (GroupState get/update, timeout conf) is the real
     production shape for continuous sources."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     events = read_events_stream(spark, sf_dir)
-
-    def update(key, pdf_iter, state: GroupState):
-        (user_id,) = key
-        if state.exists:
-            n, ema = state.get
-        else:
-            n, ema = 0, None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
-                ema = v if ema is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * ema
-                n += 1
-        state.update((n, float(ema if ema is not None else 0.0)))
-        if ema is not None:
-            # a group can fire with an empty batch iterator (e.g. timeout
-            # trigger) before any value arrived — nothing to emit then
-            yield pd.DataFrame(
-                {"user_id": [user_id], "n_events": [n], "ema_value": [round(ema, 6)]}
-            )
 
     result = (
         events.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            update,
+            _ema_state_update,
             outputStructType="user_id bigint, n_events bigint, ema_value double",
             stateStructType="n bigint, ema double",
             outputMode="update",

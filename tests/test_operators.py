@@ -257,3 +257,42 @@ def test_simhash_band_blocking_is_lossless(spark, sf_dir):
     }
     blocked = {(r.doc_a, r.doc_b) for r in simhash_near_dup(spark, sf_dir).collect()}
     assert blocked == brute
+
+
+def test_purchase_sessions_split_on_subsecond_gap(spark):
+    """Regression: a 600.5s gap must START a new session (the old
+    ts.cast('long') compare truncated it to 600s and merged them)."""
+    from datetime import datetime
+
+    from my_polars_ai_spark.operators.asof import _purchase_sessions
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, datetime(2024, 1, 1, 12, 0, 0, 0), 1),
+        (1, datetime(2024, 1, 1, 12, 10, 0, 500000), 2),  # +600.5s -> new session
+        (2, datetime(2024, 1, 1, 12, 0, 0, 0), 3),
+        (2, datetime(2024, 1, 1, 12, 10, 0, 0), 4),  # +600.0s exactly -> same session
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint")
+    per_user = {
+        u: n
+        for u, n in _purchase_sessions(df)
+        .groupBy("user_id")
+        .count()
+        .collect()
+    }
+    assert per_user == {1: 2, 2: 1}
+
+
+def test_frame_hashes_empty_doc_emits_no_rows(spark):
+    """Regression: F.sequence(0, -1) on an empty payload stepped backward
+    and emitted a bogus frame_idx=0 row; the oracle's range(0,0) emits
+    none."""
+    from my_polars_ai_spark.operators.multimodal import _frame_hashes
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "0123456789abcdef0123")], "doc_id bigint, text string"
+    )
+    rows = _frame_hashes(df).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert [r.frame_idx for r in rows] == [0]  # 2 frames, stride 4 keeps idx 0

@@ -3,6 +3,7 @@ with their oracle-checked batch twins (operators.timeseries)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.timeseries import (
@@ -127,3 +128,39 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
     want = sorted(map(tuple, enrich_batch(spark, sf_dir).collect()))
     assert got == want
     assert len(got) > 0
+
+
+class _FakeGroupState:
+    def __init__(self, value=None):
+        self._value = value
+        self.updates = []
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updates.append(v)
+        self._value = v
+
+
+def test_ema_state_update_empty_batch_leaves_state_untouched():
+    """Regression: an empty batch iterator (timeout fire before data) must
+    NOT seed state with (0, 0.0) — the next real batch would blend its
+    first value against the spurious zero."""
+    from my_polars_ai_spark.streaming.jobs import EMA_ALPHA, _ema_state_update
+
+    state = _FakeGroupState()
+    out = list(_ema_state_update((7,), iter([]), state))
+    assert out == [] and state.updates == [] and not state.exists
+
+    # first real batch after the empty fire seeds from its own first value
+    batch = pd.DataFrame({"ts": [1, 2], "event_id": [1, 2], "value": [10.0, 20.0]})
+    (emitted,) = _ema_state_update((7,), iter([batch]), state)
+    expected = EMA_ALPHA * 20.0 + (1 - EMA_ALPHA) * 10.0
+    assert state.updates == [(2, expected)]
+    assert emitted["ema_value"].iloc[0] == round(expected, 6)
