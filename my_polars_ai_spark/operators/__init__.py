@@ -29,10 +29,17 @@ _MODULES = (
 
 # Registry ordering contract: the driver's CORRECTNESS gate verifies a
 # prefix window of ``all_ops()`` insertion order (first 50 entries).
-# _PRIORITY pins the window's composition.  Round-3 rotation: the r01+r02
-# windows cumulatively gave 84 ops driver-side green rows; this round keeps
-# one canary per family and promotes 35 ops that have NEVER had a driver
-# row (the remaining 15 never-verified ops rotate in next round).
+# _PRIORITY pins the window's composition.  Round-3/4 rotation: the
+# r01+r02 windows cumulatively gave 84 ops driver-side green rows; this
+# window keeps one canary per family and promotes 35 ops that have NEVER
+# had a driver row.
+# Round-5 rotation plan (the final 16 never-driver-verified ops — swap
+# these in for the non-canary block, keeping the same family canaries):
+#   first_last_nth_value, string_pad_funcs, misc_scalar_funcs,
+#   bit_aggregates, roc_points, kmeans_segments, profile_columns,
+#   row_udf_label, boxplot_stats, mode_per_group, rolling_min_max,
+#   weighted_avg, hash_funcs, key_skew_profile, string_agg_per_group,
+#   group_topk_percent
 # Everything not listed follows in module order.
 _PRIORITY = (
     # family canaries — already driver-green in r01/r02, kept so every

@@ -18,10 +18,12 @@ EXAMPLES = [
     "with_multiple_dataframes.py",
     "with_privacy_enforced.py",
     "from_csv.py",
+    "from_csv_vertexai.py",
     "from_excel.py",
     "from_dataframe.py",
     "from_dataframe_azure.py",
     "save_chart.py",
+    "show_chart.py",
     "operators_on_testdata.py",
 ]
 
