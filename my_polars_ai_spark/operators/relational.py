@@ -652,6 +652,192 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "join", "semi", "agg"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking, adapted to this corpus's
+    columns: 'late shipment' = any lineitem shipped 60+ days after the
+    order date, standing in for commitdate < receiptdate). The EXISTS
+    decorrelates into a LEFT SEMI join on the order key with the date
+    condition riding the join — one pass over each side, no count-then-
+    filter materialization. All-integer/timestamp arithmetic: nothing to
+    round."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@op(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,6))), {ROUND_MONEY}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "agg", "topk"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top 20 customers by revenue
+    lost to returns in one quarter. Both selective filters push to their
+    scans, nation broadcasts, and the top-20 is TakeOrderedAndProject
+    (never a global sort). Revenue sums as exact DECIMAL(28,6) per value
+    — order-independent and half-up-tie-exact on both engines — then
+    rounds to money scale."""
+    dec = "decimal(28,6)"
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(_revenue().cast(dec)), ROUND_MONEY)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@op(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    WITH sums AS (
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                       AS DECIMAL(28,6)) ELSE 0 END) * 1000000
+                    AS HUGEINT) AS promo_micro,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) * 1000000 AS HUGEINT) AS total_micro
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    )
+    SELECT CAST((2*10000*100*promo_micro + total_micro) // (2*total_micro)
+                AS DOUBLE) / 10000 AS promo_revenue_pct
+    FROM sums
+    """,
+    tags=("tpch", "join", "agg", "ratio"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO parts. The part side broadcasts; the conditional and total sums
+    come out of ONE aggregation pass. Cross-engine exactness: revenues
+    sum as exact DECIMAL(28,6) micro-units and the percentage is integer
+    half-up at scale 4 — no float division anywhere."""
+    dec = "decimal(28,6)"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _revenue().cast(dec)
+    sums = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(dec)))
+             * 1000000).cast("decimal(38,0)").alias("promo_micro"),
+            (F.sum(rev) * 1000000).cast("decimal(38,0)").alias("total_micro"),
+        )
+    )
+    pct = (
+        exact_floor_div(
+            2 * 10000 * 100 * F.col("promo_micro") + F.col("total_micro"),
+            2 * F.col("total_micro"),
+        ).cast("double")
+        / 10000
+    )
+    return sums.select(pct.alias("promo_revenue_pct"))
+
+
+@op(
+    "tpch_q19_disjunctive_filter",
+    oracle=f"""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,6))), {ROUND_MONEY}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("tpch", "join", "filter", "agg"),
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, adapted to this corpus's
+    columns): an OR-of-ANDs predicate spanning BOTH join sides. The
+    common join key stays an equi hash join (broadcast part side); only
+    the mixed residual rides the join as a post-condition — the classic
+    Q19 plan test that a disjunction doesn't degrade the join to a
+    nested loop. Part-only conjuncts could additionally be pushed as a
+    pre-filter (brand IN (1,2,3)) without changing results."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_revenue().cast("decimal(28,6)")), ROUND_MONEY)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------

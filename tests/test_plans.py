@@ -137,3 +137,12 @@ def test_engine_logs_plan_warnings(spark, sf_dir):
     ai = SparkAI(llm=llm, enable_cache=False)
     ai.run(e, "rank all events by value")
     assert any("Plan warning" in line and "PARTITION BY" in line for line in ai.logs)
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """The OR-of-ANDs residual must ride the equi hash join, never
+    degrade it to a nested loop."""
+    s = plan_summary(all_ops()["tpch_q19_disjunctive_filter"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["broadcast_joins"] >= 1
+    assert s["pushed_filters"] >= 1
