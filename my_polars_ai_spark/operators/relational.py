@@ -691,6 +691,40 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                     * 1000000 AS HUGEINT) AS BIGINT) AS revenue_micro
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "agg"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + scalar
+    aggregate, no join — the query that exists to prove every predicate
+    reaches the parquet scan (shipdate range, discount band, quantity
+    cap are all in PushedFilters). Revenue sums as exact DECIMAL(28,6)
+    micro-units so the single output value is integer-comparable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)"))
+         * 1000000)
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("revenue_micro")
+    )
+
+
+@op(
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
