@@ -872,6 +872,166 @@ def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(28,6))) * 1000000 AS HUGEINT)
+                    AS BIGINT) AS total_revenue_micro
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ), m AS (
+        SELECT max(total_revenue_micro) AS max_micro FROM rev
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_micro
+    FROM rev r
+    JOIN m ON r.total_revenue_micro = m.max_micro
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+    tags=("tpch", "agg", "argmax", "join"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) whose quarterly revenue
+    equals the maximum. The 'equal to scalar subquery' shape becomes an
+    EQUI join on the exact micro-unit revenue against a broadcast 1-row
+    max — integer equality, so ties surface identically on both engines
+    and no global sort or window appears anywhere."""
+    dec = "decimal(28,6)"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum(_revenue().cast(dec)) * 1000000)
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("total_revenue_micro")
+    )
+    m = rev.agg(F.max("total_revenue_micro").alias("max_micro"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(m), rev.total_revenue_micro == m.max_micro)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_micro")
+    )
+
+
+@op(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "agg", "having", "topk"),
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds 200, top-100 by order value. The HAVING pre-aggregates
+    lineitem down to the (few) big orders BEFORE any join — the
+    aggregate-then-join ordering that keeps the join input tiny at any
+    scale — and the top-100 is TakeOrderedAndProject. l_quantity is
+    integral in this corpus, so the BIGINT sums are exact on both
+    engines (DuckDB CAST rounds / Spark truncates doubles — identical on
+    whole numbers)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@op(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(28,6)) * 1000000 AS HUGEINT)
+                   AS bal_micro
+        FROM customer
+        WHERE c_acctbal > 0.0
+    ), a AS (
+        SELECT sum(bal_micro) AS s, count(*) AS n FROM pos
+    ), idle AS (
+        SELECT p.c_nationkey, p.bal_micro
+        FROM pos p, a
+        WHERE p.bal_micro * a.n > a.s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = p.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+    )
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_micro) AS BIGINT) AS total_bal_micro
+    FROM idle
+    JOIN nation n ON n.n_nationkey = idle.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("tpch", "anti", "agg", "scalar-subquery"),
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-relationship opportunity, adapted: no
+    phone-prefix column, and every customer in this corpus has ordered
+    at least once, so 'idle' = no order since 2000). Per nation,
+    customers with above-average positive balance and no recent order.
+    Three classic pieces in one plan: a broadcast 1-row scalar
+    aggregate, the above-average compare MULTIPLIED THROUGH (bal*n > sum
+    — exact decimal integers, no division, no rounding, no cross-engine
+    avg drift), and a LEFT ANTI join against the (filter-pushed) recent
+    orders."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    pos = c.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(28,6)") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("bal_micro"),
+    )
+    a = pos.agg(F.sum("bal_micro").alias("s"), F.count(F.lit(1)).alias("n"))
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    idle = (
+        pos.crossJoin(F.broadcast(a))
+        .filter(F.col("bal_micro") * F.col("n") > F.col("s"))
+        .join(o, pos.c_custkey == o.o_custkey, "leftanti")
+    )
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_micro").cast("long").alias("total_bal_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------

@@ -68,9 +68,11 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
         (r.q_id, r.neighbor_id) for r in ops["cosine_topk_brute"].fn(spark, sf_dir).collect()
     }
     ann = {(r.q_id, r.neighbor_id) for r in ops["ann_lsh_cosine"].fn(spark, sf_dir).collect()}
-    # bucketed ANN trades recall for scan reduction; it must still find a
-    # meaningful share of the true top-k
-    assert len(ann & brute) / len(brute) >= 0.2
+    # bucketed ANN trades recall for scan reduction. The md5-derived
+    # hyperplanes are deterministic: measured recall is exactly 6/15 at
+    # sf0.001 and 9/15 at sf0.01 — a real LSH regression (wrong signs,
+    # wrong bucket join) drops below this floor
+    assert len(ann & brute) / len(brute) >= 0.4
 
 
 def test_multimodal_decode_parses_real_ppm(spark, sf_dir):
