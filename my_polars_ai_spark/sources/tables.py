@@ -31,6 +31,21 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Coerce the events ``ts`` column to session-tz TIMESTAMP regardless
+    of how the parquet stored it (nanos-as-long vs native micros)."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":  # TIMESTAMP(NANOS) file read under nanosAsLong
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dtype == "timestamp_ntz":  # TIMESTAMP(MICROS) file, no tz marker
+        # Session tz is pinned to UTC above, so this cast is
+        # wall-clock-preserving and matches what DuckDB reads.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
 ) -> DataFrame:
@@ -51,15 +66,16 @@ def load_table(
     # session (the driver harness supplies its own SparkSession).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read nanos as long and convert losslessly (the corpus is
-        # micro-aligned; DuckDB sees the same micros). Runtime conf so it
-        # works under any caller-provided session.
+        # Corpus generations have stored events.ts as either parquet
+        # TIMESTAMP(NANOS) (unsupported by Spark's reader -> read nanos as
+        # long and convert losslessly) or TIMESTAMP(MICROS) (read natively
+        # as timestamp_ntz). Normalize both to session-tz TIMESTAMP so
+        # every downstream operator and the DuckDB oracle see identical
+        # UTC wall-times. Runtime conf so it works under any
+        # caller-provided session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = normalize_events_ts(df)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if min_partitions:

@@ -17,33 +17,24 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# events.parquet physical schema (ts stored as TIMESTAMP(NANOS) => read as
-# long under nanosAsLong, converted to a real timestamp below).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from my_polars_ai_spark.sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file stream source needs an explicit schema; probe the footer via
+    # a batch read so either corpus generation works (ts as TIMESTAMP(NANOS)
+    # -> long under nanosAsLong, or TIMESTAMP(MICROS) -> timestamp_ntz).
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         # the file stream source requires a directory; select just the
         # events file out of the corpus dir with a glob filter
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
