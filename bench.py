@@ -46,6 +46,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "rolling_range_7d",
     "sequence_islands",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -24,6 +24,7 @@ _MODULES = (
     "sql_api",
     "extras",
     "fuzzy",
+    "tpch_extra",
 )
 
 
