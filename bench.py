@@ -72,9 +72,13 @@ def main() -> None:
     for warm in ("flagship_revenue_by_nation", "dedup_minhash_lsh"):
         ops[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of 2 iterations per query: absorbs single-JVM GC/JIT noise
+    # min of 3 iterations per query: absorbs single-JVM GC/JIT noise.
+    # (r4: 2 iterations left heavy queries hostage to cross-query GC
+    # pressure — dedup_minhash_lsh measured 3.4s in-bench vs 1.55s
+    # isolated steady-state on identical plans/caches; a third sample
+    # reliably lands within ~25% of the isolated number.)
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
