@@ -357,3 +357,231 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("score", ROUND_RATIO).alias("bm25"))
     )
+
+
+@op(
+    "pii_redact",
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT)
+               AS n_phones
+    FROM dirty
+    """,
+    tags=("text", "pii", "pipeline"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone numbers — the
+    standard pre-training privacy pass. The corpus text is synthetic
+    lowercase tokens with no real PII, so a deterministic payload
+    (derived from doc_id, identically on both engines) is appended
+    first; the redaction itself is exactly what runs in production. All
+    JVM-side regexp_replace/regexp_count in one narrow projection — no
+    shuffle, no Python, scan-to-sink streaming at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"555-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(raw, F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_re)).alias("n_phones"),
+    )
+
+
+# Document-frequency cutoff for boilerplate removal: tokens present in
+# more than this fraction of documents are stripped (C4-style).
+BOILERPLATE_DF = 0.5
+
+
+@op(
+    "remove_boilerplate_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), dfreq AS (
+        SELECT tok, count(*) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(ts)) AS tok FROM t)
+        WHERE tok != ''
+        GROUP BY tok
+    ), nd AS (
+        SELECT count(*) AS n FROM documents
+    ), boiler AS (
+        SELECT coalesce(list(tok), []) AS bl
+        FROM dfreq, nd WHERE df * 1.0 > {BOILERPLATE_DF} * n
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string(Δ[]) is NULL where Spark's
+           -- array_join(Δ[]) is '': normalize fully-boilerplate docs
+           coalesce(array_to_string(
+               list_filter(ts, x -> NOT list_contains(bl, x)), ' '),
+               '') AS clean_text,
+           CAST(len(ts) - len(list_filter(ts, x -> NOT list_contains(bl, x)))
+                AS INT) AS n_removed
+    FROM t, boiler
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def remove_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate removal (C4-style): tokens appearing in more
+    than half of all documents are stripped from every document, order
+    preserved. The document-frequency table is one (doc, tok)-distinct
+    aggregate; the cutoff applies against a broadcast 1-row corpus
+    count; and each document is cleaned by a JVM-side array filter
+    against the broadcast boilerplate vocabulary — the fact table is
+    touched exactly twice (df pass + clean pass) with no per-token
+    shuffle for the rewrite and no Python anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    docs = d.select("doc_id", ts.alias("ts"))
+    dfreq = (
+        docs.select("doc_id", F.explode(F.array_distinct("ts")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 1.0 > BOILERPLATE_DF * F.col("n"))
+        .agg(F.coalesce(F.collect_list("tok"), F.array()).alias("bl"))
+    )
+    kept = F.filter("ts", lambda x: ~F.array_contains(F.col("bl"), x))
+    return (
+        docs.crossJoin(F.broadcast(boiler))
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("ts") - F.size(kept)).cast("int").alias("n_removed"),
+        )
+    )
+
+
+@op(
+    "benchmark_contamination",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - 1, 1)),
+                   i -> array_to_string(ts[i:i+2], ' ')))) AS gram
+        FROM t
+    ), bench AS (
+        SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ), hits AS (
+        SELECT g.doc_id, g.gram
+        FROM grams g JOIN bench b USING (gram)
+        WHERE g.source <> 'src0'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_3grams
+    FROM hits
+    GROUP BY doc_id
+    """,
+    tags=("text", "contamination", "pipeline"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training documents (source <>
+    'src0') that share any distinct 3-gram with the held-out benchmark
+    slice (source = 'src0'), with the count of shared 3-grams. The
+    decontamination pass every serious pre-training pipeline runs. Both
+    sides shingle into distinct 3-grams and meet in an EQUI join on the
+    gram (at 100 TB: hash the gram to a fixed-width key and the join
+    shuffles narrow integers — never doc x doc pairs). Spark side
+    shingles JVM-side via transform-over-sequence; one shuffle for the
+    join, one for the per-doc count."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n3 = F.size(ts) - 2
+    # Guard: F.sequence(1, 0) steps BACKWARD ([1, 0]) — short docs must
+    # yield an empty shingle list, not bogus indices.
+    idx = F.when(n3 >= 1, F.sequence(F.lit(1), n3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(ts, i, 3), " "))
+    )
+    grams = d.select("doc_id", "source", F.explode(shingles).alias("gram"))
+    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    train = grams.filter(F.col("source") != "src0")
+    return (
+        train.join(bench, "gram", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_3grams"))
+    )
+
+
+@op(
+    "repetition_2gram_ratio",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(ts), 1)),
+                   i -> array_to_string(ts[i:i+1], ' '))) AS gram
+        FROM t
+    ), counted AS (
+        SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT) AS top_2gram_count,
+           CAST(sum(c) AS BIGINT) AS n_2grams,
+           round(max(c) * 1.0 / sum(c), {ROUND_RATIO}) AS repetition_ratio
+    FROM counted
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def repetition_2gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality metric: the share of a document's
+    2-grams taken by its single most frequent 2-gram — high values mark
+    degenerate/boilerplate text that LLM-data filters drop (the
+    Gopher/MassiveText repetition rules). One explode + two hash
+    aggregations, all JVM-side; the per-doc state is bounded by the
+    document's own vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n2 = F.size(ts) - 1
+    # Same backward-sequence guard as benchmark_contamination: a 1-token
+    # doc has zero 2-grams and must vanish here (the oracle's range()
+    # is empty for it too), not explode [1, 0].
+    idx = F.when(n2 >= 1, F.sequence(F.lit(1), n2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(ts, i, 2), " "))
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counted.groupBy("doc_id").agg(
+        F.max("c").alias("top_2gram_count"),
+        F.sum("c").alias("n_2grams"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), ROUND_RATIO).alias("repetition_ratio"),
+    )

@@ -298,3 +298,32 @@ def test_frame_hashes_empty_doc_emits_no_rows(spark):
     rows = _frame_hashes(df).collect()
     assert {r.doc_id for r in rows} == {2}
     assert [r.frame_idx for r in rows] == [0]  # 2 frames, stride 4 keeps idx 0
+
+
+def test_shingle_ops_guard_short_docs(spark, tmp_path):
+    """Regression class from frame_sample_chunks: F.sequence(1, n) with
+    n <= 0 steps BACKWARD ([1, 0]) — docs too short to have any 2-/3-gram
+    must vanish from shingle ops, not emit bogus slices."""
+    from my_polars_ai_spark.operators.text import (
+        benchmark_contamination,
+        repetition_2gram_ratio,
+    )
+
+    rows = [
+        (1, "solo", "en", "src0", 4),          # bench, 1 token: no 3-grams
+        (2, "a b c", "en", "src0", 5),         # bench: 3-gram "a b c"
+        (3, "x", "en", "src1", 1),             # train, 1 token: no grams at all
+        (4, "a b", "en", "src1", 3),           # train, 2 tokens: 2-gram only
+        (5, "a b c d", "en", "src1", 7),       # train: shares "a b c"
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    contam = benchmark_contamination(spark, str(tmp_path))
+    assert {(r.doc_id, r.n_shared_3grams) for r in contam.collect()} == {(5, 1)}
+
+    rep = {r.doc_id: r for r in repetition_2gram_ratio(spark, str(tmp_path)).collect()}
+    assert set(rep) == {2, 4, 5}  # 1-token docs 1 and 3 emit nothing
+    assert rep[4].n_2grams == 1 and rep[4].repetition_ratio == 1.0
+    assert rep[5].n_2grams == 3 and rep[5].top_2gram_count == 1
