@@ -320,3 +320,34 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select("cohort_week", "week_offset", "n_users")
     )
+
+
+@op(
+    "view_purchase_attribution",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_sec
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=("timeseries", "join", "interval", "streaming-twin"),
+)
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase attribution: every (view, purchase) pair by the same
+    user with the purchase inside the hour after the view — the batch
+    member of the stream-stream interval join in streaming/jobs.py
+    (stream==batch equality asserted in tests/test_streaming.py). The
+    equi-key (user) carries the hash join; the interval rides as a
+    residual. lag_sec subtracts per-side floored epochs (Spark's
+    timestamp->long cast truncates BEFORE the subtraction — floor of the
+    difference would disagree on sub-second components)."""
+    from my_polars_ai_spark.streaming.jobs import attribution_batch
+
+    return attribution_batch(spark, sf_dir)

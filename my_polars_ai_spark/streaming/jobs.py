@@ -241,3 +241,58 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
     agg = _enrich_agg(events, _user_tier_dim(spark, sf_dir))
     return _drain_to_memory(agg, "complete")
+
+
+def _attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared stream/batch expression: attribute each purchase to every
+    view by the same user in the preceding hour."""
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long")).alias("lag_sec"),
+    )
+
+
+def _views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return views, purchases
+
+
+def attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_stream_attribution (same expressions)."""
+    from my_polars_ai_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return _attribution_join(*_views_purchases(events))
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: view->purchase attribution within one
+    hour per user. Both sides carry watermarks and the join condition
+    bounds event-time distance, so each side's buffered state is evicted
+    once the other side's watermark passes the interval — bounded state
+    at any stream length, the production shape for funnel/attribution
+    pipelines. INNER join results emit eagerly on match (they never wait
+    for the watermark; the watermark only gates state cleanup), so an
+    availableNow drain sees every match."""
+    v_events = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    p_events = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    views, _ = _views_purchases(v_events)
+    _, purchases = _views_purchases(p_events)
+    joined = _attribution_join(views, purchases)
+    return _drain_to_memory(joined, "append")

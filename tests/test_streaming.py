@@ -164,3 +164,17 @@ def test_ema_state_update_empty_batch_leaves_state_untouched():
     expected = EMA_ALPHA * 20.0 + (1 - EMA_ALPHA) * 10.0
     assert state.updates == [(2, expected)]
     assert emitted["ema_value"].iloc[0] == round(expected, 6)
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the batch join's matches under availableNow."""
+    from my_polars_ai_spark.streaming.jobs import (
+        attribution_batch,
+        stream_stream_attribution,
+    )
+
+    batch = {tuple(r) for r in attribution_batch(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in stream_stream_attribution(spark, sf_dir).collect()}
+    assert batch, "corpus should produce at least one attribution pair"
+    assert stream == batch
