@@ -146,3 +146,53 @@ def test_q19_disjunction_stays_hash_join(spark, sf_dir):
     assert s["nested_loop_joins"] == 0, s
     assert s["broadcast_joins"] >= 1
     assert s["pushed_filters"] >= 1
+
+
+def test_q21_exists_pair_decorrelates_to_semi_anti_hash_joins(spark, sf_dir):
+    """EXISTS/NOT-EXISTS must run as LEFT SEMI + LEFT ANTI hash joins on
+    the order key with a TakeOrderedAndProject top-100 — no nested loop,
+    no global sort, no Python."""
+    s = plan_summary(all_ops()["tpch_q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["python_evals"] == 0
+    assert s["take_ordered"] >= 1
+    assert s["broadcast_joins"] + s["sortmerge_joins"] + s["shuffled_hash_joins"] >= 3
+
+
+def test_q8_dims_broadcast_single_agg_pass(spark, sf_dir):
+    """Seven-table join: every dim side must broadcast (at most the two
+    fact-fact exchanges + the group-by shuffle remain), and the
+    conditional + total sums must come from ONE aggregation (no
+    self-join of two aggregates)."""
+    s = plan_summary(all_ops()["tpch_q8_market_share"].fn(spark, sf_dir))
+    assert s["broadcast_joins"] >= 5, s
+    assert s["nested_loop_joins"] == 0
+    assert s["exchanges"] <= 4, s
+
+
+def test_q2_part_filter_precedes_per_part_min(spark, sf_dir):
+    """The part filter must semi-join the cost table BEFORE the per-part
+    minimum aggregates (filter-then-aggregate, not aggregate-everything);
+    structurally: no nested loop, part/supplier sides broadcast."""
+    s = plan_summary(all_ops()["tpch_q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["broadcast_joins"] >= 2
+    assert s["take_ordered"] >= 1
+
+
+def test_contamination_joins_on_gram_never_doc_pairs(spark, sf_dir):
+    """benchmark_contamination must meet in an equi join on the shingle
+    (hash-joinable key), never a doc-by-doc nested loop."""
+    s = plan_summary(all_ops()["benchmark_contamination"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["python_evals"] == 0
+
+
+def test_boilerplate_removal_has_no_per_token_rewrite_shuffle(spark, sf_dir):
+    """remove_boilerplate_tokens rewrites documents via a broadcast
+    vocabulary array filter: the only exchanges allowed are the df
+    aggregation's — the rewrite itself must be a narrow map (no join of
+    the fact table against exploded tokens)."""
+    s = plan_summary(all_ops()["remove_boilerplate_tokens"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    assert s["sortmerge_joins"] == 0, s
