@@ -434,3 +434,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= EMB_DEDUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", ROUND_RATIO).alias("cos"))
     )
+
+
+@op(
+    "label_centroids",
+    oracle="""
+    WITH pos AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(sum(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000
+                         AS DECIMAL(38,0))) AS BIGINT) AS sum_micro8,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pos
+    GROUP BY label, dim
+    """,
+    tags=("similarity", "embedding", "agg", "pipeline"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation over the embedding column — the
+    distributed vector-aggregation shape behind class prototypes, k-means
+    update steps, and cluster summaries in training-data pipelines.
+    posexplode fans each vector into (label, dim, x) rows; ONE hash
+    aggregation produces exact per-dimension sums (map-side partial
+    aggregation applies, state per task = labels x 64 dims — constant).
+    Components accumulate as sign-safe integer 1e-8 units (float ->
+    double is exact, double -> DECIMAL(20,8) rounds identically on both
+    engines), so the result hashes identically at any partitioning; the
+    centroid mean is sum_micro8 / (n * 1e8), derived losslessly by the
+    caller."""
+    e = _t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("p", "x")
+    )
+    return (
+        exploded.groupBy("label", (F.col("p") + 1).cast("int").alias("dim"))
+        .agg(
+            F.sum(
+                (F.col("x").cast("decimal(20,8)") * 100000000).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("sum_micro8"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
