@@ -579,3 +579,47 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("u_status", F.lit("unchanged")).alias("row_status"),
         )
     )
+
+
+@op(
+    "python_datasource_scan",
+    oracle="""
+    WITH g AS (
+        SELECT unnest(range(0, 1000)) AS row_id
+    ), rows_ AS (
+        SELECT row_id,
+               'k' || CAST(row_id % 7 AS VARCHAR) AS key,
+               ('0x' || substr(md5('seed:' || CAST(row_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h60
+        FROM g
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n,
+           min(h60) AS min_h,
+           max(h60) AS max_h,
+           CAST(sum(h60 % 1000000) AS BIGINT) AS sum_mod
+    FROM rows_
+    GROUP BY key
+    """,
+    tags=("source", "python-datasource", "agg"),
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a custom Python DataSource (Spark 4
+    pyspark.sql.datasource API, sources/python_datasource.py) and
+    aggregate — the connector case the file readers don't cover. The
+    planner fans read() out one task per partitions() slice (8 here), so
+    the same class shape wraps REST cursors / offset ranges at cluster
+    parallelism. The generated payload is md5-deterministic, so even
+    this Python-connector scan is oracle-checked: DuckDB re-derives the
+    identical rows from generate_series. (sf_dir is unused — the source
+    IS the data.)"""
+    from my_polars_ai_spark.sources.python_datasource import register_synth_source
+
+    register_synth_source(spark)
+    df = spark.read.format("synth").option("rows", 1000).option("slices", 8).load()
+    return df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("h60").alias("min_h"),
+        F.max("h60").alias("max_h"),
+        F.sum(F.col("h60") % 1000000).alias("sum_mod"),
+    )

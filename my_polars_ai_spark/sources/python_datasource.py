@@ -1,0 +1,86 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference reads only files/objects the host hands it (reference
+polarsai/__init__.py source surface); this module covers the *connector*
+case: data that lives behind an API/generator rather than on disk. The
+DataSource API is the PySpark-native answer — the planner asks
+``partitions()`` for the split list and fans ``read(partition)`` out as
+one task per split, so a thousand-executor cluster pulls a thousand
+splits concurrently with no driver bottleneck.
+
+The demo source generates rows *deterministically* (md5-derived payload,
+the same portable-hash trick as operators/dedup.py), which keeps even a
+Python-connector scan fully DuckDB-oracle-checkable: the oracle re-derives
+the identical rows from generate_series.
+
+At 100 TB the same class wraps any sliced upstream (REST cursor ranges,
+kafka offset ranges, object-store listings): partitions() returns the
+slice descriptors, read() yields one slice, and Spark owns retry/locality/
+parallelism. Arrow note: read() may also yield pyarrow.RecordBatch for
+bulk transfer — row tuples are fine at this fixture size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SYNTH_SCHEMA = "row_id BIGINT, key STRING, h60 BIGINT"
+DEFAULT_ROWS = 1000
+DEFAULT_SLICES = 8
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+def synth_row(row_id: int) -> tuple[int, str, int]:
+    """One deterministic row: key cycles mod 7; h60 is the 60-bit integer
+    from md5('seed:'||row_id) — bit-identical to the DuckDB expression
+    ('0x' || substr(md5('seed:' || row_id), 1, 15))::BIGINT."""
+    digest = hashlib.md5(f"seed:{row_id}".encode()).hexdigest()
+    return row_id, f"k{row_id % 7}", int(digest[:15], 16)
+
+
+class SynthSource(DataSource):
+    """``spark.read.format("synth").option("rows", N).option("slices", P)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema) -> "SynthReader":
+        return SynthReader(
+            int(self.options.get("rows", DEFAULT_ROWS)),
+            int(self.options.get("slices", DEFAULT_SLICES)),
+        )
+
+
+class SynthReader(DataSourceReader):
+    def __init__(self, n_rows: int, n_slices: int) -> None:
+        self.n_rows = n_rows
+        self.n_slices = max(1, min(n_slices, n_rows or 1))
+
+    def partitions(self) -> Sequence[_RangePartition]:
+        per = -(-self.n_rows // self.n_slices)  # ceil
+        return [
+            _RangePartition(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for row_id in range(partition.start, partition.end):
+            yield synth_row(row_id)
+
+
+def register_synth_source(spark: SparkSession) -> None:
+    """Idempotent registration of the ``synth`` format on a session."""
+    spark.dataSource.register(SynthSource)

@@ -161,3 +161,18 @@ def test_from_binary_files(spark, tmp_path):
     assert set(rows) == {"a.bin", "b.bin"}
     assert rows["a.bin"] == (12, b"\x00\x01\x02payload-a")
     assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_python_datasource_partitions_and_rows(spark):
+    """The custom DataSource must honor partitions() (one task per slice)
+    and generate rows identical to the driver-side formula."""
+    from my_polars_ai_spark.sources.python_datasource import (
+        register_synth_source,
+        synth_row,
+    )
+
+    register_synth_source(spark)
+    df = spark.read.format("synth").option("rows", 40).option("slices", 4).load()
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [synth_row(i) for i in range(40)]
