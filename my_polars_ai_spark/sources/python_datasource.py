@@ -26,7 +26,12 @@ import hashlib
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYNTH_SCHEMA = "row_id BIGINT, key STRING, h60 BIGINT"
 DEFAULT_ROWS = 1000
@@ -84,3 +89,57 @@ class SynthReader(DataSourceReader):
 def register_synth_source(spark: SparkSession) -> None:
     """Idempotent registration of the ``synth`` format on a session."""
     spark.dataSource.register(SynthSource)
+
+
+class SynthStreamSource(DataSource):
+    """Streaming flavor: ``spark.readStream.format("synth_stream")`` emits
+    the same deterministic rows in micro-batches of ``batch_rows``,
+    stopping at ``max_rows`` — an offset-tracked Python stream source
+    (the kafka-without-kafka shape). Offsets are plain dicts checkpointed
+    by Spark, so a restarted query resumes exactly where it stopped."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_stream"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def simpleStreamReader(self, schema) -> "SynthStreamReader":
+        return SynthStreamReader(
+            int(self.options.get("batch_rows", 100)),
+            int(self.options.get("max_rows", DEFAULT_ROWS)),
+        )
+
+
+class SynthStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader contract: initialOffset/read/commit.
+    read(start) returns (rows, next_offset); Spark persists offsets in
+    the checkpoint log, giving exactly-once across restarts."""
+
+    def __init__(self, batch_rows: int, max_rows: int) -> None:
+        self.batch_rows = batch_rows
+        self.max_rows = max_rows
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        # iter(list), not a bare list or generator: Spark's prefetch
+        # cache calls next() on the result AND copy.copy()s it
+        # (datasource_internal.add_result_to_cache / getCache) — a list
+        # isn't an iterator, a generator can't be copied; a list_iterator
+        # satisfies both via __reduce__.
+        return iter([synth_row(i) for i in range(lo, hi)]), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(start["row"], end["row"])])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_synth_stream_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SynthStreamSource)

@@ -178,3 +178,33 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     stream = {tuple(r) for r in stream_stream_attribution(spark, sf_dir).collect()}
     assert batch, "corpus should produce at least one attribution pair"
     assert stream == batch
+
+
+def test_python_stream_source_emits_exact_rows(spark, tmp_path):
+    """Custom Python streaming source (SimpleDataSourceStreamReader):
+    micro-batches must cover exactly [0, max_rows) with no dupes or
+    gaps, matching the driver-side row formula."""
+    from my_polars_ai_spark.sources.python_datasource import (
+        register_synth_stream_source,
+        synth_row,
+    )
+
+    register_synth_stream_source(spark)
+    df = (
+        spark.readStream.format("synth_stream")
+        .option("batch_rows", 10)
+        .option("max_rows", 30)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("synth_stream_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(tuple(r) for r in spark.table("synth_stream_mem").collect())
+    assert rows == [synth_row(i) for i in range(30)]
