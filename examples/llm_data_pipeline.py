@@ -1,0 +1,62 @@
+"""End-to-end LLM training-data pipeline over the documents corpus —
+every pass is the registry operator the driver verifies, run here as one
+narrative: quality filter -> PII scrub -> boilerplate strip -> near-dup
+clustering -> benchmark decontamination -> token accounting.
+
+Each stage is an independent Catalyst plan (the registry contract), but
+the same expressions compose into ONE plan when chained — see
+operators/text.py training_data_pipeline for the fused
+filter->dedup->sample proof.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark import get_spark
+from my_polars_ai_spark.operators import all_ops
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+spark = get_spark("example_llm_pipeline")
+ops = all_ops()
+
+n_docs = ops["quality_score"].fn(spark, sf_dir).count()
+
+# 1. Quality gate: drop the bottom of the quality distribution.
+quality = ops["quality_score"].fn(spark, sf_dir).filter(F.col("quality") >= 0.5)
+n_quality = quality.count()
+
+# 2. Privacy: redact emails/phones (synthetic payload, real regexes).
+redacted = ops["pii_redact"].fn(spark, sf_dir)
+n_emails = redacted.agg(F.sum("n_emails")).collect()[0][0]
+
+# 3. Boilerplate: strip >50%-document-frequency tokens.
+boiler = ops["remove_boilerplate_tokens"].fn(spark, sf_dir)
+n_removed = boiler.agg(F.sum("n_removed")).collect()[0][0]
+
+# 4. Near-dup clustering: MinHash+LSH pairs -> connected components.
+clusters = ops["dedup_cluster_canonical"].fn(spark, sf_dir)
+n_canonical = clusters.select("cluster_id").distinct().count()
+
+# 5. Decontamination: training docs sharing 3-grams with the benchmark.
+contaminated = ops["benchmark_contamination"].fn(spark, sf_dir)
+n_contaminated = contaminated.count()
+
+# 6. Token accounting for the surviving set.
+tokens = ops["token_counts"].fn(spark, sf_dir).agg(F.sum("n_ws_tokens")).collect()[0][0]
+
+print(f"corpus docs:            {n_docs}")
+print(f"pass quality >= 0.5:    {n_quality}")
+print(f"emails redacted:        {n_emails}")
+print(f"boilerplate tokens cut: {n_removed}")
+print(f"canonical clusters:     {n_canonical}")
+print(f"contaminated docs:      {n_contaminated}")
+print(f"whitespace tokens:      {tokens}")
+
+assert 0 < n_quality <= n_docs
+assert n_emails == n_docs  # the synthetic payload plants exactly one each
+assert 0 < n_canonical <= n_docs
+assert n_contaminated >= 0 and tokens > 0

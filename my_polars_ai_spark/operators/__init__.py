@@ -34,13 +34,26 @@ _MODULES = (
 # r01+r02 windows cumulatively gave 84 ops driver-side green rows; this
 # window keeps one canary per family and promotes 35 ops that have NEVER
 # had a driver row.
-# Round-5 rotation plan (the final 16 never-driver-verified ops — swap
-# these in for the non-canary block, keeping the same family canaries):
+# Round-5 rotation plan (swap these in for the non-canary block,
+# keeping the same family canaries). Two groups now await a first
+# driver row:
+# (a) the 16 pre-r4 stragglers:
 #   first_last_nth_value, string_pad_funcs, misc_scalar_funcs,
 #   bit_aggregates, roc_points, kmeans_segments, profile_columns,
 #   row_udf_label, boxplot_stats, mode_per_group, rolling_min_max,
 #   weighted_avg, hash_funcs, key_skew_profile, string_agg_per_group,
 #   group_topk_percent
+# (b) the 17 ops added in round-4 session 2:
+#   tpch_q2_min_cost_supplier, tpch_q7_volume_shipping,
+#   tpch_q8_market_share, tpch_q9_product_profit,
+#   tpch_q11_important_parts, tpch_q12_priority_shipping,
+#   tpch_q13_customer_distribution, tpch_q16_supplier_part_stats,
+#   tpch_q20_top_shippers, tpch_q21_waiting_suppliers, pii_redact,
+#   remove_boilerplate_tokens, benchmark_contamination,
+#   repetition_2gram_ratio, view_purchase_attribution, label_centroids,
+#   python_datasource_scan
+# 16 + 17 + 12 canaries = 45 <= 50: one rotation covers both groups and
+# closes out full-registry driver attestation.
 # Everything not listed follows in module order.
 _PRIORITY = (
     # family canaries — already driver-green in r01/r02, kept so every

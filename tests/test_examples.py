@@ -25,6 +25,7 @@ EXAMPLES = [
     "save_chart.py",
     "show_chart.py",
     "operators_on_testdata.py",
+    "llm_data_pipeline.py",
 ]
 
 
