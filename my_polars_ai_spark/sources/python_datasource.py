@@ -66,13 +66,15 @@ class SynthSource(DataSource):
         return SynthReader(
             int(self.options.get("rows", DEFAULT_ROWS)),
             int(self.options.get("slices", DEFAULT_SLICES)),
+            self.options.get("arrow", "false").lower() == "true",
         )
 
 
 class SynthReader(DataSourceReader):
-    def __init__(self, n_rows: int, n_slices: int) -> None:
+    def __init__(self, n_rows: int, n_slices: int, arrow: bool = False) -> None:
         self.n_rows = n_rows
         self.n_slices = max(1, min(n_slices, n_rows or 1))
+        self.arrow = arrow
 
     def partitions(self) -> Sequence[_RangePartition]:
         per = -(-self.n_rows // self.n_slices)  # ceil
@@ -81,7 +83,23 @@ class SynthReader(DataSourceReader):
             for lo in range(0, self.n_rows, per)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+    def read(self, partition: _RangePartition) -> Iterator:
+        if self.arrow:
+            # Bulk path: one pyarrow.RecordBatch per slice — Spark takes
+            # the columnar batch whole instead of pickling row tuples
+            # (the option for high-volume connectors).
+            import pyarrow as pa
+
+            rows = [synth_row(i) for i in range(partition.start, partition.end)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], type=pa.int64()),
+                    pa.array([r[1] for r in rows], type=pa.string()),
+                    pa.array([r[2] for r in rows], type=pa.int64()),
+                ],
+                names=["row_id", "key", "h60"],
+            )
+            return
         for row_id in range(partition.start, partition.end):
             yield synth_row(row_id)
 

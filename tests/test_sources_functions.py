@@ -176,3 +176,22 @@ def test_python_datasource_partitions_and_rows(spark):
     assert df.rdd.getNumPartitions() == 4
     got = sorted(tuple(r) for r in df.collect())
     assert got == [synth_row(i) for i in range(40)]
+
+
+def test_python_datasource_arrow_batch_path(spark):
+    """The Arrow read path (one RecordBatch per slice) must produce the
+    identical rows as the tuple path."""
+    from my_polars_ai_spark.sources.python_datasource import (
+        register_synth_source,
+        synth_row,
+    )
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synth")
+        .option("rows", 40)
+        .option("slices", 4)
+        .option("arrow", "true")
+        .load()
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [synth_row(i) for i in range(40)]
