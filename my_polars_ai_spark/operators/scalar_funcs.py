@@ -374,3 +374,39 @@ def bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(q).alias("qty_bit_or"),
         F.bit_xor(q).alias("qty_bit_xor"),
     )
+
+
+@op(
+    "variant_json_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def variant_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json once into a columnar variant, then variant_get typed
+    path extraction — the modern replacement for per-path
+    get_json_object string re-parsing (json_funcs above is the legacy
+    twin). try_variant_get on an absent path returns NULL instead of
+    erroring, the pattern for schema-drifting event payloads. At 100 TB
+    variant decode is one pass per row regardless of how many paths are
+    extracted."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    with_v = e.select("event_type", v.alias("pv"))
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    missing = F.try_variant_get(F.col("pv"), "$.missing", "bigint")
+    return with_v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_large"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
