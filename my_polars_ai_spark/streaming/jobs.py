@@ -296,3 +296,88 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, purchases = _views_purchases(p_events)
     joined = _attribution_join(views, purchases)
     return _drain_to_memory(joined, "append")
+
+
+def totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_totals_tws: per-user event count + exact
+    micro-unit value sum."""
+    from my_polars_ai_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long")).alias(
+            "sum_value_e4"
+        ),
+    )
+
+
+def tws_available() -> bool:
+    """True if the host python has the protobuf runtime the
+    transformWithState runner needs."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals through transformWithStateInPandas — the
+    Spark 4 arbitrary-state API that supersedes applyInPandasWithState
+    (typed ValueState/ListState/MapState handles, timers, TTL; state
+    survives in the checkpoint's RocksDB at scale). Each micro-batch
+    folds its rows into a ValueState tuple and emits the updated totals
+    for the keys it touched; sums accumulate in integer 1e-4 units so
+    stream==batch holds exactly regardless of batch boundaries.
+
+    Environment note: the transformWithState Python runner speaks
+    protobuf to the JVM state server; call ``tws_available()`` first —
+    on hosts with a broken/absent google.protobuf the runner crashes at
+    init (this container: ImportError on google.protobuf.descriptor),
+    and applyInPandasWithState (stream_ema_stateful) is the working
+    stateful path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events BIGINT, sum_value_e4 BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # per-VALUE integer 1e-4 units (matches the batch twin's
+                # decimal(18,4) cast; corpus values are 2-decimal so the
+                # rounding never sits on a tie) — summing integers keeps
+                # the total exact across any micro-batch split
+                s += int(pdf["value"].mul(10000).round().astype("int64").sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value_e4": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store (the default
+    # HDFS-backed provider doesn't implement its column-family API).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = read_events_stream(spark, sf_dir)
+    out = events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value_e4 BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain_to_memory(out, "update")

@@ -208,3 +208,30 @@ def test_python_stream_source_emits_exact_rows(spark, tmp_path):
         q.stop()
     rows = sorted(tuple(r) for r in spark.table("synth_stream_mem").collect())
     assert rows == [synth_row(i) for i in range(30)]
+
+
+def test_transform_with_state_totals_match_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): final
+    per-user totals must equal the batch aggregation exactly (integer
+    1e-4 value units make the comparison exact, not approximate).
+    Skipped where the host python lacks the protobuf runtime the
+    transformWithState runner requires (this container)."""
+    import pytest
+
+    from my_polars_ai_spark.streaming.jobs import (
+        stream_totals_tws,
+        totals_batch,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf runtime unavailable; transformWithState runner cannot start")
+
+    batch = {r.user_id: (r.n_events, r.sum_value_e4) for r in totals_batch(spark, sf_dir).collect()}
+    # update-mode sink may hold one row per key per micro-batch; the final
+    # state for a key is its row with the highest running n_events
+    final = {}
+    for r in stream_totals_tws(spark, sf_dir).collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_value_e4)
+    assert final == batch
