@@ -646,3 +646,89 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))
+
+
+_TRIANGLE_SQL = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT doc_a AS node FROM edges
+            UNION ALL
+            SELECT doc_b AS node FROM edges
+        ) GROUP BY node
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.doc_a = e1.doc_b
+        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT agg.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           agg.n_wedges,
+           CAST(3 * tri.n_triangles * 1000000 // agg.n_wedges AS BIGINT)
+               AS transitivity_e6
+    FROM agg, tri
+"""
+
+
+@op(
+    "near_dup_triangle_stats",
+    oracle=_TRIANGLE_SQL,
+    tags=("dedup", "graph", "triangle"),
+)
+def near_dup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph — the classic distributed
+    graph motif join, here measuring how clique-like the duplicate
+    clusters are (global transitivity = 3*triangles/wedges; ~1e6 means
+    near-dup sets are true cliques, low values mean chained borderline
+    pairs that cluster_canonical will over-merge). Edges are already
+    id-oriented (a < b), so each triangle is enumerated exactly once by
+    the two-hop join; wedges come from the degree table, not
+    enumeration. Everything is exact integer arithmetic — no float in
+    the compare. At 100 TB the standard skew hardening is degree-based
+    orientation (point edges from the lower-degree endpoint) before the
+    two-hop join; the id orientation here is the same plan shape."""
+    edges = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    # inner join, not semi: (a,b,c) is already unique per triangle (edges
+    # are id-oriented and distinct), so the count needs no dedupe
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    from my_polars_ai_spark.operators.base import exact_floor_div
+
+    return (
+        agg.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            exact_floor_div(
+                3 * F.col("n_triangles").cast("decimal(38,0)") * 1000000,
+                F.col("n_wedges").cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("transitivity_e6"),
+        )
+    )
