@@ -43,7 +43,7 @@ _MODULES = (
 #   row_udf_label, boxplot_stats, mode_per_group, rolling_min_max,
 #   weighted_avg, hash_funcs, key_skew_profile, string_agg_per_group,
 #   group_topk_percent
-# (b) the 19 ops added in round-4 session 2:
+# (b) the 21 ops added in round-4 session 2:
 #   tpch_q2_min_cost_supplier, tpch_q7_volume_shipping,
 #   tpch_q8_market_share, tpch_q9_product_profit,
 #   tpch_q11_important_parts, tpch_q12_priority_shipping,
@@ -51,8 +51,9 @@ _MODULES = (
 #   tpch_q20_top_shippers, tpch_q21_waiting_suppliers, pii_redact,
 #   remove_boilerplate_tokens, benchmark_contamination,
 #   repetition_2gram_ratio, view_purchase_attribution, label_centroids,
-#   python_datasource_scan, pq_adc_topk, variant_json_funcs
-# 16 + 19 + 12 canaries = 47 <= 50: one rotation covers both groups and
+#   python_datasource_scan, pq_adc_topk, variant_json_funcs,
+#   near_dup_triangle_stats, bloom_filter_semi_join
+# 16 + 21 + 12 canaries = 49 <= 50: one rotation covers both groups and
 # closes out full-registry driver attestation.
 # Everything not listed follows in module order.
 _PRIORITY = (

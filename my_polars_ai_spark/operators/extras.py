@@ -623,3 +623,135 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h60").alias("max_h"),
         F.sum(F.col("h60") % 1000000).alias("sum_mod"),
     )
+
+
+# Bloom filter geometry: m bits in w 64-bit words, k md5-derived hashes.
+BLOOM_BITS = 4096
+BLOOM_WORDS = -(-BLOOM_BITS // 63)  # 63-bit words: bit 63 would overflow DuckDB's checked BIGINT shift
+BLOOM_K = 3
+
+
+@op(
+    "bloom_filter_semi_join",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT p_partkey AS key FROM part WHERE p_type = 'PROMO'
+    ), bits AS (
+        SELECT DISTINCT
+               (('0x' || substr(md5(h.i || ':' || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+                % {BLOOM_BITS}) AS bitpos
+        FROM keys CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) h
+    ), bitmap AS (
+        SELECT bitpos // 63 AS word, bit_or(1::BIGINT << (bitpos % 63)) AS bits
+        FROM bits GROUP BY 1
+    ), probe AS (
+        SELECT pk.l_partkey,
+               (('0x' || substr(md5(h.i || ':' || CAST(pk.l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                % {BLOOM_BITS}) AS bitpos
+        FROM (SELECT DISTINCT l_partkey FROM lineitem) pk
+        CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) h
+    ), hits AS (
+        SELECT p.l_partkey,
+               count(*) FILTER (b.bits IS NOT NULL
+                                AND (b.bits >> (p.bitpos % 63)) % 2 != 0) AS n_set
+        FROM probe p
+        LEFT JOIN bitmap b ON b.word = p.bitpos // 63
+        GROUP BY p.l_partkey
+    ), passed AS (
+        SELECT l_partkey FROM hits WHERE n_set = {BLOOM_K}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_probed,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_partkey IN (SELECT l_partkey FROM passed)) AS n_bloom_pass,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_partkey IN (SELECT key FROM keys)) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_partkey IN (SELECT l_partkey FROM passed)) -
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_partkey IN (SELECT key FROM keys)) AS n_false_pos
+    """,
+    tags=("filter", "bloom", "scale-pattern"),
+)
+def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning — the runtime-filter pattern behind
+    every modern engine's dynamic semi-join pushdown (Spark's own
+    spark.sql.optimizer.runtimeFilter.*): build a {BLOOM_BITS}-bit
+    filter over the (small) build-side key set, broadcast ~32 words
+    instead of the key list, and drop probe rows whose k bit tests miss
+    BEFORE the real join. md5-derived hash positions make the whole
+    construction deterministic, so the filter, its false-positive
+    count, and the exact semi-join are all oracle-checked as integers.
+    The bitmap is a 64-row aggregate (bit_or per word); probes check
+    bits via a broadcast join on the word index — no driver-side
+    bitset, same plan at any build-side size."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    keys = p.select(F.col("p_partkey").alias("key")).distinct()
+    idx = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    bitpos = (
+        portable_hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("key").cast("string")))
+        % BLOOM_BITS
+    ).alias("bitpos")
+    bits = keys.select("key", idx).select(bitpos).distinct()
+    bitmap = bits.groupBy((F.col("bitpos") / 63).cast("bigint").alias("word")).agg(
+        # PySpark's shiftleft() helper takes only a literal bit count;
+        # the SQL function accepts a column
+        F.bit_or(F.expr("shiftleft(1L, cast(bitpos % 63 as int))")).alias("bits")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    probe = li.select("l_partkey").distinct().select(
+        "l_partkey",
+        F.explode(
+            F.array(
+                *[
+                    portable_hash60(
+                        F.concat(F.lit(f"{i}:"), F.col("l_partkey").cast("string"))
+                    )
+                    % BLOOM_BITS
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("bitpos"),
+    )
+    hits = (
+        probe.join(
+            F.broadcast(bitmap),
+            (F.col("bitpos") / 63).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (
+                        F.expr("shiftright(bits, cast(bitpos % 63 as int))") % 2
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_set")
+        )
+    )
+    passed = hits.filter(F.col("n_set") == BLOOM_K).select("l_partkey")
+    n_probed = li.agg(F.count(F.lit(1)).alias("n_probed"))
+    n_pass = (
+        li.join(F.broadcast(passed), "l_partkey", "leftsemi")
+        .agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    )
+    n_true = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(keys), F.col("l_partkey") == F.col("key"), "leftsemi")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        n_probed.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_probed",
+            "n_bloom_pass",
+            "n_true",
+            (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )
