@@ -52,9 +52,10 @@ _MODULES = (
 #   remove_boilerplate_tokens, benchmark_contamination,
 #   repetition_2gram_ratio, view_purchase_attribution, label_centroids,
 #   python_datasource_scan, pq_adc_topk, variant_json_funcs,
-#   near_dup_triangle_stats, bloom_filter_semi_join
-# 16 + 21 + 12 canaries = 49 <= 50: one rotation covers both groups and
-# closes out full-registry driver attestation.
+#   near_dup_triangle_stats, bloom_filter_semi_join,
+#   linear_counting_distinct
+# 16 + 22 + 12 canaries = 50 = exactly one window: one rotation covers
+# both groups and closes out full-registry driver attestation.
 # Everything not listed follows in module order.
 _PRIORITY = (
     # family canaries — already driver-green in r01/r02, kept so every

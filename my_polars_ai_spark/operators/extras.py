@@ -755,3 +755,62 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
         )
     )
+
+
+LC_BITS = 4096  # linear-counting bitmap size
+
+
+@op(
+    "linear_counting_distinct",
+    oracle=f"""
+    WITH lp AS (
+        SELECT count(DISTINCT (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                               % {LC_BITS})) AS n_set,
+               count(DISTINCT l_partkey) AS n_true
+        FROM lineitem
+    ), oc AS (
+        SELECT count(DISTINCT (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                               % {LC_BITS})) AS n_set,
+               count(DISTINCT o_custkey) AS n_true
+        FROM orders
+    )
+    SELECT 'l_partkey' AS col_name, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_set AS BIGINT) AS n_bits_set,
+           round({LC_BITS} * ln({LC_BITS} * 1.0 / ({LC_BITS} - n_set)), 2) AS lc_estimate
+    FROM lp
+    UNION ALL
+    SELECT 'o_custkey', CAST(n_true AS BIGINT), CAST(n_set AS BIGINT),
+           round({LC_BITS} * ln({LC_BITS} * 1.0 / ({LC_BITS} - n_set)), 2)
+    FROM oc
+    """,
+    tags=("sketch", "distinct", "scale-pattern"),
+)
+def linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketching via linear counting — the oracle-checkable
+    member of the approximate-distinct family (approx_distinct's HLL has
+    no cross-engine twin, so it stays rows-only; this one is exact on
+    both engines because the md5 bitmap is deterministic). Each key sets
+    bit md5(key) % m; the estimator is m*ln(m/unset). The aggregation
+    state is a count of DISTINCT bit positions <= m — constant-bounded
+    per group, the same reason sketches beat exact count-distinct at
+    100 TB (no shuffle of the full key set; partial aggregation
+    applies)."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    def one(table: str, key: str) -> DataFrame:
+        t = _t(spark, sf_dir, table)
+        agg = t.agg(
+            F.count_distinct(portable_hash60(F.col(key).cast("string")) % LC_BITS).alias("n_set"),
+            F.count_distinct(F.col(key)).alias("n_true"),
+        )
+        est = F.round(
+            LC_BITS * F.log(LC_BITS * F.lit(1.0) / (LC_BITS - F.col("n_set"))), 2
+        )
+        return agg.select(
+            F.lit(key).alias("col_name"),
+            F.col("n_true"),
+            F.col("n_set").alias("n_bits_set"),
+            est.alias("lc_estimate"),
+        )
+
+    return one("lineitem", "l_partkey").unionAll(one("orders", "o_custkey"))

@@ -196,3 +196,34 @@ def test_boilerplate_removal_has_no_per_token_rewrite_shuffle(spark, sf_dir):
     s = plan_summary(all_ops()["remove_boilerplate_tokens"].fn(spark, sf_dir))
     assert s["python_evals"] == 0
     assert s["sortmerge_joins"] == 0, s
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (the 100 TB default): a filter on the
+    partition column must become PartitionFilters on the scan — pruned
+    directory listing, zero data files read from other partitions — and
+    not appear in PushedFilters/data filters."""
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.plans.inspect import explain_str
+    from my_polars_ai_spark.sources.tables import load_table
+    from my_polars_ai_spark.sources.writers import write_parquet
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_parquet(e, str(tmp_path / "events_part"), partition_by=["event_date"])
+    back = spark.read.parquet(str(tmp_path / "events_part")).filter(
+        F.col("event_date") == "2024-01-03"
+    )
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan, plan
+    # the partition predicate must appear in PartitionFilters...
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_date" in ln for ln in pf), pf
+    # ...and the distributed count only touches the matching partition
+    n_pruned = back.count()
+    n_full = spark.read.parquet(str(tmp_path / "events_part")).filter(
+        F.to_date("ts") == "2024-01-03"  # non-partition predicate, full scan
+    ).count()
+    assert n_pruned == n_full
