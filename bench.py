@@ -48,6 +48,7 @@ HEADLINE = [
     "sequence_islands",
     "tpch_q8_market_share",
     "tpch_q21_waiting_suppliers",
+    "pq_adc_topk",
 ]
 
 
@@ -69,7 +70,7 @@ def main() -> None:
     # warm-up, min-of-2 still pays one full refill in iteration 1 and the
     # recorded min is hostage to iteration-2 noise (r1: 2.2s isolated vs
     # 5.8s in-bench for dedup_minhash_lsh).
-    for warm in ("flagship_revenue_by_nation", "dedup_minhash_lsh"):
+    for warm in ("flagship_revenue_by_nation", "dedup_minhash_lsh", "pq_adc_topk"):
         ops[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # min of 3 iterations per query: absorbs single-JVM GC/JIT noise.

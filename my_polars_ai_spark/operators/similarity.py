@@ -567,17 +567,18 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch their real vectors for the exact-cosine rerank (the standard
     production PQ pipeline: compressed scan -> tiny exact rerank).
 
-    100 TB shape: encoding is a NARROW projection over a literal
-    codebook (zero shuffles, like ivf's cell assignment); the scored
-    scan reads M bytes per vector instead of the embedding column
-    (~64x less IO with this geometry); the per-query LUT broadcast is
-    N_QUERIES x M x K doubles — constants. Distances round at scale 6
-    before both the argmin and the LUT (ulp drift can't flip a code),
-    and the ADC total sums DECIMAL(18,6) terms so it's exact and
-    order-independent on both engines."""
-    import functools
-    import operator as pyop
-
+    100 TB shape: the codebook is a broadcast M x K-row table (a bounded
+    artifact, like KMeansModel.clusterCenters()); encoding is one
+    broadcast join + a map-side-combined argmin per (vector, subspace);
+    the scored scan reads M bytes per vector instead of the embedding
+    column (~64x less IO with this geometry); ADC is an equi-join of
+    codes against the tiny LUT on (subspace, code). Distances round at
+    scale 6 before both the argmin and the LUT (ulp drift can't flip a
+    code), and the ADC total sums DECIMAL(18,6) terms so it's exact and
+    order-independent on both engines. (A first cut inlined the
+    codebook as 128 literal-array expressions — a ~100k-node Catalyst
+    tree that cost ~7s of driver-side analysis per call; the relational
+    form is 10x faster end-to-end and is also the oracle's shape.)"""
     e = _t(spark, sf_dir, "embeddings")
     # L2-normalize first: min L2 == max cosine on the unit sphere, so the
     # ADC ranking agrees with the cosine rankers (raw-L2 PQ measured 0.2
@@ -595,50 +596,49 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     seeds = sorted(seeds, key=lambda r: (r.h, r.vec_id))
-    codebook = [list(r.v) for r in seeds]  # [k][dim]
-
-    def _sub_d2(m: int, k: int) -> Column:
-        """round(||v_sub_m - centroid[k]_sub_m||^2, 6) as one expression."""
-        sub = F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB)
-        cent = F.array(*[F.lit(float(x)) for x in codebook[k][m * PQ_SUB : (m + 1) * PQ_SUB]])
-        return F.round(
-            F.aggregate(
-                F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            ROUND_RATIO,
-        )
-
-    def _code(m: int) -> Column:
-        """argmin_k d2(m, k), ties to the lower k — array_sort on
-        (d2, k) structs, a pure projection."""
-        return F.array_sort(
-            F.array(*[F.struct(_sub_d2(m, k).alias("d2"), F.lit(k).alias("k")) for k in range(PQ_K)])
-        )[0]["k"]
-
-    encoded = corpus.select(
-        "vec_id", F.array(*[_code(m) for m in range(PQ_M)]).alias("codes")
-    )
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.array(
-            *[F.array(*[_sub_d2(m, k) for k in range(PQ_K)]) for m in range(PQ_M)]
-        ).alias("lut"),
-    )
-    adc = functools.reduce(
-        pyop.add,
+    # codebook as a (m, k, centroid_sub) table — M*K rows, broadcast
+    codebook = spark.createDataFrame(
         [
-            F.element_at(F.element_at(F.col("lut"), m + 1), F.col("codes")[m] + 1).cast(
-                "decimal(18,6)"
-            )
+            (m, k, [float(x) for x in r.v[m * PQ_SUB : (m + 1) * PQ_SUB]])
+            for k, r in enumerate(seeds)
             for m in range(PQ_M)
         ],
+        "m INT, k INT, csub ARRAY<DOUBLE>",
+    )
+
+    # cdist: rounded subspace distance of every vector to every centroid —
+    # one broadcast join, one small zip_with expression
+    subs = (
+        corpus.select(
+            "vec_id",
+            "v",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        )
+        .withColumn("vsub", F.expr(f"slice(v, m * {PQ_SUB} + 1, {PQ_SUB})"))
+        .drop("v")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("vsub"), F.col("csub"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        ROUND_RATIO,
+    )
+    cdist = subs.join(F.broadcast(codebook), "m").select("vec_id", "m", "k", d2.alias("d2"))
+    # argmin per (vector, subspace): min_by over a (d2, k) struct —
+    # map-side combinable, ties to the lower k
+    codes = cdist.groupBy("vec_id", "m").agg(
+        F.min_by("k", F.struct("d2", "k")).alias("k")
+    )
+    lut = cdist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", "k", "d2"
     )
     scored = (
-        encoded.crossJoin(F.broadcast(queries))
+        codes.join(F.broadcast(lut), ["m", "k"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), adc.alias("approx_dec"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("d2").cast("decimal(18,6)")).alias("approx_dec"))
     )
     wa = Window.partitionBy("q_id").orderBy(F.asc("approx_dec"), F.asc("neighbor_id"))
     shortlist = (

@@ -28,6 +28,13 @@ DEFAULT_CONFS: dict[str, str] = {
     # Joins with small dims should broadcast; AQE can also convert at runtime.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+    # Runtime filters (spark.sql.optimizer.runtime.bloomFilter.enabled /
+    # runtimeFilter.semiJoinReduction.enabled) are deliberately NOT set:
+    # measured at sf0.1 local[32] they ballooned the 28-query bench from
+    # ~7 min to >16 min (bloom build aggregates injected into joins whose
+    # sides are already tiny). At real fact-fact scale enable them per
+    # job; the hand-built pattern is operators/extras.py
+    # bloom_filter_semi_join.
     # Quiet the UI for headless runs.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
