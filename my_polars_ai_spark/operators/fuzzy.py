@@ -157,3 +157,44 @@ def group_topk_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= 0.9)
         .select("user_id", "event_id", "value")
     )
+
+
+@op(
+    "weighted_bernoulli_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS ts
+        FROM documents
+    ), probs AS (
+        SELECT doc_id,
+               CAST(floor(len(list_distinct(ts)) * 1024.0
+                          / greatest(len(ts), 1)) AS BIGINT) AS p_1024
+        FROM scored
+    )
+    SELECT doc_id, p_1024
+    FROM probs
+    WHERE ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1024 < p_1024
+    """,
+    tags=("sample", "pipeline"),
+)
+def weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling — keep each document with probability
+    proportional to its lexical diversity (the 'sample high-quality
+    data harder' pass of training-data curation). Per-row Bernoulli
+    with md5-derived uniforms: acceptance is an INTEGER compare
+    (u mod 1024 < floor(diversity*1024)), so the drawn sample is
+    bit-identical across engines, runs, and pipeline stages — unlike
+    rand()-based sampling — and composes with hash_sample /
+    stratified_sample (independent md5 namespaces). One narrow
+    projection + filter; no shuffle, no state."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    p_1024 = F.floor(
+        F.size(F.array_distinct(ts)) * 1024.0 / F.greatest(F.size(ts), F.lit(1))
+    ).cast("bigint")
+    u = portable_hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) % 1024
+    return d.select("doc_id", p_1024.alias("p_1024"), u.alias("u")).filter(
+        F.col("u") < F.col("p_1024")
+    ).select("doc_id", "p_1024")
