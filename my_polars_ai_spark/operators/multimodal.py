@@ -232,3 +232,94 @@ def _frame_hashes(d: DataFrame) -> DataFrame:
         F.col("text"), (F.col("frame_idx") * FRAME_LEN + 1).cast("int"), FRAME_LEN
     )
     return frames.select("doc_id", "frame_idx", F.md5(chunk).alias("frame_hash"))
+
+
+PCM_SAMPLES = 256   # samples per synthesized clip
+PCM_FRAME = 64      # samples per analysis frame
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_samples int, sum_sq bigint, peak int"
+)
+
+
+def _synth_pcm_batches(batches) -> Iterator:
+    """mapInPandas stage 1: synthesize a PCM16-LE payload per doc — the
+    audio analog of _encode_ppm. Samples are md5-derived (identical to
+    the oracle's SQL formula), packed as real little-endian int16 bytes."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def synth(doc_id: int) -> bytes:
+        vals = [
+            (int(hashlib.md5(f"pcm:{doc_id}:{i}".encode()).hexdigest()[:15], 16) % 65536)
+            - 32768
+            for i in range(PCM_SAMPLES)
+        ]
+        return np.array(vals, dtype="<i2").tobytes()
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": [synth(int(d)) for d in pdf["doc_id"]]}
+        )
+
+
+def _pcm_frame_features_batches(batches) -> Iterator:
+    """mapInPandas stage 2: REAL PCM decode — np.frombuffer the int16
+    stream, frame it, and emit per-frame energy (sum of squares) and
+    peak amplitude as EXACT integers (no float anywhere, so the compare
+    can't drift). Swapping this body for librosa/av changes nothing
+    about the plan."""
+    import numpy as np
+    import pandas as pd
+
+    rows = {"doc_id": [], "frame_idx": [], "n_samples": [], "sum_sq": [], "peak": []}
+    for pdf in batches:
+        out = {k: [] for k in rows}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+            for f in range(len(samples) // PCM_FRAME):
+                frame = samples[f * PCM_FRAME : (f + 1) * PCM_FRAME]
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(f)
+                out["n_samples"].append(len(frame))
+                out["sum_sq"].append(int((frame * frame).sum()))
+                out["peak"].append(int(np.abs(frame).max()))
+        yield pd.DataFrame(out)
+
+
+@op(
+    "audio_frame_features",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id, i.i,
+               (('0x' || substr(md5('pcm:' || CAST(d.doc_id AS VARCHAR) || ':' || i.i), 1, 15))::BIGINT
+                % 65536) - 32768 AS smp
+        FROM documents d CROSS JOIN (SELECT unnest(range({PCM_SAMPLES})) AS i) i
+    )
+    SELECT doc_id,
+           CAST(i // {PCM_FRAME} AS INTEGER) AS frame_idx,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+           CAST(max(abs(smp)) AS INTEGER) AS peak
+    FROM s
+    GROUP BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "udf", "audio"),
+)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal pipeline (the PCM twin of the P6 image
+    path): synthesize a real PCM16-LE payload per document (md5-derived
+    samples — no codec libs in this container, but the byte layout,
+    Arrow plumbing, and framing are exactly what a real waveform path
+    uses), then decode and emit per-frame energy and peak amplitude.
+    Both stages are Arrow-batched mapInPandas over binary; every output
+    is an exact integer, so even the UDF pipeline is hash-compared
+    against the oracle, which re-derives the same samples in SQL. Frame
+    count scales with clip length, never corpus size."""
+    d = _t(spark, sf_dir, "documents", min_partitions=spark.sparkContext.defaultParallelism)
+    payloads = d.select("doc_id").mapInPandas(
+        _synth_pcm_batches, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(_pcm_frame_features_batches, schema=AUDIO_SCHEMA)
