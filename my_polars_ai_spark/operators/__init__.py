@@ -54,11 +54,12 @@ _MODULES = (
 #   python_datasource_scan, pq_adc_topk, variant_json_funcs,
 #   near_dup_triangle_stats, bloom_filter_semi_join,
 #   linear_counting_distinct, weighted_bernoulli_sample,
-#   audio_frame_features
-# 16 + 24 + 12 canaries = 52: rotate out two canaries whose families
+#   audio_frame_features, scene_change_detection
+# 16 + 25 + 12 canaries = 53: rotate out three canaries whose families
 # the new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
-# pandas_udf_sigmoid -> audio_frame_features) to close out
-# full-registry driver attestation in one window.
+# pandas_udf_sigmoid -> audio_frame_features, tumbling_window_hourly ->
+# view_purchase_attribution) to close out full-registry driver
+# attestation in one window.
 # Everything not listed follows in module order.
 _PRIORITY = (
     # family canaries — already driver-green in r01/r02, kept so every

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
@@ -323,3 +323,66 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_pcm_batches, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(_pcm_frame_features_batches, schema=AUDIO_SCHEMA)
+
+
+@op(
+    "scene_change_detection",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(text) / {FRAME_LEN}.0) AS BIGINT))) AS frame_idx,
+               text
+        FROM documents WHERE len(text) > 0
+    ), hashed AS (
+        SELECT doc_id, frame_idx,
+               ('0x' || substr(md5(substr(text, CAST(frame_idx * {FRAME_LEN} + 1 AS INTEGER),
+                                          {FRAME_LEN})), 1, 15))::BIGINT AS h60
+        FROM frames
+    ), flagged AS (
+        SELECT doc_id, frame_idx, h60,
+               lag(h60) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        FROM hashed
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN prev IS NULL OR xor(h60, prev) % 5 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "frames", "window"),
+)
+def scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over an opaque frame sequence — the third
+    leg of the video-pipeline triple (frame_sample_chunks = keyframe
+    sampling, multimodal_decode = per-frame decode, this = temporal
+    segmentation). Frames hash to integers; a boundary fires when the
+    frame-to-frame signature relation crosses the (deterministic md5)
+    threshold — exactly where a real pipeline compares perceptual
+    hashes or histogram deltas. The shape is the scalable part: one
+    narrow explode, one per-doc ordered window (state bounded by clip
+    length), one aggregate; all integer-exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_LEN))).cast("long")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("frame_idx") * FRAME_LEN + 1).cast("int"), FRAME_LEN
+    )
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    hashed = frames.select(
+        "doc_id", "frame_idx", portable_hash60(chunk).alias("h60")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = hashed.withColumn("prev", F.lag("h60").over(w))
+    boundary = F.when(
+        F.col("prev").isNull() | (F.expr("h60 ^ prev") % 5 == 0), 1
+    ).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(boundary).alias("n_scenes"),
+    )
