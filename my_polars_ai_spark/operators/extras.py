@@ -814,3 +814,54 @@ def linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one("lineitem", "l_partkey").unionAll(one("orders", "o_custkey"))
+
+
+@op(
+    "merge_partial_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(min(l_quantity) AS BIGINT) AS min_qty,
+           CAST(max(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "incremental", "scale-pattern"),
+)
+def merge_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate merging — the algebraic contract behind
+    map-side combine, incremental rollup maintenance, and cube
+    materialization: split the fact table into independent slices,
+    aggregate each slice separately (in production: yesterday's
+    materialized rollup + today's delta), then MERGE the partials
+    (counts/sums add, mins/maxes fold) instead of rescanning the base.
+    The oracle states the direct one-pass aggregate, so the compare
+    proves merge(partials) == aggregate(whole) exactly — which is what
+    licenses Spark to partial-aggregate before every exchange. Sums in
+    exact integers (l_quantity is integral), so the equality is
+    bit-level."""
+    li = _t(spark, sf_dir, "lineitem")
+    # two disjoint slices standing in for base + delta
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.min(F.col("l_quantity").cast("bigint")).alias("min_qty"),
+            F.max(F.col("l_quantity").cast("bigint")).alias("max_qty"),
+        )
+
+    return (
+        partial(half_a)
+        .unionByName(partial(half_b))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_qty").alias("sum_qty"),
+            F.min("min_qty").alias("min_qty"),
+            F.max("max_qty").alias("max_qty"),
+        )
+    )
