@@ -54,8 +54,9 @@ _MODULES = (
 #   python_datasource_scan, pq_adc_topk, variant_json_funcs,
 #   near_dup_triangle_stats, bloom_filter_semi_join,
 #   linear_counting_distinct, weighted_bernoulli_sample,
-#   audio_frame_features, scene_change_detection, merge_partial_aggs
-# 16 + 26 + 12 canaries = 54: rotate out three canaries whose families
+#   audio_frame_features, scene_change_detection, merge_partial_aggs,
+#   event_transition_matrix
+# 16 + 27 + 12 canaries = 55: rotate out three canaries whose families
 # the new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> audio_frame_features, tumbling_window_hourly ->
 # view_purchase_attribution) to close out full-registry driver

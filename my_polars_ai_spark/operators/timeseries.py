@@ -351,3 +351,40 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_polars_ai_spark.streaming.jobs import attribution_batch
 
     return attribution_batch(spark, sf_dir)
+
+
+@op(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    tags=("timeseries", "window", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (the empirical Markov chain
+    over user journeys): per-user ordered lag pairs each event with its
+    predecessor, then one global count per (prev, next) — the input to
+    next-event prediction, anomaly scoring, and journey visualization.
+    One exchange on user_id for the window (state bounded per user),
+    one |event_types|^2-bounded aggregate; ties in the ordering are
+    broken by event_id so the lag is deterministic on both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
