@@ -1414,3 +1414,28 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             share.alias("share_of_region"),
         )
     )
+
+
+@op(
+    "histogram_2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10.0) * 10 AS BIGINT) AS qty_bin_lo,
+           CAST(floor(l_extendedprice / 20000.0) * 20000 AS BIGINT) AS price_bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY qty_bin_lo, price_bin_lo
+    """,
+    tags=("agg", "histogram", "chart"),
+)
+def histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D fixed-width binning — the heatmap / scatter-density upstream
+    aggregate (the 2-D member of the chart-feeding family next to
+    histogram_bins). One hash aggregation on the compound bin key;
+    output cardinality is bounded by the bin grid, never the data, so
+    the driver-side render stays safe at any corpus size."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_bin = (F.floor(F.col("l_quantity") / 10.0) * 10).cast("bigint").alias("qty_bin_lo")
+    price_bin = (
+        (F.floor(F.col("l_extendedprice") / 20000.0) * 20000).cast("bigint").alias("price_bin_lo")
+    )
+    return li.groupBy(qty_bin, price_bin).agg(F.count(F.lit(1)).alias("n"))
