@@ -328,3 +328,41 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.expr(stack), "n_rows").select(
         "column_name", "n_rows", "n_non_null", "n_distinct"
     )
+
+
+@op(
+    "feature_minmax_scale",
+    oracle=f"""
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_c
+        FROM orders
+    ), bounds AS (
+        SELECT min(x_c) AS lo, max(x_c) AS hi FROM cents
+    )
+    SELECT o_orderkey,
+           {oracle_ratio_round('c.x_c - b.lo', 'b.hi - b.lo')} AS scaled
+    FROM cents c, bounds b
+    """,
+    tags=("ml", "feature", "scaling"),
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling to [0, 1] — the ubiquitous ML-prep pass
+    (pyspark.ml MinMaxScaler's semantics without the Vector detour).
+    The bounds are a broadcast 1-row aggregate; the rescale is a narrow
+    projection. Values convert to exact integer cents first and the
+    ratio rounds by the shared integer half-up rule, so the scaled
+    column hashes identically on both engines — no float division
+    drift."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x_c"),
+    )
+    bounds = cents.agg(F.min("x_c").alias("lo"), F.max("x_c").alias("hi"))
+    return cents.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        ratio_round(F.col("x_c") - F.col("lo"), F.col("hi") - F.col("lo")).alias("scaled"),
+    )
