@@ -55,8 +55,9 @@ _MODULES = (
 #   near_dup_triangle_stats, bloom_filter_semi_join,
 #   linear_counting_distinct, weighted_bernoulli_sample,
 #   audio_frame_features, scene_change_detection, merge_partial_aggs,
-#   event_transition_matrix, histogram_2d, feature_minmax_scale
-# 16 + 29 + 12 canaries = 57: rotate out three canaries whose families
+#   event_transition_matrix, histogram_2d, feature_minmax_scale,
+#   dedup_cluster_size_hist
+# 16 + 30 + 12 canaries = 58: rotate out three canaries whose families
 # the new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> audio_frame_features, tumbling_window_hourly ->
 # view_purchase_attribution) to close out full-registry driver

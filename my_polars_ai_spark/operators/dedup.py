@@ -732,3 +732,47 @@ def near_dup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("transitivity_e6"),
         )
     )
+
+
+@op(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label
+        FROM walk w JOIN edges e ON e.src = w.node
+    ), labels AS (
+        SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
+    FROM sizes
+    GROUP BY cluster_size
+    """,
+    tags=("dedup", "cluster", "report"),
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram every curation run
+    publishes — how many near-dup clusters of each size exist, how many
+    documents they hold, and how many get dropped when one canonical doc
+    survives per cluster (sum of n_dropped / sum of n_docs is the dedup
+    rate). Two bounded aggregations downstream of the connected
+    components; all integer-exact."""
+    labels = dedup_cluster_canonical(spark, sf_dir).select("cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_dropped"),
+    )
