@@ -585,3 +585,72 @@ def repetition_2gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_2grams"),
         F.round(F.max("c") * 1.0 / F.sum("c"), ROUND_RATIO).alias("repetition_ratio"),
     )
+
+
+# PMI support cutoff: pairs must co-occur in at least this many docs.
+PMI_MIN_PAIRS = 50
+
+
+@op(
+    "token_cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), filtered AS (
+        SELECT doc_id, tok FROM toks WHERE tok != ''
+    ), n_docs AS (
+        SELECT count(DISTINCT doc_id) AS n FROM filtered
+    ), tok_df AS (
+        SELECT tok, count(*) AS df FROM filtered GROUP BY tok
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+        FROM filtered a
+        JOIN filtered b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+        HAVING count(*) >= {PMI_MIN_PAIRS}
+    )
+    SELECT p.tok_a, p.tok_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+           round(ln(p.c_ab * 1.0 * n.n / (da.df * 1.0 * db.df)), {ROUND_RATIO}) AS pmi
+    FROM pairs p
+    JOIN tok_df da ON da.tok = p.tok_a
+    JOIN tok_df db ON db.tok = p.tok_b
+    CROSS JOIN n_docs n
+    """,
+    tags=("text", "cooccurrence", "pipeline"),
+)
+def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual
+    information — the statistic behind collocation mining and classic
+    word-embedding objectives (PMI matrix factorization). The pair join
+    is per-document (bounded by each doc's own vocabulary, never
+    corpus-wide); document frequencies ride a broadcast; the support
+    cutoff prunes the long tail BEFORE the df join. PMI =
+    ln(c_ab * N / (df_a * df_b)) over counts, rounded at scale 6 on
+    both engines."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    # corpus size as a broadcast 1-row aggregate, not a driver-side count
+    n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = toks.select("doc_id", F.col("tok").alias("tok_a"))
+    b = toks.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIRS)
+    )
+    da = tok_df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = tok_df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = F.log(
+        F.col("c_ab") * 1.0 * F.col("n_docs") / (F.col("df_a") * 1.0 * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select("tok_a", "tok_b", "c_ab", F.round(pmi, ROUND_RATIO).alias("pmi"))
+    )
