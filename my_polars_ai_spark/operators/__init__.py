@@ -56,8 +56,9 @@ _MODULES = (
 #   linear_counting_distinct, weighted_bernoulli_sample,
 #   audio_frame_features, scene_change_detection, merge_partial_aggs,
 #   event_transition_matrix, histogram_2d, feature_minmax_scale,
-#   dedup_cluster_size_hist, token_cooccurrence_pmi
-# 16 + 31 + 12 canaries = 59: rotate out three canaries whose families
+#   dedup_cluster_size_hist, token_cooccurrence_pmi,
+#   source_quality_report
+# 16 + 32 + 12 canaries = 60: rotate out three canaries whose families
 # the new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> audio_frame_features, tumbling_window_hourly ->
 # view_purchase_attribution) to close out full-registry driver

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.operators.base import (
+    ROUND_RATIO,
+    Op,
+    make_registrar,
+    oracle_ratio_round,
+    ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -653,4 +659,49 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(db), "tok_b")
         .crossJoin(F.broadcast(n))
         .select("tok_a", "tok_b", "c_ab", F.round(pmi, ROUND_RATIO).alias("pmi"))
+    )
+
+
+@op(
+    "source_quality_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, lang, string_split(text, ' ') AS ts FROM documents
+    ), m AS (
+        SELECT source, lang,
+               len(ts) AS n_tokens,
+               len(list_distinct(ts)) AS n_distinct
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           {oracle_ratio_round('sum(n_distinct)', 'sum(n_tokens)')} AS diversity
+    FROM m
+    GROUP BY source
+    """,
+    tags=("text", "report", "pipeline"),
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard — the triage table that decides
+    which crawl/source gets up- or down-sampled: document and token
+    volumes, language mix, and corpus-level lexical diversity per
+    source. All counters are exact integers and the diversity ratio
+    uses the shared integer half-up rounding, so the report hashes
+    identically on both engines. One narrow projection + one bounded
+    aggregate (state = number of sources)."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    m = d.select(
+        "source",
+        "lang",
+        F.size(ts).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        ratio_round(F.sum("n_distinct"), F.sum("n_tokens")).alias("diversity"),
     )
