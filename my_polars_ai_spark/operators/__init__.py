@@ -58,11 +58,16 @@ _MODULES = (
 #   event_transition_matrix, histogram_2d, feature_minmax_scale,
 #   dedup_cluster_size_hist, token_cooccurrence_pmi,
 #   source_quality_report
-# 16 + 32 + 12 canaries = 60: rotate out three canaries whose families
-# the new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
-# pandas_udf_sigmoid -> audio_frame_features, tumbling_window_hourly ->
-# view_purchase_attribution) to close out full-registry driver
-# attestation in one window.
+# (c) the 7 ops added in round-4 session 3:
+#   scd2_history, dq_audit, pareto_frontier_suppliers,
+#   rolling_trend_slope, dup_chunk_fraction, grouped_agg_sum_squares,
+#   asof_join_tolerance
+# 16 + 39 + 12 canaries = 67: rotate out canaries whose families the
+# new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
+# pandas_udf_sigmoid -> grouped_agg_sum_squares, tumbling_window_hourly
+# -> view_purchase_attribution, asof_join_backward ->
+# asof_join_tolerance, and fold the rest across r5/r6 windows) to close
+# out full-registry driver attestation.
 # Everything not listed follows in module order.
 _PRIORITY = (
     # family canaries — already driver-green in r01/r02, kept so every

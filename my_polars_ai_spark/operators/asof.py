@@ -366,3 +366,58 @@ def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "error_ts", "session_start", "session_end")
     )
+
+
+@op(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH views AS (
+        SELECT user_id, ts AS view_ts, value AS view_value
+        FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ) WHERE rn = 1
+    ), purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN v.view_ts >= p.ts - INTERVAL 1 HOUR
+                THEN v.view_ts END AS last_view_ts,
+           CASE WHEN v.view_ts >= p.ts - INTERVAL 1 HOUR
+                THEN round(v.view_value, {ROUND_WIN}) END AS last_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a tolerance bound — Polars
+    join_asof(strategy='backward', tolerance='1h'): the most recent
+    prior view counts only if it happened within the last hour,
+    otherwise the purchase keeps NULL attribution. Because only the
+    LATEST prior right row can ever match, tolerance is a post-filter
+    on the plain backward as-of carry — same single shuffle and
+    bounded window state as `asof_join_backward`, plus one null-out
+    projection; no extra join and no widened window frame."""
+    e = _t(spark, sf_dir, "events")
+    views = _views_deduped(e, "view_ts", "last_view_value")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases,
+        views.select("user_id", "ts", "view_ts", "last_view_value"),
+        on="ts",
+        by="user_id",
+        value_cols=["view_ts", "last_view_value"],
+    )
+    in_tol = F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("view_ts")).alias("last_view_ts"),
+        F.when(in_tol, F.col("last_view_value")).alias("last_view_value"),
+    )

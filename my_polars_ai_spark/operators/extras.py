@@ -865,3 +865,230 @@ def merge_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_qty").alias("max_qty"),
         )
     )
+
+
+@op(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+               lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_status
+        FROM orders
+    ), changes AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate
+        FROM ordered
+        WHERE prev_status IS NULL OR prev_status != o_orderstatus
+    )
+    SELECT o_custkey,
+           row_number() OVER w AS version,
+           o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "merge", "history"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 builder: collapse a keyed change
+    stream (per-customer order-status transitions) into versioned
+    validity intervals — valid_from / valid_to / is_current — the
+    history table every warehouse dimension load maintains. Two keyed
+    windows over the SAME partitioning (custkey), so Catalyst plans one
+    sort+shuffle and reuses it for the change-detect lag, the version
+    row_number, and the interval-closing lead. No self-joins, no
+    driver-side diffing; state per key is a single previous row."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+@op(
+    "dq_audit",
+    oracle="""
+    SELECT 'orders' AS table_name, 'orphan_custkey' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_bad
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem', 'orphan_orderkey', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem', 'orphan_partkey', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem', 'orphan_suppkey', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer', 'dup_custkey', CAST(count(*) AS BIGINT) FROM (
+        SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders', 'dup_orderkey', CAST(count(*) AS BIGINT) FROM (
+        SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders', 'nonpositive_totalprice', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'lineitem', 'discount_out_of_range', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'documents', 'empty_text', CAST(count(*) AS BIGINT)
+    FROM documents WHERE text IS NULL OR length(text) = 0
+    UNION ALL
+    SELECT 'events', 'null_user_id', CAST(count(*) AS BIGINT)
+    FROM events WHERE user_id IS NULL
+    """,
+    tags=("audit", "quality", "join"),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality audit — the pre-flight gate a pipeline
+    runs before promoting a snapshot: referential integrity (orphan
+    foreign keys via LEFT ANTI joins, dimension side broadcast), key
+    uniqueness (group-having on the candidate key), and domain checks
+    (price positivity, discount range, empty documents, null actors).
+    Every check collapses to ONE bigint before the union, so the result
+    is a ~10-row metric table regardless of fact size; the fact scans
+    are narrow (key columns only) and each check is an independent
+    subtree Spark can schedule concurrently."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "events")
+
+    def metric(df: DataFrame, table: str, check: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).select(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            "n_bad",
+        )
+
+    checks = [
+        metric(
+            o.join(F.broadcast(c.select("c_custkey")),
+                   o.o_custkey == c.c_custkey, "left_anti"),
+            "orders", "orphan_custkey"),
+        metric(
+            li.join(o.select("o_orderkey"),
+                    li.l_orderkey == o.o_orderkey, "left_anti"),
+            "lineitem", "orphan_orderkey"),
+        metric(
+            li.join(F.broadcast(p.select("p_partkey")),
+                    li.l_partkey == p.p_partkey, "left_anti"),
+            "lineitem", "orphan_partkey"),
+        metric(
+            li.join(F.broadcast(s.select("s_suppkey")),
+                    li.l_suppkey == s.s_suppkey, "left_anti"),
+            "lineitem", "orphan_suppkey"),
+        metric(
+            c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+            "customer", "dup_custkey"),
+        metric(
+            o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+            "orders", "dup_orderkey"),
+        metric(o.filter(F.col("o_totalprice") <= 0),
+               "orders", "nonpositive_totalprice"),
+        metric(li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+               "lineitem", "discount_out_of_range"),
+        metric(d.filter(F.col("text").isNull() | (F.length("text") == 0)),
+               "documents", "empty_text"),
+        metric(e.filter(F.col("user_id").isNull()),
+               "events", "null_user_id"),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out
+
+
+@op(
+    "pareto_frontier_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(28,6))) * 1000000 AS HUGEINT)
+                    AS BIGINT) AS revenue_micro,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY 1
+    )
+    SELECT r.l_suppkey, r.revenue_micro, r.n_parts
+    FROM rev r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM rev y
+        WHERE y.revenue_micro >= r.revenue_micro
+          AND y.n_parts >= r.n_parts
+          AND (y.revenue_micro > r.revenue_micro OR y.n_parts > r.n_parts)
+    )
+    """,
+    tags=("window", "skyline", "agg"),
+)
+def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): suppliers not dominated on
+    (total revenue, distinct parts carried) — the 'best tradeoff set'
+    query behind vendor scoring and multi-objective ranking. The oracle
+    states the O(n^2) NOT-EXISTS semantics; the Spark plan is the
+    O(n log n) sort-based formulation, made scale-safe by the classic
+    frontier-merge identity frontier(S) = frontier(union of per-slice
+    frontiers): a first pass computes local skylines per hash slice
+    (keyed windows, fully parallel), a second pass runs the same two
+    windows over the (tiny) union of survivors. Dominance uses a
+    strictly-greater-revenue cummax plus an equal-revenue group max, so
+    duplicate points (equal on both dims) are correctly both kept.
+    Revenue aggregates in exact DECIMAL micro-units -> bigint, making
+    the frontier hash-comparable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+               .cast("decimal(28,6)")) * 1000000)
+        .cast("decimal(38,0)").cast("long").alias("revenue_micro"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+
+    def skyline(df: DataFrame, *part_cols: str) -> DataFrame:
+        w_gt = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.desc("revenue_micro"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*part_cols, "revenue_micro")
+        best_gt = F.max("n_parts").over(w_gt)
+        best_eq = F.max("n_parts").over(w_eq)
+        dominated = (
+            (best_gt.isNotNull() & (best_gt >= F.col("n_parts")))
+            | (best_eq > F.col("n_parts"))
+        )
+        return df.withColumn("__dom", dominated).filter(~F.col("__dom")).drop("__dom")
+
+    local = skyline(
+        rev.withColumn("__slice", F.crc32(F.col("l_suppkey").cast("string")) % 16),
+        "__slice",
+    ).drop("__slice")
+    return skyline(local).select("l_suppkey", "revenue_micro", "n_parts")

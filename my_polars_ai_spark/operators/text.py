@@ -705,3 +705,88 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
         ratio_round(F.sum("n_distinct"), F.sum("n_tokens")).alias("diversity"),
     )
+
+
+# Cross-document duplicated-chunk statistic: fixed token-window size.
+DUP_CHUNK_TOKENS = 20
+
+
+@op(
+    "dup_chunk_fraction",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ), d AS (
+        SELECT doc_id, source, ts, len(ts) // {DUP_CHUNK_TOKENS} AS n_chunks
+        FROM t
+    ), idx AS (
+        SELECT doc_id, source, ts,
+               unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS i
+        FROM d WHERE n_chunks > 0
+    ), ch AS (
+        SELECT source,
+               md5(array_to_string(
+                   ts[i*{DUP_CHUNK_TOKENS}+1 : i*{DUP_CHUNK_TOKENS}+{DUP_CHUNK_TOKENS}],
+                   ' ')) AS chunk_hash
+        FROM idx
+    ), c AS (
+        SELECT chunk_hash, count(*) AS n FROM ch GROUP BY 1
+    )
+    SELECT ch.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           {oracle_ratio_round('sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)', 'count(*)')}
+               AS dup_fraction
+    FROM ch JOIN c USING (chunk_hash)
+    GROUP BY ch.source
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-chunk fraction per source — the
+    RefinedWeb/Dolma 'fraction of content inside duplicated n-gram
+    windows' quality signal, at chunk granularity: split every document
+    into non-overlapping 20-token windows, hash each window, and report
+    per source how much of its content also occurs elsewhere in the
+    corpus. Complements `repetition_2gram_ratio` (WITHIN-doc repetition)
+    and `dedup_exact_text` (WHOLE-doc duplicates): this is the partial-
+    overlap detector that catches boilerplate and mirrored passages.
+    Shape: narrow map to chunk hashes (md5, engine-portable), one
+    groupBy on the hash for corpus-wide counts, one equi-join of chunks
+    against those counts (both sides hash-partitioned on chunk_hash —
+    AQE picks the strategy), then a source-bounded rollup with the
+    shared integer half-up ratio."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    )
+    d = d.withColumn(
+        "n_chunks", F.floor(F.size("ts") / DUP_CHUNK_TOKENS).cast("int")
+    ).filter(F.col("n_chunks") > 0)
+    chunks = d.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+        "ts",
+    ).select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("ts"),
+                    F.col("i") * DUP_CHUNK_TOKENS + 1,
+                    F.lit(DUP_CHUNK_TOKENS),
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    counts = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        chunks.join(counts, "chunk_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            ratio_round(F.sum(dup), F.count(F.lit(1))).alias("dup_fraction"),
+        )
+    )

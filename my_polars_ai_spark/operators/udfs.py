@@ -181,3 +181,47 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT d.doc_id, b.bigram, b.pos FROM {view} d, LATERAL bigrams_udtf(d.text) b"
     )
+
+
+@op(
+    "grouped_agg_sum_squares",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM events
+    )
+    SELECT user_id, CAST(sum(cents * cents) AS BIGINT) AS sum_sq_cents
+    FROM v GROUP BY user_id
+    """,
+    tags=("udf", "pandas_udf", "udaf"),
+)
+def grouped_agg_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the custom-aggregate (UDAF) flavor of
+    the Python surface, completing the scalar (pandas_udf_sigmoid) /
+    grouped-map (apply_in_pandas_zscore) / table (udtf_bigrams) set.
+    The aggregate is the per-user second moment sum(cents^2): the input
+    is converted to exact integer cents JVM-side (DECIMAL cast) so the
+    Python body is pure int64 numpy and the result hash-matches SQL.
+    Spark plans this as partial Arrow batches per partition + a final
+    merge on the grouping key — the same two-phase shape as a built-in
+    aggregate, so it scales like one (no whole-group materialization,
+    unlike applyInPandas)."""
+
+    @F.pandas_udf("long")
+    def sum_sq(cents: pd.Series) -> int:
+        import numpy as np
+
+        a = cents.to_numpy(dtype="int64")
+        return int(np.sum(a * a))
+
+    e = _t(spark, sf_dir, "events")
+    cents = (
+        (F.col("value").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").cast("long").alias("cents")
+    )
+    return (
+        e.select("user_id", cents)
+        .groupBy("user_id")
+        .agg(sum_sq("cents").alias("sum_sq_cents"))
+    )

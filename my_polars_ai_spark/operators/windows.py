@@ -416,3 +416,59 @@ def first_last_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("l_partkey").over(w).alias("last_part"),
         F.nth_value("l_partkey", 2).over(w).alias("second_part"),
     )
+
+
+# Anchor for relative-microsecond arithmetic in rolling_trend_slope:
+# epoch_us of 2024-01-01 (the corpus starts 2024-01-01; relative times
+# keep every windowed product inside 63 bits).
+TREND_ANCHOR_US = 1_704_067_200_000_000
+
+
+@op(
+    "rolling_trend_slope",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) - {TREND_ANCHOR_US} AS t_us,
+               CAST(CAST(value AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w * sum(t_us * cents) OVER w
+                - sum(t_us) OVER w * sum(cents) OVER w AS BIGINT) AS slope_num
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "rolling", "timeseries"),
+)
+def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling regression-slope numerator per user over the trailing 5
+    events: n*sum(t*v) - sum(t)*sum(v) — the sign/magnitude of the local
+    trend, the windowed statistic behind 'is this metric rising?'
+    alerting. Everything is exact integer arithmetic: time as
+    microseconds relative to the corpus epoch, value in cents via the
+    DECIMAL cast, windowed sums in DECIMAL(38,0) so no product can
+    overflow — which makes even a regression statistic hash-comparable
+    across engines. One keyed window = one shuffle on user_id; frame
+    state is 5 rows."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "user_id", "event_id", "ts",
+        (F.unix_micros("ts") - F.lit(TREND_ANCHOR_US)).alias("t_us"),
+        (F.col("value").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
+    s_tv = F.sum((F.col("t_us").cast("decimal(38,0)") * F.col("cents"))).over(w)
+    s_t = F.sum(F.col("t_us").cast("decimal(38,0)")).over(w)
+    s_v = F.sum("cents").over(w)
+    return v.select(
+        "user_id", "event_id",
+        (n * s_tv - s_t * s_v).cast("long").alias("slope_num"),
+    )

@@ -340,3 +340,113 @@ def test_pq_recall_against_brute_force(spark, sf_dir):
     # broken encoder/LUT (wrong subspace slicing, wrong argmin ties)
     # drops well below
     assert len(pq & brute) / len(brute) >= 0.6
+
+
+def test_scd2_history_known_answer(spark, tmp_path):
+    """One customer, statuses O,O,F,O across four dated orders: SCD2
+    collapses the repeat into three versions with touching validity
+    intervals and exactly one current row."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, 10, "O", dt(2024, 1, 1)),
+        (1, 11, "O", dt(2024, 1, 2)),   # no change -> absorbed into v1
+        (1, 12, "F", dt(2024, 1, 3)),
+        (1, 13, "O", dt(2024, 1, 4)),
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderkey bigint, o_orderstatus string, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = sorted(
+        (r.version, r.status, r.valid_from, r.valid_to, r.is_current)
+        for r in all_ops()["scd2_history"].fn(spark, str(tmp_path)).collect()
+    )
+    from datetime import datetime as d
+
+    assert got == [
+        (1, "O", d(2024, 1, 1), d(2024, 1, 3), False),
+        (2, "F", d(2024, 1, 3), d(2024, 1, 4), False),
+        (3, "O", d(2024, 1, 4), None, True),
+    ]
+
+
+def test_pareto_frontier_keeps_duplicate_extremes(spark, tmp_path):
+    """Skyline semantics: dominated point dropped, incomparable points
+    kept, and two points equal on BOTH dims both survive (neither
+    strictly dominates the other)."""
+    rows = [
+        # (suppkey, partkey, price, discount): revenue = price at disc 0
+        (1, 1, 100.0, 0.0),                  # (100, 1 part)  frontier
+        (4, 3, 100.0, 0.0),                  # (100, 1 part)  duplicate point, kept
+        (2, 1, 25.0, 0.0), (2, 2, 25.0, 0.0),  # (50, 2 parts) frontier
+        (3, 1, 40.0, 0.0),                   # (40, 1 part)   dominated by s2
+    ]
+    spark.createDataFrame(
+        rows, "l_suppkey bigint, l_partkey bigint, l_extendedprice double, l_discount double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {r.l_suppkey for r in
+           all_ops()["pareto_frontier_suppliers"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, tmp_path):
+    """A purchase 30min after the view matches; one 2h after the same
+    view keeps the row but nulls the attribution (Polars tolerance
+    semantics)."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0, 0), 7, "view", 5.0, ""),
+        (2, dt(2024, 1, 1, 10, 30, 0), 7, "purchase", 9.0, ""),
+        (3, dt(2024, 1, 1, 12, 0, 0), 7, "purchase", 9.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.event_id: (r.last_view_ts, r.last_view_value)
+           for r in all_ops()["asof_join_tolerance"].fn(spark, str(tmp_path)).collect()}
+    from datetime import datetime as d
+
+    assert got[2] == (d(2024, 1, 1, 10, 0, 0), 5.0)
+    assert got[3] == (None, None)
+
+
+def test_dup_chunk_fraction_counts_cross_doc_chunks(spark, tmp_path):
+    """20-token chunking: a chunk shared by two docs counts as
+    duplicated in BOTH sources; sub-chunk-size docs contribute nothing."""
+    chunk_a = " ".join(f"t{i}" for i in range(20))
+    chunk_b = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        (1, chunk_a, "en", "src_a", 0),
+        (2, chunk_a + " " + chunk_b, "en", "src_b", 0),
+        (3, "short doc", "en", "src_a", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.source: (r.n_chunks, r.n_dup_chunks, r.dup_fraction)
+           for r in all_ops()["dup_chunk_fraction"].fn(spark, str(tmp_path)).collect()}
+    assert got == {"src_a": (1, 1, 1.0), "src_b": (2, 1, 0.5)}
+
+
+def test_grouped_agg_udaf_known_answer(spark, tmp_path):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 2), 7, "view", 2.0, ""),
+        (3, dt(2024, 1, 1), 8, "view", 0.5, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.user_id: r.sum_sq_cents
+           for r in all_ops()["grouped_agg_sum_squares"].fn(spark, str(tmp_path)).collect()}
+    assert got == {7: 100 * 100 + 200 * 200, 8: 50 * 50}
