@@ -1092,3 +1092,128 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__slice",
     ).drop("__slice")
     return skyline(local).select("l_suppkey", "revenue_micro", "n_parts")
+
+
+@op(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+    ), new AS (
+        SELECT c_custkey,
+               round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+                          ELSE c_acctbal END, 2) AS bal
+        FROM customer WHERE c_custkey % 11 != 0
+        UNION ALL
+        SELECT c_custkey + 10000000, round(c_acctbal, 2)
+        FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.bal != n.bal THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           o.bal AS old_bal,
+           n.bal AS new_bal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    """,
+    tags=("join", "cdc", "diff"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC diff: classify every key across two
+    table versions as added / removed / changed / unchanged — the
+    change-data-capture pass that feeds incremental downstream loads
+    (and the read-side complement of `merge_upsert`). The 'new'
+    snapshot is derived deterministically from the corpus (every 7th
+    balance bumped, every 11th key dropped, every 13th re-keyed as an
+    insert) so the diff is oracle-checkable. Shape: ONE full outer join
+    on the key — hash-partitioned both sides, AQE handles skew; the
+    classification is a narrow projection on the join output."""
+    c = _t(spark, sf_dir, "customer")
+    old = c.select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    new = (
+        c.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            F.round(
+                F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 50.0)
+                .otherwise(F.col("c_acctbal")),
+                2,
+            ).alias("bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .when(F.col("o.bal") != F.col("n.bal"), "changed")
+        .otherwise("unchanged")
+        .alias("diff_status"),
+        F.col("o.bal").alias("old_bal"),
+        F.col("n.bal").alias("new_bal"),
+    )
+
+
+def _zorder_interleave_sql(a: str, b: str, intdiv: str) -> str:
+    """Portable 16+16-bit Morton interleave as pure arithmetic (no
+    engine-specific bit operators): bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1. Generated once and rendered with each
+    engine's integer-division operator so Spark and DuckDB evaluate the
+    IDENTICAL formula."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(({a} {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@op(
+    "zorder_key",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_custkey % 65536 AS ckey,
+               (CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 65536 AS dayn
+        FROM orders
+    )
+    SELECT o_orderkey, CAST(ckey AS BIGINT) AS ckey, CAST(dayn AS BIGINT) AS dayn,
+           CAST({_zorder_interleave_sql('ckey', 'dayn', '//')} AS BIGINT) AS zkey
+    FROM base
+    """,
+    tags=("layout", "sort", "scan"),
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order day) — the
+    multi-dimensional data-layout primitive: writing files sorted by
+    zkey (repartitionByRange(zkey) + sortWithinPartitions) gives
+    parquet min/max zone maps locality in BOTH dimensions, so filters
+    on either customer OR date ranges skip files, where a plain sort
+    only skips on its leading column. The interleave is pure integer
+    arithmetic generated from one shared formula, so the key itself is
+    oracle-checked bit-for-bit. The projection is narrow and
+    stateless — at 100 TB this is a zero-shuffle map ahead of the
+    layout write."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("long").alias("ckey"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+            % 65536
+        ).cast("long").alias("dayn"),
+    )
+    return base.select(
+        "o_orderkey",
+        "ckey",
+        "dayn",
+        F.expr(_zorder_interleave_sql("ckey", "dayn", "DIV")).cast("long").alias("zkey"),
+    )

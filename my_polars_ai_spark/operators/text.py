@@ -790,3 +790,63 @@ def dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.sum(dup), F.count(F.lit(1))).alias("dup_fraction"),
         )
     )
+
+
+@op(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), f AS (
+        SELECT doc_id, tok FROM toks WHERE tok != ''
+    ), c AS (
+        SELECT tok, count(*) AS c FROM f GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_total FROM f
+    ), lp AS (
+        SELECT f.doc_id,
+               CAST(round(ln(c.c * 1.0 / n.n_total) * 1000000) AS BIGINT) AS lp_micro
+        FROM f JOIN c USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(-sum(lp_micro) AS BIGINT) AS nll_micro,
+           {oracle_ratio_round('-sum(lp_micro)', 'count(*)*1000000')} AS avg_nll
+    FROM lp GROUP BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model negative log-likelihood per document — the
+    CCNet-style 'perplexity filter' stand-in: score each document by the
+    average -ln p(token) under the corpus's own unigram distribution
+    (high = out-of-distribution / junky, low = stereotyped). Float
+    discipline: each token's log-prob is rounded ONCE to integer
+    micro-nats, then all aggregation is exact integer summation — so a
+    transcendental-function score still hash-matches across engines
+    (same trick as `pagerank_near_dup`'s micro-units). The unigram
+    table rides a broadcast here (toy vocabulary); at real vocabulary
+    sizes the same plan works as a hash equi-join on tok — AQE picks
+    the strategy, nothing else changes."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp_micro = (
+        F.round(F.log(F.col("c") * 1.0 / F.col("n_total")) * 1000000)
+        .cast("long")
+        .alias("lp_micro")
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lp_micro)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("lp_micro")).cast("long").alias("nll_micro"),
+        ratio_round(-F.sum("lp_micro"), F.count(F.lit(1)) * 1000000).alias("avg_nll"),
+    )

@@ -388,3 +388,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@op(
+    "rolling_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    )
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    tags=("timeseries", "window", "distinct"),
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the windowed DISTINCT
+    that plain window frames cannot express (no count_distinct over a
+    moving frame in any engine). The oracle states the range-join
+    semantics; the Spark plan is the scalable fan-out identity: each
+    distinct (user, active_day) contributes to exactly the 7 report
+    days [day, day+6], so explode a 7-date sequence (fixed 7x row
+    multiplier, NOT a range join), keep only observed report days
+    (broadcast of the tiny day dimension), and count distinct users per
+    report day. Two bounded shuffles — (user, day) dedup and the final
+    per-day distinct — both keyed on high-cardinality columns."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct().withColumnRenamed("day", "report_day")
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    return (
+        expanded.join(F.broadcast(days), "report_day")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.col("report_day").alias("day"), "wau")
+    )

@@ -450,3 +450,84 @@ def test_grouped_agg_udaf_known_answer(spark, tmp_path):
     got = {r.user_id: r.sum_sq_cents
            for r in all_ops()["grouped_agg_sum_squares"].fn(spark, str(tmp_path)).collect()}
     assert got == {7: 100 * 100 + 200 * 200, 8: 50 * 50}
+
+
+def test_rolling_wau_fanout_matches_range_semantics(spark, tmp_path):
+    """user A active day1, user B active day1+day8: day8's trailing-7d
+    window must NOT include day1 activity."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), 100, "view", 1.0, ""),
+        (2, dt(2024, 1, 1, 10), 200, "view", 1.0, ""),
+        (3, dt(2024, 1, 8, 10), 200, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from datetime import date
+
+    got = {r.day: r.wau for r in all_ops()["rolling_wau"].fn(spark, str(tmp_path)).collect()}
+    # observed days only: Jan 1 (A+B) and Jan 8 (B only — Jan 1 is 7 days back)
+    assert got == {date(2024, 1, 1): 2, date(2024, 1, 8): 1}
+
+
+def test_snapshot_diff_classifies_all_four_states(spark, tmp_path):
+    rows = [
+        (7, "a", 10.0),    # %7==0 -> changed (+50)
+        (11, "b", 20.0),   # %11==0 -> removed
+        (13, "c", 30.0),   # %13==0 -> unchanged AND re-keyed clone added
+        (1, "d", 40.0),    # plain -> unchanged
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {r.c_custkey: r.diff_status
+           for r in all_ops()["snapshot_diff"].fn(spark, str(tmp_path)).collect()}
+    assert got == {7: "changed", 11: "removed", 13: "unchanged",
+                   10000013: "added", 1: "unchanged"}
+
+
+def test_zorder_interleave_bit_exact(spark, tmp_path):
+    """Morton key: a-bits at even positions, b-bits at odd positions."""
+    from datetime import datetime as dt
+
+    # dayn = days since 1990-01-01
+    rows = [
+        (1, 1, dt(1990, 1, 1)),   # ckey=1 dayn=0  -> z=1
+        (2, 0, dt(1990, 1, 2)),   # ckey=0 dayn=1  -> z=2
+        (3, 3, dt(1990, 1, 4)),   # ckey=3 dayn=3  -> z=0b1111=15
+        (4, 5, dt(1990, 1, 3)),   # ckey=5(101) dayn=2(010) -> z=0b011001=25? see below
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = {r.o_orderkey: r.zkey for r in all_ops()["zorder_key"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1: morton(1, 0), 2: morton(0, 1), 3: morton(3, 3), 4: morton(5, 2)}
+    assert got[1] == 1 and got[2] == 2 and got[3] == 15
+
+
+def test_unigram_logprob_known_answer(spark, tmp_path):
+    import math
+
+    rows = [(1, "a a b", "en", "src0", 5)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    r = all_ops()["unigram_logprob_score"].fn(spark, str(tmp_path)).collect()[0]
+    lp_a = round(math.log(2 / 3) * 1e6)   # -405465
+    lp_b = round(math.log(1 / 3) * 1e6)   # -1098612
+    assert r.n_tokens == 3
+    assert r.nll_micro == -(2 * lp_a + lp_b)
