@@ -1217,3 +1217,154 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dayn",
         F.expr(_zorder_interleave_sql("ckey", "dayn", "DIV")).cast("long").alias("zkey"),
     )
+
+
+@op(
+    "array_agg_topk",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_custkey,
+           (list(o_orderkey ORDER BY cents DESC, o_orderkey))[1:3] AS top_orders
+    FROM o GROUP BY o_custkey
+    """,
+    tags=("agg", "array", "nested"),
+)
+def array_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted, capped array aggregation: each customer's top-3 order
+    keys by price as an ARRAY column — the nested-result shape feature
+    stores and API backends ask for (one row per entity, ranked list
+    inside). Per-group state is the collected group (bounded by orders
+    per customer); for unbounded groups the scale path is the
+    window-rank + collect of survivors (`window_topk_per_group`)
+    feeding the same array_agg. Price converts to exact integer cents
+    so the ORDER inside the array — and therefore the array value
+    itself — is engine-portable, with orderkey as the total tiebreak."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").cast("long").alias("cents"),
+    )
+    # sort key: descending cents, ascending orderkey — encoded so one
+    # ascending sort_array gives the right order
+    item = F.struct((-F.col("cents")).alias("neg"), F.col("o_orderkey").alias("k"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.collect_list(item).alias("items"))
+        .select(
+            "o_custkey",
+            F.transform(
+                F.slice(F.sort_array("items"), 1, 3), lambda s: s["k"]
+            ).alias("top_orders"),
+        )
+    )
+
+
+# Compaction target size (in the corpus's n_chars units).
+COMPACTION_TARGET = 2000
+
+
+@op(
+    "compaction_plan",
+    oracle=f"""
+    WITH f AS (
+        SELECT source, doc_id, n_chars,
+               coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prefix
+        FROM documents
+    ), planned AS (
+        SELECT source, doc_id, n_chars, prefix // {COMPACTION_TARGET} AS bin_id
+        FROM f
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bin_bytes
+    FROM planned GROUP BY source, bin_id
+    """,
+    tags=("layout", "window", "maintenance"),
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance pass
+    that bins many small files into ~target-size outputs: an exclusive
+    prefix sum of file sizes per source (one keyed window), integer-
+    divided by the target, assigns every file a deterministic output
+    bin; the summary is the rewrite plan (which bins, how many inputs,
+    how many bytes). The same two-step — prefix-sum then div — is how
+    you'd drive a real `repartitionByRange(bin_id)` rewrite. All
+    integer arithmetic; output bounded by total-bytes/target."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        exact_floor_div(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)),
+            F.lit(COMPACTION_TARGET),
+        ).cast("long").alias("bin_id"),
+    )
+    return planned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").cast("long").alias("bin_bytes"),
+    )
+
+
+def _log2_bucket_sql(col: str, max_pow: int = 25) -> str:
+    """Portable exact log2 bucketing of a non-negative integer: the
+    largest b with 2^b <= x (x=0 -> -1), as a generated CASE ladder both
+    engines evaluate identically — no transcendental log, no rounding
+    seam."""
+    branches = [f"WHEN {col} < 1 THEN -1"]
+    for b in range(max_pow):
+        branches.append(f"WHEN {col} < {1 << (b + 1)} THEN {b}")
+    return "CASE " + " ".join(branches) + f" ELSE {max_pow} END"
+
+
+@op(
+    "interevent_time_hist",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ), b AS (
+        SELECT ({_log2_bucket_sql('(gap_us // 1000000)')}) AS bucket_pow
+        FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT CAST(bucket_pow AS INTEGER) AS bucket_pow,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM b GROUP BY bucket_pow
+    """,
+    tags=("timeseries", "histogram", "window"),
+)
+def interevent_time_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-event-time histogram — the latency/activity-
+    cadence distribution (sub-second, seconds, minutes, hours bands)
+    behind session-timeout tuning and bot detection. Gap = microsecond
+    delta to the user's previous event (one keyed window), bucket =
+    exact integer log2 of whole seconds via a generated comparison
+    ladder shared verbatim with the oracle — a histogram over a
+    logarithm with zero float risk. Output bounded by ~26 buckets."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.expr(_log2_bucket_sql("(gap_us DIV 1000000)")).cast("int")
+    return (
+        g.select(bucket.alias("bucket_pow"))
+        .groupBy("bucket_pow")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )

@@ -531,3 +531,49 @@ def test_unigram_logprob_known_answer(spark, tmp_path):
     lp_b = round(math.log(1 / 3) * 1e6)   # -1098612
     assert r.n_tokens == 3
     assert r.nll_micro == -(2 * lp_a + lp_b)
+
+
+def test_array_agg_topk_orders_and_caps(spark, tmp_path):
+    rows = [
+        (1, 10, 100.0), (1, 11, 300.0), (1, 12, 200.0), (1, 13, 50.0),
+        (2, 20, 5.0),
+        (3, 30, 7.0), (3, 31, 7.0),   # price tie -> orderkey ascending
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {r.o_custkey: list(r.top_orders)
+           for r in all_ops()["array_agg_topk"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1: [11, 12, 10], 2: [20], 3: [30, 31]}
+
+
+def test_compaction_plan_bins_by_prefix_sum(spark, tmp_path):
+    # target = 2000: sizes 1500,1500,1500 -> prefixes 0,1500,3000 -> bins 0,0,1
+    rows = [(1, "x", "en", "s", 1500), (2, "x", "en", "s", 1500), (3, "x", "en", "s", 1500)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r.source, r.bin_id): (r.n_files, r.bin_bytes)
+           for r in all_ops()["compaction_plan"].fn(spark, str(tmp_path)).collect()}
+    assert got == {("s", 0): (2, 3000), ("s", 1): (1, 1500)}
+
+
+def test_interevent_hist_log2_buckets(spark, tmp_path):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0, 0), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 1, 0, 0, 0, 500000), 7, "view", 1.0, ""),  # 0.5s -> bucket -1
+        (3, dt(2024, 1, 1, 0, 0, 3, 500000), 7, "view", 1.0, ""),  # 3.0s -> bucket 1
+        (4, dt(2024, 1, 1, 1, 0, 3, 500000), 7, "view", 1.0, ""),  # 3600s -> bucket 11
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.bucket_pow: r.n_gaps
+           for r in all_ops()["interevent_time_hist"].fn(spark, str(tmp_path)).collect()}
+    assert got == {-1: 1, 1: 1, 11: 1}
