@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, exact_floor_div, make_registrar
+from my_polars_ai_spark.operators.base import (
+    ROUND_RATIO,
+    Op,
+    exact_floor_div,
+    make_registrar,
+    oracle_ratio_round,
+    ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -1367,4 +1374,45 @@ def interevent_time_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select(bucket.alias("bucket_pow"))
         .groupBy("bucket_pow")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+@op(
+    "benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+        SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                                AS HUGEINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders
+    ), tot AS (
+        SELECT count(*) AS n FROM d
+    )
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+           {oracle_ratio_round('count(*)', 'any_value(tot.n)')} AS share
+    FROM d CROSS JOIN tot
+    GROUP BY digit
+    """,
+    tags=("audit", "quality", "agg"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit distribution of order
+    totals — the classic fraud/synthetic-data screen (organic amounts
+    lean heavily on digit 1; fabricated ones don't). Amounts convert to
+    exact integer cents first so 'first digit' is string-exact, not a
+    float-format artifact. One narrow map + a 9-bucket aggregate; the
+    total rides a 1-row broadcast for the share ratio."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)")
+    )
+    d = o.select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            ratio_round(F.count(F.lit(1)), F.any_value("n")).alias("share"),
+        )
     )

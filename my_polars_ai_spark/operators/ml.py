@@ -366,3 +366,143 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         ratio_round(F.col("x_c") - F.col("lo"), F.col("hi") - F.col("lo")).alias("scaled"),
     )
+
+
+@op(
+    "groupwise_ols_slope",
+    oracle=f"""
+    WITH v AS (
+        SELECT n.n_name,
+               CAST(l.l_quantity AS HUGEINT) AS x,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT) AS y
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ), sums AS (
+        SELECT n_name,
+               count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM v GROUP BY n_name
+    ), d AS (
+        SELECT n_name, CAST(n AS BIGINT) AS n,
+               n*sxy - sx*sy AS num,
+               n*sxx - sx*sx AS den
+        FROM sums
+    )
+    SELECT n_name, n,
+           CASE WHEN den = 0 THEN NULL ELSE
+               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                    * ((2*{10**ROUND_RATIO}*abs(num) + den) // (2*den))
+                    AS DOUBLE) / {10**ROUND_RATIO}
+           END AS slope_cents_per_unit
+    FROM d
+    """,
+    tags=("ml", "regression", "agg"),
+)
+def groupwise_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares slope — price-per-additional-
+    unit fitted per supplier nation: slope = (n*Σxy - Σx*Σy) /
+    (n*Σx² - (Σx)²). The whole regression reduces to five distributive
+    sums, so it map-side combines like any aggregate (one shuffle on
+    the group key; dims broadcast into the fact scan) — regression at
+    100 TB IS just a group-by. All moments accumulate in DECIMAL(38,0)
+    exact integers (quantity is integral, price in cents), and the
+    final rational rounds by the shared sign-split half-up integer
+    division, so even a fitted coefficient hash-matches the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    v = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("l_quantity").cast(dec).alias("x"),
+            (F.col("l_extendedprice").cast("decimal(28,6)") * 100)
+            .cast(dec).alias("y"),
+        )
+    )
+    sums = v.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    p = 10**ROUND_RATIO
+    sign = F.when(num < 0, -1).otherwise(1)
+    from my_polars_ai_spark.operators.base import exact_floor_div
+
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (sign * exact_floor_div(2 * p * F.abs(num) + den, 2 * den))
+        .cast("double") / p
+    )
+    return sums.select(
+        "n_name",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope_cents_per_unit"),
+    )
+
+
+@op(
+    "chi_square_lang_source",
+    oracle=f"""
+    WITH o AS (
+        SELECT lang, source, CAST(count(*) AS HUGEINT) AS n_obs
+        FROM documents GROUP BY 1, 2
+    ), r AS (
+        SELECT lang, sum(n_obs) AS row_tot FROM o GROUP BY 1
+    ), c AS (
+        SELECT source, sum(n_obs) AS col_tot FROM o GROUP BY 1
+    ), t AS (
+        SELECT sum(n_obs) AS grand FROM o
+    )
+    SELECT o.lang, o.source, CAST(o.n_obs AS BIGINT) AS n_obs,
+           CAST((2*{10**ROUND_RATIO}*(o.n_obs*t.grand - r.row_tot*c.col_tot)
+                                    *(o.n_obs*t.grand - r.row_tot*c.col_tot)
+                 + r.row_tot*c.col_tot*t.grand)
+                // (2*r.row_tot*c.col_tot*t.grand) AS BIGINT) AS contrib_micro
+    FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+    """,
+    tags=("ml", "stats", "agg"),
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence contributions for the language × source
+    contingency table — 'is language mix independent of crawl source?',
+    the categorical drift test run over corpus snapshots. Each cell's
+    (O-E)²/E is computed WITHOUT floats via the algebraic identity
+    (O·N - R·C)² / (R·C·N), half-up-rounded once to integer micro-units
+    — a hash-exact statistical test. One fact-scan aggregation to the
+    bounded cell table; row/column/grand totals are re-aggregations of
+    the cells themselves (never a second scan), broadcast back onto the
+    cells."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast(dec).alias("n_obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("n_obs").alias("row_tot"))
+    c = o.groupBy("source").agg(F.sum("n_obs").alias("col_tot"))
+    t = o.agg(F.sum("n_obs").alias("grand"))
+    from my_polars_ai_spark.operators.base import exact_floor_div
+
+    p = 10**ROUND_RATIO
+    diff = (F.col("n_obs") * F.col("grand")
+            - F.col("row_tot") * F.col("col_tot"))
+    den = F.col("row_tot") * F.col("col_tot") * F.col("grand")
+    contrib = exact_floor_div(2 * p * diff * diff + den, 2 * den)
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang", "source",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            contrib.cast("long").alias("contrib_micro"),
+        )
+    )

@@ -434,3 +434,57 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .select(F.col("report_day").alias("day"), "wau")
     )
+
+
+@op(
+    "session_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, sid,
+               CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce
+    FROM sessions GROUP BY day
+    """,
+    tags=("timeseries", "session", "agg"),
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce count — single-event sessions per day of session
+    start, the engagement KPI layered on gap-sessionization. Uses the
+    native F.session_window aggregation (same 10-minute gap semantics
+    the `session_window_10m` op already proves equal to the oracle's
+    gaps-and-islands SQL), then a bounded per-day rollup. Session state
+    is watermark-compatible: the identical expression runs under
+    Structured Streaming in streaming/jobs.py."""
+    e = _t(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.to_date(F.date_trunc("day", F.col("sw.start"))).alias("day"),
+            "n_events",
+        )
+    )
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long").alias("n_bounce"),
+    )

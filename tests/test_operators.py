@@ -577,3 +577,66 @@ def test_interevent_hist_log2_buckets(spark, tmp_path):
     got = {r.bucket_pow: r.n_gaps
            for r in all_ops()["interevent_time_hist"].fn(spark, str(tmp_path)).collect()}
     assert got == {-1: 1, 1: 1, 11: 1}
+
+
+def test_groupwise_ols_slope_exact_line(spark, tmp_path):
+    """Perfectly linear data: price = 1.00/unit -> slope exactly 100
+    cents per unit."""
+    spark.createDataFrame(
+        [(1, 1.0, 1.0), (1, 2.0, 2.0), (1, 3.0, 3.0)],
+        "l_suppkey bigint, l_quantity double, l_extendedprice double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 10)], "s_suppkey bigint, s_nationkey bigint"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(10, "TESTLAND")], "n_nationkey bigint, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+
+    r = all_ops()["groupwise_ols_slope"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_name, r.n, r.slope_cents_per_unit) == ("TESTLAND", 3, 100.0)
+
+
+def test_chi_square_zero_under_independence(spark, tmp_path):
+    """Uniform 2x2 table is exactly independent -> every contribution 0."""
+    rows = [
+        (1, "x", "en", "a", 1), (2, "x", "en", "b", 1),
+        (3, "x", "de", "a", 1), (4, "x", "de", "b", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = all_ops()["chi_square_lang_source"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 4 and all(r.contrib_micro == 0 for r in out)
+
+
+def test_benford_uses_cents_first_digit(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, 19.99), (2, 150.0), (3, 0.05)],
+        "o_orderkey bigint, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {r.digit: (r.n_orders, r.share)
+           for r in all_ops()["benford_first_digit"].fn(spark, str(tmp_path)).collect()}
+    assert got == {"1": (2, 0.666667), "5": (1, 0.333333)}
+
+
+def test_session_bounce_rate_counts_single_event_sessions(spark, tmp_path):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 5, 10, 0), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 5, 10, 5), 7, "view", 1.0, ""),   # same session
+        (3, dt(2024, 1, 5, 23, 0), 7, "view", 1.0, ""),   # bounce
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from datetime import date
+
+    got = {r.day: (r.n_sessions, r.n_bounce)
+           for r in all_ops()["session_bounce_rate"].fn(spark, str(tmp_path)).collect()}
+    assert got == {date(2024, 1, 5): (2, 1)}
