@@ -1416,3 +1416,63 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.count(F.lit(1)), F.any_value("n")).alias("share"),
         )
     )
+
+
+@op(
+    "wow_revenue_change",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                             AS HUGEINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT cur.day, cur.rev_cents,
+           prev.rev_cents AS prev_rev_cents,
+           CASE WHEN prev.rev_cents IS NULL THEN NULL ELSE
+               CAST((CASE WHEN cur.rev_cents < prev.rev_cents THEN -1 ELSE 1 END)
+                    * ((2*{10**ROUND_RATIO}*abs(CAST(cur.rev_cents AS HUGEINT)
+                                                - prev.rev_cents)
+                        + prev.rev_cents) // (2*CAST(prev.rev_cents AS HUGEINT)))
+                    AS DOUBLE) / {10**ROUND_RATIO}
+           END AS wow_pct
+    FROM daily cur
+    LEFT JOIN daily prev ON prev.day = cur.day - 7
+    """,
+    tags=("timeseries", "join", "report"),
+)
+def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change per day — the calendar-aligned
+    comparison every reporting layer ships: today vs the SAME WEEKDAY
+    last week (a self-join on day-7, NOT lag(7) over observed rows,
+    which silently misaligns across gaps). The daily rollup aggregates
+    once and joins against itself; at 100 TB the rollup output is
+    calendar-bounded, so the self-join is trivially broadcast. Revenue
+    in exact cents; the percent change uses the shared sign-split
+    half-up integer rational."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100)
+              .cast("decimal(38,0)"))
+        .cast("long").alias("rev_cents")
+    )
+    cur = daily.alias("cur")
+    prev = daily.alias("prev")
+    p = 10**ROUND_RATIO
+    cur_c = F.col("cur.rev_cents").cast("decimal(38,0)")
+    prev_c = F.col("prev.rev_cents").cast("decimal(38,0)")
+    sign = F.when(cur_c < prev_c, -1).otherwise(1)
+    pct = F.when(prev_c.isNull(), F.lit(None).cast("double")).otherwise(
+        (sign * exact_floor_div(2 * p * F.abs(cur_c - prev_c) + prev_c, 2 * prev_c))
+        .cast("double") / p
+    )
+    return cur.join(
+        F.broadcast(prev), F.col("prev.day") == F.date_sub(F.col("cur.day"), 7), "left"
+    ).select(
+        F.col("cur.day").alias("day"),
+        F.col("cur.rev_cents").alias("rev_cents"),
+        F.col("prev.rev_cents").alias("prev_rev_cents"),
+        pct.alias("wow_pct"),
+    )

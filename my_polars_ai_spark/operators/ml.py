@@ -506,3 +506,163 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.cast("long").alias("contrib_micro"),
         )
     )
+
+
+@op(
+    "gini_per_nation",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                   AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT n.n_name, s.cents,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY s.cents, s.o_custkey) AS i
+        FROM spend s
+        JOIN customer c ON c.c_custkey = s.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), sums AS (
+        SELECT n_name, count(*) AS n, sum(cents) AS sx, sum(i * cents) AS six
+        FROM ranked GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+           CAST((2*{10**ROUND_RATIO}*(2*six - (n+1)*sx) + (n*sx))
+                // (2*(n*sx)) AS DOUBLE) / {10**ROUND_RATIO} AS gini
+    FROM sums
+    """,
+    tags=("ml", "stats", "window"),
+)
+def gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the revenue-
+    concentration / inequality metric behind whale-risk dashboards,
+    computed exactly: G = (2*Σ(i*x) - (n+1)*Σx) / (n*Σx) over spend
+    ranked ascending within each nation (row_number with the customer
+    key as total tiebreak, so the rank — and therefore G — is
+    deterministic). The rank window partitions on nation and the
+    moment sums are a plain group-by on the same key: two stages, both
+    keyed, no global sort. Everything up to the final rounded ratio is
+    DECIMAL(38,0) integer arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    spend = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(dec))
+        .cast(dec).alias("cents")
+    )
+    ranked = (
+        spend.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                   spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name", "cents",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy("cents", "o_custkey")
+            ).cast(dec).alias("i"),
+        )
+    )
+    sums = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    from my_polars_ai_spark.operators.base import exact_floor_div
+
+    p = 10**ROUND_RATIO
+    num = 2 * F.col("six") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    gini = exact_floor_div(2 * p * num + den, 2 * den).cast("double") / p
+    return sums.select(
+        "n_name", F.col("n").cast("long").alias("n_customers"), gini.alias("gini")
+    )
+
+
+@op(
+    "spearman_per_nation",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               sum(CAST(CAST(o.o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                   AS cents,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT n.n_name,
+               2*rank() OVER (PARTITION BY n.n_name ORDER BY m.cents)
+                 + count(*) OVER (PARTITION BY n.n_name, m.cents) - 1 AS rx2,
+               2*rank() OVER (PARTITION BY n.n_name ORDER BY m.n_orders)
+                 + count(*) OVER (PARTITION BY n.n_name, m.n_orders) - 1 AS ry2
+        FROM m JOIN nation n ON n.n_nationkey = m.c_nationkey
+    ), sums AS (
+        SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+               sum(rx2) AS sx, sum(ry2) AS sy,
+               sum(rx2*ry2) AS sxy, sum(rx2*rx2) AS sxx, sum(ry2*ry2) AS syy
+        FROM ranked GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+           CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL ELSE
+               round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)), 6)
+           END AS rho
+    FROM sums
+    """,
+    tags=("ml", "stats", "window"),
+)
+def spearman_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer spend and order count
+    per nation — the tie-robust monotonic-association test (Pearson on
+    average ranks). Average ranks are kept integral by doubling:
+    avg_rank*2 = 2*rank + tie_count - 1, so every moment sum is exact
+    integer; only the final rho touches doubles, where IEEE sqrt and
+    divide are correctly rounded and therefore engine-identical.
+    Shape: per-nation rank windows (keyed, no global sort) + one
+    moment aggregation on the same key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    m = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(dec))
+            .cast(dec).alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+
+    def rank2(col: str):
+        return (
+            2 * F.rank().over(Window.partitionBy("n_name").orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy("n_name", col))
+            - 1
+        ).cast(dec)
+
+    ranked = m.select(
+        "n_name", rank2("cents").alias("rx2"), rank2("n_orders").alias("ry2")
+    )
+    sums = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = F.when((dx == 0) | (dy == 0), F.lit(None).cast("double")).otherwise(
+        F.round(num.cast("double") / F.sqrt((dx * dy).cast("double")), 6)
+    )
+    return sums.select(
+        "n_name", F.col("n").cast("long").alias("n_customers"), rho.alias("rho")
+    )

@@ -472,3 +472,45 @@ def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         (n * s_tv - s_t * s_v).cast("long").alias("slope_num"),
     )
+
+
+@op(
+    "running_distinct_event_types",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_seen
+    FROM m
+    """,
+    tags=("window", "distinct"),
+)
+def running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — how many distinct event types
+    has this user touched as of each event (the engagement-breadth
+    curve). Engines disagree on windowed DISTINCT support, so the two
+    sides state the two classic formulations and prove them equal: the
+    oracle runs the first-occurrence-flag + running-sum identity; Spark
+    runs size(collect_set) over the frame, whose state is bounded by
+    the event-type DOMAIN (a handful), not the frame length — the
+    distinction that makes it safe at 100 TB. Both need only the one
+    user_id shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )

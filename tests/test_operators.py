@@ -640,3 +640,86 @@ def test_session_bounce_rate_counts_single_event_sessions(spark, tmp_path):
     got = {r.day: (r.n_sessions, r.n_bounce)
            for r in all_ops()["session_bounce_rate"].fn(spark, str(tmp_path)).collect()}
     assert got == {date(2024, 1, 5): (2, 1)}
+
+
+def test_running_distinct_counts_first_occurrences(spark, tmp_path):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 1, 0, 1), 7, "view", 1.0, ""),
+        (3, dt(2024, 1, 1, 0, 2), 7, "click", 1.0, ""),
+        (4, dt(2024, 1, 1, 0, 3), 7, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.event_id: r.n_types_seen
+           for r in all_ops()["running_distinct_event_types"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_wow_change_aligns_on_calendar_not_rows(spark, tmp_path):
+    """A missing day between the two weeks must not shift alignment:
+    Jan 8 compares to Jan 1 even though Jan 2-7 have no orders."""
+    from datetime import datetime as dt
+
+    rows = [(1, dt(2024, 1, 1), 100.0), (2, dt(2024, 1, 8), 150.0),
+            (3, dt(2024, 1, 9), 80.0)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate timestamp, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    from datetime import date
+
+    got = {r.day: (r.prev_rev_cents, r.wow_pct)
+           for r in all_ops()["wow_revenue_change"].fn(spark, str(tmp_path)).collect()}
+    assert got[date(2024, 1, 1)] == (None, None)
+    assert got[date(2024, 1, 8)] == (10000, 0.5)       # +50%
+    assert got[date(2024, 1, 9)] == (None, None)       # Jan 2 absent
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Equal spends -> G=(n-1)... exactly (2*six-(n+1)*sx)/(n*sx): for two
+    equal customers G=0; for (0-ish, all) concentration G->1/2 with n=2."""
+    from datetime import datetime as dt
+
+    rows = [(1, 10, 100.0, dt(2024, 1, 1)), (2, 11, 100.0, dt(2024, 1, 1))]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 1)], "c_custkey bigint, c_nationkey bigint"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "EQUALLAND")], "n_nationkey bigint, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+
+    r = all_ops()["gini_per_nation"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_name, r.n_customers, r.gini) == ("EQUALLAND", 2, 0.0)
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    """Spend and order count rise together -> rho = 1.0 exactly."""
+    from datetime import datetime as dt
+
+    rows = []
+    k = 0
+    for cust, n_orders in [(10, 1), (11, 2), (12, 3)]:
+        for _ in range(n_orders):
+            k += 1
+            rows.append((k, cust, 100.0, dt(2024, 1, 1)))
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1)], "c_custkey bigint, c_nationkey bigint"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "MONOLAND")], "n_nationkey bigint, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+
+    r = all_ops()["spearman_per_nation"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_customers, r.rho) == (3, 1.0)
