@@ -203,10 +203,10 @@ def grouped_agg_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregate is the per-user second moment sum(cents^2): the input
     is converted to exact integer cents JVM-side (DECIMAL cast) so the
     Python body is pure int64 numpy and the result hash-matches SQL.
-    Spark plans this as partial Arrow batches per partition + a final
-    merge on the grouping key — the same two-phase shape as a built-in
-    aggregate, so it scales like one (no whole-group materialization,
-    unlike applyInPandas)."""
+    Spark plans this as an aggregate node (ArrowAggregatePython after
+    one shuffle+sort on the grouping key) that streams Arrow batches
+    through the UDF — bounded state per group, never the whole-group
+    materialization of applyInPandas."""
 
     @F.pandas_udf("long")
     def sum_sq(cents: pd.Series) -> int:

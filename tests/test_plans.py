@@ -227,3 +227,45 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
         F.to_date("ts") == "2024-01-03"  # non-partition predicate, full scan
     ).count()
     assert n_pruned == n_full
+
+
+def test_scd2_reuses_one_sort_shuffle(spark, sf_dir):
+    """All three SCD2 windows share the (o_custkey, orderdate) sort —
+    the plan must carry exactly one hash exchange, not one per window."""
+    s = plan_summary(all_ops()["scd2_history"].fn(spark, sf_dir))
+    assert s["exchanges"] == 1, s
+    assert s["python_evals"] == 0
+
+
+def test_zorder_key_is_zero_shuffle_narrow_map(spark, sf_dir):
+    s = plan_summary(all_ops()["zorder_key"].fn(spark, sf_dir))
+    assert s["exchanges"] == 0, s
+    assert s["scans"] == 1
+    assert s["python_evals"] == 0
+
+
+def test_groupwise_ols_broadcasts_dims(spark, sf_dir):
+    s = plan_summary(all_ops()["groupwise_ols_slope"].fn(spark, sf_dir))
+    assert s["broadcast_joins"] == 2, s      # supplier + nation
+    assert s["sortmerge_joins"] == 0 and s["shuffled_hash_joins"] == 0
+    assert s["python_evals"] == 0
+
+
+def test_rolling_wau_avoids_range_join(spark, sf_dir):
+    """The fan-out formulation must stay equi-join: no nested-loop /
+    cartesian range join anywhere in the plan."""
+    s = plan_summary(all_ops()["rolling_wau"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+
+
+def test_grouped_agg_udaf_is_partial_merge_shape(spark, sf_dir):
+    """GROUPED_AGG pandas UDF must plan as aggregation (with the single
+    Arrow boundary), not as whole-group FlatMapGroupsInPandas."""
+    from my_polars_ai_spark.plans.inspect import explain_str
+
+    df = all_ops()["grouped_agg_sum_squares"].fn(spark, sf_dir)
+    text = explain_str(df, mode="simple")
+    # Spark 4 plans GROUPED_AGG as ArrowAggregatePython (aggregate node,
+    # streaming Arrow batches), never whole-group FlatMapGroupsInPandas
+    assert "AggregatePython" in text or "AggregateInPandas" in text, text
+    assert "FlatMapGroupsInPandas" not in text
