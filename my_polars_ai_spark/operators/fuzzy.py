@@ -198,3 +198,45 @@ def weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", p_1024.alias("p_1024"), u.alias("u")).filter(
         F.col("u") < F.col("p_1024")
     ).select("doc_id", "p_1024")
+
+
+@op(
+    "train_val_test_split",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    ), labeled AS (
+        SELECT source,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM labeled GROUP BY source, split
+    """,
+    tags=("sample", "pipeline"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-
+    addressed hash — the split every training pipeline needs to be (a)
+    reproducible across engines and reruns, (b) stable under corpus
+    growth (a doc's split never changes when other docs arrive), and
+    (c) leakage-auditable (the md5 namespace 'split:' is disjoint from
+    the sampling ops' namespaces). Zero-shuffle assignment; the summary
+    is a bounded source x split rollup the release report publishes."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = portable_hash60(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

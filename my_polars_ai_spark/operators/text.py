@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from my_polars_ai_spark.operators.base import (
     ROUND_RATIO,
     Op,
+    exact_floor_div,
     make_registrar,
     oracle_ratio_round,
     ratio_round,
@@ -849,4 +850,54 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.sum("lp_micro")).cast("long").alias("nll_micro"),
         ratio_round(-F.sum("lp_micro"), F.count(F.lit(1)) * 1000000).alias("avg_nll"),
+    )
+
+
+# Context-window length for the padding-waste statistic.
+PACK_WINDOW_TOKENS = 512
+
+
+@op(
+    "padding_waste_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), w AS (
+        SELECT source, n_tok,
+               ((n_tok + {PACK_WINDOW_TOKENS} - 1) // {PACK_WINDOW_TOKENS})
+                   * {PACK_WINDOW_TOKENS} - n_tok AS pad
+        FROM t WHERE n_tok > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(pad) AS BIGINT) AS padded_tokens,
+           {oracle_ratio_round('sum(pad)', 'sum(n_tok) + sum(pad)')} AS waste_ratio
+    FROM w GROUP BY source
+    """,
+    tags=("text", "pipeline", "report"),
+)
+def padding_waste_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste under one-document-per-window batching at a
+    512-token context — the measurement that motivates sequence packing
+    (its packed counterpart is `compaction_plan`'s prefix-sum binning):
+    each document occupies ceil(n_tok/512) windows; everything past its
+    tokens is pad. Reported per source so curation can see which
+    sources (short docs) burn the most compute. ceil-div is exact
+    integer arithmetic on both engines; the waste ratio uses the shared
+    half-up integer rounding."""
+    d = _t(spark, sf_dir, "documents")
+    W = PACK_WINDOW_TOKENS
+    t = d.select("source", F.size(F.split("text", " ")).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    pad = (
+        exact_floor_div(F.col("n_tok") + (W - 1), F.lit(W)) * W - F.col("n_tok")
+    ).alias("pad")
+    w = t.select("source", "n_tok", pad)
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("pad").cast("long").alias("padded_tokens"),
+        ratio_round(F.sum("pad"), F.sum("n_tok") + F.sum("pad")).alias("waste_ratio"),
     )

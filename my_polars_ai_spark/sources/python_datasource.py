@@ -29,8 +29,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SYNTH_SCHEMA = "row_id BIGINT, key STRING, h60 BIGINT"
@@ -161,3 +163,79 @@ class SynthStreamReader(SimpleDataSourceStreamReader):
 
 def register_synth_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(SynthStreamSource)
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlSink(DataSource):
+    """Writer flavor of the Python DataSource API —
+    ``df.write.format("jsonl_sink").option("path", dir).save()``: each
+    task streams its partition to a private ``part-<pid>.jsonl`` file
+    and returns a commit message; the DRIVER's ``commit()`` then writes
+    the ``_MANIFEST.json`` naming every part and its row count, which
+    is what makes the sink transactional: readers that honor the
+    manifest never see a half-written job (same two-phase protocol as
+    Hadoop FileOutputCommitter / Iceberg snapshot commit). ``abort()``
+    removes orphan parts on task failure."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:  # not used on the write path
+        return SYNTH_SCHEMA
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options["path"], [f.name for f in schema.fields])
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(part, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        return _PartFile(part, n)
+
+    def commit(self, messages: Sequence[_PartFile]) -> None:
+        import json
+        import os
+
+        manifest = {
+            "parts": sorted(
+                ({"path": os.path.basename(m.path), "n_rows": m.n_rows}
+                 for m in messages),
+                key=lambda p: p["path"],
+            ),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages: Sequence[_PartFile]) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(JsonlSink)

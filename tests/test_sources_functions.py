@@ -195,3 +195,42 @@ def test_python_datasource_arrow_batch_path(spark):
         .load()
     )
     assert sorted(tuple(r) for r in df.collect()) == [synth_row(i) for i in range(40)]
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Python DataSource WRITER: per-task part files + driver-side
+    manifest commit; reading the parts back recovers the rows."""
+    import json
+
+    from my_polars_ai_spark.sources.python_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "id * 2 AS doubled")
+    out = str(tmp_path / "sink")
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(f"{out}/_MANIFEST.json"))
+    assert manifest["n_rows"] == 100
+    assert len(manifest["parts"]) == 4
+    assert sum(p["n_rows"] for p in manifest["parts"]) == 100
+
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    assert back.count() == 100
+    assert back.selectExpr("sum(doubled)").collect()[0][0] == 9900
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """mergeSchema read across two parquet generations: new column is
+    NULL for old files, old rows still scan — the additive-evolution
+    contract a long-lived 100 TB table depends on."""
+    v1 = str(tmp_path / "t" / "v1")
+    v2 = str(tmp_path / "t" / "v2")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(v2)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
