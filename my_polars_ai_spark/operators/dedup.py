@@ -776,3 +776,98 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
         ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_dropped"),
     )
+
+
+@op(
+    "dedup_keep_longest",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS prefix_key
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, n_tokens, prefix_key,
+               row_number() OVER (PARTITION BY prefix_key
+                                  ORDER BY n_tokens DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY prefix_key) AS n_versions
+        FROM keyed
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup with a retention POLICY: documents sharing a
+    10-token prefix block are near-duplicate versions; retain the
+    LONGEST (ties to the lowest doc_id), recording how many versions it
+    beat. This is the 'keep the most complete copy' rule real curation
+    uses where `dedup_keyed_first`'s keep-first is arbitrary — and the
+    blocking key means one keyed window on the prefix hash, never a
+    pairwise comparison. Exact integer ordering makes the survivor set
+    deterministic and oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.size(ts).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(ts, 1, 10))).alias("prefix_key"),
+    )
+    w = Window.partitionBy("prefix_key").orderBy(F.desc("n_tokens"), "doc_id")
+    ranked = keyed.select(
+        "doc_id", "source", "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("prefix_key")).alias("n_versions"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        )
+    )
+
+
+@op(
+    "source_overlap_matrix",
+    oracle="""
+    WITH hs AS (
+        SELECT DISTINCT md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+                   AS h, source
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_texts
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "report", "join"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many near-duplicate documents (10-token-prefix fingerprint, the
+    same blocking key as `dedup_keep_longest`) they share — the
+    mirror-detection view that drives
+    'drop source B, it is a copy of A' decisions (and the source-level
+    aggregate of `benchmark_contamination`'s doc-level check). The join
+    is on the content hash (each side already deduped to distinct
+    (hash, source)), so candidate generation is bucketed by content —
+    never a source-pair cross join; output is bounded by source-pair
+    count."""
+    d = _t(spark, sf_dir, "documents")
+    hs = d.select(
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10))).alias("h"),
+        "source",
+    ).distinct()
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )

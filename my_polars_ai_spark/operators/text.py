@@ -901,3 +901,67 @@ def padding_waste_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pad").cast("long").alias("padded_tokens"),
         ratio_round(F.sum("pad"), F.sum("n_tok") + F.sum("pad")).alias("waste_ratio"),
     )
+
+
+# Vocab-growth bucketing: docs per corpus-order bucket.
+VOCAB_BUCKET_DOCS = 20
+
+
+@op(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), bi AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+        FROM (
+            SELECT doc_id, ts,
+                   unnest(generate_series(1, CAST(len(ts) - 1 AS BIGINT))) AS i
+            FROM t WHERE len(ts) > 1
+        )
+    ), firsts AS (
+        SELECT bigram, min(doc_id) AS first_doc FROM bi GROUP BY bigram
+    ), bucketed AS (
+        SELECT first_doc // {VOCAB_BUCKET_DOCS} AS bucket,
+               count(*) AS new_bigrams
+        FROM firsts GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(new_bigrams AS BIGINT) AS new_bigrams,
+           CAST(sum(new_bigrams) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_vocab
+    FROM bucketed
+    """,
+    tags=("text", "report", "pipeline"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law diagnostic) over the BIGRAM
+    vocabulary: new distinct bigrams contributed per bucket of 20
+    documents in corpus order, plus the cumulative vocabulary — the
+    saturation signal that tells a crawl 'more of this source adds no
+    new language'. Each bigram reduces to its FIRST document (one
+    groupBy — min is map-side combinable), then a bucket rollup; the
+    only window runs over the bucket table, whose size is docs/20, not
+    bigrams — that re-aggregation is what makes a corpus-order
+    cumulative curve safe at 100 TB."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    ).filter(F.size("ts") > 1)
+    n1 = F.size("ts") - 1
+    bigrams = F.zip_with(
+        F.slice("ts", 1, n1),
+        F.slice("ts", 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = t.select("doc_id", F.explode(bigrams).alias("bigram"))
+    firsts = bi.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    bucketed = firsts.groupBy(
+        (F.col("first_doc") / VOCAB_BUCKET_DOCS).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_bigrams"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        "bucket",
+        "new_bigrams",
+        F.sum("new_bigrams").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -723,3 +723,50 @@ def test_spearman_perfect_monotone(spark, tmp_path):
 
     r = all_ops()["spearman_per_nation"].fn(spark, str(tmp_path)).collect()[0]
     assert (r.n_customers, r.rho) == (3, 1.0)
+
+
+def test_keep_longest_retains_most_complete_version(spark, tmp_path):
+    prefix = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (1, prefix + " extra tokens here", "a", "s1", 0),   # longest -> kept
+        (2, prefix, "a", "s2", 0),                          # shorter dup
+        (3, "completely different text", "a", "s1", 0),     # own block
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r.n_versions
+           for r in all_ops()["dedup_keep_longest"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_source_overlap_counts_shared_prefixes(spark, tmp_path):
+    prefix = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (1, prefix + " a", "x", "s1", 0),
+        (2, prefix + " b", "x", "s2", 0),
+        (3, prefix + " c", "x", "s2", 0),   # same source: no extra pair
+        (4, "other thing entirely", "x", "s3", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r.source_a, r.source_b): r.n_shared_texts
+           for r in all_ops()["source_overlap_matrix"].fn(spark, str(tmp_path)).collect()}
+    assert got == {("s1", "s2"): 1}
+
+
+def test_vocab_growth_counts_first_occurrences(spark, tmp_path):
+    rows = [
+        (1, "a b", "x", "s", 0),        # bucket 0: bigram "a b"
+        (25, "a b c", "x", "s", 0),     # bucket 1: only "b c" is new
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.bucket: (r.new_bigrams, r.cum_vocab)
+           for r in all_ops()["vocab_growth_curve"].fn(spark, str(tmp_path)).collect()}
+    assert got == {0: (1, 1), 1: (1, 2)}
