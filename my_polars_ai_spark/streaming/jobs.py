@@ -381,3 +381,33 @@ def stream_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     return _drain_to_memory(out, "update")
+
+
+def bounce_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: the registry op `session_bounce_rate`."""
+    from my_polars_ai_spark.operators.timeseries import OPS as TS_OPS
+
+    return TS_OPS["session_bounce_rate"].fn(spark, sf_dir)
+
+
+def stream_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounce-rate feed: the STATEFUL half (watermarked
+    per-user session windows) runs under Structured Streaming; the
+    calendar rollup — whose input is session-count-sized, not
+    event-sized — is the batch tail over the drained session table.
+    This is the standard two-level shape when the second aggregation is
+    report-bounded: keep the unbounded-state operator streaming,
+    finish the tiny rollup at read time (chaining a second streaming
+    agg would force append-mode watermark propagation for no state
+    benefit)."""
+    sessions = stream_session_windows(spark, sf_dir)  # drained: user, start, n
+    return (
+        sessions.groupBy(
+            F.to_date(F.date_trunc("day", "session_start")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long").alias("n_bounce"),
+        )
+    )

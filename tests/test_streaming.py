@@ -235,3 +235,17 @@ def test_transform_with_state_totals_match_batch(spark, sf_dir):
         if r.user_id not in final or r.n_events > final[r.user_id][0]:
             final[r.user_id] = (r.n_events, r.sum_value_e4)
     assert final == batch
+
+
+def test_stream_session_bounce_matches_batch(spark, sf_dir):
+    from my_polars_ai_spark.streaming.jobs import bounce_batch, stream_session_bounce
+
+    got = {
+        r.day: (r.n_sessions, r.n_bounce)
+        for r in stream_session_bounce(spark, sf_dir).collect()
+    }
+    want = {
+        r.day: (r.n_sessions, r.n_bounce)
+        for r in bounce_batch(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
