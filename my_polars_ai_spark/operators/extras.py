@@ -1476,3 +1476,60 @@ def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev.rev_cents").alias("prev_rev_cents"),
         pct.alias("wow_pct"),
     )
+
+
+@op(
+    "hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT c_custkey AS node, c_custkey // 10 AS parent FROM customer
+    ), climb AS (
+        SELECT node AS c_custkey, node AS cur, 0 AS depth FROM e
+        UNION ALL
+        SELECT c.c_custkey, e.parent, c.depth + 1
+        FROM climb c JOIN e ON e.node = c.cur
+        WHERE c.cur >= 10
+    )
+    SELECT c_custkey, CAST(cur AS BIGINT) AS root_key,
+           CAST(depth AS INT) AS depth
+    FROM climb WHERE cur < 10
+    """,
+    tags=("join", "recursive", "graph"),
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface: climb a parent hierarchy (org chart / BOM
+    / account tree) to each node's ROOT and DEPTH. The edge table here
+    derives parent = key//10 from the corpus so the oracle is a true
+    WITH RECURSIVE; the Spark side is the engine-idiomatic equivalent —
+    a bounded ITERATIVE JOIN against the edge table (Spark has no
+    recursive CTE), one hop per round, constants-only driver loop
+    (same discipline as dedup_cluster_canonical's label propagation).
+    Five rounds cover depth<=5 here; for deep hierarchies the same loop
+    upgrades to pointer-doubling (halving rounds to O(log depth)).
+    Every round is a keyed equi-join — at 100 TB each hop is one
+    shuffle, and finished rows short-circuit via the conditional
+    update."""
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("node"),
+        exact_floor_div(F.col("c_custkey"), F.lit(10)).cast("long").alias("parent"),
+    )
+    state = c.select(
+        "c_custkey",
+        F.col("c_custkey").alias("cur"),
+        F.lit(0).alias("depth"),
+    )
+    for _ in range(5):
+        live = F.col("cur") >= 10
+        state = (
+            state.join(edges, state.cur == edges.node, "left")
+            .select(
+                "c_custkey",
+                F.when(live, F.col("parent")).otherwise(F.col("cur")).alias("cur"),
+                F.when(live, F.col("depth") + 1).otherwise(F.col("depth")).alias("depth"),
+            )
+        )
+    return state.select(
+        "c_custkey", F.col("cur").cast("long").alias("root_key"),
+        F.col("depth").cast("int").alias("depth"),
+    )

@@ -488,3 +488,83 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
         .cast("long").alias("n_bounce"),
     )
+
+
+# Path analysis: first K events of each session define its path.
+PATH_MAX_EVENTS = 5
+
+
+@op(
+    "session_path_counts",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM flagged
+    ), ranked AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn,
+               ts, event_id
+        FROM numbered
+    ), paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM ranked WHERE rn <= {PATH_MAX_EVENTS}
+        GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+    tags=("timeseries", "session", "path"),
+)
+def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the ordered event-type sequence opening
+    each session (capped at 5 steps), counted across the corpus — the
+    'view>view>purchase' journey table behind UX funnels and next-step
+    models (the sequence-level complement of `event_transition_matrix`'s
+    first-order pairs). Sessionization and ordering share ONE user_id
+    shuffle; the per-session path builds from a sort_array of (rank,
+    type) structs — deterministic total order, no string_agg ordering
+    ambiguity — and the cap bounds every session's contribution."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 600),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    ranked = numbered.select(
+        "user_id", "sid", "event_type",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        ).alias("rn"),
+    ).filter(F.col("rn") <= PATH_MAX_EVENTS)
+    paths = (
+        ranked.groupBy("user_id", "sid")
+        .agg(F.sort_array(F.collect_list(F.struct("rn", "event_type"))).alias("steps"))
+        .select(
+            F.array_join(
+                F.transform("steps", lambda s: s["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))

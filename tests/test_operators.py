@@ -770,3 +770,34 @@ def test_vocab_growth_counts_first_occurrences(spark, tmp_path):
     got = {r.bucket: (r.new_bigrams, r.cum_vocab)
            for r in all_ops()["vocab_growth_curve"].fn(spark, str(tmp_path)).collect()}
     assert got == {0: (1, 1), 1: (1, 2)}
+
+
+def test_hierarchy_rollup_root_and_depth(spark, tmp_path):
+    spark.createDataFrame(
+        [(0,), (3,), (42,), (427,), (4271,)], "c_custkey bigint"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {r.c_custkey: (r.root_key, r.depth)
+           for r in all_ops()["hierarchy_rollup"].fn(spark, str(tmp_path)).collect()}
+    assert got == {0: (0, 0), 3: (3, 0), 42: (4, 1), 427: (4, 2), 4271: (4, 3)}
+
+
+def test_session_path_caps_and_orders(spark, tmp_path):
+    from datetime import datetime as dt
+
+    rows = [
+        # session 1: view > click > purchase
+        (1, dt(2024, 1, 1, 10, 0, 0), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 1, 10, 1, 0), 7, "click", 1.0, ""),
+        (3, dt(2024, 1, 1, 10, 2, 0), 7, "purchase", 1.0, ""),
+        # session 2 (after >10min gap): 7 views -> capped at 5
+        *[(10 + i, dt(2024, 1, 1, 12, 0, i), 7, "view", 1.0, "") for i in range(7)],
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.path: r.n_sessions
+           for r in all_ops()["session_path_counts"].fn(spark, str(tmp_path)).collect()}
+    assert got == {"view>click>purchase": 1, "view>view>view>view>view": 1}
