@@ -49,6 +49,11 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q21_waiting_suppliers",
     "pq_adc_topk",
+    # session-3 additions, one per new structural family: shared-sort
+    # SCD2 windows, zero-shuffle layout key, corpus-LM text join
+    "scd2_history",
+    "zorder_key",
+    "unigram_logprob_score",
 ]
 
 
