@@ -20,7 +20,7 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
@@ -1439,3 +1439,135 @@ def histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("l_extendedprice") / 20000.0) * 20000).cast("bigint").alias("price_bin_lo")
     )
     return li.groupBy(qty_bin, price_bin).agg(F.count(F.lit(1)).alias("n"))
+
+
+@op(
+    "weighted_median_per_group",
+    oracle="""
+    WITH v AS (
+        SELECT n.n_name,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   AS cents,
+               CAST(l.l_quantity AS HUGEINT) AS wt,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ), cum AS (
+        SELECT n_name, cents,
+               sum(wt) OVER (PARTITION BY n_name
+                             ORDER BY cents, l_orderkey, l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               sum(wt) OVER (PARTITION BY n_name) AS tw
+        FROM v
+    ), hit AS (
+        SELECT n_name, cents,
+               row_number() OVER (PARTITION BY n_name ORDER BY cents) AS rn
+        FROM cum WHERE 2*cw >= tw
+    )
+    SELECT n_name, CAST(cents AS BIGINT) AS weighted_median_cents
+    FROM hit WHERE rn = 1
+    """,
+    tags=("agg", "window", "stats"),
+)
+def weighted_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per supplier nation — the 'price
+    of the typical UNIT sold' (not the typical line item), the weighted
+    quantile no built-in aggregate expresses. Classic cumulative-weight
+    formulation: order by price within the group (unique line keys as
+    total tiebreak), running weight sum, first row where 2*cumw >=
+    totw. Both windows and the final pick share the ONE nation
+    partitioning; weights and prices are exact integers end-to-end, so
+    the selected value is deterministic and hash-checkable. Per-group
+    state is the sort — at 100 TB groups are nation-sized partitions,
+    the same contract as every keyed window here."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    v = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            (F.col("l_extendedprice").cast("decimal(28,6)") * 100)
+            .cast(dec).alias("cents"),
+            F.col("l_quantity").cast(dec).alias("wt"),
+            "l_orderkey", "l_linenumber",
+        )
+    )
+    w_cum = (
+        Window.partitionBy("n_name")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = v.select(
+        "n_name", "cents",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("n_name")).alias("tw"),
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("tw")).select(
+        "n_name", "cents",
+        F.row_number().over(
+            Window.partitionBy("n_name").orderBy("cents")
+        ).alias("rn"),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "n_name", F.col("cents").cast("long").alias("weighted_median_cents")
+    )
+
+
+@op(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        FROM orders
+    ), c AS (
+        SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k,
+               count(*) AS n_cust
+        FROM customer GROUP BY 1
+    )
+    SELECT o.k AS join_key, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(any_value(c.n_cust) AS BIGINT) AS n_cust
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY o.k
+    """,
+    tags=("join", "semantics"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the production trap where
+    a plain inner join loses every row whose key didn't parse. Keys are
+    deterministically nulled (every 97th) so the corpus exhibits the
+    corner. Spark's eqNullSafe compiles to a standard hash join (null
+    hashes like any value under <=>), so the plan and scale behavior
+    are identical to a plain equi-join — asserted by the oracle
+    comparing the grouped match counts, where the NULL x NULL match
+    cardinality shows up loudly if either side drops them."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey")).alias("k"),
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 97 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("c_custkey")).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        o.join(c, o.k.eqNullSafe(c.k))
+        .groupBy(o.k.alias("join_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.any_value("n_cust").cast("long").alias("n_cust"),
+        )
+    )

@@ -801,3 +801,39 @@ def test_session_path_caps_and_orders(spark, tmp_path):
     got = {r.path: r.n_sessions
            for r in all_ops()["session_path_counts"].fn(spark, str(tmp_path)).collect()}
     assert got == {"view>click>purchase": 1, "view>view>view>view>view": 1}
+
+
+def test_weighted_median_weights_by_quantity(spark, tmp_path):
+    """Prices 1.00 (weight 1) and 2.00 (weight 10): the weighted median
+    is 2.00 — an unweighted median would straddle."""
+    rows = [(1, 1, 1, 1.0, 1.0), (2, 1, 1, 10.0, 2.0)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_linenumber bigint, l_suppkey bigint, l_quantity double, l_extendedprice double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 5)], "s_suppkey bigint, s_nationkey bigint"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(5, "WLAND")], "n_nationkey bigint, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+
+    r = all_ops()["weighted_median_per_group"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_name, r.weighted_median_cents) == ("WLAND", 200)
+
+
+def test_null_safe_join_matches_null_keys(spark, tmp_path):
+    """Orders with NULLed keys (custkey%97==0) must match the NULL
+    customer group instead of dropping."""
+    spark.createDataFrame(
+        [(1, 97), (2, 97), (3, 5)], "o_orderkey bigint, o_custkey bigint"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(97,), (194,), (5,)], "c_custkey bigint"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {r.join_key: (r.n_orders, r.n_cust)
+           for r in all_ops()["join_null_safe"].fn(spark, str(tmp_path)).collect()}
+    # 97 and 194 both null out -> the NULL group has 2 customers; both
+    # null orders match it
+    assert got == {None: (2, 2), 5: (1, 1)}
