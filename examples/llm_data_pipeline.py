@@ -1,7 +1,8 @@
 """End-to-end LLM training-data pipeline over the documents corpus —
 every pass is the registry operator the driver verifies, run here as one
 narrative: quality filter -> PII scrub -> boilerplate strip -> near-dup
-clustering -> benchmark decontamination -> token accounting.
+clustering -> keep-longest retention -> benchmark decontamination ->
+source triage -> split assignment -> token + packing economics.
 
 Each stage is an independent Catalyst plan (the registry contract), but
 the same expressions compose into ONE plan when chained — see
@@ -45,8 +46,21 @@ n_canonical = clusters.select("cluster_id").distinct().count()
 contaminated = ops["benchmark_contamination"].fn(spark, sf_dir)
 n_contaminated = contaminated.count()
 
-# 6. Token accounting for the surviving set.
+# 6. Retention policy: keep the most complete version per near-dup block.
+kept = ops["dedup_keep_longest"].fn(spark, sf_dir)
+n_kept = kept.count()
+
+# 7. Source triage: which sources are diverse enough to keep.
+triage = ops["source_quality_report"].fn(spark, sf_dir)
+n_sources = triage.count()
+
+# 8. Reproducible 80/10/10 split by content hash.
+split = ops["train_val_test_split"].fn(spark, sf_dir)
+n_train = split.filter(F.col("split") == "train").agg(F.sum("n_docs")).collect()[0][0]
+
+# 9. Token accounting + packing economics for the surviving set.
 tokens = ops["token_counts"].fn(spark, sf_dir).agg(F.sum("n_ws_tokens")).collect()[0][0]
+waste = ops["padding_waste_stats"].fn(spark, sf_dir).agg(F.sum("padded_tokens")).collect()[0][0]
 
 print(f"corpus docs:            {n_docs}")
 print(f"pass quality >= 0.5:    {n_quality}")
@@ -54,9 +68,15 @@ print(f"emails redacted:        {n_emails}")
 print(f"boilerplate tokens cut: {n_removed}")
 print(f"canonical clusters:     {n_canonical}")
 print(f"contaminated docs:      {n_contaminated}")
+print(f"kept (longest version): {n_kept}")
+print(f"sources triaged:        {n_sources}")
+print(f"train docs (of 80%):    {n_train}")
 print(f"whitespace tokens:      {tokens}")
+print(f"padded tokens @512:     {waste}")
 
 assert 0 < n_quality <= n_docs
 assert n_emails == n_docs  # the synthetic payload plants exactly one each
 assert 0 < n_canonical <= n_docs
-assert n_contaminated >= 0 and tokens > 0
+assert 0 < n_kept <= n_docs
+assert n_sources > 0 and 0 < n_train <= n_docs
+assert n_contaminated >= 0 and tokens > 0 and waste >= 0
