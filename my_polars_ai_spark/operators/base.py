@@ -48,7 +48,11 @@ def ratio_round(num, den, scale: int = ROUND_RATIO):
     DuckDB rounds the binary double while Spark rounds its shortest decimal
     repr, so the two flip on ties (see operators/timeseries.py).
     round_half_up(num/den @ s) == (2*10^s*num + den) div (2*den), computed
-    in DECIMAL(38,0) so it cannot overflow at fact-table counts."""
+    in DECIMAL(38,0) so it cannot overflow at fact-table counts.
+    Contract bound (property-tested): decimal-exact while the scaled
+    integer num*10^s/den stays within double's 2^53 range (ratio <
+    ~9e9 at scale 6); beyond that both engines land on the identical
+    nearest double — still hash-portable, no longer exactly half-up."""
     p = 10**scale
     num_d = num.cast("decimal(38,0)")
     den_d = den.cast("decimal(38,0)")

@@ -127,3 +127,94 @@ def test_ratio_round_matches_exact_half_up(spark):
         expected /= 10**6
         assert got[(num, den)] == expected, (num, den)
         assert dd[(num, den)] == expected, (num, den)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=1, max_value=10**12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_ratio_round_is_decimal_half_up(spark, pairs):
+    """base.ratio_round must equal Decimal ROUND_HALF_UP at scale 6 for
+    any non-negative integer ratio whose scaled value stays inside
+    double's 2^53 integer range (the documented contract — beyond it
+    both engines take the identical nearest-double value, which is
+    engine-portable but no longer decimal-exact; hypothesis found the
+    num/den ~ 4e14 edge)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from my_polars_ai_spark.operators.base import ratio_round
+
+    pdf = pd.DataFrame(pairs, columns=["num", "den"])
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r.r for r in
+        sdf.select(ratio_round(F.col("num"), F.col("den")).alias("r")).collect()
+    ]
+    want = [
+        float((Decimal(2 * 10**6 * n + d) // (2 * Decimal(d))) / Decimal(10**6))
+        for n, d in pairs
+    ]
+    for g, w, (n, d) in zip(got, want, pairs):
+        ref = (Decimal(n) / Decimal(d)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        assert g == w == float(ref), (n, d, g, w, ref)
+
+
+@given(
+    ab=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_zorder_interleave_roundtrips(spark, ab):
+    """The generated Morton SQL must match bit interleaving exactly and
+    be invertible (de-interleave recovers both inputs)."""
+    from my_polars_ai_spark.operators.extras import _zorder_interleave_sql
+
+    pdf = pd.DataFrame(ab, columns=["a", "b"])
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r.z for r in
+        sdf.select(F.expr(_zorder_interleave_sql("a", "b", "DIV")).alias("z")).collect()
+    ]
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def deinterleave(z):
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for z, (a, b) in zip(got, ab):
+        assert z == morton(a, b)
+        assert deinterleave(z) == (a, b)
+
+
+@given(xs=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=40))
+@_SETTINGS
+def test_log2_bucket_matches_bit_length(spark, xs):
+    from my_polars_ai_spark.operators.extras import _log2_bucket_sql
+
+    pdf = pd.DataFrame({"x": xs})
+    sdf = spark.createDataFrame(pdf)
+    got = [r.b for r in sdf.select(F.expr(_log2_bucket_sql("x", 41)).alias("b")).collect()]
+    want = [x.bit_length() - 1 if x > 0 else -1 for x in xs]
+    assert got == want
