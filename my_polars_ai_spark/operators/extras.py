@@ -1533,3 +1533,117 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("cur").cast("long").alias("root_key"),
         F.col("depth").cast("int").alias("depth"),
     )
+
+
+# Mergeable-sketch demo: bitmap geometry (bits per word chosen < 63 so
+# masks stay positive in signed int64 on both engines).
+SKETCH_BITS = 4080
+SKETCH_WORD = 60
+SKETCH_WORDS = SKETCH_BITS // SKETCH_WORD
+
+
+@op(
+    "sketch_merge_running_distinct",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {SKETCH_BITS} AS bit
+        FROM events
+    ), daily AS (
+        SELECT day, bit // {SKETCH_WORD} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(bit % {SKETCH_WORD} AS INTEGER))
+                   AS w
+        FROM ud GROUP BY 1, 2
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    ), grid AS (
+        SELECT d.day, g.word
+        FROM days d CROSS JOIN (
+            SELECT unnest(range(0, {SKETCH_WORDS})) AS word) g
+    ), cum AS (
+        SELECT grid.day, grid.word,
+               bit_or(daily.w) OVER (PARTITION BY grid.word ORDER BY grid.day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cw
+        FROM grid LEFT JOIN daily
+          ON daily.day = grid.day AND daily.word = grid.word
+    ), per_day AS (
+        SELECT day, sum(bit_count(coalesce(cw, 0))) AS n_set
+        FROM cum GROUP BY day
+    ), firsts AS (
+        SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS first_day, user_id
+        FROM events GROUP BY user_id
+    ), fcnt AS (
+        SELECT d.day, count(f.user_id) AS n_new
+        FROM days d LEFT JOIN firsts f ON f.first_day = d.day
+        GROUP BY d.day
+    )
+    SELECT p.day, CAST(p.n_set AS BIGINT) AS n_bits_set,
+           round({SKETCH_BITS} * ln({SKETCH_BITS} * 1.0
+                                    / ({SKETCH_BITS} - p.n_set)), 2) AS lc_estimate,
+           CAST(sum(f.n_new) OVER (ORDER BY p.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_true_cumulative
+    FROM per_day p JOIN fcnt f USING (day)
+    """,
+    tags=("sketch", "distinct", "scale-pattern", "window"),
+)
+def sketch_merge_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes approximate
+    distinct practical at 100 TB: one fixed-size bitmap sketch per day
+    (68 x int64 words), merged by windowed bit_or into a running
+    'distinct users to date' estimate WITHOUT ever re-touching history
+    (`linear_counting_distinct` is the single-shot estimator; this is
+    its incremental deployment — daily sketches persist, each new day
+    is one OR). The md5-derived bitmap makes the whole thing, estimate
+    included, hash-checkable; the exact cumulative count rides along
+    via the first-seen-day trick to show the sketch error. State:
+    68 words x days — constant per day regardless of user volume."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        (portable_hash60(F.col("user_id").cast("string")) % SKETCH_BITS).alias("bit"),
+    ).distinct()
+    daily = (
+        ud.select(
+            "day",
+            exact_floor_div(F.col("bit"), F.lit(SKETCH_WORD)).cast("int").alias("word"),
+            # DataFrame shiftleft() only takes a literal shift — the SQL
+            # form accepts a column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {SKETCH_WORD} AS INT))").alias("mask"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    days = ud.select("day").distinct()
+    words = spark.range(SKETCH_WORDS).select(F.col("id").cast("int").alias("word"))
+    grid = days.crossJoin(F.broadcast(words))
+    cum = grid.join(daily, ["day", "word"], "left").select(
+        "day", "word",
+        F.bit_or("w").over(
+            Window.partitionBy("word").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cw"),
+    )
+    per_day = cum.groupBy("day").agg(
+        F.sum(F.bit_count(F.coalesce("cw", F.lit(0)))).alias("n_set")
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("first_day")
+    )
+    fcnt = days.join(firsts, days.day == firsts.first_day, "left").groupBy("day").agg(
+        F.count("user_id").alias("n_new")
+    )
+    est = F.round(
+        SKETCH_BITS * F.log(SKETCH_BITS * F.lit(1.0) / (SKETCH_BITS - F.col("n_set"))), 2
+    )
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.join(fcnt, "day").select(
+        "day",
+        F.col("n_set").cast("long").alias("n_bits_set"),
+        est.alias("lc_estimate"),
+        F.sum("n_new").over(w_day).cast("long").alias("n_true_cumulative"),
+    )

@@ -862,3 +862,17 @@ def test_image_resize_block_means_known_answer(spark, tmp_path):
                     for dr in (0, 1) for dc in (0, 1)]
             total += sum(vals) // 4
     assert r.resized_sum == total
+
+
+def test_sketch_merge_estimate_tracks_truth(spark, sf_dir):
+    """The merged-sketch running estimate must be monotone and within
+    linear counting's error envelope of the exact cumulative count."""
+    rows = all_ops()["sketch_merge_running_distinct"].fn(spark, sf_dir).orderBy("day").collect()
+    assert len(rows) > 1
+    prev_bits, prev_true = -1, -1
+    for r in rows:
+        assert r.n_bits_set >= prev_bits          # ORing can only add bits
+        assert r.n_true_cumulative >= prev_true
+        prev_bits, prev_true = r.n_bits_set, r.n_true_cumulative
+        # load factor is tiny at test SFs -> estimate within 10% of truth
+        assert abs(r.lc_estimate - r.n_true_cumulative) <= max(2.0, 0.1 * r.n_true_cumulative)
