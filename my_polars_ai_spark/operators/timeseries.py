@@ -540,9 +540,12 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.select(
         "user_id", "ts", "event_id", "event_type",
+        # exact microsecond gap — a double-seconds cast has ~0.4us
+        # resolution at epoch magnitudes, a needless seam vs the
+        # oracle's interval arithmetic
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 600),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 600 * 1_000_000),
             1,
         ).otherwise(0).alias("new_session"),
     )
