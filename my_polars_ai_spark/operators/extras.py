@@ -1647,3 +1647,64 @@ def sketch_merge_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         est.alias("lc_estimate"),
         F.sum("n_new").over(w_day).cast("long").alias("n_true_cumulative"),
     )
+
+
+@op(
+    "cascade_delete_audit",
+    oracle="""
+    WITH del AS (
+        SELECT c_custkey FROM customer
+        WHERE ('0x' || substr(md5('del:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+              % 20 = 0
+    ), del_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM del) AS BIGINT) AS n_rows_deleted
+    UNION ALL
+    SELECT 'orders', CAST((SELECT count(*) FROM del_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+    WHERE user_id IN (SELECT c_custkey FROM del)
+    """,
+    tags=("audit", "join", "compliance"),
+)
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: given a deterministic deletion
+    list (~5% of customers by content hash), count the rows each table
+    loses under cascading delete (customer -> orders -> lineitem, plus
+    the user's event stream) — the dry-run report a GDPR/CCPA pipeline
+    produces before executing the purge. Each hop is a LEFT SEMI join
+    down the foreign-key chain: the deletion list broadcasts; the
+    order-key set is fact-sized, so that hop stays a shuffled semi join
+    AQE owns. Counts collapse before the union — bounded output."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    del_cust = c.select("c_custkey").filter(
+        portable_hash60(F.concat(F.lit("del:"), F.col("c_custkey").cast("string"))) % 20 == 0
+    )
+    del_orders = o.join(
+        F.broadcast(del_cust), o.o_custkey == del_cust.c_custkey, "leftsemi"
+    ).select("o_orderkey")
+    del_li = li.join(del_orders, li.l_orderkey == del_orders.o_orderkey, "leftsemi")
+    del_ev = e.join(F.broadcast(del_cust), e.user_id == del_cust.c_custkey, "leftsemi")
+
+    def metric(df: DataFrame, table: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_rows_deleted")).select(
+            F.lit(table).alias("table_name"), "n_rows_deleted"
+        )
+
+    return (
+        metric(del_cust, "customer")
+        .unionByName(metric(del_orders, "orders"))
+        .unionByName(metric(del_li, "lineitem"))
+        .unionByName(metric(del_ev, "events"))
+    )
