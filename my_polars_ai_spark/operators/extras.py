@@ -1708,3 +1708,53 @@ def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(metric(del_li, "lineitem"))
         .unionByName(metric(del_ev, "events"))
     )
+
+
+@op(
+    "dow_seasonality",
+    oracle=f"""
+    WITH d AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 4) % 7 AS dow,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM orders
+    ), per AS (
+        SELECT dow, count(*) AS n, sum(cents) AS s FROM d GROUP BY dow
+    ), tot AS (
+        SELECT sum(n) AS tn, sum(s) AS ts FROM per
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS BIGINT) AS rev_cents,
+           {oracle_ratio_round('s * tot.tn', 'n * tot.ts')} AS seasonality_index
+    FROM per CROSS JOIN tot
+    """,
+    tags=("timeseries", "report", "agg"),
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: each weekday's average order value
+    relative to the overall average — the multiplicative seasonal
+    factor reporting layers publish (index > 1 = rich days). Weekday
+    derives from pure epoch-day arithmetic ((days+4) % 7, 0=Sunday) so
+    no engine/locale calendar seam exists, and the index is the exact
+    integer rational (sum_d * n_total)/(n_d * sum_total) under the
+    shared half-up rounding. One 7-group aggregate + a 1-row broadcast
+    of the totals."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        ((F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")) + 4) % 7)
+        .alias("dow"),
+        (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").alias("cents"),
+    )
+    per = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("long").alias("rev_cents"),
+        ratio_round(F.col("s") * F.col("tn"), F.col("n") * F.col("ts"))
+        .alias("seasonality_index"),
+    )

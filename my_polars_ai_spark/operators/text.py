@@ -965,3 +965,54 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_bigrams",
         F.sum("new_bigrams").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+# BPE merge-step: how many top pairs to report.
+BPE_TOP_PAIRS = 10
+
+
+@op(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, length(tok)),
+                                     i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+        FROM toks WHERE length(tok) > 1
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("text", "tokenizer", "agg"),
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step: the corpus-wide adjacent character-pair
+    frequencies whose argmax becomes the next merge rule — byte-pair-
+    encoding vocabulary learning AS a Spark aggregation (each round of
+    a real tokenizer trainer is exactly this count over the current
+    symbol sequence). Pair extraction is a higher-order transform (no
+    UDF), counts are a plain map-side-combined groupBy, and the top-10
+    report compiles to TakeOrderedAndProject with the pair string as
+    total tiebreak. At 100 TB each merge round is one shuffle over
+    pair-count partials — constant state per pair."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 1)
+    )
+    # substring with a per-element position needs the SQL lambda form
+    # (the DataFrame F.substring takes only literal positions)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -876,3 +876,29 @@ def test_sketch_merge_estimate_tracks_truth(spark, sf_dir):
         prev_bits, prev_true = r.n_bits_set, r.n_true_cumulative
         # load factor is tiny at test SFs -> estimate within 10% of truth
         assert abs(r.lc_estimate - r.n_true_cumulative) <= max(2.0, 0.1 * r.n_true_cumulative)
+
+
+def test_bpe_pairs_counted_within_tokens_only(spark, tmp_path):
+    """'ab ab' yields pair 'ab' twice — never a cross-token 'b a'."""
+    spark.createDataFrame(
+        [(1, "ab ab abc", "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.pair: r.n for r in all_ops()["bpe_merge_step"].fn(spark, str(tmp_path)).collect()}
+    assert got == {"ab": 3, "bc": 1}          # abc contributes ab + bc
+
+
+def test_dow_seasonality_pure_arithmetic_weekday(spark, tmp_path):
+    from datetime import datetime as dt
+
+    # 2024-01-01 is a Monday -> dow 1; 2024-01-07 a Sunday -> dow 0
+    spark.createDataFrame(
+        [(1, dt(2024, 1, 1), 100.0), (2, dt(2024, 1, 7), 300.0)],
+        "o_orderkey bigint, o_orderdate timestamp, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {r.dow: (r.n_orders, r.rev_cents, r.seasonality_index)
+           for r in all_ops()["dow_seasonality"].fn(spark, str(tmp_path)).collect()}
+    # overall avg 200: Monday index 0.5, Sunday index 1.5
+    assert got == {1: (1, 10000, 0.5), 0: (1, 30000, 1.5)}
