@@ -571,3 +571,126 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@op(
+    "ttc_daily_median",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, ts AS view_ts
+        FROM (
+            SELECT user_id, ts,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ) WHERE rn = 1
+    ), matched AS MATERIALIZED (
+        SELECT p.event_id, p.ts, v.view_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN views v
+          ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    ), conv AS (
+        SELECT event_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               epoch_us(ts) - epoch_us(view_ts) AS latency_us
+        FROM matched
+        WHERE view_ts >= ts - INTERVAL 1 HOUR
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(quantile_disc(latency_us, 0.5) AS BIGINT) AS median_latency_us
+    FROM conv GROUP BY day
+    """,
+    tags=("timeseries", "asof", "stats"),
+)
+def ttc_daily_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily median time-to-convert: for purchases attributed to a view
+    within the last hour (the `asof_join_tolerance` match), the per-day
+    median view->purchase latency — the conversion-speed KPI. Median is
+    the DISCRETE (lower-middle) element via the cumulative-count pick,
+    so it stays an exact integer microsecond value — no interpolation
+    halves, no float seam — and the windows partition on day: grouped
+    exact medians are scale-safe where the global exact twin is not
+    (`median_quantiles`' documented contract). Composes the as-of carry
+    with one day-keyed sort."""
+    from my_polars_ai_spark.operators.asof import OPS as ASOF_OPS
+
+    conv = ASOF_OPS["asof_join_tolerance"].fn(spark, sf_dir).filter(
+        F.col("last_view_ts").isNotNull()
+    )
+    lat = conv.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        (F.unix_micros("ts") - F.unix_micros("last_view_ts")).alias("latency_us"),
+        "event_id",
+    )
+    w_cum = (
+        Window.partitionBy("day")
+        .orderBy("latency_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lat.select(
+        "day", "latency_us",
+        F.count(F.lit(1)).over(w_cum).alias("cw"),
+        F.count(F.lit(1)).over(Window.partitionBy("day")).alias("tw"),
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("tw")).select(
+        "day", "latency_us", "tw",
+        F.row_number().over(
+            Window.partitionBy("day").orderBy("latency_us")
+        ).alias("rn"),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "day",
+        F.col("tw").cast("long").alias("n_conversions"),
+        F.col("latency_us").cast("long").alias("median_latency_us"),
+    )
+
+
+@op(
+    "volume_spike_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT day, n_events,
+               sum(n_events) OVER t AS sum7,
+               count(*) OVER t AS cnt7
+        FROM daily
+        WINDOW t AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum7 AS BIGINT) AS trailing7_events,
+           (CAST(n_events AS HUGEINT) * 7 >= 2 * CAST(sum7 AS HUGEINT))
+               AS is_spike
+    FROM w WHERE cnt7 = 7
+    """,
+    tags=("timeseries", "anomaly", "window"),
+)
+def volume_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike monitor: days whose event count is at least 2x the
+    trailing-7-day average — the pipeline-health alarm that catches a
+    crawler loop or an upstream replay. The 2x test is the integer
+    cross-multiplication n*7 >= 2*sum7 (no division, no floats), the
+    comparison window is strictly-prior rows (a day never masks its own
+    spike), and warm-up days without 7 full prior days are excluded.
+    The window runs over the daily rollup — calendar-bounded, the
+    documented safe class for an unpartitioned frame."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    t = Window.orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "day", "n_events",
+        F.sum("n_events").over(t).alias("sum7"),
+        F.count(F.lit(1)).over(t).alias("cnt7"),
+    )
+    return w.filter(F.col("cnt7") == 7).select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum7").cast("long").alias("trailing7_events"),
+        (F.col("n_events") * 7 >= 2 * F.col("sum7")).alias("is_spike"),
+    )

@@ -902,3 +902,52 @@ def test_dow_seasonality_pure_arithmetic_weekday(spark, tmp_path):
            for r in all_ops()["dow_seasonality"].fn(spark, str(tmp_path)).collect()}
     # overall avg 200: Monday index 0.5, Sunday index 1.5
     assert got == {1: (1, 10000, 0.5), 0: (1, 30000, 1.5)}
+
+
+def test_ttc_median_picks_lower_middle(spark, tmp_path):
+    """Even count of conversions -> discrete median is the lower middle
+    (exact integer, no interpolation)."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0, 0), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 1, 10, 0, 10), 7, "purchase", 1.0, ""),   # 10s
+        (3, dt(2024, 1, 1, 12, 0, 0), 8, "view", 1.0, ""),
+        (4, dt(2024, 1, 1, 12, 0, 30), 8, "purchase", 1.0, ""),   # 30s
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from datetime import date
+
+    got = {r.day: (r.n_conversions, r.median_latency_us)
+           for r in all_ops()["ttc_daily_median"].fn(spark, str(tmp_path)).collect()}
+    assert got == {date(2024, 1, 1): (2, 10_000_000)}
+
+
+def test_volume_spike_flags_doubling(spark, tmp_path):
+    """7 calm days of 10 events then a day of 25 -> flagged; a day of 19
+    is not (integer cross-multiplication, no rounding)."""
+    from datetime import datetime as dt
+
+    rows = []
+    eid = 0
+    for d in range(1, 8):                       # days 1..7: 10 events
+        for i in range(10):
+            eid += 1
+            rows.append((eid, dt(2024, 1, d, 10, 0, i), 7, "view", 1.0, ""))
+    for i in range(25):                         # day 8: spike
+        eid += 1
+        rows.append((eid, dt(2024, 1, 8, 10, 0, i), 7, "view", 1.0, ""))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from datetime import date
+
+    got = {r.day: (r.trailing7_events, r.is_spike)
+           for r in all_ops()["volume_spike_days"].fn(spark, str(tmp_path)).collect()}
+    assert got == {date(2024, 1, 8): (70, True)}
