@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.operators.base import Op, ROUND_RATIO, exact_floor_div, make_registrar
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -662,4 +662,68 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "neighbor_id", F.round("cos", ROUND_RATIO).alias("cos"), "rank")
+    )
+
+
+@op(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH v AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(embedding[generate_subscripts(embedding, 1)]
+                         AS DECIMAL(28,6)) * 1000000 AS HUGEINT) AS vm
+        FROM embeddings
+    ), s AS (
+        SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+               sum(vm) AS sv, sum(vm*vm) AS svv
+        FROM v GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+           CAST((CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                * ((2*{10**6}*abs(sv) + n*1000000)
+                   // (2*n*1000000)) AS DOUBLE) / {10**6} AS mean,
+           CAST((2*{10**6}*(n*svv - sv*sv) + n*n*1000000000000)
+                // (2*n*n*1000000000000) AS DOUBLE) / {10**6} AS variance
+    FROM s
+    """,
+    tags=("similarity", "stats", "ml"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the
+    normalization statistics (whitening, PCA preprocessing, drift
+    monitoring) every vector pipeline computes. posexplode fans each
+    vector into (dim, value) — a 64x narrow multiplier, NOT a shuffle
+    of vectors — and both moments aggregate map-side per dim. Values
+    round ONCE to integer micro-units (float32->decimal is
+    deterministic on both engines; no dyadic double lands on a 1e-7
+    tie), then mean is the sign-split exact rational and variance the
+    integer identity (n*Svv - Sv^2)/(n^2 * 1e12). 64 output rows at
+    any corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"),   # 1-based like generate_subscripts
+        (F.col("val").cast("decimal(28,6)") * 1000000)
+        .cast("decimal(38,0)").alias("vm"),
+    )
+    s = v.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vm").alias("sv"),
+        F.sum(F.col("vm") * F.col("vm")).alias("svv"),
+    )
+    p = 10**6
+    sign = F.when(F.col("sv") < 0, -1).otherwise(1)
+    mean = (
+        sign * exact_floor_div(
+            2 * p * F.abs(F.col("sv")) + F.col("n") * 1000000,
+            2 * F.col("n") * 1000000,
+        )
+    ).cast("double") / p
+    var_num = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    var_den = F.col("n") * F.col("n") * F.lit(10**12).cast("decimal(38,0)")
+    variance = exact_floor_div(2 * p * var_num + var_den, 2 * var_den).cast("double") / p
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        mean.alias("mean"),
+        variance.alias("variance"),
     )

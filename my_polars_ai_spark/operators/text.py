@@ -1016,3 +1016,50 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# Rebalancing cap: max share (percent) any single source may hold.
+REBALANCE_CAP_PCT = 4
+
+
+@op(
+    "rebalance_sample_plan",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(count(*) AS HUGEINT) AS n_docs FROM documents
+        GROUP BY source
+    ), tot AS (
+        SELECT sum(n_docs) AS total FROM per
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(least(n_docs, (tot.total * {REBALANCE_CAP_PCT}) // 100)
+                AS BIGINT) AS keep_n,
+           {oracle_ratio_round(f'least(n_docs, (tot.total * {REBALANCE_CAP_PCT}) // 100)', 'n_docs')}
+               AS keep_rate
+    FROM per CROSS JOIN tot
+    """,
+    tags=("sample", "pipeline", "report"),
+)
+def rebalance_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source rebalancing plan: cap any one source at REBALANCE_CAP_PCT
+    (4%) of the
+    corpus and emit the per-source keep count + keep rate — the weights
+    table that drives `weighted_bernoulli_sample` (compute the plan
+    here, execute the sampling there; separating plan from execution is
+    what lets the same plan reproduce across engines and reruns). Pure
+    integer arithmetic: keep_n = min(n_s, total*cap//100), rate as the
+    shared half-up rational. Bounded by source count; the corpus total
+    rides a 1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    cap_n = exact_floor_div(F.col("total") * REBALANCE_CAP_PCT, F.lit(100))
+    keep_n = F.least(F.col("n_docs"), cap_n)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        keep_n.cast("long").alias("keep_n"),
+        ratio_round(keep_n, F.col("n_docs")).alias("keep_rate"),
+    )

@@ -951,3 +951,27 @@ def test_volume_spike_flags_doubling(spark, tmp_path):
     got = {r.day: (r.trailing7_events, r.is_spike)
            for r in all_ops()["volume_spike_days"].fn(spark, str(tmp_path)).collect()}
     assert got == {date(2024, 1, 8): (70, True)}
+
+
+def test_embedding_dim_stats_known_vectors(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, [0.5, -0.5], 0), (2, [0.5, 0.5], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {r.dim: (r.n, r.mean, r.variance)
+           for r in all_ops()["embedding_dim_stats"].fn(spark, str(tmp_path)).collect()}
+    # dim 1: mean 0.5 var 0; dim 2: mean 0 var ((2*.5^2)-0)/4 = 0.25
+    assert got == {1: (2, 0.5, 0.0), 2: (2, 0.0, 0.25)}
+
+
+def test_rebalance_caps_share(spark, tmp_path):
+    rows = [(i, "x", "en", "big" if i < 90 else "small", 0) for i in range(100)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.source: (r.n_docs, r.keep_n, r.keep_rate)
+           for r in all_ops()["rebalance_sample_plan"].fn(spark, str(tmp_path)).collect()}
+    # cap = 4% of 100 = 4 docs
+    assert got == {"big": (90, 4, 0.044444), "small": (10, 4, 0.4)}
