@@ -58,7 +58,7 @@ _MODULES = (
 #   event_transition_matrix, histogram_2d, feature_minmax_scale,
 #   dedup_cluster_size_hist, token_cooccurrence_pmi,
 #   source_quality_report
-# (c) the 40 ops added in round-4 session 3:
+# (c) the 41 ops added in round-4 session 3:
 #   scd2_history, dq_audit, pareto_frontier_suppliers,
 #   rolling_trend_slope, dup_chunk_fraction, grouped_agg_sum_squares,
 #   asof_join_tolerance, rolling_wau, snapshot_diff,
@@ -72,7 +72,7 @@ _MODULES = (
 #   join_null_safe, image_resize_stats, sketch_merge_running_distinct,
 #   cascade_delete_audit, bpe_merge_step, dow_seasonality,
 #   ttc_daily_median, volume_spike_days, embedding_dim_stats,
-#   rebalance_sample_plan
+#   rebalance_sample_plan, record_linkage_parts
 # 16 + 39 + 12 canaries = 67: rotate out canaries whose families the
 # new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> grouped_agg_sum_squares, tumbling_window_hourly

@@ -975,3 +975,17 @@ def test_rebalance_caps_share(spark, tmp_path):
            for r in all_ops()["rebalance_sample_plan"].fn(spark, str(tmp_path)).collect()}
     # cap = 4% of 100 = 4 docs
     assert got == {"big": (90, 4, 0.044444), "small": (10, 4, 0.4)}
+
+
+def test_record_linkage_recovers_parent(spark, tmp_path):
+    """A one-character deletion must link back to its source name at
+    distance 1 via the length-band blocks."""
+    spark.createDataFrame(
+        [(3, "cold widget", "Brand#1"), (5, "blue rod", "Brand#2")],
+        "p_partkey bigint, p_name string, p_brand string",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {r.dirty_id: (r.dirty_name, r.matched_partkey, r.dist)
+           for r in all_ops()["record_linkage_parts"].fn(spark, str(tmp_path)).collect()}
+    # partkey 3: pos = 3 % 11 = 3 -> drop char 4 ('d') -> "col widget"
+    assert got == {3: ("col widget", 3, 1)}
