@@ -92,3 +92,30 @@ def make_registrar(ops: dict[str, Op]):
         return deco
 
     return op
+
+
+def signed_ratio_round(num, den, scale: int = ROUND_RATIO):
+    """Sign-split :func:`ratio_round`: exact half-away-from-zero rounding
+    of ``num/den`` at ``scale`` for integer-valued DECIMAL columns where
+    ``num`` may be negative (``den`` must be positive). Keeps the
+    bit-for-bit rounding contract in ONE place — every op emitting a
+    signed rational (pct change, OLS slope, signed means) must use this
+    rather than re-rolling the formula."""
+    from pyspark.sql import functions as F  # local import: keep module Spark-lazy
+
+    p = 10**scale
+    num_d = num.cast("decimal(38,0)")
+    den_d = den.cast("decimal(38,0)")
+    sign = F.when(num_d < 0, -1).otherwise(1)
+    q = exact_floor_div(2 * p * F.abs(num_d) + den_d, 2 * den_d)
+    return (sign * q).cast("double") / p
+
+
+def oracle_signed_ratio_round(num_sql: str, den_sql: str, scale: int = ROUND_RATIO) -> str:
+    """DuckDB twin of :func:`signed_ratio_round` (HUGEINT arithmetic)."""
+    p = 10**scale
+    return (
+        f"CAST((CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((2*{p}*abs(CAST({num_sql} AS HUGEINT)) + CAST({den_sql} AS HUGEINT))"
+        f" // (2*CAST({den_sql} AS HUGEINT))) AS DOUBLE) / {p}"
+    )

@@ -930,6 +930,16 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _labeled_count(df: DataFrame, alias: str, **labels: str) -> DataFrame:
+    """Collapse a DataFrame to ONE row: a bigint count named ``alias``
+    prefixed by constant label columns — the shared scaffolding of the
+    audit-report ops (dq_audit, cascade_delete_audit)."""
+    agg = df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+    return agg.select(
+        *[F.lit(v).alias(k) for k, v in labels.items()], alias
+    )
+
+
 @op(
     "dq_audit",
     oracle="""
@@ -989,11 +999,7 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
 
     def metric(df: DataFrame, table: str, check: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).select(
-            F.lit(table).alias("table_name"),
-            F.lit(check).alias("check_name"),
-            "n_bad",
-        )
+        return _labeled_count(df, "n_bad", table_name=table, check_name=check)
 
     checks = [
         metric(
@@ -1458,15 +1464,14 @@ def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("decimal(38,0)"))
         .cast("long").alias("rev_cents")
     )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
     cur = daily.alias("cur")
     prev = daily.alias("prev")
-    p = 10**ROUND_RATIO
     cur_c = F.col("cur.rev_cents").cast("decimal(38,0)")
     prev_c = F.col("prev.rev_cents").cast("decimal(38,0)")
-    sign = F.when(cur_c < prev_c, -1).otherwise(1)
     pct = F.when(prev_c.isNull(), F.lit(None).cast("double")).otherwise(
-        (sign * exact_floor_div(2 * p * F.abs(cur_c - prev_c) + prev_c, 2 * prev_c))
-        .cast("double") / p
+        signed_ratio_round(cur_c - prev_c, prev_c)
     )
     return cur.join(
         F.broadcast(prev), F.col("prev.day") == F.date_sub(F.col("cur.day"), 7), "left"
@@ -1482,17 +1487,21 @@ def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hierarchy_rollup",
     oracle="""
     WITH RECURSIVE e AS (
-        SELECT c_custkey AS node, c_custkey // 10 AS parent FROM customer
+        SELECT a.c_custkey AS node, a.c_custkey // 10 AS parent,
+               (b.c_custkey IS NOT NULL) AS has_parent
+        FROM customer a
+        LEFT JOIN customer b ON b.c_custkey = a.c_custkey // 10
     ), climb AS (
         SELECT node AS c_custkey, node AS cur, 0 AS depth FROM e
         UNION ALL
         SELECT c.c_custkey, e.parent, c.depth + 1
         FROM climb c JOIN e ON e.node = c.cur
-        WHERE c.cur >= 10
+        WHERE c.cur >= 10 AND e.has_parent
     )
-    SELECT c_custkey, CAST(cur AS BIGINT) AS root_key,
-           CAST(depth AS INT) AS depth
-    FROM climb WHERE cur < 10
+    SELECT c.c_custkey, CAST(c.cur AS BIGINT) AS root_key,
+           CAST(c.depth AS INT) AS depth
+    FROM climb c JOIN e ON e.node = c.cur
+    WHERE c.cur < 10 OR NOT e.has_parent
     """,
     tags=("join", "recursive", "graph"),
 )
@@ -1502,7 +1511,10 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives parent = key//10 from the corpus so the oracle is a true
     WITH RECURSIVE; the Spark side is the engine-idiomatic equivalent —
     a bounded ITERATIVE JOIN against the edge table (Spark has no
-    recursive CTE), one hop per round, constants-only driver loop
+    recursive CTE), one hop per round, constants-only driver loop;
+    a has_parent flag on the edge table keeps the walk TOTAL when a
+    parent key is missing (sampled/filtered corpora) — the node roots
+    at its last reachable ancestor on BOTH engines
     (same discipline as dedup_cluster_canonical's label propagation).
     Five rounds cover depth<=5 here; for deep hierarchies the same loop
     upgrades to pointer-doubling (halving rounds to O(log depth)).
@@ -1510,9 +1522,17 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, and finished rows short-circuit via the conditional
     update."""
     c = _t(spark, sf_dir, "customer")
-    edges = c.select(
-        F.col("c_custkey").alias("node"),
-        exact_floor_div(F.col("c_custkey"), F.lit(10)).cast("long").alias("parent"),
+    nodes = c.select(F.col("c_custkey").alias("pnode"))
+    # has_parent makes the climb TOTAL on non-contiguous key sets: a
+    # dangling parent stops the walk with the node's last reachable
+    # ancestor as root (instead of silently dropping or NULLing the row)
+    edges = (
+        c.select(
+            F.col("c_custkey").alias("node"),
+            exact_floor_div(F.col("c_custkey"), F.lit(10)).cast("long").alias("parent"),
+        )
+        .join(F.broadcast(nodes), F.col("parent") == F.col("pnode"), "left")
+        .select("node", "parent", F.col("pnode").isNotNull().alias("has_parent"))
     )
     state = c.select(
         "c_custkey",
@@ -1520,13 +1540,14 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("depth"),
     )
     for _ in range(5):
-        live = F.col("cur") >= 10
         state = (
-            state.join(edges, state.cur == edges.node, "left")
+            state.join(edges, state.cur == edges.node)
             .select(
                 "c_custkey",
-                F.when(live, F.col("parent")).otherwise(F.col("cur")).alias("cur"),
-                F.when(live, F.col("depth") + 1).otherwise(F.col("depth")).alias("depth"),
+                F.when((F.col("cur") >= 10) & F.col("has_parent"), F.col("parent"))
+                .otherwise(F.col("cur")).alias("cur"),
+                F.when((F.col("cur") >= 10) & F.col("has_parent"), F.col("depth") + 1)
+                .otherwise(F.col("depth")).alias("depth"),
             )
         )
     return state.select(
@@ -1698,9 +1719,7 @@ def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_ev = e.join(F.broadcast(del_cust), e.user_id == del_cust.c_custkey, "leftsemi")
 
     def metric(df: DataFrame, table: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias("n_rows_deleted")).select(
-            F.lit(table).alias("table_name"), "n_rows_deleted"
-        )
+        return _labeled_count(df, "n_rows_deleted", table_name=table)
 
     return (
         metric(del_cust, "customer")

@@ -284,7 +284,6 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a band equi-join, never the dirty x master cross
     product."""
     part = _t(spark, sf_dir, "part")
-    pos = (F.col("p_partkey") % F.length("p_name")).cast("int")
     dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
         F.col("p_partkey").alias("dirty_id"),
         F.concat(

@@ -432,15 +432,12 @@ def groupwise_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    p = 10**ROUND_RATIO
-    sign = F.when(num < 0, -1).otherwise(1)
-    from my_polars_ai_spark.operators.base import exact_floor_div
-
     slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
-        (sign * exact_floor_div(2 * p * F.abs(num) + den, 2 * den))
-        .cast("double") / p
+        signed_ratio_round(num, den)
     )
     return sums.select(
         "n_name",

@@ -710,14 +710,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vm").alias("sv"),
         F.sum(F.col("vm") * F.col("vm")).alias("svv"),
     )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
     p = 10**6
-    sign = F.when(F.col("sv") < 0, -1).otherwise(1)
-    mean = (
-        sign * exact_floor_div(
-            2 * p * F.abs(F.col("sv")) + F.col("n") * 1000000,
-            2 * F.col("n") * 1000000,
-        )
-    ).cast("double") / p
+    mean = signed_ratio_round(F.col("sv"), F.col("n") * 1000000)
     var_num = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
     var_den = F.col("n") * F.col("n") * F.lit(10**12).cast("decimal(38,0)")
     variance = exact_floor_div(2 * p * var_num + var_den, 2 * var_den).cast("double") / p

@@ -761,7 +761,8 @@ def dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.split("text", " ").alias("ts")
     )
     d = d.withColumn(
-        "n_chunks", F.floor(F.size("ts") / DUP_CHUNK_TOKENS).cast("int")
+        "n_chunks",
+        exact_floor_div(F.size("ts"), F.lit(DUP_CHUNK_TOKENS)).cast("int"),
     ).filter(F.col("n_chunks") > 0)
     chunks = d.select(
         "source",
@@ -957,7 +958,8 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = t.select("doc_id", F.explode(bigrams).alias("bigram"))
     firsts = bi.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
     bucketed = firsts.groupBy(
-        (F.col("first_doc") / VOCAB_BUCKET_DOCS).cast("long").alias("bucket")
+        exact_floor_div(F.col("first_doc"), F.lit(VOCAB_BUCKET_DOCS))
+        .cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("new_bigrams"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return bucketed.select(

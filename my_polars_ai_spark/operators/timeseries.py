@@ -122,7 +122,7 @@ def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_10m",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -130,7 +130,7 @@ def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM flagged
     )
@@ -440,7 +440,7 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_bounce_rate",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -448,7 +448,7 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) AS sid
         FROM flagged
@@ -654,11 +654,19 @@ def ttc_daily_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                count(*) AS n_events
         FROM events GROUP BY 1
+    ), grid AS (
+        SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                      (SELECT max(day) FROM daily),
+                                      INTERVAL 1 DAY)) AS gday
+    ), dense AS (
+        SELECT CAST(g.gday AS DATE) AS day,
+               coalesce(d.n_events, 0) AS n_events
+        FROM grid g LEFT JOIN daily d ON d.day = CAST(g.gday AS DATE)
     ), w AS (
         SELECT day, n_events,
                sum(n_events) OVER t AS sum7,
                count(*) OVER t AS cnt7
-        FROM daily
+        FROM dense
         WINDOW t AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
     )
     SELECT day, CAST(n_events AS BIGINT) AS n_events,
@@ -674,16 +682,29 @@ def volume_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-7-day average — the pipeline-health alarm that catches a
     crawler loop or an upstream replay. The 2x test is the integer
     cross-multiplication n*7 >= 2*sum7 (no division, no floats), the
-    comparison window is strictly-prior rows (a day never masks its own
-    spike), and warm-up days without 7 full prior days are excluded.
-    The window runs over the daily rollup — calendar-bounded, the
-    documented safe class for an unpartitioned frame."""
+    comparison window is strictly-prior CALENDAR days — the daily
+    rollup is densified onto the full date range first, so zero-event
+    outage days weigh the baseline as zeros instead of silently
+    stretching the window across the gap — and warm-up days without 7
+    full prior days are excluded. The window runs over the dense day
+    grid — calendar-bounded, the documented safe class for an
+    unpartitioned frame."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    # densify onto the full calendar range so zero-event days (outages)
+    # count as ZERO in the baseline instead of silently stretching the
+    # trailing window across the gap (the row-lag-vs-calendar trap)
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = grid.join(daily, "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
     t = Window.orderBy("day").rowsBetween(-7, -1)
-    w = daily.select(
+    w = dense.select(
         "day", "n_events",
         F.sum("n_events").over(t).alias("sum7"),
         F.count(F.lit(1)).over(t).alias("cnt7"),

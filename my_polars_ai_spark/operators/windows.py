@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from my_polars_ai_spark.operators.base import (
     ROUND_RATIO,
     Op,
+    exact_floor_div,
     make_registrar,
     oracle_ratio_round,
     ratio_round,
@@ -429,13 +430,13 @@ TREND_ANCHOR_US = 1_704_067_200_000_000
     oracle=f"""
     WITH v AS (
         SELECT user_id, event_id, ts,
-               epoch_us(ts) - {TREND_ANCHOR_US} AS t_us,
+               (epoch_us(ts) - {TREND_ANCHOR_US}) // 1000 AS t_ms,
                CAST(CAST(value AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
         FROM events
     )
     SELECT user_id, event_id,
-           CAST(count(*) OVER w * sum(t_us * cents) OVER w
-                - sum(t_us) OVER w * sum(cents) OVER w AS BIGINT) AS slope_num
+           CAST(count(*) OVER w * sum(t_ms * cents) OVER w
+                - sum(t_ms) OVER w * sum(cents) OVER w AS BIGINT) AS slope_num
     FROM v
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -447,15 +448,24 @@ def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     events: n*sum(t*v) - sum(t)*sum(v) — the sign/magnitude of the local
     trend, the windowed statistic behind 'is this metric rising?'
     alerting. Everything is exact integer arithmetic: time as
-    microseconds relative to the corpus epoch, value in cents via the
-    DECIMAL cast, windowed sums in DECIMAL(38,0) so no product can
-    overflow — which makes even a regression statistic hash-comparable
-    across engines. One keyed window = one shuffle on user_id; frame
-    state is 5 rows."""
+    MILLIseconds relative to the corpus epoch (see the resolution note
+    below), value in cents via the DECIMAL cast, windowed sums in
+    DECIMAL(38,0) so no product can overflow — which makes even a
+    regression statistic hash-comparable across engines. One keyed
+    window = one shuffle on user_id; frame state is 5 rows."""
     e = _t(spark, sf_dir, "events")
     v = e.select(
         "user_id", "event_id", "ts",
-        (F.unix_micros("ts") - F.lit(TREND_ANCHOR_US)).alias("t_us"),
+        # millisecond resolution: sub-ms jitter is noise for a trend
+        # statistic, and the /1000 keeps |slope_num| inside int64 for
+        # time-spans x value-swings up to ~300 years x $10k (the
+        # microsecond version had an overflow cliff near 9.2e18 where
+        # Spark NULLs and DuckDB errors; and a DOUBLE surface is NOT
+        # portable — HUGEINT->DOUBLE and DECIMAL->DOUBLE round a
+        # last-ulp apart)
+        exact_floor_div(
+            F.unix_micros("ts") - F.lit(TREND_ANCHOR_US), F.lit(1000)
+        ).alias("t_ms"),
         (F.col("value").cast("decimal(28,6)") * 100)
         .cast("decimal(38,0)").alias("cents"),
     )
@@ -465,8 +475,8 @@ def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-4, 0)
     )
     n = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
-    s_tv = F.sum((F.col("t_us").cast("decimal(38,0)") * F.col("cents"))).over(w)
-    s_t = F.sum(F.col("t_us").cast("decimal(38,0)")).over(w)
+    s_tv = F.sum((F.col("t_ms").cast("decimal(38,0)") * F.col("cents"))).over(w)
+    s_t = F.sum(F.col("t_ms").cast("decimal(38,0)")).over(w)
     s_v = F.sum("cents").over(w)
     return v.select(
         "user_id", "event_id",

@@ -166,21 +166,25 @@ def register_synth_stream_source(spark: SparkSession) -> None:
 
 
 class _PartFile(WriterCommitMessage):
-    def __init__(self, path: str, n_rows: int) -> None:
-        self.path = path
+    def __init__(self, tmp_path: str, final_name: str, n_rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.final_name = final_name
         self.n_rows = n_rows
 
 
 class JsonlSink(DataSource):
     """Writer flavor of the Python DataSource API —
     ``df.write.format("jsonl_sink").option("path", dir).save()``: each
-    task streams its partition to a private ``part-<pid>.jsonl`` file
-    and returns a commit message; the DRIVER's ``commit()`` then writes
-    the ``_MANIFEST.json`` naming every part and its row count, which
-    is what makes the sink transactional: readers that honor the
-    manifest never see a half-written job (same two-phase protocol as
-    Hadoop FileOutputCommitter / Iceberg snapshot commit). ``abort()``
-    removes orphan parts on task failure."""
+    task streams its partition to an ATTEMPT-UNIQUE temp file
+    (``.tmp-part-*``, invisible to ``part-*.jsonl`` readers) and
+    returns a commit message; the DRIVER's ``commit()`` renames every
+    temp to its final ``part-<pid>.jsonl`` name and only then writes
+    the ``_MANIFEST.json``. That rename step is what makes the sink
+    transactional: a crashed or speculative task's half-written file
+    keeps its temp name forever, so readers (glob or manifest) never
+    see it — the same two-phase protocol as Hadoop FileOutputCommitter
+    / Iceberg snapshot commit. ``abort()`` removes the temp files of
+    tasks that did report in."""
 
     @classmethod
     def name(cls) -> str:
@@ -201,27 +205,32 @@ class JsonlWriter(DataSourceWriter):
     def write(self, iterator: Iterator) -> _PartFile:
         import json
         import os
+        import uuid
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        part = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        # attempt-unique temp name: concurrent speculative attempts of
+        # the same partition can never clobber each other, and a crashed
+        # attempt's partial file never matches the part-*.jsonl glob
+        tmp = os.path.join(self.path, f".tmp-part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
         n = 0
-        with open(part, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(json.dumps(dict(zip(self.columns, row))) + "\n")
                 n += 1
-        return _PartFile(part, n)
+        return _PartFile(tmp, f"part-{pid:05d}.jsonl", n)
 
     def commit(self, messages: Sequence[_PartFile]) -> None:
         import json
         import os
 
+        for m in messages:
+            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
         manifest = {
             "parts": sorted(
-                ({"path": os.path.basename(m.path), "n_rows": m.n_rows}
-                 for m in messages),
+                ({"path": m.final_name, "n_rows": m.n_rows} for m in messages),
                 key=lambda p: p["path"],
             ),
             "n_rows": sum(m.n_rows for m in messages),
@@ -233,8 +242,8 @@ class JsonlWriter(DataSourceWriter):
         import os
 
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 def register_jsonl_sink(spark: SparkSession) -> None:

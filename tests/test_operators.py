@@ -773,13 +773,17 @@ def test_vocab_growth_counts_first_occurrences(spark, tmp_path):
 
 
 def test_hierarchy_rollup_root_and_depth(spark, tmp_path):
+    # 9999 has no parent 999 in the table: the walk must stay TOTAL and
+    # root it at its last reachable ancestor (itself), not drop/NULL it
     spark.createDataFrame(
-        [(0,), (3,), (42,), (427,), (4271,)], "c_custkey bigint"
+        [(0,), (3,), (42,), (427,), (4271,), (9999,)], "c_custkey bigint"
     ).write.parquet(str(tmp_path / "customer.parquet"))
 
     got = {r.c_custkey: (r.root_key, r.depth)
            for r in all_ops()["hierarchy_rollup"].fn(spark, str(tmp_path)).collect()}
-    assert got == {0: (0, 0), 3: (3, 0), 42: (4, 1), 427: (4, 2), 4271: (4, 3)}
+    # parent 4 is absent too, so the 42-chain roots at 42 itself
+    assert got == {0: (0, 0), 3: (3, 0), 42: (42, 0), 427: (42, 1),
+                   4271: (42, 2), 9999: (9999, 0)}
 
 
 def test_session_path_caps_and_orders(spark, tmp_path):
@@ -989,3 +993,31 @@ def test_record_linkage_recovers_parent(spark, tmp_path):
            for r in all_ops()["record_linkage_parts"].fn(spark, str(tmp_path)).collect()}
     # partkey 3: pos = 3 % 11 = 3 -> drop char 4 ('d') -> "col widget"
     assert got == {3: ("col widget", 3, 1)}
+
+
+def test_volume_spike_gap_days_count_as_zero(spark, tmp_path):
+    """Days 1-6 have 10 events, day 7 is an outage (no rows), day 8 has
+    18: the trailing-7 baseline is 60 (six tens + one zero), so 18*7 >=
+    120 flags the spike — a row-lag window would use a 70 baseline
+    (needing 20) and miss it."""
+    from datetime import datetime as dt
+
+    rows = []
+    eid = 0
+    for d in [1, 2, 3, 4, 5, 6]:
+        for i in range(10):
+            eid += 1
+            rows.append((eid, dt(2024, 1, d, 10, 0, i), 7, "view", 1.0, ""))
+    for i in range(18):
+        eid += 1
+        rows.append((eid, dt(2024, 1, 8, 10, 0, i), 7, "view", 1.0, ""))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from datetime import date
+
+    got = {r.day: (r.trailing7_events, r.is_spike)
+           for r in all_ops()["volume_spike_days"].fn(spark, str(tmp_path)).collect()}
+    assert got == {date(2024, 1, 8): (60, True)}

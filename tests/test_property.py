@@ -218,3 +218,32 @@ def test_log2_bucket_matches_bit_length(spark, xs):
     got = [r.b for r in sdf.select(F.expr(_log2_bucket_sql("x", 41)).alias("b")).collect()]
     want = [x.bit_length() - 1 if x > 0 else -1 for x in xs]
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.integers(min_value=1, max_value=10**12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_signed_ratio_round_matches_decimal(spark, pairs):
+    """base.signed_ratio_round == Decimal ROUND_HALF_UP (half away from
+    zero) for signed numerators inside the 2^53 contract domain."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    pdf = pd.DataFrame(pairs, columns=["num", "den"])
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r.r for r in
+        sdf.select(signed_ratio_round(F.col("num"), F.col("den")).alias("r")).collect()
+    ]
+    for g, (n, d) in zip(got, pairs):
+        ref = (Decimal(n) / Decimal(d)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        assert g == float(ref), (n, d, g, ref)

@@ -218,6 +218,10 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
     assert back.count() == 100
     assert back.selectExpr("sum(doubled)").collect()[0][0] == 9900
 
+    # two-phase contract: no temp files survive a successful commit
+    import os
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-part-")]
+
 
 def test_schema_evolution_merge_on_read(spark, tmp_path):
     """mergeSchema read across two parquet generations: new column is
