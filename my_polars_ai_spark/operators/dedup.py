@@ -871,3 +871,51 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
     )
+
+
+# Bipartite projection support threshold: pairs must co-supply this many parts.
+COSUPPLY_MIN_PARTS = 3
+
+
+@op(
+    "co_supplier_pairs",
+    oracle=f"""
+    WITH sp AS (
+        SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+           CAST(count(*) AS BIGINT) AS n_shared_parts
+    FROM sp a JOIN sp b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {COSUPPLY_MIN_PARTS}
+    ORDER BY n_shared_parts DESC, supp_a, supp_b
+    LIMIT 100
+    """,
+    tags=("graph", "join", "projection"),
+)
+def co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite graph projection: suppliers connected by the parts they
+    both supply (>= 3 shared parts) — the co-occurrence projection
+    behind 'related vendors', co-purchase graphs, and author-paper
+    collaboration networks. The scale property is WHERE the pair join
+    happens: on the (supplier, part) edge list keyed by PART, so
+    fan-out per join key is bounded by suppliers-per-part (small by
+    nature), never suppliers x suppliers; the support threshold prunes,
+    and the report is the top-100 pairs (TakeOrderedAndProject, total
+    tiebreak) so output stays bounded even on corpora where the
+    projection is dense. Same candidate-generation discipline as the
+    LSH/banding dedup family."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    a = sp.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("supp_a"))
+    b = sp.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("supp_b"))
+    return (
+        a.join(b, "pk")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_parts"))
+        .filter(F.col("n_shared_parts") >= COSUPPLY_MIN_PARTS)
+        .orderBy(F.desc("n_shared_parts"), "supp_a", "supp_b")
+        .limit(100)
+    )

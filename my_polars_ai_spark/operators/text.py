@@ -1065,3 +1065,41 @@ def rebalance_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_n.cast("long").alias("keep_n"),
         ratio_round(keep_n, F.col("n_docs")).alias("keep_rate"),
     )
+
+
+@op(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         x -> x IN {_MARKERS_SQL})) * 1.0
+                         / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                    THEN 'en' ELSE 'other' END AS pred_lang
+        FROM documents
+    )
+    SELECT lang AS true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+    tags=("text", "langid", "eval"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation ON text at corpus scale: the confusion
+    matrix of the stopword language-ID heuristic against the corpus's
+    ground-truth lang labels — the eval loop every lang-filter change
+    reruns before touching production curation. One narrow scoring map
+    (reusing `lang_id_heuristic`'s exact expression) + a
+    langs x {{en,other}} bounded aggregate; at 100 TB the whole eval is
+    one pass with map-side combine."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    n_marker = F.size(F.filter(ts, lambda x: F.array_contains(markers, x)))
+    ratio = n_marker / F.greatest(F.size(ts), F.lit(1))
+    pred = F.when(ratio >= 0.05, "en").otherwise("other")
+    return (
+        d.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
