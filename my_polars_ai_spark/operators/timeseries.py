@@ -715,3 +715,89 @@ def volume_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum7").cast("long").alias("trailing7_events"),
         (F.col("n_events") * 7 >= 2 * F.col("sum7")).alias("is_spike"),
     )
+
+
+@op(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, sid, min(ts) AS s_start,
+               max(ts) + INTERVAL 10 MINUTE AS s_end
+        FROM numbered GROUP BY user_id, sid
+    ), bounds AS (
+        SELECT s_start AS ts, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT s_end, -1 FROM sessions
+    ), running AS (
+        SELECT ts,
+               sum(delta) OVER (ORDER BY ts, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS live
+        FROM bounds
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM running GROUP BY 1
+    """,
+    tags=("timeseries", "window", "scale-pattern"),
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-stabbing load
+    metric (capacity planning, license counting). The oracle states the
+    textbook global running sum over +1/-1 boundaries; the Spark plan
+    is the SCALABLE TWO-PASS PREFIX SUM that replaces it at 100 TB:
+    (1) bucket boundaries by hour and reduce each bucket to one delta
+    sum; (2) a running offset over the (calendar-bounded) bucket table;
+    (3) within-bucket running sums partitioned BY BUCKET, shifted by
+    the broadcast offsets. No unpartitioned window ever touches
+    event-scale data. Boundary tie rule: ends sort before starts at the
+    same instant (delta ascending), so back-to-back sessions never
+    double-count."""
+    sessions = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("sw.start").alias("s_start"), F.col("sw.end").alias("s_end"))
+    )
+    bounds = sessions.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    bucketed = bounds.withColumn("bucket", F.date_trunc("hour", "ts"))
+    # pass 1: one delta-sum per bucket; running OFFSET over the bounded
+    # bucket table (exclusive frame: offset = everything before my bucket)
+    per_bucket = bucketed.groupBy("bucket").agg(F.sum("delta").alias("bsum"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bsum").over(w_off), F.lit(0)).alias("offset")
+    )
+    # pass 2: within-bucket running sum, partitioned by bucket
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "ts",
+            (F.col("offset") + F.sum("delta").over(w_in)).alias("live"),
+        )
+    )
+    return running.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.max("live").cast("long").alias("peak_concurrent"))

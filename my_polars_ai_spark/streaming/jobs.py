@@ -411,3 +411,59 @@ def stream_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_bounce"),
         )
     )
+
+
+def user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the foreachBatch store: per-user event count +
+    exact value cents."""
+    from my_polars_ai_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value").cast("decimal(28,6)") * 100).cast("decimal(38,0)"))
+        .cast("long").alias("cents"),
+    )
+
+
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str, store_dir: str) -> DataFrame:
+    """foreachBatch exactly-once sink: stream the per-user totals
+    aggregation (complete mode) and persist each micro-batch's full
+    snapshot via WRITE-TO-EPOCH-DIR + POINTER-SWAP — the idempotent
+    pattern that makes any retried batch safe: a replayed batch_id
+    overwrites its own epoch directory and re-points the same pointer,
+    so the store never holds a half batch or a double-applied one
+    (the file-based equivalent of MERGE INTO with an epoch watermark).
+    Readers resolve the pointer file to the current epoch directory."""
+    import json
+    import os
+
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value").cast("decimal(28,6)") * 100).cast("decimal(38,0)"))
+        .cast("long").alias("cents"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        epoch_dir = os.path.join(store_dir, f"epoch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(epoch_dir)   # idempotent per batch_id
+        tmp = os.path.join(store_dir, "_POINTER.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"current": f"epoch={batch_id}"}, fh)
+        os.replace(tmp, os.path.join(store_dir, "_POINTER.json"))
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    with open(os.path.join(store_dir, "_POINTER.json")) as fh:
+        current = json.load(fh)["current"]
+    return spark.read.parquet(os.path.join(store_dir, current))

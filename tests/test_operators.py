@@ -1021,3 +1021,29 @@ def test_volume_spike_gap_days_count_as_zero(spark, tmp_path):
     got = {r.day: (r.trailing7_events, r.is_spike)
            for r in all_ops()["volume_spike_days"].fn(spark, str(tmp_path)).collect()}
     assert got == {date(2024, 1, 8): (60, True)}
+
+
+def test_max_concurrent_counts_overlap_not_touch(spark, tmp_path):
+    """Two overlapping sessions peak at 2; a third session starting
+    exactly when another ends (end-before-start tie rule) does not."""
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: session 10:00 -> 10:10(+10m window = ends 10:20)
+        (1, dt(2024, 1, 1, 10, 0), 1, "view", 1.0, ""),
+        (2, dt(2024, 1, 1, 10, 10), 1, "view", 1.0, ""),
+        # user 2: overlaps (10:05 -> ends 10:15)
+        (3, dt(2024, 1, 1, 10, 5), 2, "view", 1.0, ""),
+        # user 3: starts exactly at user 1's session end 10:20
+        (4, dt(2024, 1, 1, 10, 20), 3, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from datetime import date
+
+    got = {r.day: r.peak_concurrent
+           for r in all_ops()["max_concurrent_sessions"].fn(spark, str(tmp_path)).collect()}
+    assert got == {date(2024, 1, 1): 2}

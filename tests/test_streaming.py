@@ -249,3 +249,29 @@ def test_stream_session_bounce_matches_batch(spark, sf_dir):
         for r in bounce_batch(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreachbatch_pointer_swap_store_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch epoch-dir + pointer-swap store must equal the
+    batch aggregation, and the pointer must resolve to a complete
+    epoch directory."""
+    import json
+
+    from my_polars_ai_spark.streaming.jobs import (
+        stream_foreachbatch_upsert,
+        user_totals_batch,
+    )
+
+    store = str(tmp_path / "store")
+    got = {
+        r.user_id: (r.n_events, r.cents)
+        for r in stream_foreachbatch_upsert(spark, sf_dir, store).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.cents)
+        for r in user_totals_batch(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+    pointer = json.load(open(f"{store}/_POINTER.json"))
+    assert pointer["current"].startswith("epoch=")
