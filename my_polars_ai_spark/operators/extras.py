@@ -1777,3 +1777,52 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(F.col("s") * F.col("tn"), F.col("n") * F.col("ts"))
         .alias("seasonality_index"),
     )
+
+
+@op(
+    "zscore_outlier_exact",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM events
+    ), s AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum(cents) AS sv, sum(cents*cents) AS svv
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type,
+           CAST(v.cents AS BIGINT) AS cents,
+           (s.n * (s.n*v.cents - s.sv) * (s.n*v.cents - s.sv)
+            > 9 * s.n * (s.n*s.svv - s.sv*s.sv)) AS is_outlier
+    FROM v JOIN s USING (event_type)
+    """,
+    tags=("anomaly", "stats", "agg"),
+)
+def zscore_outlier_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier flags WITHOUT floats: |x - mean| > 3*sigma cross-
+    multiplies to n*(n*x - S)^2 > 9*n*(n*Q - S^2) over the exact integer
+    moments (S = sum, Q = sum of squares) — the mean-based complement to
+    `anomaly_mad`'s median rule, and the proof that even sigma
+    thresholds need no floating point. Per-type moments are one
+    map-side-combined aggregate broadcast back onto the rows; the flag
+    is a narrow comparison. DECIMAL(38,0) holds every product at fact
+    scale."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = e.select(
+        "event_id", "event_type",
+        (F.col("value").cast("decimal(28,6)") * 100).cast(dec).alias("cents"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("cents").alias("sv"),
+        F.sum(F.col("cents") * F.col("cents")).alias("svv"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("sv")
+    var_num = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    return v.join(F.broadcast(s), "event_type").select(
+        "event_id", "event_type",
+        F.col("cents").cast("long").alias("cents"),
+        (F.col("n") * dev * dev > 9 * F.col("n") * var_num).alias("is_outlier"),
+    )
