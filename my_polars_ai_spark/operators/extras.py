@@ -1826,3 +1826,49 @@ def zscore_outlier_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("cents"),
         (F.col("n") * dev * dev > 9 * F.col("n") * var_num).alias("is_outlier"),
     )
+
+
+@op(
+    "late_arrival_fraction",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS seen_max
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < seen_max THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           {oracle_ratio_round('sum(CASE WHEN ts < seen_max THEN 1 ELSE 0 END)', 'count(*)')}
+               AS late_rate
+    FROM m GROUP BY user_id
+    """,
+    tags=("timeseries", "quality", "window"),
+)
+def late_arrival_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival rate per user: events whose timestamp is
+    behind the maximum already ingested for that user (event_id =
+    ingestion order) — THE measurement that picks a streaming
+    watermark delay (`withWatermark` tuning is exactly a quantile of
+    this lateness). One keyed window (running max over the prior frame,
+    strictly exclusive so a row never compares to itself) + a per-user
+    rollup on the same key; the rate uses the shared integer half-up
+    rounding."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.select(
+        "user_id", "ts", F.max("ts").over(w).alias("seen_max")
+    )
+    late = F.when(F.col("ts") < F.col("seen_max"), 1).otherwise(0)
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late).cast("long").alias("n_late"),
+        ratio_round(F.sum(late), F.count(F.lit(1))).alias("late_rate"),
+    )
