@@ -1047,3 +1047,67 @@ def test_max_concurrent_counts_overlap_not_touch(spark, tmp_path):
     got = {r.day: r.peak_concurrent
            for r in all_ops()["max_concurrent_sessions"].fn(spark, str(tmp_path)).collect()}
     assert got == {date(2024, 1, 1): 2}
+
+
+def test_zscore_outlier_flags_extreme_value(spark, tmp_path):
+    from datetime import datetime as dt
+
+    rows = [(i, dt(2024, 1, 1), 7, "view", 10.0, "") for i in range(1, 20)]
+    rows.append((99, dt(2024, 1, 1), 7, "view", 500.0, ""))   # extreme
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.event_id: r.is_outlier
+           for r in all_ops()["zscore_outlier_exact"].fn(spark, str(tmp_path)).collect()}
+    assert got[99] is True
+    assert all(v is False for k, v in got.items() if k != 99)
+
+
+def test_late_arrival_counts_regressions(spark, tmp_path):
+    """Ingestion order 10:00, 10:05, 10:01 -> the third event is late."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 1, 10, 5), 7, "view", 1.0, ""),
+        (3, dt(2024, 1, 1, 10, 1), 7, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = all_ops()["late_arrival_fraction"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.n_late, r.late_rate) == (3, 1, 0.333333)
+
+
+def test_co_supplier_pairs_counts_shared_parts(spark, tmp_path):
+    rows = [
+        # suppliers 1,2 share parts 10,11,12 (>=3) -> pair kept
+        (1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 12),
+        # supplier 3 shares only part 10 with 1 -> below threshold
+        (3, 10),
+    ]
+    spark.createDataFrame(
+        rows, "l_suppkey bigint, l_partkey bigint"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {(r.supp_a, r.supp_b): r.n_shared_parts
+           for r in all_ops()["co_supplier_pairs"].fn(spark, str(tmp_path)).collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_lang_id_confusion_buckets(spark, tmp_path):
+    rows = [
+        (1, "the cat of the hat", "en", "s", 0),   # markers -> pred en
+        (2, "xyz qrs tuv", "de", "s", 0),          # no markers -> other
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r.true_lang, r.pred_lang): r.n_docs
+           for r in all_ops()["lang_id_confusion"].fn(spark, str(tmp_path)).collect()}
+    assert got == {("en", "en"): 1, ("de", "other"): 1}
