@@ -1103,3 +1103,40 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@op(
+    "inverted_index_build",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), f AS (
+        SELECT doc_id, tok FROM toks WHERE tok != ''
+    )
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS df,
+           (list(doc_id ORDER BY doc_id))[1:5] AS first_postings
+    FROM f GROUP BY tok
+    """,
+    tags=("text", "index", "agg"),
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the IR structure behind
+    `bm25_scores`: one posting list per token (document frequency +
+    the first 5 postings in doc order as the stored sample; a real
+    index shards full lists by token range). Shape: the classic
+    index-build is EXACTLY a groupBy on the token after the (doc, tok)
+    distinct — map-side combine collects partial postings per
+    partition, the merge concatenates them, and array_sort + slice
+    makes the stored prefix deterministic. Output bounded by vocabulary
+    x 5."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("first_postings"),
+    )
