@@ -269,3 +269,26 @@ def test_grouped_agg_udaf_is_partial_merge_shape(spark, sf_dir):
     # streaming Arrow batches), never whole-group FlatMapGroupsInPandas
     assert "AggregatePython" in text or "AggregateInPandas" in text, text
     assert "FlatMapGroupsInPandas" not in text
+
+
+def test_record_linkage_blocking_is_equi_join(spark, sf_dir):
+    """The length-band blocking must compile to a hash equi-join on the
+    fan-out bucket — never an inequality nested loop."""
+    s = plan_summary(all_ops()["record_linkage_parts"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["python_evals"] == 0
+
+
+def test_co_supplier_projection_bounded_report(spark, sf_dir):
+    s = plan_summary(all_ops()["co_supplier_pairs"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["take_ordered"] >= 1, s          # top-100 compiles to TakeOrdered
+
+
+def test_new_window_ops_stay_jvm_side(spark, sf_dir):
+    ops = all_ops()
+    for name in ("late_arrival_fraction", "running_distinct_event_types",
+                 "weighted_median_per_group", "max_concurrent_sessions",
+                 "inverted_index_build"):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["python_evals"] == 0, name
