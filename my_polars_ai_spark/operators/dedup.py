@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import ROUND_RATIO, Op, make_registrar
+from my_polars_ai_spark.operators.base import (
+    ROUND_RATIO,
+    Op,
+    make_registrar,
+    oracle_ratio_round,
+    ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -918,4 +924,75 @@ def co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_parts") >= COSUPPLY_MIN_PARTS)
         .orderBy(F.desc("n_shared_parts"), "supp_a", "supp_b")
         .limit(100)
+    )
+
+
+# Banding configurations whose recall curves the tuning table reports
+# (bands x rows = 16 permutations, matching N_PERMS).
+BANDING_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+@op(
+    "minhash_banding_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS s
+        FROM toks
+        WHERE len(ts) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), true_pairs AS (
+        SELECT round(ni * 1.0 / (sa.n + sb.n - ni), {ROUND_RATIO}) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {NGRAM_THRESHOLD}
+    ), curves AS (
+        SELECT b, r,
+               CAST(round(1.0 - pow(1.0 - pow(j, r), b), {ROUND_RATIO})
+                    * 1000000 AS HUGEINT) AS p_micro
+        FROM true_pairs
+        CROSS JOIN (VALUES (2, 8), (4, 4), (8, 2)) AS cfg(b, r)
+    )
+    SELECT b, r,
+           CAST(count(*) AS BIGINT) AS n_true_pairs,
+           {oracle_ratio_round('sum(p_micro)', 'count(*) * 1000000')}
+               AS expected_recall
+    FROM curves GROUP BY b, r
+    """,
+    tags=("dedup", "sketch", "report"),
+)
+def minhash_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding TUNING TABLE: for each (bands, rows) split of the
+    16 permutations, the expected LSH candidate recall over the
+    corpus's OWN true near-dup pairs — E[1-(1-j^r)^b] with j the exact
+    3-gram Jaccard of each qualifying pair (the same pair query as
+    `dedup_ngram_jaccard`). This is the analysis that picked
+    `dedup_minhash_lsh`'s 2x8 configuration (see the N_BANDS comment);
+    shipping it as an operator means every new corpus re-derives the
+    right banding from data instead of folklore. Float discipline:
+    each pair's curve value rounds ONCE to micro-units, then the
+    per-config mean is the exact integer rational. The true-pair join
+    is the labeled brute baseline (shingle-keyed, never doc x doc)
+    feeding a 3-row bounded report."""
+    pairs = OPS["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    cfgs = spark.createDataFrame(list(BANDING_CONFIGS), "b int, r int")
+    p_cand = F.round(
+        1.0 - F.pow(1.0 - F.pow(F.col("jaccard"), F.col("r")), F.col("b")),
+        ROUND_RATIO,
+    )
+    curves = pairs.crossJoin(F.broadcast(cfgs)).select(
+        "b", "r", (p_cand * 1000000).cast("decimal(38,0)").alias("p_micro")
+    )
+    return curves.groupBy("b", "r").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        ratio_round(F.sum("p_micro"), F.count(F.lit(1)) * 1000000).alias("expected_recall"),
     )
