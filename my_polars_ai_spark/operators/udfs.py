@@ -225,3 +225,44 @@ def grouped_agg_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(sum_sq("cents").alias("sum_sq_cents"))
     )
+
+
+@op(
+    "arrow_doc_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_arrow,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_arrow
+    FROM documents
+    """,
+    tags=("udf", "arrow"),
+)
+def arrow_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the fourth Python execution surface (after scalar
+    pandas_udf, GROUPED_AGG, and grouped-map applyInPandas): the UDF
+    receives raw ``pyarrow.RecordBatch`` objects and answers with
+    RecordBatches, skipping the pandas conversion entirely — the
+    zero-copy path for metadata-extraction passes over huge batches.
+    The body is pure Arrow compute kernels (utf8_length /
+    binary_length), so the only Python cost is orchestration; the
+    oracle pins the semantics to plain SQL length functions."""
+    import pyarrow as pa
+
+    def batch_meta(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                ],
+                names=["doc_id", "n_chars_arrow", "n_bytes_arrow"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        batch_meta, schema="doc_id bigint, n_chars_arrow bigint, n_bytes_arrow bigint"
+    )

@@ -238,3 +238,44 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_observe_metrics_capture_row_counts(spark, sf_dir):
+    """df.observe: inline observable metrics ride the job (no second
+    pass) — the production pattern for row-count/invariant telemetry."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.sources.tables import load_table
+
+    obs = Observation("events_metrics")
+    e = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias("n_nonpositive"),
+    )
+    n = e.filter(F.col("event_type") == "view").count()
+    got = obs.get
+    assert got["n_rows"] > n > 0          # metrics observed the FULL scan
+    assert got["n_nonpositive"] == 0
+
+
+def test_pandas_on_spark_interop(spark, sf_dir):
+    """pandas-on-Spark (pyspark.pandas): the dataframe-library UX the
+    reference's users expect, running on the same engine — groupby
+    result must match the SQL aggregation."""
+    import warnings
+
+    import pyspark.pandas as ps
+
+    from my_polars_ai_spark.sources.tables import load_table
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        e = load_table(spark, sf_dir, "events")
+        psdf = e.select("event_type", "value").pandas_api()
+        got = psdf.groupby("event_type")["value"].count().to_dict()
+
+    want = {r.event_type: r.n for r in
+            e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and len(want) > 0
