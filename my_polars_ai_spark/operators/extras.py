@@ -1872,3 +1872,64 @@ def late_arrival_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(late).cast("long").alias("n_late"),
         ratio_round(F.sum(late), F.count(F.lit(1))).alias("late_rate"),
     )
+
+
+@op(
+    "incremental_rollup_maintenance",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "incremental", "scale-pattern"),
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, end to end: the
+    corpus splits deterministically into a BASE snapshot (~90%) and a
+    newly-arrived DELTA (~10%, by event-id hash); each side reduces to
+    mergeable partials (count, exact cents sum, per-user presence),
+    and the stored view updates by MERGING partials — never re-reading
+    the base facts. The oracle is the full recompute, so the green
+    hash IS the proof that merge(rollup(base), rollup(delta)) ==
+    rollup(all) — including the distinct-count column, which stays
+    mergeable by keeping (day, type, user) grain until AFTER the merge
+    (the standard trick: distinct aggregates don't merge, presence
+    sets do). This is `merge_partial_aggs`' algebra promoted to the
+    real maintenance loop every 100 TB rollup runs nightly."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        (F.col("value").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").alias("cents"),
+        (portable_hash60(F.concat(F.lit("inc:"), F.col("event_id").cast("string")))
+         % 10 == 0).alias("is_delta"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        # user grain preserved: presence merges, DISTINCT wouldn't
+        return df.groupBy("day", "event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+
+    base = partials(e.filter(~F.col("is_delta")))
+    delta = partials(e.filter(F.col("is_delta")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type", "user_id")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.groupBy("day", "event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
