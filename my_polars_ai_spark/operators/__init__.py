@@ -58,7 +58,7 @@ _MODULES = (
 #   event_transition_matrix, histogram_2d, feature_minmax_scale,
 #   dedup_cluster_size_hist, token_cooccurrence_pmi,
 #   source_quality_report
-# (c) the 50 ops added in round-4 session 3 (registry 175 -> 225):
+# (c) the 52 ops added in round-4 session 3 (registry 175 -> 227):
 #   scd2_history, dq_audit, pareto_frontier_suppliers,
 #   rolling_trend_slope, dup_chunk_fraction, grouped_agg_sum_squares,
 #   asof_join_tolerance, rolling_wau, snapshot_diff,
@@ -75,8 +75,9 @@ _MODULES = (
 #   rebalance_sample_plan, record_linkage_parts, co_supplier_pairs,
 #   lang_id_confusion, max_concurrent_sessions, zscore_outlier_exact,
 #   late_arrival_fraction, inverted_index_build, minhash_banding_curve,
-#   arrow_doc_meta, incremental_rollup_maintenance
-# 16 + 32 + 50 + 12 canaries = 110 candidates across r5/r6 windows:
+#   arrow_doc_meta, incremental_rollup_maintenance,
+#   join_cardinality_estimate, corpus_table_profile
+# 16 + 32 + 52 + 12 canaries = 112 candidates across r5/r6 windows:
 # rotate out canaries whose families the
 # new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> grouped_agg_sum_squares, tumbling_window_hourly

@@ -1933,3 +1933,71 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("cents").cast("long").alias("cents"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@op(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1
+    ), b AS (
+        SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1
+    )
+    SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS predicted_rows,
+           CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(max(a.ca * b.cb) AS BIGINT) AS max_key_contribution
+    FROM a JOIN b USING (k)
+    """,
+    tags=("join", "stats", "scale-pattern"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT executing the join:
+    |A join B on k| = sum over keys of cnt_A(k)*cnt_B(k) — the
+    pre-flight a pipeline runs before an expensive fact-fact join to
+    catch blowups (and max_key_contribution is the skew headline: one
+    key owning the output means salt before you join). Both sides
+    reduce to per-key counts FIRST (map-side combined), so the probe
+    join touches only distinct keys — orders x events here would be
+    ~1000x larger than the count-table join that predicts it."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    b = e.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    prod = F.col("ca") * F.col("cb")
+    return a.join(b, "k").agg(
+        F.sum(prod).cast("long").alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max(prod).cast("long").alias("max_key_contribution"),
+    )
+
+
+@op(
+    "corpus_table_profile",
+    oracle="""
+    SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+    tags=("audit", "report", "scan"),
+)
+def corpus_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog row-count profile across every corpus table — the
+    warehouse freshness/size dashboard (and the sanity row the driver's
+    smoke check implicitly depends on). Each count is a metadata-cheap
+    scan Spark satisfies from parquet footer statistics; ten 1-row
+    aggregates unioned, scheduled concurrently as independent
+    subtrees."""
+    tables = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+    out = None
+    for t in tables:
+        one = _labeled_count(_t(spark, sf_dir, t), "n_rows", table_name=t)
+        out = one if out is None else out.unionByName(one)
+    return out
