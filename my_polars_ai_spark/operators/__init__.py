@@ -147,6 +147,71 @@ _PRIORITY = (
 )
 
 
+# Round-5 window, staged and test-validated THIS round so the rotation
+# is a one-line flip (_PRIORITY = _PRIORITY_R5) at the start of r5 —
+# never again an end-of-round rename landing half-finished (the r3
+# failure mode). Composition: the 12 family canaries with the planned
+# swaps applied (backward->tolerance as-of, tumbling->attribution,
+# sigmoid->GROUPED_AGG UDAF, stratified->weighted sampling), the 16
+# pre-r4 stragglers, and 22 of round-4-session-2's ops. The 10
+# remaining r4s2 ops + the 52 session-3 ops take the r6 window.
+_PRIORITY_R5 = (
+    # canaries (swaps applied)
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
+    "ann_lsh_cosine",
+    "tfidf_top_terms",
+    "asof_join_tolerance",
+    "view_purchase_attribution",
+    "grouped_agg_sum_squares",
+    "udtf_bigrams",
+    "weighted_bernoulli_sample",
+    "sql_api_revenue",
+    # pre-r4 stragglers — first driver row
+    "first_last_nth_value",
+    "string_pad_funcs",
+    "misc_scalar_funcs",
+    "bit_aggregates",
+    "roc_points",
+    "kmeans_segments",
+    "profile_columns",
+    "row_udf_label",
+    "boxplot_stats",
+    "mode_per_group",
+    "rolling_min_max",
+    "weighted_avg",
+    "hash_funcs",
+    "key_skew_profile",
+    "string_agg_per_group",
+    "group_topk_percent",
+    # round-4 session-2 ops — first driver row
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_stats",
+    "tpch_q20_top_shippers",
+    "tpch_q21_waiting_suppliers",
+    "pii_redact",
+    "remove_boilerplate_tokens",
+    "benchmark_contamination",
+    "repetition_2gram_ratio",
+    "label_centroids",
+    "python_datasource_scan",
+    "pq_adc_topk",
+    "variant_json_funcs",
+    "near_dup_triangle_stats",
+    "bloom_filter_semi_join",
+    "linear_counting_distinct",
+    "audio_frame_features",
+)
+
+
 def all_ops() -> dict[str, Op]:
     import importlib
 

@@ -1111,3 +1111,17 @@ def test_lang_id_confusion_buckets(spark, tmp_path):
     got = {(r.true_lang, r.pred_lang): r.n_docs
            for r in all_ops()["lang_id_confusion"].fn(spark, str(tmp_path)).collect()}
     assert got == {("en", "en"): 1, ("de", "other"): 1}
+
+
+def test_r5_window_is_staged_and_valid():
+    """The round-5 rotation window must already name 50 real ops with no
+    duplicates, so next round's flip is one line (the r3 postmortem
+    rule: land rotations with their validation, never as a bare
+    rename)."""
+    from my_polars_ai_spark.operators import _PRIORITY_R5, all_ops
+
+    ops = all_ops()
+    assert len(_PRIORITY_R5) == 50
+    assert len(set(_PRIORITY_R5)) == 50
+    missing = [n for n in _PRIORITY_R5 if n not in ops]
+    assert not missing, missing
