@@ -723,3 +723,78 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean"),
         variance.alias("variance"),
     )
+
+
+@op(
+    "int8_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               (CASE WHEN embedding[i] < 0 THEN -1 ELSE 1 END)
+               * CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+                      AS HUGEINT) AS vm
+        FROM (SELECT vec_id, embedding,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ), m AS (
+        SELECT vec_id, max(abs(vm)) AS maxabs FROM v GROUP BY vec_id
+    ), q AS (
+        SELECT v.vec_id,
+               (CASE WHEN v.vm < 0 THEN -1 ELSE 1 END)
+               * ((2*abs(v.vm)*127 + m.maxabs) // (2*m.maxabs)) AS qv
+        FROM v JOIN m USING (vec_id)
+        WHERE m.maxabs > 0
+    )
+    SELECT vec_id,
+           CAST(any_value(m2.maxabs) AS BIGINT) AS maxabs_micro,
+           CAST(sum(qv) AS BIGINT) AS q_sum,
+           CAST(min(qv) AS BIGINT) AS q_min,
+           CAST(max(qv) AS BIGINT) AS q_max
+    FROM q JOIN m m2 USING (vec_id)
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "quantize", "ml"),
+)
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus — the
+    serving-side compression every vector store applies (absmax
+    scaling: q_i = round(v_i * 127 / maxabs), scale recovered from
+    maxabs). The rounding IS the operator, so it's done in exact
+    integer arithmetic (half-away-from-zero rational on micro-units) —
+    the quantized values, not just their stats, hash-match across
+    engines; q_sum/min/max summarize the codes (q_min/q_max in
+    [-127, 127] proves no clipping). Per-vector maxabs is a grouped
+    max; quantization is a narrow map — no shuffle beyond the vec_id
+    grouping."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        # pure IEEE-double micro conversion (sign-split floor(x*1e6+0.5)):
+        # every step is correctly rounded and therefore engine-identical,
+        # unlike double->DECIMAL casts, where Spark rounds the shortest
+        # decimal repr and DuckDB the binary value (the base.py seam —
+        # ratio-rounded aggregates absorb the odd +-1 micro, raw
+        # quantization codes do not)
+        (F.when(F.col("val") < 0, -1).otherwise(1)
+         * F.floor(F.abs(F.col("val").cast("double")) * 1000000 + F.lit(0.5)))
+        .cast("decimal(38,0)").alias("vm"),
+    )
+    m = v.groupBy("vec_id").agg(F.max(F.abs("vm")).alias("maxabs"))
+    sign = F.when(F.col("vm") < 0, -1).otherwise(1)
+    qv = sign * exact_floor_div(
+        2 * F.abs(F.col("vm")) * 127 + F.col("maxabs"), 2 * F.col("maxabs")
+    )
+    q = (
+        v.join(m, "vec_id")
+        .filter(F.col("maxabs") > 0)
+        .select("vec_id", "maxabs", qv.alias("qv"))
+    )
+    return q.groupBy("vec_id").agg(
+        F.any_value("maxabs").cast("long").alias("maxabs_micro"),
+        F.sum("qv").cast("long").alias("q_sum"),
+        F.min("qv").cast("long").alias("q_min"),
+        F.max("qv").cast("long").alias("q_max"),
+    )

@@ -1140,3 +1140,52 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("first_postings"),
     )
+
+
+# Temperature for source-mixing weights: w_s = n_s^MIX_ALPHA.
+MIX_ALPHA = 0.7
+
+
+@op(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_docs,
+               CAST(floor(pow(CAST(n_docs AS DOUBLE), {MIX_ALPHA}) * 1000000 + 0.5)
+                    AS HUGEINT) AS w_micro
+        FROM per
+    ), t AS (
+        SELECT sum(w_micro) AS tot FROM w
+    )
+    SELECT w.source, CAST(w.n_docs AS BIGINT) AS n_docs,
+           CAST(w.w_micro AS BIGINT) AS w_micro,
+           {oracle_ratio_round('w.w_micro', 't.tot')} AS mix_share
+    FROM w CROSS JOIN t
+    """,
+    tags=("sample", "pipeline", "report"),
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixing weights — the T5/LLaMA-style
+    recipe w_s = n_s^0.7 that upsamples small high-value sources
+    relative to raw proportions: per-source weight and normalized mix
+    share, the table a training dataloader consumes. Float discipline:
+    the single pow() rounds ONCE to integer micro-units via the
+    IEEE-portable floor(x*1e6+0.5) (inputs are exact integer counts,
+    so both engines see the identical double), and normalization is
+    the exact integer rational. Output bounded by source count."""
+    per = _t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_micro = F.floor(
+        F.pow(F.col("n_docs").cast("double"), MIX_ALPHA) * 1000000 + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    w = per.select("source", "n_docs", w_micro.alias("w_micro"))
+    t = w.agg(F.sum("w_micro").alias("tot"))
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("w_micro").cast("long").alias("w_micro"),
+        ratio_round(F.col("w_micro"), F.col("tot")).alias("mix_share"),
+    )
