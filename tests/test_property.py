@@ -247,3 +247,36 @@ def test_signed_ratio_round_matches_decimal(spark, pairs):
     for g, (n, d) in zip(got, pairs):
         ref = (Decimal(n) / Decimal(d)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         assert g == float(ref), (n, d, g, ref)
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-10.0, max_value=10.0, width=32,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_ieee_floor_micro_conversion_is_engine_identical(spark, xs):
+    """The sign-split floor(abs(x)*1e6 + 0.5) micro conversion (used by
+    int8_quantize_embeddings) must agree between Spark and DuckDB for
+    arbitrary float32 inputs — the portable alternative to
+    double->DECIMAL casts, which diverge on shortest-repr rounding."""
+    pdf = pd.DataFrame({"x": pd.array(xs, dtype="float32")})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r.vm for r in sdf.select(
+            (F.when(F.col("x") < 0, -1).otherwise(1)
+             * F.floor(F.abs(F.col("x").cast("double")) * 1000000 + F.lit(0.5))
+             ).cast("long").alias("vm")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [r[0] for r in con.execute(
+        "SELECT (CASE WHEN x < 0 THEN -1 ELSE 1 END)"
+        " * CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        " FROM t"
+    ).fetchall()]
+    assert got == want
