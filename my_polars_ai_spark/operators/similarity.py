@@ -798,3 +798,43 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("qv").cast("long").alias("q_min"),
         F.max("qv").cast("long").alias("q_max"),
     )
+
+
+# Core-point threshold for the density flags (neighbors at the
+# dedup_embedding_cosine similarity level).
+DENSITY_MIN_NEIGHBORS = 2
+
+
+@op(
+    "density_core_points",
+    oracle=f"""
+    WITH pairs AS ({_EMB_DEDUP_ORACLE}
+    ), ends AS (
+        SELECT vec_a AS vec_id FROM pairs
+        UNION ALL
+        SELECT vec_b FROM pairs
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+           (count(*) >= {DENSITY_MIN_NEIGHBORS}) AS is_core
+    FROM ends GROUP BY vec_id
+    """,
+    tags=("similarity", "density", "ml"),
+)
+def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density flags over the embedding space: per-vector
+    neighbor counts at the `dedup_embedding_cosine` similarity level,
+    with core points = vectors having >= 2 such neighbors — the
+    density view that separates semantic clusters from isolated
+    outliers (and the first half of a DBSCAN: core points + the
+    near-dup pair graph + `dedup_cluster_canonical`'s label
+    propagation IS the full algorithm, every piece already green).
+    Reuses the LSH-bucketed pair generation verbatim; the extra work
+    is one endpoint explode + a vec_id-keyed count."""
+    pairs = OPS["dedup_embedding_cosine"].fn(spark, sf_dir)
+    ends = pairs.select(F.col("vec_a").alias("vec_id")).unionByName(
+        pairs.select(F.col("vec_b").alias("vec_id"))
+    )
+    return ends.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        (F.count(F.lit(1)) >= DENSITY_MIN_NEIGHBORS).alias("is_core"),
+    )
