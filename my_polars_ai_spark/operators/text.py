@@ -18,6 +18,7 @@ from my_polars_ai_spark.operators.base import (
     exact_floor_div,
     make_registrar,
     oracle_ratio_round,
+    oracle_signed_ratio_round,
     ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
@@ -1188,4 +1189,78 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("w_micro").cast("long").alias("w_micro"),
         ratio_round(F.col("w_micro"), F.col("tot")).alias("mix_share"),
+    )
+
+
+# Zipf fit: number of top-ranked tokens the regression uses.
+ZIPF_TOP_K = 50
+
+
+@op(
+    "zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok != ''
+        GROUP BY tok
+    ), ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk
+        FROM freq
+    ), pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+        FROM ranked WHERE rnk <= {ZIPF_TOP_K}
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           {oracle_signed_ratio_round('n*sxy - sx*sy', 'n*sxx - sx*sx')}
+               AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "stats", "report"),
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus token distribution: OLS slope
+    of ln(freq) against ln(rank) over the top-50 tokens — natural
+    language sits near -1, and a corpus that doesn't is telling you
+    it's boilerplate, spam, or synthetic (this one fits ~-0.3: the
+    generator's vocabulary is near-uniform, and the op SAYS so). Each
+    log rounds once to integer micro-nats, then the fit is the exact
+    five-sum rational via the shared signed rounding — a power-law
+    diagnostic that hash-matches. The ranking window is vocabulary-
+    bounded (and cut to 50 rows immediately)."""
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    freq = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), "tok")).alias("rnk")
+    ).filter(F.col("rnk") <= ZIPF_TOP_K)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000)
+        .cast("decimal(38,0)").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000)
+        .cast("decimal(38,0)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        signed_ratio_round(num, den).alias("zipf_slope"),
     )
