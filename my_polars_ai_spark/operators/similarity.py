@@ -838,3 +838,114 @@ def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_neighbors"),
         (F.count(F.lit(1)) >= DENSITY_MIN_NEIGHBORS).alias("is_core"),
     )
+
+
+@op(
+    "embedding_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT vec_a, vec_b FROM ({_EMB_DEDUP_ORACLE})
+    ), edges AS MATERIALIZED (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ), deg AS (
+        SELECT src AS vec_id, count(*) AS n FROM edges GROUP BY src
+    ), cores AS MATERIALIZED (
+        SELECT vec_id FROM deg WHERE n >= {DENSITY_MIN_NEIGHBORS}
+    ), core_edges AS MATERIALIZED (
+        SELECT e.src, e.dst FROM edges e
+        JOIN cores a ON a.vec_id = e.src
+        JOIN cores b ON b.vec_id = e.dst
+    ), walk(node, label) AS (
+        SELECT vec_id, vec_id FROM cores
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN core_edges e ON e.src = w.node
+    ), comp AS (
+        SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node
+    ), border AS (
+        SELECT e.src AS vec_id, min(c.cluster_id) AS cluster_id
+        FROM edges e
+        JOIN comp c ON c.vec_id = e.dst
+        WHERE e.src NOT IN (SELECT vec_id FROM cores)
+        GROUP BY e.src
+    )
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, 'core' AS role
+    FROM comp
+    UNION ALL
+    SELECT vec_id, CAST(cluster_id AS BIGINT), 'border' FROM border
+    """,
+    tags=("similarity", "cluster", "graph", "ml"),
+)
+def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete deterministic DBSCAN over the embedding space, assembled
+    from the already-green pieces: neighbor pairs from the LSH-bucketed
+    cosine join (epsilon = the near-dup threshold), core points by
+    degree (minPts = 2 neighbors), connected components over CORE-CORE
+    edges via the same min-label propagation as
+    `dedup_cluster_canonical`, then border points attached to their
+    minimum-labeled core neighbor. Vectors with no neighbors are noise
+    and emit nothing. Every stage is a keyed join/aggregate; the only
+    iteration is the bounded label-propagation loop (driver controls
+    rounds, data never leaves the cluster). Min-label + min-border
+    attachment make the clustering fully deterministic, so even DBSCAN
+    is oracle-checked via the recursive label closure."""
+    pairs = OPS["dedup_embedding_cosine"].fn(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .union(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    cores = deg.filter(F.col("n") >= DENSITY_MIN_NEIGHBORS).select(
+        F.col("src").alias("vec_id")
+    ).cache()
+    core_edges = (
+        edges.join(cores.withColumnRenamed("vec_id", "src"), "src")
+        .join(cores.withColumnRenamed("vec_id", "dst"), "dst")
+        .select("src", "dst")
+        .cache()
+    )
+    labels = cores.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("comp")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
+    for _ in range(50):
+        nbr_min = (
+            core_edges.join(labels, core_edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("DBSCAN components did not converge in 50 rounds")
+    comp = labels.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+    border = (
+        edges.join(comp.withColumnRenamed("vec_id", "dst"), "dst")
+        .join(cores.withColumnRenamed("vec_id", "src"), "src", "left_anti")
+        .groupBy("src")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("src").alias("vec_id"), "cluster_id")
+    )
+    return comp.select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.lit("core").alias("role"),
+    ).unionByName(
+        border.select(
+            "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.lit("border").alias("role"),
+        )
+    )

@@ -1125,3 +1125,28 @@ def test_r5_window_is_staged_and_valid():
     assert len(set(_PRIORITY_R5)) == 50
     missing = [n for n in _PRIORITY_R5 if n not in ops]
     assert not missing, missing
+
+
+def test_dbscan_core_border_noise_roles(spark, tmp_path):
+    """Hand-built geometry: three mutually-near vectors form a core
+    triangle; an isolated vector is noise and must be absent; every
+    cluster label is the id of a core member (min-label contract)."""
+    import math
+
+    def v(angle):
+        return [float(math.cos(angle)), float(math.sin(angle)), 0.0, 0.0]
+
+    rows = [
+        (1, v(0.00), 0),
+        (2, v(0.05), 0),
+        (3, v(0.10), 0),      # 1-2-3 pairwise cosine ~1 -> all core
+        (5, v(2.50), 0),      # cosine < threshold to everything -> noise
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: (r.cluster_id, r.role)
+           for r in all_ops()["embedding_dbscan_clusters"].fn(spark, str(tmp_path)).collect()}
+    assert 5 not in out                                   # noise emits nothing
+    assert out == {1: (1, "core"), 2: (1, "core"), 3: (1, "core")}
