@@ -58,7 +58,7 @@ _MODULES = (
 #   event_transition_matrix, histogram_2d, feature_minmax_scale,
 #   dedup_cluster_size_hist, token_cooccurrence_pmi,
 #   source_quality_report
-# (c) the 57 ops added in round-4 session 3 (registry 175 -> 232):
+# (c) the 60 ops added in round-4 session 3 (registry 175 -> 235):
 #   scd2_history, dq_audit, pareto_frontier_suppliers,
 #   rolling_trend_slope, dup_chunk_fraction, grouped_agg_sum_squares,
 #   asof_join_tolerance, rolling_wau, snapshot_diff,
@@ -78,8 +78,9 @@ _MODULES = (
 #   arrow_doc_meta, incremental_rollup_maintenance,
 #   join_cardinality_estimate, corpus_table_profile,
 #   int8_quantize_embeddings, source_mixing_weights,
-#   density_core_points, zipf_fit, embedding_dbscan_clusters
-# 16 + 32 + 57 + 12 canaries = 117 candidates across r5/r6 windows:
+#   density_core_points, zipf_fit, embedding_dbscan_clusters,
+#   basket_size_hist, neardup_degree_hist, activity_entropy
+# 16 + 32 + 60 + 12 canaries = 120 candidates across r5/r6 windows:
 # rotate out canaries whose families the
 # new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> grouped_agg_sum_squares, tumbling_window_hourly

@@ -996,3 +996,38 @@ def minhash_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_true_pairs"),
         ratio_round(F.sum("p_micro"), F.count(F.lit(1)) * 1000000).alias("expected_recall"),
     )
+
+
+@op(
+    "neardup_degree_hist",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), ends AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b FROM pairs
+    ), deg AS (
+        SELECT doc_id, count(*) AS d FROM ends GROUP BY doc_id
+    )
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY d
+    """,
+    tags=("dedup", "graph", "histogram"),
+)
+def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the shape
+    diagnostic read before clustering: a heavy tail says giant
+    template-families (expect huge components and long label-
+    propagation rounds), a flat low-degree curve says isolated
+    duplicate pairs. Endpoint explode + two bounded aggregations over
+    the already-bucketed MinHash pairs."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

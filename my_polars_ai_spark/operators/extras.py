@@ -2001,3 +2001,49 @@ def corpus_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = _labeled_count(_t(spark, sf_dir, t), "n_rows", table_name=t)
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@op(
+    "activity_entropy",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+    ), n AS (
+        SELECT user_id, sum(c) AS n FROM c GROUP BY user_id
+    ), terms AS (
+        SELECT c.user_id,
+               CAST(round((c.c * 1.0 / n.n) * ln(n.n * 1.0 / c.c) * 1000000)
+                    AS HUGEINT) AS t_micro
+        FROM c JOIN n USING (user_id)
+    )
+    SELECT user_id,
+           CAST(sum(t_micro) AS BIGINT) AS entropy_micro,
+           round(sum(t_micro) / 1000000.0, {ROUND_RATIO}) AS entropy_nats
+    FROM terms GROUP BY user_id
+    """,
+    tags=("stats", "agg", "profile"),
+)
+def activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-breadth entropy per user: H = sum p*ln(1/p) over the
+    user's event-type mix — 0 for single-behavior users, ln(4) for a
+    uniform mix; the engagement-diversity feature behind churn and
+    bot models. Each term's single transcendental rounds ONCE to
+    integer micro-nats (counts are exact, so both engines evaluate the
+    identical double), then per-user summation is exact integer
+    arithmetic — the unigram_logprob_score discipline applied to a
+    per-entity statistic. Two keyed aggregations, state bounded by the
+    type domain."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    t_micro = (
+        F.round(
+            (F.col("c") * 1.0 / F.col("n"))
+            * F.log(F.col("n") * 1.0 / F.col("c")) * 1000000
+        ).cast("decimal(38,0)").alias("t_micro")
+    )
+    terms = c.join(n, "user_id").select("user_id", t_micro)
+    return terms.groupBy("user_id").agg(
+        F.sum("t_micro").cast("long").alias("entropy_micro"),
+        F.round(F.sum("t_micro") / 1000000.0, ROUND_RATIO).alias("entropy_nats"),
+    )

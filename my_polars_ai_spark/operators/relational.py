@@ -1571,3 +1571,29 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n_cust").cast("long").alias("n_cust"),
         )
     )
+
+
+@op(
+    "basket_size_hist",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_items AS INTEGER) AS n_items,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM per GROUP BY n_items
+    """,
+    tags=("agg", "histogram"),
+)
+def basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: line items per order, then the count
+    of orders at each size — the degree distribution of the
+    order->lineitem relation (the one-to-many fan-out every capacity
+    estimate and data-generator validation reads first). Two
+    aggregations, the second over the bounded size domain; both
+    map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return per.groupBy(F.col("n_items").cast("int").alias("n_items")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
