@@ -801,3 +801,73 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.max("live").cast("long").alias("peak_concurrent"))
+
+
+@op(
+    "cohort_revenue_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w,
+               min(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE))
+                   OVER (PARTITION BY user_id) AS cohort_week
+        FROM events
+    ), spend AS (
+        SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week, f.w) // 7 AS INTEGER)
+                   AS week_offset,
+               sum(CAST(CAST(e.value AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                   AS cents
+        FROM events e
+        JOIN (SELECT DISTINCT user_id, w, cohort_week FROM firsts) f
+          ON f.user_id = e.user_id
+         AND f.w = CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents
+    FROM spend
+    """,
+    tags=("timeseries", "retention", "analytics"),
+)
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — `retention_cohorts` with money:
+    purchase revenue per (signup-week cohort x week offset) plus the
+    running cumulative, i.e. the LTV table every growth model is fit
+    against. First-touch week comes from ONE window over the events
+    (no second scan), revenue accumulates in exact cents, and the
+    cumulative window runs over the bounded cohort x offset grid.
+    Both heavy aggregations share the user_id key."""
+    e = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").alias("cents"),
+        F.to_date(F.date_trunc("week", F.to_date("ts"))).alias("w"),
+    ).withColumn("cohort_week", F.min("w").over(w_user))
+    spend = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "cohort_week",
+            exact_floor_div(
+                F.datediff(F.col("w"), F.col("cohort_week")), F.lit(7)
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spend.select(
+        "cohort_week", "week_offset",
+        F.col("cents").cast("long").alias("cents"),
+        F.sum("cents").over(w_cum).cast("long").alias("cum_cents"),
+    )
