@@ -1150,3 +1150,58 @@ def test_dbscan_core_border_noise_roles(spark, tmp_path):
            for r in all_ops()["embedding_dbscan_clusters"].fn(spark, str(tmp_path)).collect()}
     assert 5 not in out                                   # noise emits nothing
     assert out == {1: (1, "core"), 2: (1, "core"), 3: (1, "core")}
+
+
+def test_basket_size_hist_counts_of_counts(spark, tmp_path):
+    rows = [(1, 1), (1, 2), (2, 1), (3, 1)]   # orders 1:2 items, 2:1, 3:1
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber bigint"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {r.n_items: r.n_orders
+           for r in all_ops()["basket_size_hist"].fn(spark, str(tmp_path)).collect()}
+    assert got == {2: 1, 1: 2}
+
+
+def test_activity_entropy_uniform_vs_single(spark, tmp_path):
+    """Single-type user -> 0; 50/50 two-type user -> ln(2)."""
+    import math
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1), 7, "view", 1.0, ""),
+        (2, dt(2024, 1, 2), 7, "view", 1.0, ""),
+        (3, dt(2024, 1, 1), 8, "view", 1.0, ""),
+        (4, dt(2024, 1, 2), 8, "click", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.user_id: r.entropy_micro
+           for r in all_ops()["activity_entropy"].fn(spark, str(tmp_path)).collect()}
+    assert got[7] == 0
+    assert got[8] == 2 * round(0.5 * math.log(2) * 1e6)
+
+
+def test_cohort_ltv_accumulates_in_cohort_weeks(spark, tmp_path):
+    from datetime import datetime as dt
+
+    rows = [
+        # user 7 signs up week of Jan 1 (Monday): purchase wk0 $1, wk1 $2
+        (1, dt(2024, 1, 2), 7, "purchase", 1.0, ""),
+        (2, dt(2024, 1, 9), 7, "purchase", 2.0, ""),
+        # user 8 same cohort week via a view; purchase only wk1
+        (3, dt(2024, 1, 3), 8, "view", 9.0, ""),
+        (4, dt(2024, 1, 10), 8, "purchase", 4.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {(str(r.cohort_week), r.week_offset): (r.cents, r.cum_cents)
+           for r in all_ops()["cohort_revenue_ltv"].fn(spark, str(tmp_path)).collect()}
+    assert got == {("2024-01-01", 0): (100, 100),
+                   ("2024-01-01", 1): (600, 700)}
