@@ -29,6 +29,8 @@ from my_polars_ai_spark.operators.base import (
     Op,
     exact_floor_div,
     make_registrar,
+    oracle_ratio_round,
+    ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -1596,4 +1598,44 @@ def basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
     return per.groupBy(F.col("n_items").cast("int").alias("n_items")).agg(
         F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@op(
+    "lead_time_by_priority",
+    oracle=f"""
+    WITH lt AS (
+        SELECT o.o_orderpriority,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS days
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(days) AS INTEGER) AS min_days,
+           CAST(max(days) AS INTEGER) AS max_days,
+           {oracle_ratio_round('sum(days)', 'count(*)')} AS avg_days
+    FROM lt GROUP BY o_orderpriority
+    """,
+    tags=("join", "agg", "ops-metric"),
+)
+def lead_time_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment lead time (order date -> ship date) by order
+    priority — the SLA scorecard: does URGENT actually ship faster?
+    Day deltas are exact integers (calendar datediff, no timestamp
+    arithmetic), the mean is the shared half-up rational, and the only
+    shuffle is the fact-fact order join AQE already owns; the rollup
+    state is bounded by the 5 priority classes."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("days").cast("int").alias("min_days"),
+        F.max("days").cast("int").alias("max_days"),
+        ratio_round(F.sum("days"), F.count(F.lit(1))).alias("avg_days"),
     )
