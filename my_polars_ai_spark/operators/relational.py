@@ -1639,3 +1639,98 @@ def lead_time_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("days").cast("int").alias("max_days"),
         ratio_round(F.sum("days"), F.count(F.lit(1))).alias("avg_days"),
     )
+
+
+@op(
+    "repeat_customer_share",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT month,
+           CAST(sum(CASE WHEN rn > 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS repeat_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           {oracle_ratio_round('sum(CASE WHEN rn > 1 THEN cents ELSE 0 END)', 'sum(cents)')}
+               AS repeat_share
+    FROM ranked GROUP BY month
+    """,
+    tags=("window", "agg", "analytics"),
+)
+def repeat_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase revenue share per month — the retention-quality
+    KPI growth teams watch (is revenue coming from the base or from
+    acquisition?). 'First order' is a per-customer row_number (one
+    keyed window — deterministic via the order-key tiebreak), the
+    monthly rollup reuses no second scan, and the share is the exact
+    integer rational over cents."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    repeat_cents = F.sum(F.when(F.col("rn") > 1, F.col("cents")).otherwise(F.lit(0).cast("decimal(38,0)")))
+    return ranked.groupBy("month").agg(
+        repeat_cents.cast("long").alias("repeat_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        ratio_round(repeat_cents, F.sum("cents")).alias("repeat_share"),
+    )
+
+
+@op(
+    "brand_supplier_hhi",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_brand, l.l_suppkey,
+               sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6)) * 1000000 AS HUGEINT)) AS micro
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT p_brand, sum(micro) AS t, count(*) AS n_suppliers FROM rev
+        GROUP BY p_brand
+    )
+    SELECT r.p_brand,
+           CAST(any_value(t2.n_suppliers) AS BIGINT) AS n_suppliers,
+           {oracle_ratio_round('sum(r.micro * r.micro)', 'any_value(t2.t) * any_value(t2.t)')}
+               AS hhi
+    FROM rev r JOIN tot t2 USING (p_brand)
+    GROUP BY r.p_brand
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per brand: HHI =
+    sum(share_i^2) = sum(rev_i^2) / (sum(rev_i))^2 — computed as ONE
+    exact integer rational (no per-share rounding at all, the identity
+    every textbook uses to dodge intermediate divisions). 1/n = perfect
+    competition, 1.0 = single-supplier brand; the sourcing-risk metric.
+    Two keyed aggregations sharing the brand key; dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(28,6)").cast("decimal(38,6)") * 1000000)
+            .cast("decimal(38,0)").alias("micro")
+        )
+    )
+    return rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        ratio_round(
+            F.sum(F.col("micro") * F.col("micro")),
+            F.sum("micro") * F.sum("micro"),
+        ).alias("hhi"),
+    )
