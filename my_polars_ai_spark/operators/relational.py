@@ -1734,3 +1734,38 @@ def brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro") * F.sum("micro"),
         ).alias("hhi"),
     )
+
+
+@op(
+    "discount_band_elasticity",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(CAST(l_discount AS DECIMAL(28,6)) * 100 AS INTEGER)
+                   AS discount_pct,
+               CAST(l_quantity AS HUGEINT) AS qty
+        FROM lineitem
+    )
+    SELECT discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {oracle_ratio_round('sum(qty)', 'count(*)')} AS avg_qty
+    FROM b GROUP BY discount_pct
+    """,
+    tags=("agg", "analytics"),
+)
+def discount_band_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity response by discount band — the raw elasticity read
+    ('do deeper discounts move more units?') behind pricing decisions
+    and TPC-H Q19's parameter choices. Discount converts to an exact
+    integer percent via the DECIMAL cast (the values carry two
+    decimals), quantities are integral, the mean is the shared half-up
+    rational — an 11-row bounded rollup from one narrow scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.col("l_discount").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)").cast("int").alias("discount_pct"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("qty"),
+    )
+    return b.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        ratio_round(F.sum("qty"), F.count(F.lit(1))).alias("avg_qty"),
+    )
