@@ -58,7 +58,7 @@ _MODULES = (
 #   event_transition_matrix, histogram_2d, feature_minmax_scale,
 #   dedup_cluster_size_hist, token_cooccurrence_pmi,
 #   source_quality_report
-# (c) the 65 ops added in round-4 session 3 (registry 175 -> 240):
+# (c) the 66 ops added in round-4 session 3 (registry 175 -> 241):
 #   scd2_history, dq_audit, pareto_frontier_suppliers,
 #   rolling_trend_slope, dup_chunk_fraction, grouped_agg_sum_squares,
 #   asof_join_tolerance, rolling_wau, snapshot_diff,
@@ -81,8 +81,8 @@ _MODULES = (
 #   density_core_points, zipf_fit, embedding_dbscan_clusters,
 #   basket_size_hist, neardup_degree_hist, activity_entropy,
 #   cohort_revenue_ltv, lead_time_by_priority, repeat_customer_share,
-#   brand_supplier_hhi, discount_band_elasticity
-# 16 + 32 + 65 + 12 canaries = 125 candidates across r5/r6 windows:
+#   brand_supplier_hhi, discount_band_elasticity, top_tokens_by_lang
+# 16 + 32 + 66 + 12 canaries = 126 candidates across r5/r6 windows:
 # rotate out canaries whose families the
 # new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> grouped_agg_sum_squares, tumbling_window_hourly

@@ -1264,3 +1264,46 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_points"),
         signed_ratio_round(num, den).alias("zipf_slope"),
     )
+
+
+@op(
+    "top_tokens_by_lang",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+        SELECT lang, tok, count(*) AS n
+        FROM toks WHERE tok != ''
+        GROUP BY lang, tok
+    ), ranked AS (
+        SELECT lang, tok, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, tok) AS rk
+        FROM c
+    )
+    SELECT lang, tok, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("text", "topk", "window"),
+)
+def top_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head: the top-5 tokens within each
+    language — the table per-language stopword lists and language-
+    specific quality heuristics are built from (the partitioned
+    complement of the corpus-global `top_tokens`). One (lang, tok)
+    count with map-side combine, then a lang-partitioned rank window —
+    the per-group top-k never sees a global sort. Token tiebreak makes
+    the head deterministic."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    c = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tok")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "tok", F.col("n").cast("long").alias("n"),
+                F.col("rk").cast("int").alias("rk"))
+    )
