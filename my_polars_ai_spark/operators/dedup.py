@@ -1031,3 +1031,103 @@ def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_PCT = int(MINHASH_THRESHOLD * 100)  # integer threshold: 100*j >= _PCT
+
+_PREFIX_FILTER_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {oracle_ratio_round('ni', 'sa.n + sb.n - ni')} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 100 * ni >= {_PCT} * (sa.n + sb.n - ni)
+"""
+
+
+@op(
+    "dedup_prefix_filter_jaccard",
+    oracle=_PREFIX_FILTER_SQL,
+    tags=("dedup", "similarity", "prefix-filter"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall set-similarity join via prefix filtering (the
+    PPJoin/AllPairs family): token-Jaccard >= 0.95 pairs with NO
+    probabilistic candidate loss, yet sub-quadratic candidate
+    generation.
+
+    Each doc's token set is ordered rare-first (ascending document
+    frequency, token as tie-break — a total order that needs no global
+    rank, so no single-partition window anywhere). A pair with
+    J >= t must overlap in >= ceil(t*max(na,nb)) tokens, so the first
+    ``n - ceil(t*n) + 1`` tokens of each doc (its *prefix*) must share
+    at least one token with any qualifying partner: joining on prefix
+    tokens alone is lossless. Because prefixes hold the RAREST tokens,
+    the equi-join fan-in per token is small — the quadratic blow-up of
+    the naive token join concentrates in frequent tokens, exactly the
+    ones prefix filtering excludes.
+
+    Complements dedup_minhash_lsh: LSH trades recall for speed
+    (banding admits false negatives); prefix filtering is exact — at
+    100 TB run LSH for monitoring-grade dedup and prefix-filter when
+    recall is contractual. ceil is computed in exact integer arithmetic
+    ((95*n + 99) // 100) so a float rounding error can never shrink a
+    prefix below the lossless bound.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    # Document frequency per token: vocab-bounded, broadcast back onto
+    # the (doc, token) pairs to order each doc's tokens rare-first.
+    df_tab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(F.broadcast(df_tab), "tok")
+    arrs = ranked.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # prefix_len = n - ceil(t*n) + 1, exact in integers: ceil(95n/100)
+    # == (95n + 99) // 100 (n is small; double floor is exact < 2^53).
+    prefix_len = (
+        F.col("n") - F.floor((_PCT * F.col("n") + (100 - 1)) / 100) + 1
+    ).cast("int")
+    pref = (
+        arrs.select(
+            "doc_id",
+            "n",
+            F.explode(F.slice("ts", F.lit(1), prefix_len)).alias("pt"),
+        )
+        .select("doc_id", "n", F.col("pt.tok").alias("tok"))
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok")
+    b = pref.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok")
+    # Lossless size-ratio filter in exact integers (J >= t forces
+    # min/max >= t), then dedup candidate pairs before the verify join.
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(100 * F.least("na", "nb") >= _PCT * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    tok_arrays = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("toks")
+    )
+    arr_a = tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    arr_b = tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    paired = cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
+    ni = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.col("na") + F.col("nb") - ni
+    return (
+        paired.filter(100 * ni >= _PCT * union)
+        .select("doc_a", "doc_b", ratio_round(ni, union).alias("jaccard"))
+    )

@@ -1307,3 +1307,147 @@ def top_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "tok", F.col("n").cast("long").alias("n"),
                 F.col("rk").cast("int").alias("rk"))
     )
+
+
+_HH_K = 200  # heavy-hitter budget: report tokens with count > N/_HH_K
+
+_HEAVY_HITTERS_SQL = f"""
+    WITH occ AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), occ2 AS (
+        SELECT tok FROM occ WHERE tok <> ''
+    ), total AS (
+        SELECT count(*) AS n FROM occ2
+    )
+    SELECT tok, count(*) AS cnt
+    FROM occ2
+    GROUP BY tok
+    HAVING count(*) * {_HH_K} > (SELECT n FROM total)
+"""
+
+
+def _mg_candidates(pdf_iter, k: int):
+    """Misra-Gries summary over one partition's token stream: at most
+    ``k - 1`` counters live at any moment, so memory is O(k) no matter
+    how large the partition's vocabulary is. Yields surviving candidate
+    tokens. Classic guarantee: any token with partition frequency
+    > n_p / k survives, so (pigeonhole over partitions) every GLOBAL
+    heavy hitter with count > N/k survives in at least one partition —
+    the union of partition candidates is a superset of the answer and
+    the exact recount pass makes the final output partition-invariant.
+    """
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in pdf_iter:
+        for tok in pdf["tok"]:
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < k - 1:
+                counters[tok] = 1
+            else:
+                dead = [t for t in counters if counters[t] == 1]
+                for t in counters:
+                    counters[t] -= 1
+                for t in dead:
+                    del counters[t]
+    yield pd.DataFrame({"tok": list(counters.keys())})
+
+
+@op(
+    "heavy_hitters_tokens",
+    oracle=_HEAVY_HITTERS_SQL,
+    tags=("text", "sketch", "mapInPandas"),
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens (count > N/200) at bounded memory: the
+    sketch-then-recount pattern for heavy hitters over a vocabulary too
+    large to groupBy in one pass.
+
+    Pass 1 runs a Misra-Gries summary per partition (mapInPandas, O(k)
+    counters — Arrow-batched, never a per-row Python UDF) whose union
+    is a guaranteed superset of every global heavy hitter regardless of
+    how rows are partitioned. Pass 2 semi-joins the token stream
+    against the (tiny, broadcast) candidate set and recounts exactly,
+    so the output is deterministic and oracle-equal even though the
+    sketch itself is partitioning-dependent. At 100 TB pass 2 touches
+    only candidate tokens — the groupBy shuffles ~k rows per partition
+    instead of the full vocabulary.
+    """
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    cand = (
+        occ.mapInPandas(
+            lambda it: _mg_candidates(it, _HH_K), schema="tok string"
+        )
+        .distinct()
+    )
+    total = occ.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        occ.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select("tok", "cnt")
+    )
+
+
+_N_SHUFFLE_BUCKETS = 64
+
+_GLOBAL_SHUFFLE_SQL = f"""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY hv % {_N_SHUFFLE_BUCKETS}, hv, doc_id
+           ) AS global_pos
+    FROM h
+"""
+
+
+@op(
+    "global_shuffle_row_number",
+    oracle=_GLOBAL_SHUFFLE_SQL,
+    tags=("text", "shuffle", "training-data"),
+)
+def global_shuffle_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle with a total position per doc
+    — what a training run needs to stream the corpus in a reproducible
+    pseudo-random order — WITHOUT the classic scale-killer of a global
+    row_number window (one partition holding 100 TB).
+
+    Two-pass global numbering: hash every doc_id with a seeded
+    md5-derived 60-bit value, bucket it (hash % 64), assign
+    row_number within each bucket's (hash, doc_id) order — 64
+    independent windows that parallelize — then add per-bucket prefix
+    offsets computed from a 64-row aggregate (broadcast back). The
+    resulting position equals ORDER BY (bucket, hash, doc_id) exactly;
+    at 100 TB every heavy operation (per-bucket sort) is
+    partition-parallel and the only driver-visible state is the 64-row
+    offset table.
+    """
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    hv = portable_hash60(F.concat(F.lit("shuffle42:"), F.col("doc_id").cast("string")))
+    hashed = d.select("doc_id", hv.alias("hv")).withColumn(
+        "bucket", F.pmod("hv", F.lit(_N_SHUFFLE_BUCKETS))
+    )
+    w_in = Window.partitionBy("bucket").orderBy("hv", "doc_id")
+    numbered = hashed.withColumn("rn", F.row_number().over(w_in))
+    counts = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # 64-row bounded global window over the aggregate — prefix offsets.
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("off") + F.col("rn")).alias("global_pos"))
+    )

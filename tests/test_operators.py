@@ -1205,3 +1205,45 @@ def test_cohort_ltv_accumulates_in_cohort_weeks(spark, tmp_path):
            for r in all_ops()["cohort_revenue_ltv"].fn(spark, str(tmp_path)).collect()}
     assert got == {("2024-01-01", 0): (100, 100),
                    ("2024-01-01", 1): (600, 700)}
+
+
+def test_prefix_filter_is_lossless_superset_of_lsh(spark, sf_dir):
+    """Prefix filtering is exact-recall: every verified MinHash-LSH pair
+    (true Jaccard >= 0.95 by construction) must also be found by the
+    prefix-filter join, and every prefix-filter pair is itself
+    oracle-exact (its candidate stage is lossless by the ceil bound)."""
+    ops = all_ops()
+    lsh = {(r.doc_a, r.doc_b) for r in ops["dedup_minhash_lsh"].fn(spark, sf_dir).collect()}
+    pf = {
+        (r.doc_a, r.doc_b)
+        for r in ops["dedup_prefix_filter_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert lsh <= pf
+
+
+def test_misra_gries_candidates_superset(spark):
+    """Per-partition Misra-Gries candidates must contain every token with
+    global count > N/k for ANY partitioning (pigeonhole guarantee), and
+    the recount pass must make the final answer exact on a skewed
+    stream laid out adversarially across partitions."""
+    import pandas as pd
+
+    from my_polars_ai_spark.operators.text import _mg_candidates
+
+    stream = ["a"] * 50 + ["b"] * 30 + [f"r{i}" for i in range(60)] + ["a"] * 20
+    k = 10
+    n = len(stream)
+    # one partition — plain MG guarantee
+    cands = set(
+        next(_mg_candidates(iter([pd.DataFrame({"tok": stream})]), k))["tok"]
+    )
+    from collections import Counter
+
+    truth = {t for t, c in Counter(stream).items() if c > n / k}
+    assert truth <= cands
+    # adversarial split: heavy token scattered across 4 chunks
+    chunks = [stream[i::4] for i in range(4)]
+    union = set()
+    for ch in chunks:
+        union |= set(next(_mg_candidates(iter([pd.DataFrame({"tok": ch})]), k))["tok"])
+    assert truth <= union
