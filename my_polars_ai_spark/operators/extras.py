@@ -2047,3 +2047,61 @@ def activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t_micro").cast("long").alias("entropy_micro"),
         F.round(F.sum("t_micro") / 1000000.0, ROUND_RATIO).alias("entropy_nats"),
     )
+
+
+# Recency decay: revenue halves every _DECAY_DAYS days before the fixed
+# anchor; epochs cap at _DECAY_CAP so the dyadic weight 2^(cap - epoch)
+# stays an exact integer (max weight 4096).
+_DECAY_ANCHOR = "2001-09-01"
+_DECAY_DAYS = 90
+_DECAY_CAP = 12
+
+_DECAY_REVENUE_SQL = f"""
+    WITH w AS (
+        SELECT o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   AS cents,
+               least(date_diff('day', CAST(o_orderdate AS DATE),
+                               DATE '{_DECAY_ANCHOR}') // {_DECAY_DAYS},
+                     {_DECAY_CAP}) AS epoch
+        FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {oracle_ratio_round(
+               f"sum(cents * CAST(power(2, {_DECAY_CAP} - epoch) AS HUGEINT))",
+               f"100 * {2 ** _DECAY_CAP}", 2)} AS decayed_revenue
+    FROM w GROUP BY o_custkey
+"""
+
+
+@op(
+    "decay_weighted_revenue",
+    oracle=_DECAY_REVENUE_SQL,
+    tags=("analytics", "timeseries", "decay"),
+)
+def decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed customer value: each order's revenue is halved
+    for every 90 days of age at the fixed anchor date (epochs capped at
+    12), the step-decay form of exponential smoothing that stays
+    EXACT: the weight 2^(12 - epoch) is an integer, so the weighted
+    sum accumulates in integer cents-times-weight units and divides
+    once at the end — no pow() floats to drift between engines. Plan
+    shape: one map-side-combinable groupBy on the natural customer
+    key; the decay arithmetic is a scan-level projection."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.lit(_DECAY_ANCHOR).cast("date"), F.to_date("o_orderdate"))
+    epoch = F.least(
+        exact_floor_div(days, F.lit(_DECAY_DAYS)), F.lit(_DECAY_CAP).cast("decimal(38,0)")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+    weight = F.pow(F.lit(2.0), (F.lit(_DECAY_CAP) - epoch).cast("double")).cast(
+        "decimal(38,0)"
+    )
+    w = o.select(F.col("o_custkey").alias("custkey"), (cents * weight).alias("wcents"))
+    return w.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        ratio_round(F.sum("wcents"), F.lit(100 * (2**_DECAY_CAP)), 2).alias(
+            "decayed_revenue"
+        ),
+    )

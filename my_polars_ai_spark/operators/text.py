@@ -1451,3 +1451,66 @@ def global_shuffle_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbered.join(F.broadcast(offsets), "bucket")
         .select("doc_id", (F.col("off") + F.col("rn")).alias("global_pos"))
     )
+
+
+_TOKEN_ENTROPY_SQL = f"""
+    WITH f AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), c AS (
+        SELECT doc_id, tok, count(*) AS c FROM f GROUP BY 1, 2
+    ), d AS (
+        SELECT doc_id,
+               sum(c) AS n,
+               count(*) AS v,
+               sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS sum_clnc
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS distinct_tokens,
+           {oracle_ratio_round(
+               'n * CAST(round(ln(n) * 1000000) AS BIGINT) - sum_clnc',
+               'n * 1000000')} AS entropy
+    FROM d
+"""
+
+
+@op(
+    "token_entropy_per_doc",
+    oracle=_TOKEN_ENTROPY_SQL,
+    tags=("text", "quality", "pipeline"),
+)
+def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each document's own token distribution
+    — the lexical-diversity quality signal that separates natural prose
+    (high entropy) from template/boilerplate spam (low entropy: few
+    distinct tokens repeated). H = (n*ln n - sum c*ln c) / n via the
+    micro-nat discipline (each transcendental rounded ONCE to an
+    integer, all aggregation exact integer sums — hash-portable like
+    unigram_logprob_score). Plan: one narrow (doc, tok) count then a
+    per-doc aggregate; both group on doc_id so the second agg is
+    shuffle-free after the first."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    c = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    lnc_micro = F.round(F.log("c") * 1000000).cast("long")
+    d = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.col("c") * lnc_micro).alias("sum_clnc"),
+    )
+    lnn_micro = F.round(F.log("n") * 1000000).cast("long")
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("distinct_tokens"),
+        ratio_round(
+            F.col("n") * lnn_micro - F.col("sum_clnc"), F.col("n") * 1000000
+        ).alias("entropy"),
+    )
