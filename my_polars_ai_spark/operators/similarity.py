@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import Op, ROUND_RATIO, exact_floor_div, make_registrar
+from my_polars_ai_spark.operators.base import (
+    Op,
+    ROUND_RATIO,
+    exact_floor_div,
+    make_registrar,
+    oracle_ratio_round,
+    ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -948,4 +955,141 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"),
             F.lit("border").alias("role"),
         )
+    )
+
+
+_HARD_NEG_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+               list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label != q.q_label
+    ), ranked AS (
+        SELECT q_id, q_label, neighbor_id, n_label, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, q_label, neighbor_id, n_label,
+           round(cos, {ROUND_RATIO}) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@op(
+    "hard_negatives_topk",
+    oracle=_HARD_NEG_SQL,
+    tags=("similarity", "knn", "training-data"),
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the query set), the top-k highest-cosine vectors with a DIFFERENT
+    label — maximally confusing negatives, the pairs that actually move
+    a contrastive loss. Same 100 TB shape as cosine_topk_brute
+    (broadcast anchors, one corpus stream, per-anchor bounded window);
+    swap the scan for ann_lsh_cosine's bucket candidates when anchors
+    number in the millions."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "q_label", "neighbor_id", "n_label",
+                F.round("cos", ROUND_RATIO).alias("cos"), "rank")
+    )
+
+
+_CENTROID_OUTLIER_SQL = """
+    WITH pos AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8))
+                    * 100000000 AS HUGEINT) AS xm
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim, sum(xm) AS s, count(*) AS n
+        FROM pos GROUP BY label, dim
+    ), terms AS (
+        SELECT p.vec_id, p.label, c.n,
+               (c.n * p.xm - c.s) * (c.n * p.xm - c.s) AS t
+        FROM pos p JOIN cent c ON c.label = p.label AND c.dim = p.dim
+    ), agg AS (
+        SELECT vec_id, label, any_value(n) AS n, sum(t) AS num
+        FROM terms GROUP BY vec_id, label
+    )
+    SELECT vec_id, label,
+           %s AS d2_to_centroid
+    FROM agg
+""" % oracle_ratio_round("num", "n * n * CAST(10000000000000000 AS HUGEINT)")
+
+
+@op(
+    "centroid_outlier_scores",
+    oracle=_CENTROID_OUTLIER_SQL,
+    tags=("similarity", "ml", "quality"),
+)
+def centroid_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection: squared L2 distance of every vector to its
+    OWN label's centroid, exactly. The centroid mean never materializes
+    as a float — with components in integer 1e-8 units,
+    d2 = sum_d (n*x_d - S_d)^2 / (n^2 * 1e16) is a pure integer
+    rational, so the score hash-matches across engines and
+    partitionings. Plan: posexplode to (vec, dim) rows, ONE bounded
+    aggregation for the (label x dim) sums, broadcast it back, per-vec
+    sum — two shuffles total, both map-side combinable. Vectors far
+    from their own centroid are mislabel/outlier candidates (feed the
+    rank to a review queue)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("p", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("dim"),
+        (F.col("x").cast("double").cast("decimal(20,8)") * 100000000)
+        .cast("decimal(38,0)")
+        .alias("xm"),
+    )
+    cent = pos.groupBy("label", "dim").agg(
+        F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = (
+        F.col("n").cast("decimal(38,0)") * F.col("xm") - F.col("s")
+    )
+    terms = pos.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id", "label", "n", (diff * diff).alias("t")
+    )
+    agg = terms.groupBy("vec_id", "label").agg(
+        F.first("n").alias("n"), F.sum("t").alias("num")
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)")
+        * F.col("n").cast("decimal(38,0)")
+        * F.lit(10000000000000000).cast("decimal(38,0)")
+    )
+    return agg.select(
+        "vec_id", "label", ratio_round(F.col("num"), den).alias("d2_to_centroid")
     )
