@@ -590,10 +590,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L2-normalize first: min L2 == max cosine on the unit sphere, so the
     # ADC ranking agrees with the cosine rankers (raw-L2 PQ measured 0.2
     # recall vs cosine brute; normalized ~0.7+ with the same codebook).
+    # cache(): the normalized corpus feeds FOUR consumers (seed sample,
+    # subspace distances, and both sides of the exact rerank) — without it
+    # the scan+normalize subtree re-executes per consumer.
     corpus = (
         e.select("vec_id", _as_double(F.col("embedding")).alias("v0"))
         .withColumn("nrm", _norm(F.col("v0")))
         .select("vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("v"))
+        .cache()
     )
 
     seeds = (
