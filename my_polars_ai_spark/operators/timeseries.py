@@ -871,3 +871,59 @@ def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("cents"),
         F.sum("cents").over(w_cum).cast("long").alias("cum_cents"),
     )
+
+
+_OHLC_SQL = """
+    WITH b AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, value, ts, event_id
+        FROM events
+    ), r AS (
+        SELECT hour, event_type, value,
+               row_number() OVER (PARTITION BY hour, event_type
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY hour, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM b
+    )
+    SELECT hour, event_type,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY 1, 2
+"""
+
+
+@op(
+    "ohlc_bars_hourly",
+    oracle=_OHLC_SQL,
+    tags=("timeseries", "rollup"),
+)
+def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the candlestick rollup every
+    metrics/trading pipeline runs. open/close are min_by/max_by over a
+    (ts, event_id) struct key (deterministic under timestamp ties, no
+    rank window needed), so the whole bar is ONE map-side-combinable
+    aggregation: at 100 TB this is a single shuffle keyed on the
+    bounded (hour x event_type) grid, and no value is ever re-derived
+    arithmetically (pure selection — doubles pass through bit-exact)."""
+    e = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+            "value",
+            F.col("ts"),
+            F.col("event_id"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -34,6 +34,8 @@ from my_polars_ai_spark.operators.base import (
     Op,
     exact_floor_div,
     make_registrar,
+    oracle_ratio_round,
+    ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -613,4 +615,75 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
+    )
+
+
+_BASKET_LIFT_SQL = f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob
+    ), per AS (
+        SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+           {oracle_ratio_round('n_ab * n.n_orders', 'pa.n_b * pb.n_b')} AS lift
+    FROM pairs
+    JOIN per pa ON pa.p_brand = brand_a
+    JOIN per pb ON pb.p_brand = brand_b
+    CROSS JOIN n
+"""
+
+
+@op(
+    "basket_lift_brand_pairs",
+    oracle=_BASKET_LIFT_SQL,
+    tags=("analytics", "basket", "tpch"),
+)
+def basket_lift_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part brands: for every brand pair,
+    the co-occurrence lift P(ab)/(P(a)P(b)) = n_ab*N/(n_a*n_b) over
+    order baskets — an exact integer rational, so the classic
+    association-rule score hash-matches across engines. Plan shape:
+    distinct (order, brand) via one shuffle (fan-in per order bounded
+    by the 25-brand dimension), pair generation as a self-equi-join ON
+    THE ORDER KEY (never a brand cross product), per-brand counts and
+    the 1-row total broadcast onto the bounded 300-pair output."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(pa.select("p_partkey", "p_brand"), li.l_partkey == pa.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    per = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pa_c = per.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    pb_c = per.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa_c), "brand_a")
+        .join(F.broadcast(pb_c), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            ratio_round(
+                F.col("n_ab") * F.col("n_orders"), F.col("na") * F.col("nb")
+            ).alias("lift"),
+        )
     )
