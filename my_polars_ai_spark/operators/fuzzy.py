@@ -318,3 +318,57 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+WS_TOPK = 50
+_WS_DEN = float(2**60 + 1)
+
+_WEIGHTED_SAMPLE_SQL = f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS hv
+        FROM documents WHERE n_chars > 0
+    ), p AS (
+        SELECT doc_id, n_chars,
+               CAST(round(ln((hv + 1) / {_WS_DEN!r}) * 1000000) AS BIGINT)
+                   AS lnu_micro
+        FROM h
+    ), k AS (
+        SELECT doc_id, n_chars,
+               CAST(lnu_micro AS DOUBLE) / n_chars AS pri
+        FROM p
+    )
+    SELECT doc_id, n_chars, pri,
+           row_number() OVER (ORDER BY pri DESC, doc_id) AS rank
+    FROM k ORDER BY pri DESC, doc_id LIMIT {WS_TOPK}
+"""
+
+
+@op(
+    "weighted_sample_topk",
+    oracle=_WEIGHTED_SAMPLE_SQL,
+    tags=("sampling", "training-data"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): take
+    the top-k documents by priority u^(1/w) — equivalently ln(u)/w —
+    where w = n_chars, so long documents are proportionally more likely
+    but nothing is ever drawn twice. The uniform u is md5-derived
+    (deterministic, like every sampler here); ln is rounded ONCE to
+    integer micro-nats and the ordering key is then an exact-int /
+    exact-int IEEE division — portable where raw libm outputs are not.
+    Plan: narrow map + TakeOrderedAndProject (per-partition top-k, k
+    rows to the driver — the distributed-reservoir shape); the rank
+    window runs on the already-limited k rows."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    hv = portable_hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    lnu_micro = F.round(F.log((hv + 1) / F.lit(_WS_DEN)) * 1000000).cast("long")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        (lnu_micro.cast("double") / F.col("n_chars")).alias("pri"),
+    )
+    top = scored.orderBy(F.desc("pri"), F.asc("doc_id")).limit(WS_TOPK)
+    w = Window.orderBy(F.desc("pri"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

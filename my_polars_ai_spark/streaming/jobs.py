@@ -467,3 +467,26 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str, store_dir: str)
     with open(os.path.join(store_dir, "_POINTER.json")) as fh:
         current = json.load(fh)["current"]
     return spark.read.parquet(os.path.join(store_dir, current))
+
+
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.timeseries.ohlc_bars_hourly: the same
+    single min_by/max_by aggregation under a watermarked 1-hour tumbling
+    window — open/close selection is deterministic under ties via the
+    (ts, event_id) struct key, so stream==batch holds bit-for-bit."""
+    events = read_events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type",
+                "open", "high", "low", "close", "n_events")
+    )
+    return _drain_to_memory(agg, "complete")

@@ -275,3 +275,20 @@ def test_foreachbatch_pointer_swap_store_matches_batch(spark, sf_dir, tmp_path):
 
     pointer = json.load(open(f"{store}/_POINTER.json"))
     assert pointer["current"].startswith("epoch=")
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir):
+    from my_polars_ai_spark.operators.timeseries import ohlc_bars_hourly
+    from my_polars_ai_spark.streaming.jobs import stream_ohlc_hourly
+
+    streamed = stream_ohlc_hourly(spark, sf_dir)
+    batch = ohlc_bars_hourly(spark, sf_dir)
+    s = {
+        (r.hour, r.event_type): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in streamed.collect()
+    }
+    b = {
+        (r.hour, r.event_type): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in batch.collect()
+    }
+    assert s == b
