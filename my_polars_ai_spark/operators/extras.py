@@ -1509,9 +1509,11 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE surface: climb a parent hierarchy (org chart / BOM
     / account tree) to each node's ROOT and DEPTH. The edge table here
     derives parent = key//10 from the corpus so the oracle is a true
-    WITH RECURSIVE; the Spark side is the engine-idiomatic equivalent —
-    a bounded ITERATIVE JOIN against the edge table (Spark has no
-    recursive CTE), one hop per round, constants-only driver loop;
+    WITH RECURSIVE; the Spark side here is the engine-idiomatic
+    equivalent — a bounded ITERATIVE JOIN against the edge table, one
+    hop per round, constants-only driver loop (Spark 4.1 also supports
+    native WITH RECURSIVE — see `recursive_cte_hierarchy` in sql_api.py
+    for the declarative twin of this exact query);
     a has_parent flag on the edge table keeps the walk TOTAL when a
     parent key is missing (sampled/filtered corpora) — the node roots
     at its last reachable ancestor on BOTH engines

@@ -173,3 +173,43 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_RECURSIVE_CLIMB = """
+    WITH RECURSIVE e AS (
+        SELECT a.c_custkey AS node, a.c_custkey DIV 10 AS parent,
+               (b.c_custkey IS NOT NULL) AS has_parent
+        FROM {customer} a
+        LEFT JOIN {customer} b ON b.c_custkey = a.c_custkey DIV 10
+    ), climb AS (
+        SELECT node AS c_custkey, node AS cur, 0 AS depth FROM e
+        UNION ALL
+        SELECT c.c_custkey, e.parent, c.depth + 1
+        FROM climb c JOIN e ON e.node = c.cur
+        WHERE c.cur >= 10 AND e.has_parent
+    )
+    SELECT c.c_custkey, CAST(c.cur AS BIGINT) AS root_key,
+           CAST(c.depth AS INT) AS depth
+    FROM climb c JOIN e ON e.node = c.cur
+    WHERE c.cur < 10 OR NOT e.has_parent
+"""
+
+
+@op(
+    "recursive_cte_hierarchy",
+    # DuckDB spells integer division //; Spark spells it DIV
+    oracle=_RECURSIVE_CLIMB.replace("{customer}", "customer").replace("DIV", "//"),
+    tags=("sql", "recursive", "spark4"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497):
+    the same root/depth hierarchy climb as `hierarchy_rollup`, but the
+    recursion is declared in SQL and Catalyst owns the loop — the
+    UnionLoop operator repeats the anchor∪step until fixpoint instead
+    of a driver-side iteration. Keep both: `hierarchy_rollup` is the
+    pre-4.x engine-idiomatic pattern (and the shape you tune by hand —
+    pointer-doubling, checkpointing); this one is the declarative
+    surface a SQL user will reach for first. Identical text runs on
+    DuckDB modulo the integer-division spelling (DIV vs //)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(_RECURSIVE_CLIMB.replace("{customer}", "customer_v"))

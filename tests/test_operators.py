@@ -1247,3 +1247,17 @@ def test_misra_gries_candidates_superset(spark):
     for ch in chunks:
         union |= set(next(_mg_candidates(iter([pd.DataFrame({"tok": ch})]), k))["tok"])
     assert truth <= union
+
+
+def test_native_recursive_cte_matches_iterative_climb(spark, sf_dir):
+    """Spark 4's WITH RECURSIVE (recursive_cte_hierarchy) must produce
+    exactly the rows of the driver-loop iterative climb
+    (hierarchy_rollup) — same edge derivation, two execution idioms."""
+    ops = all_ops()
+    native = {
+        tuple(r) for r in ops["recursive_cte_hierarchy"].fn(spark, sf_dir).collect()
+    }
+    iterative = {
+        tuple(r) for r in ops["hierarchy_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert native == iterative
