@@ -1097,3 +1097,77 @@ def centroid_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "vec_id", "label", ratio_round(F.col("num"), den).alias("d2_to_centroid")
     )
+
+
+_CENTROID_SIM_SQL = f"""
+    WITH pos AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8))
+                    * 100000000 AS HUGEINT) AS xm
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim, sum(xm) AS s FROM pos GROUP BY label, dim
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.s * b.s) AS dot_ab
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, sum(s * s) AS n2 FROM cent GROUP BY label
+    )
+    SELECT label_a, label_b,
+           round(CAST(dot_ab AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 {ROUND_RATIO}) AS cos
+    FROM dots
+    JOIN norms na ON na.label = label_a
+    JOIN norms nb ON nb.label = label_b
+"""
+
+
+@op(
+    "label_centroid_similarity",
+    oracle=_CENTROID_SIM_SQL,
+    tags=("similarity", "ml", "embedding"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the class-confusability
+    matrix read before merging/splitting labels. The per-label counts
+    CANCEL in centroid cosine (cos(S_a/n_a, S_b/n_b) =
+    S_a.S_b/(|S_a||S_b|)), so everything up to the last step is exact
+    integer sums of 1e-8-unit components; the final int->double
+    conversion, sqrt and divide are all IEEE-correctly-rounded, hence
+    engine-portable. Plan: one posexplode aggregation to the bounded
+    (label x dim) grid, then dim-keyed self-join over that tiny table
+    — the corpus is read ONCE."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("p", "x")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("dim"),
+        (F.col("x").cast("double").cast("decimal(20,8)") * 100000000)
+        .cast("decimal(38,0)")
+        .alias("xm"),
+    )
+    cent = pos.groupBy("label", "dim").agg(F.sum("xm").alias("s"))
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("s").alias("sa"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("s").alias("sb"))
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot_ab"))
+    )
+    norms = cent.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("n2"))
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot_ab").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select("label_a", "label_b", F.round(cos, ROUND_RATIO).alias("cos"))
+    )

@@ -1575,3 +1575,124 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.slice("ts", (start + 1).cast("int"), n_tok.cast("int"))))
         .alias("chunk_hash"),
     )
+
+
+PSI_BINS = 10
+PSI_BIN_WIDTH = 100  # n_chars bin width; last bin open-ended
+
+
+_PSI_SQL = f"""
+    WITH d AS (
+        SELECT source, least(n_chars // {PSI_BIN_WIDTH}, {PSI_BINS - 1}) AS bin
+        FROM documents
+    ), na_t AS (
+        SELECT source, count(*) AS na FROM d GROUP BY 1
+    ), ca_t AS (
+        SELECT source, bin, count(*) AS ca FROM d GROUP BY 1, 2
+    ), cb_t AS (
+        SELECT bin, count(*) AS cb FROM d GROUP BY 1
+    ), nb_t AS (
+        SELECT count(*) AS nb FROM d
+    ), grid AS (
+        SELECT s.source, b.bin, s.na,
+               coalesce(ca_t.ca, 0) AS ca,
+               coalesce(cb_t.cb, 0) AS cb,
+               nb_t.nb
+        FROM na_t s
+        CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+        LEFT JOIN ca_t ON ca_t.source = s.source AND ca_t.bin = b.bin
+        LEFT JOIN cb_t ON cb_t.bin = b.bin
+        CROSS JOIN nb_t
+    ), terms AS (
+        SELECT source, na, nb,
+               CAST((ca + 1) * (nb + {PSI_BINS}) AS HUGEINT)
+                   - CAST((cb + 1) * (na + {PSI_BINS}) AS HUGEINT) AS diff_num,
+               CAST(round(ln((CAST(ca + 1 AS DOUBLE) * (nb + {PSI_BINS}))
+                             / (CAST(cb + 1 AS DOUBLE) * (na + {PSI_BINS})))
+                          * 1000000) AS BIGINT) AS lnr_micro
+        FROM grid
+    )
+    SELECT source, CAST(na AS BIGINT) AS n_docs,
+           {oracle_signed_ratio_round(
+               'sum(diff_num * lnr_micro)',
+               '(na + ' + str(PSI_BINS) + ') * (nb + ' + str(PSI_BINS) + ')'
+               ' * CAST(1000000000000 AS HUGEINT)')} AS psi
+    FROM terms GROUP BY source, na, nb
+"""
+
+
+@op(
+    "psi_source_drift",
+    oracle=_PSI_SQL,
+    tags=("text", "monitoring", "quality"),
+)
+def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the corpus baseline — the standard drift
+    monitor (PSI < 0.1 stable, > 0.25 drifted). Laplace-smoothed
+    (+1 per bin) so empty bins stay defined, and computed under the
+    exact-rational discipline: per-bin contribution
+    (pa - pb)*ln(pa/pb) becomes diff_num * lnr_micro over ONE shared
+    denominator (na+B)(nb+B)*1e12, so the sum is exact integer
+    arithmetic and one signed half-up division at the end — no
+    order-dependent float summation. Plan: two bounded aggregations
+    (source x bin, bin) + a 10x20 grid cross join; corpus scanned
+    once per aggregate, output dimension-bounded. The 1e6 scale on
+    both rational factors keeps everything far inside DECIMAL(38)
+    (~1e26 at petabyte row counts)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.least(
+            exact_floor_div(F.col("n_chars"), F.lit(PSI_BIN_WIDTH)).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    na_t = d.groupBy("source").agg(F.count(F.lit(1)).alias("na"))
+    ca_t = d.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("ca"))
+    cb_t = d.groupBy("bin").agg(F.count(F.lit(1)).alias("cb"))
+    nb_t = d.agg(F.count(F.lit(1)).alias("nb"))
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        na_t.crossJoin(F.broadcast(bins))
+        .join(ca_t, ["source", "bin"], "left")
+        .join(F.broadcast(cb_t), "bin", "left")
+        .crossJoin(F.broadcast(nb_t))
+        .select(
+            "source",
+            "na",
+            "nb",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    B = PSI_BINS
+    d38 = "decimal(38,0)"
+    diff_num = (
+        (F.col("ca") + 1).cast(d38) * (F.col("nb") + B).cast(d38)
+        - (F.col("cb") + 1).cast(d38) * (F.col("na") + B).cast(d38)
+    )
+    lnr_micro = (
+        F.round(
+            F.log(
+                ((F.col("ca") + 1).cast("double") * (F.col("nb") + B))
+                / ((F.col("cb") + 1).cast("double") * (F.col("na") + B))
+            )
+            * 1000000
+        )
+        .cast("long")
+    )
+    terms = grid.select(
+        "source", "na", "nb", (diff_num * lnr_micro.cast(d38)).alias("t")
+    )
+    den = (
+        (F.col("na") + B).cast(d38)
+        * (F.col("nb") + B).cast(d38)
+        * F.lit(1000000000000).cast(d38)
+    )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    return terms.groupBy("source", "na", "nb").agg(F.sum("t").alias("num")).select(
+        "source",
+        F.col("na").cast("long").alias("n_docs"),
+        signed_ratio_round(F.col("num"), den).alias("psi"),
+    )
