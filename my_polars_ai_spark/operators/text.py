@@ -1696,3 +1696,92 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("long").alias("n_docs"),
         signed_ratio_round(F.col("num"), den).alias("psi"),
     )
+
+
+_BIGRAM_LM_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM t, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2
+    ), c12 AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+    ), v AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    ), lp AS (
+        SELECT bg.doc_id,
+               CAST(round(ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v)) * 1000000)
+                    AS BIGINT) AS lp_micro
+        FROM bg
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(lp_micro) AS BIGINT) AS nll_micro,
+           {oracle_ratio_round('-sum(lp_micro)', 'count(*)*1000000')} AS avg_nll
+    FROM lp GROUP BY doc_id
+"""
+
+
+@op(
+    "bigram_logprob_score",
+    oracle=_BIGRAM_LM_SQL,
+    tags=("text", "quality", "pipeline"),
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model NLL per document — one Markov order above
+    `unigram_logprob_score`: score = avg -ln P(w_i | w_{i-1}) with
+    Laplace smoothing (c12+1)/(c1+V), which catches scrambled word
+    salad that a unigram model scores as perfectly natural. Bigrams
+    come from slice+arrays_zip (a narrow map — NO positional
+    self-join); the bigram-count and context-count tables are
+    corpus-bounded aggregates that join back by key (AQE broadcasts
+    while they fit, hash-joins beyond); micro-nat rounding keeps the
+    transcendental portable."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    n = F.size("ts")
+    bg = (
+        d.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", F.lit(1), n - 1), F.slice("ts", F.lit(2), n - 1)
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    v = toks.agg(F.countDistinct("tok").alias("v"))
+    lp_micro = (
+        F.round(F.log((F.col("c12") + 1) * 1.0 / (F.col("c1") + F.col("v"))) * 1000000)
+        .cast("long")
+        .alias("lp_micro")
+    )
+    lp = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp_micro)
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp_micro")).cast("long").alias("nll_micro"),
+        ratio_round(-F.sum("lp_micro"), F.count(F.lit(1)) * 1000000).alias("avg_nll"),
+    )

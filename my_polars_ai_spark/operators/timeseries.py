@@ -927,3 +927,52 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+_OPEN_ITEMS_SQL = """
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(l.l_shipdate AS DATE) AS d1
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), ev AS (
+        SELECT d0 AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT d1, -1 FROM iv
+    ), daily AS (
+        SELECT day, sum(delta) AS delta FROM ev GROUP BY day
+    )
+    SELECT day,
+           CAST(sum(delta) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_items
+    FROM daily
+"""
+
+
+@op(
+    "open_lineitems_per_day",
+    oracle=_OPEN_ITEMS_SQL,
+    tags=("timeseries", "interval"),
+)
+def open_lineitems_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-but-not-yet-shipped line items per calendar day — the
+    interval-counting pattern (bookings occupancy, open tickets, WIP
+    inventory) done the scale-safe way: each [orderdate, shipdate)
+    interval becomes a +1/-1 event pair, events aggregate to one
+    delta per DAY (the shuffle key is the bounded calendar), and the
+    running sum is a window over that few-thousand-row daily table —
+    never a window over the fact table itself. Same event-diff shape
+    as max_concurrent_sessions, here across a fact-fact join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.to_date("o_orderdate").alias("d0"), F.to_date("l_shipdate").alias("d1")
+    )
+    ev = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("delta").over(w).cast("long").alias("open_items")
+    )
