@@ -2107,3 +2107,80 @@ def decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_revenue"
         ),
     )
+
+
+_AB_TEST_SQL = """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT variant, count(*) AS n, sum(converted) AS x FROM u GROUP BY 1
+    ), w AS (
+        SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+               max(CASE WHEN variant = 0 THEN x END) AS x0,
+               max(CASE WHEN variant = 1 THEN n END) AS n1,
+               max(CASE WHEN variant = 1 THEN x END) AS x1
+        FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+           CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           round(CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1, 6)
+               AS diff,
+           CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN NULL
+                ELSE round((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+                     / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                            * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)), 6) END AS z_stat
+    FROM w
+"""
+
+
+@op(
+    "ab_test_two_proportion",
+    oracle=_AB_TEST_SQL,
+    tags=("analytics", "stats", "experiment"),
+)
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (variant = user_id
+    parity, the deterministic assignment every experiment system hashes
+    users into): pooled standard error, z = (p0-p1)/SE. Every input to
+    the float math is an exact integer count, and the divisions/sqrt
+    are IEEE-correctly-rounded — so even the test statistic
+    hash-matches across engines. Plan: per-user conversion flag via one
+    user-keyed aggregation (map-side combinable max), then a 2-row
+    rollup pivoted to one report row."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    xs = F.col("x0") + F.col("x1")
+    ns = F.col("n0") + F.col("n1")
+    pp = xs.cast("double") / ns
+    # degenerate experiment (0% or 100% pooled conversion): SE is 0 and the
+    # statistic is undefined — NULL on both engines instead of an ANSI
+    # divide-by-zero (this corpus converts every user, so the guard is live)
+    z = F.when(
+        (xs != 0) & (xs != ns),
+        (p0 - p1) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("x0").cast("long").alias("x0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.round(p0 - p1, 6).alias("diff"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -1785,3 +1785,73 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.sum("lp_micro")).cast("long").alias("nll_micro"),
         ratio_round(-F.sum("lp_micro"), F.count(F.lit(1)) * 1000000).alias("avg_nll"),
     )
+
+
+_CALIB_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ), f AS (
+        SELECT doc_id, lang,
+               len(list_filter(ts, x -> x IN {_MARKERS_SQL})) AS hits,
+               len(ts) AS n_tok
+        FROM t WHERE len(ts) > 0
+    ), s AS (
+        SELECT doc_id, (lang = 'en')::INT AS is_en,
+               CAST({oracle_ratio_round('hits', 'n_tok')} * 1000000 AS BIGINT)
+                   AS score_micro
+        FROM f
+    ), b AS (
+        SELECT least(score_micro // 100000, 9) AS bin, is_en, score_micro FROM s
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_en) AS BIGINT) AS n_en,
+           {oracle_ratio_round('sum(is_en)', 'count(*)')} AS frac_en,
+           {oracle_ratio_round('sum(score_micro)', 'count(*) * 1000000')}
+               AS avg_score
+    FROM b GROUP BY bin
+"""
+
+
+@op(
+    "calibration_curve_langid",
+    oracle=_CALIB_SQL,
+    tags=("text", "ml", "eval"),
+)
+def calibration_curve_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the english-marker score as a P(en)
+    classifier: bin documents by score decile, report predicted
+    (avg score) vs observed (fraction actually 'en') per bin — the
+    calibration read behind every threshold choice. Per-doc scores are
+    half-up-rounded ONCE to integer micro-units, so binning,
+    averaging and the observed fraction are all exact integer
+    arithmetic on both engines. One narrow map + one 10-bin bounded
+    aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
+    f = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        hits.alias("hits"),
+        F.size(ts).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    s = f.select(
+        "is_en",
+        (ratio_round(F.col("hits"), F.col("n_tok")) * 1000000)
+        .cast("long")
+        .alias("score_micro"),
+    )
+    b = s.select(
+        F.least(exact_floor_div(F.col("score_micro"), F.lit(100000)).cast("long"), F.lit(9)).cast("int").alias("bin"),
+        "is_en",
+        "score_micro",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_en").cast("long").alias("n_en"),
+        ratio_round(F.sum("is_en"), F.count(F.lit(1))).alias("frac_en"),
+        ratio_round(F.sum("score_micro"), F.count(F.lit(1)) * 1000000).alias(
+            "avg_score"
+        ),
+    )
