@@ -332,3 +332,41 @@ def test_session4_ops_plan_contracts(spark, sf_dir):
     s = plan_summary(ops["decay_weighted_revenue"].fn(spark, sf_dir))
     assert s["exchanges"] == 1
     assert s["python_evals"] == 0
+
+
+def test_session4_batch2_plan_contracts(spark, sf_dir):
+    """Scale-shape assertions for the second wave of session-4 ops."""
+    ops = all_ops()
+    # basket lift: pair join keyed on l_orderkey; brand counts broadcast
+    s = plan_summary(ops["basket_lift_brand_pairs"].fn(spark, sf_dir))
+    assert s["broadcast_joins"] + s["nested_loop_joins"] >= 3
+    assert s["python_evals"] == 0
+    # OHLC: ONE aggregation, no window/join machinery
+    s = plan_summary(ops["ohlc_bars_hourly"].fn(spark, sf_dir))
+    assert s["exchanges"] == 1
+    assert s["broadcast_joins"] + s["sortmerge_joins"] + s["shuffled_hash_joins"] == 0
+    # weighted sampling: per-partition top-k, not a global sort
+    s = plan_summary(ops["weighted_sample_topk"].fn(spark, sf_dir))
+    assert s["take_ordered"] >= 1
+    # PSI: everything joins against broadcast bounded tables
+    s = plan_summary(ops["psi_source_drift"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    # centroid similarity: corpus scanned ONCE (self-join happens on the
+    # tiny label x dim aggregate, which Spark may or may not reuse — but
+    # there must be no second corpus-shuffle fan-out)
+    s = plan_summary(ops["label_centroid_similarity"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    # bigram LM: bigrams from a narrow arrays_zip map — no positional
+    # self-join of the token table
+    s = plan_summary(ops["bigram_logprob_score"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    # open items per day: running sum only over the bounded daily table
+    # (exactly one single-partition exchange, after the day aggregate)
+    from my_polars_ai_spark.plans.inspect import explain_str
+
+    txt = explain_str(ops["open_lineitems_per_day"].fn(spark, sf_dir), mode="simple")
+    assert txt.count("Exchange SinglePartition") <= 1
+    # calibration + A/B: bounded rollups, JVM-side
+    for name in ("calibration_curve_langid", "ab_test_two_proportion"):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["python_evals"] == 0, name
