@@ -1141,3 +1141,65 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired.filter(100 * ni >= _PCT * union)
         .select("doc_a", "doc_b", ratio_round(ni, union).alias("jaccard"))
     )
+
+
+@op(
+    "dedup_cluster_pointer_doubling",
+    # identical output contract to dedup_cluster_canonical (the result is
+    # algorithm-independent), so the recursive-closure oracle is shared
+    oracle=OPS["dedup_cluster_canonical"].oracle,
+    tags=("dedup", "cluster", "graph"),
+)
+def dedup_cluster_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components again — but via Shiloach-Vishkin-style
+    hook + pointer-doubling, the O(log n)-round upgrade that
+    dedup_cluster_canonical's docstring names for high-diameter graphs.
+    Each round does (1) HOOK: parent(v) <- min(parent(v), min of
+    neighbors' parents) — one edge join + partial-agg min — and
+    (2) JUMP: parent(v) <- parent(parent(v)) — one self-join on the
+    pointer table, which HALVES every pointer chain, so path-shaped
+    components finish in log2(diameter) rounds where pure label
+    propagation needs diameter rounds. Labels only decrease, so an
+    unchanged 1-row sum is the fixpoint proof (same convergence
+    aggregate as the propagation twin; the driver loop is iteration
+    control only). pytest asserts both algorithms return identical
+    clusters."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = docs.select("node", F.col("node").alias("p")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("p")).collect()[0][0]
+    for _ in range(50):  # safety bound; log-round convergence breaks out
+        # hook: pull the min parent across incident edges
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("p").alias("np"))
+        )
+        hooked = labels.join(nbr, labels.node == nbr.dst, "left").select(
+            "node", F.least("p", F.coalesce("np", "p")).alias("p")
+        )
+        # jump: parent(parent(v)) — one equi-join against the pointer table
+        parents = hooked.select(
+            F.col("node").alias("pnode"), F.col("p").alias("pp")
+        )
+        labels = (
+            hooked.join(parents, hooked.p == parents.pnode)
+            .select("node", F.col("pp").alias("p"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("p")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("pointer-doubling CC did not converge in 50 rounds")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("p").alias("cluster_id"),
+        (F.col("p") == F.col("node")).cast("int").alias("is_canonical"),
+    )

@@ -1261,3 +1261,15 @@ def test_native_recursive_cte_matches_iterative_climb(spark, sf_dir):
         tuple(r) for r in ops["hierarchy_rollup"].fn(spark, sf_dir).collect()
     }
     assert native == iterative
+
+
+def test_pointer_doubling_matches_label_propagation(spark, sf_dir):
+    """Two CC algorithms, one answer: Shiloach-Vishkin hook+jump must
+    return exactly the clusters of plain min-label propagation."""
+    ops = all_ops()
+    a = {
+        tuple(r)
+        for r in ops["dedup_cluster_pointer_doubling"].fn(spark, sf_dir).collect()
+    }
+    b = {tuple(r) for r in ops["dedup_cluster_canonical"].fn(spark, sf_dir).collect()}
+    assert a == b
