@@ -1855,3 +1855,84 @@ def calibration_curve_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_score"
         ),
     )
+
+
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+
+_CMS_SQL = f"""
+    WITH occ AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    ), cells AS (
+        SELECT d.d,
+               ('0x' || substr(md5(d.d || ':' || tok), 1, 15))::BIGINT
+                   % {CMS_WIDTH} AS cell,
+               count(*) AS c
+        FROM occ CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) d
+        GROUP BY 1, 2
+    ), vocab AS (
+        SELECT tok, count(*) AS exact_cnt FROM occ GROUP BY 1
+    ), est AS (
+        SELECT v.tok, v.exact_cnt, min(c.c) AS est_cnt
+        FROM vocab v
+        JOIN cells c
+          ON c.cell = ('0x' || substr(md5(c.d || ':' || v.tok), 1, 15))::BIGINT
+                      % {CMS_WIDTH}
+        GROUP BY 1, 2
+    )
+    SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS overestimate
+    FROM est
+"""
+
+
+@op(
+    "count_min_estimates",
+    oracle=_CMS_SQL,
+    tags=("text", "sketch"),
+)
+def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (3 x 64, md5-derived rows) built as a pure
+    aggregation, then every token's point estimate (min over depths)
+    reported NEXT TO its exact count — the overestimate column is the
+    sketch's one-sided error guarantee, materialized and
+    oracle-checked (est >= exact always; E[error] <= N/width). The
+    sketch table is (depth x width) = 192 mergeable counters —
+    map-side combinable, mergeable across shards/streams by plain
+    cell-wise addition, and broadcast back for the probe join. This is
+    the third mergeable-sketch family here (bitmaps: running distinct;
+    linear counting: cardinality; CMS: frequencies)."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d_tab = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    occ = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cell_of = lambda dcol, tok: portable_hash60(
+        F.concat(dcol.cast("string"), F.lit(":"), tok)
+    ) % CMS_WIDTH
+    cells = (
+        occ.crossJoin(F.broadcast(d_tab))
+        .groupBy("d", cell_of(F.col("d"), F.col("tok")).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = vocab.crossJoin(F.broadcast(d_tab)).select(
+        "tok", "exact_cnt", "d", cell_of(F.col("d"), F.col("tok")).alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )
