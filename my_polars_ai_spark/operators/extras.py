@@ -2184,3 +2184,64 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p0 - p1, 6).alias("diff"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+_WINSOR_SQL = f"""
+    WITH b AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 6) AS b_lo,
+               round(quantile_cont(value, 0.95), 6) AS b_hi
+        FROM events GROUP BY event_type
+    ), c AS (
+        SELECT e.event_type,
+               CAST(CAST(least(greatest(e.value, b.b_lo), b.b_hi)
+                         AS DECIMAL(28,6)) * 1000000 AS HUGEINT) AS vm
+        FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {oracle_ratio_round('sum(vm)', 'count(*) * 1000000')}
+               AS winsorized_mean
+    FROM c GROUP BY event_type
+"""
+
+
+@op(
+    "winsorized_mean_by_type",
+    oracle=_WINSOR_SQL,
+    tags=("stats", "robust", "agg"),
+)
+def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust mean: clip each event value into its type's [p5, p95]
+    band, then average — the outlier-resistant aggregate dashboards
+    use when MAD flags (anomaly_mad) say the tails are dirty. The
+    percentile boundaries are rounded ONCE at 6dp (the proven-portable
+    exact-percentile seam from median_quantiles) so the clip decision
+    compares every raw double to the SAME boundary on both engines;
+    clipped values then round once into integer micro-units and the
+    mean is an exact rational. Two passes over events (boundaries,
+    then clip+sum), both keyed on the bounded event_type dimension;
+    at 100 TB swap pass one to percentile_approx like approx_quantiles."""
+    e = _t(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))
+    b = e.groupBy("event_type").agg(pcts.alias("__p")).select(
+        "event_type",
+        F.round(F.element_at("__p", 1), 6).alias("b_lo"),
+        F.round(F.element_at("__p", 2), 6).alias("b_hi"),
+    )
+    c = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        (
+            F.least(F.greatest(F.col("value"), F.col("b_lo")), F.col("b_hi"))
+            .cast("decimal(28,6)")
+            * 1000000
+        )
+        .cast("decimal(38,0)")
+        .alias("vm"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        ratio_round(F.sum("vm"), F.count(F.lit(1)) * 1000000).alias(
+            "winsorized_mean"
+        ),
+    )
