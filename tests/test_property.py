@@ -280,3 +280,46 @@ def test_ieee_floor_micro_conversion_is_engine_identical(spark, xs):
         " FROM t"
     ).fetchall()]
     assert got == want
+
+
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_bound_is_lossless(sets):
+    """The prefix-filtering theorem behind dedup_prefix_filter_jaccard,
+    property-tested in pure Python: under ANY document-frequency-
+    consistent total token order, two sets with Jaccard >= 0.95 must
+    share at least one token within each other's prefix of length
+    n - ceil(0.95*n) + 1 (computed with the exact integer ceil the
+    operator uses). If this ever fails, the operator's candidate join
+    has a recall hole."""
+    from collections import Counter
+    from fractions import Fraction
+
+    df = Counter()
+    for s in sets:
+        for tok in s:
+            df[tok] += 1
+    order = sorted(df, key=lambda t: (df[t], t))
+    rank = {t: i for i, t in enumerate(order)}
+    t95 = Fraction(95, 100)
+    for i, a in enumerate(sets):
+        for b in sets[i + 1 :]:
+            inter = len(a & b)
+            union = len(a | b)
+            if Fraction(inter, union) < t95:
+                continue
+            # exact integer prefix length: n - ceil(95n/100) + 1
+            pa = sorted(a, key=rank.__getitem__)[: len(a) - (95 * len(a) + 99) // 100 + 1]
+            pb = sorted(b, key=rank.__getitem__)[: len(b) - (95 * len(b) + 99) // 100 + 1]
+            # the operator equi-joins PREFIX against PREFIX, so the claim
+            # it stands on is the stronger one: the two prefixes intersect
+            assert set(pa) & set(pb), (a, b, pa, pb)
+            # ...which implies the per-set form of the theorem too
+            assert any(x in b for x in pa), (a, b, pa)
+            assert any(x in a for x in pb), (a, b, pb)
