@@ -2245,3 +2245,96 @@ def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         ),
     )
+
+
+_RFM_SQL = """
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '2001-09-01') AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                             AS HUGEINT)) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), b AS (
+        SELECT round(quantile_cont(CAST(recency_days AS DOUBLE), 0.2), 6) AS r1,
+               round(quantile_cont(CAST(recency_days AS DOUBLE), 0.4), 6) AS r2,
+               round(quantile_cont(CAST(recency_days AS DOUBLE), 0.6), 6) AS r3,
+               round(quantile_cont(CAST(recency_days AS DOUBLE), 0.8), 6) AS r4,
+               round(quantile_cont(CAST(frequency AS DOUBLE), 0.2), 6) AS f1,
+               round(quantile_cont(CAST(frequency AS DOUBLE), 0.4), 6) AS f2,
+               round(quantile_cont(CAST(frequency AS DOUBLE), 0.6), 6) AS f3,
+               round(quantile_cont(CAST(frequency AS DOUBLE), 0.8), 6) AS f4,
+               round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.2), 6) AS m1,
+               round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.4), 6) AS m2,
+               round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.6), 6) AS m3,
+               round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.8), 6) AS m4
+        FROM cust
+    )
+    SELECT o_custkey AS custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents,
+           -- recency: LOWER is better, so score runs 5..1
+           CAST(6 - (1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+                     + (recency_days > r3)::INT + (recency_days > r4)::INT)
+                AS INT) AS r_score,
+           CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+                + (frequency > f3)::INT + (frequency > f4)::INT AS INT) AS f_score,
+           CAST(1 + (monetary_cents > m1)::INT + (monetary_cents > m2)::INT
+                + (monetary_cents > m3)::INT + (monetary_cents > m4)::INT
+                AS INT) AS m_score
+    FROM cust CROSS JOIN b
+"""
+
+
+@op(
+    "rfm_segments",
+    oracle=_RFM_SQL,
+    tags=("analytics", "segmentation"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: per-customer Recency (days since last
+    order at the fixed anchor), Frequency (order count), Monetary
+    (lifetime cents), each scored 1-5 against the population's exact
+    quintile boundaries. Boundaries come from ONE global percentile
+    aggregate over the customer rollup (an aggregation, NOT a global
+    window — no single-partition sort of the fact table), rounded at
+    the proven-portable 6dp seam, then broadcast as one row; scores
+    are strict-> comparisons against those boundaries, so every score
+    is deterministic on both engines. Two shuffles total: the customer
+    rollup and the 1-row reduce."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.to_date(F.max("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    b = cust.agg(
+        *[
+            F.round(
+                F.percentile(F.col(c).cast("double"), F.lit(q)), 6
+            ).alias(f"{c[0]}{i + 1}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for i, q in enumerate(qs)
+        ]
+    )
+    def score(col, prefix):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(col) > F.col(f"{prefix}{i}")).cast("int")
+        return s
+    return cust.crossJoin(F.broadcast(b)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+        (F.lit(6) - score("recency_days", "r")).cast("int").alias("r_score"),
+        score("frequency", "f").cast("int").alias("f_score"),
+        score("monetary_cents", "m").cast("int").alias("m_score"),
+    )
