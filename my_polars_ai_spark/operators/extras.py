@@ -2338,3 +2338,42 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "f").cast("int").alias("f_score"),
         score("monetary_cents", "m").cast("int").alias("m_score"),
     )
+
+
+K_ANON = 5
+
+_K_ANON_SQL = f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(group_size < {K_ANON} AS INT) AS violates_k
+    FROM g
+"""
+
+
+@op(
+    "k_anonymity_audit",
+    oracle=_K_ANON_SQL,
+    tags=("governance", "privacy", "agg"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market segment)
+    quasi-identifier: every equivalence class with its size and a
+    violates-k flag (size < 5 means those customers are
+    re-identifiable by the QI combination alone — the table a privacy
+    review reads before any data release; companion to pii_redact and
+    cascade_delete_audit). One map-side-combinable groupBy on the
+    bounded QI grid."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("group_size") < K_ANON).cast("int").alias("violates_k"),
+    )

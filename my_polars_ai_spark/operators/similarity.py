@@ -1171,3 +1171,73 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "label_b")
         .select("label_a", "label_b", F.round(cos, ROUND_RATIO).alias("cos"))
     )
+
+
+_COV_SQL = """
+    WITH pos AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8))
+                    * 100000000 AS HUGEINT) AS xm
+        FROM embeddings
+    ), prod AS (
+        SELECT a.dim AS dim_a, b.dim AS dim_b,
+               count(*) AS n,
+               sum(a.xm) AS sa, sum(b.xm) AS sb,
+               sum(a.xm * b.xm) AS sab
+        FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    )
+    SELECT CAST(dim_a AS INT) AS dim_a, CAST(dim_b AS INT) AS dim_b,
+           CAST(n * sab - sa * sb AS VARCHAR) AS cov_num_str,
+           CAST(n AS BIGINT) AS n
+    FROM prod
+"""
+
+
+@op(
+    "embedding_covariance",
+    oracle=_COV_SQL,
+    tags=("similarity", "ml", "stats"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance accumulators for every dimension pair of the
+    embedding corpus — the input to whitening/PCA. cov = (n*Sab -
+    Sa*Sb) / n^2 is kept as its EXACT integer numerator (in 1e-16
+    units; emitted as a string because it exceeds int64 — the same
+    contract as a BigDecimal column) so the 64x64 matrix
+    hash-matches across engines and merges across shards by plain
+    addition of (n, Sa, Sb, Sab). Plan: posexplode then a vec_id-keyed
+    self-join fans each vector into its dim<=dim pairs (a bounded 2080x
+    multiplier — the standard covariance shape), ONE map-side-
+    combinable aggregation to the bounded (dim_a, dim_b) grid."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("dim"),
+        (F.col("x").cast("double").cast("decimal(20,8)") * 100000000)
+        .cast("decimal(38,0)")
+        .alias("xm"),
+    )
+    a = pos.select("vec_id", F.col("dim").alias("dim_a"), F.col("xm").alias("xa"))
+    b = pos.select("vec_id", F.col("dim").alias("dim_b"), F.col("xm").alias("xb"))
+    prod = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_a") <= F.col("dim_b"))
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sa"),
+            F.sum("xb").alias("sb"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+        )
+    )
+    num = F.col("n").cast("decimal(38,0)") * F.col("sab") - F.col("sa") * F.col("sb")
+    return prod.select(
+        F.col("dim_a").cast("int").alias("dim_a"),
+        F.col("dim_b").cast("int").alias("dim_b"),
+        num.cast("string").alias("cov_num_str"),
+        F.col("n").cast("long").alias("n"),
+    )
