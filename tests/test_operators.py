@@ -1273,3 +1273,35 @@ def test_pointer_doubling_matches_label_propagation(spark, sf_dir):
     }
     b = {tuple(r) for r in ops["dedup_cluster_canonical"].fn(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_approx_sketches_meet_error_contracts(spark, sf_dir):
+    """The two rows-only sketch ops carry quantitative accuracy
+    contracts; assert them so 'rows-only' never hides a broken sketch.
+    - approx_count_distinct(rsd=0.02): |est - exact| within 5 rsd
+    - percentile_approx(accuracy=10000): rank error <= n/10000 + 1
+    """
+    ops = all_ops()
+    est = ops["approx_distinct"].fn(spark, sf_dir).collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    exact_parts, exact_orders = con.execute(
+        "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    assert abs(est.approx_parts - exact_parts) <= 0.10 * exact_parts
+    assert abs(est.approx_orders - exact_orders) <= 0.10 * exact_orders
+    # rank-error contract for the quantile sketch
+    for r in ops["approx_quantiles"].fn(spark, sf_dir).collect():
+        n, rank = con.execute(
+            """
+            SELECT count(*),
+                   sum(CASE WHEN l_extendedprice <= ? THEN 1 ELSE 0 END)
+            FROM lineitem WHERE l_returnflag = ?
+            """,
+            [r.approx_median_price, r.l_returnflag],
+        ).fetchone()
+        assert abs(rank - 0.5 * n) <= n / 10000 + 1, (r.l_returnflag, rank, n)
