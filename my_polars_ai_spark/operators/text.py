@@ -1936,3 +1936,75 @@ def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cnt").cast("long").alias("est_cnt"),
         (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
     )
+
+
+_MI_SQL = f"""
+    WITH cxy AS (
+        SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+    ), cx AS (
+        SELECT lang, sum(c) AS cx FROM cxy GROUP BY 1
+    ), cy AS (
+        SELECT source, sum(c) AS cy FROM cxy GROUP BY 1
+    ), n AS (
+        SELECT sum(c) AS n FROM cxy
+    ), terms AS (
+        SELECT cxy.c, n.n,
+               CAST(round(ln((CAST(cxy.c AS DOUBLE) * n.n)
+                             / (CAST(cx.cx AS DOUBLE) * cy.cy)) * 1000000)
+                    AS BIGINT) AS lnr_micro
+        FROM cxy JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN n
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_docs,
+           {oracle_signed_ratio_round(
+               'sum(c * lnr_micro)', 'any_value(n) * CAST(1000000 AS HUGEINT)')}
+               AS mi_nats
+    FROM terms
+"""
+
+
+@op(
+    "mutual_info_lang_source",
+    oracle=_MI_SQL,
+    tags=("text", "stats", "monitoring"),
+)
+def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the dependence
+    score behind 'is language mix a function of source?' (0 =
+    independent; compare against chi_square_lang_source, its
+    significance-test sibling). Same exactness scheme as
+    psi_source_drift: each cell's log-ratio is micro-nat-rounded once,
+    every term shares the ONE denominator N*1e6, so the cell sum is
+    exact integer arithmetic with a single signed half-up division.
+    Plan: one (lang x source) bounded aggregation, margins derived
+    from it (no second corpus scan), broadcast joins onto the bounded
+    grid."""
+    d = _t(spark, sf_dir, "documents")
+    cxy = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    cx = cxy.groupBy("lang").agg(F.sum("c").alias("cx"))
+    cy = cxy.groupBy("source").agg(F.sum("c").alias("cy"))
+    n = cxy.agg(F.sum("c").alias("n"))
+    lnr_micro = (
+        F.round(
+            F.log(
+                (F.col("c").cast("double") * F.col("n"))
+                / (F.col("cx").cast("double") * F.col("cy"))
+            )
+            * 1000000
+        )
+        .cast("long")
+    )
+    terms = (
+        cxy.join(F.broadcast(cx), "lang")
+        .join(F.broadcast(cy), "source")
+        .crossJoin(F.broadcast(n))
+        .select("c", "n", lnr_micro.alias("lnr_micro"))
+    )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    return terms.agg(
+        F.first("n").cast("long").alias("n_docs"),
+        signed_ratio_round(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("lnr_micro")),
+            F.first("n").cast("decimal(38,0)") * 1000000,
+        ).alias("mi_nats"),
+    )
