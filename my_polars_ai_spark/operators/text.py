@@ -2008,3 +2008,60 @@ def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n").cast("decimal(38,0)") * 1000000,
         ).alias("mi_nats"),
     )
+
+
+_COVERAGE_CURVE_SQL = f"""
+    WITH occ AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    ), c AS (
+        SELECT tok, count(*) AS c FROM occ GROUP BY 1
+    ), n AS (
+        SELECT sum(c) AS n FROM c
+    ), r AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok) AS vocab_rank,
+               sum(c) OVER (ORDER BY c DESC, tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM c
+    )
+    SELECT CAST(vocab_rank AS BIGINT) AS vocab_rank, tok,
+           CAST(c AS BIGINT) AS occurrences,
+           {oracle_ratio_round('cum', 'n.n')} AS coverage
+    FROM r CROSS JOIN n
+"""
+
+
+@op(
+    "token_coverage_curve",
+    oracle=_COVERAGE_CURVE_SQL,
+    tags=("text", "vocab", "pipeline"),
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage by vocabulary rank — 'how many tokens
+    cover 99% of occurrences', the measurement behind every vocab-size
+    / OOV-rate decision. The rank+cumsum window runs over the TOKEN
+    VOCABULARY (already aggregated, vocab-bounded — the documented-
+    acceptable global-window class), never over occurrences; coverage
+    is the exact half-up rational of integer cumsums."""
+    occ = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    c = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = c.agg(F.sum("c").alias("n"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    r = c.select(
+        "tok",
+        "c",
+        F.row_number().over(w).alias("vocab_rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        F.col("vocab_rank").cast("long").alias("vocab_rank"),
+        "tok",
+        F.col("c").cast("long").alias("occurrences"),
+        ratio_round(F.col("cum"), F.col("n")).alias("coverage"),
+    )
