@@ -82,7 +82,21 @@ _MODULES = (
 #   basket_size_hist, neardup_degree_hist, activity_entropy,
 #   cohort_revenue_ltv, lead_time_by_priority, repeat_customer_share,
 #   brand_supplier_hhi, discount_band_elasticity, top_tokens_by_lang
-# 16 + 32 + 66 + 12 canaries = 126 candidates across r5/r6 windows:
+# (d) the 26 ops added in round-4 session 4 (registry 241 -> 267):
+#   dedup_prefix_filter_jaccard, heavy_hitters_tokens,
+#   global_shuffle_row_number, token_entropy_per_doc,
+#   decay_weighted_revenue, hard_negatives_topk,
+#   centroid_outlier_scores, chunk_sliding_windows,
+#   basket_lift_brand_pairs, ohlc_bars_hourly, weighted_sample_topk,
+#   recursive_cte_hierarchy, psi_source_drift,
+#   label_centroid_similarity, bigram_logprob_score,
+#   open_lineitems_per_day, calibration_curve_langid,
+#   ab_test_two_proportion, dedup_cluster_pointer_doubling,
+#   count_min_estimates, winsorized_mean_by_type, rfm_segments,
+#   embedding_covariance, k_anonymity_audit, mutual_info_lang_source,
+#   token_coverage_curve
+# 16 + 32 + 66 + session-4's additions + 12 canaries = candidates
+# across r5/r6/r7 windows:
 # rotate out canaries whose families the
 # new ops re-cover (stratified_sample -> weighted_bernoulli_sample,
 # pandas_udf_sigmoid -> grouped_agg_sum_squares, tumbling_window_hourly
