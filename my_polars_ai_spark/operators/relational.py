@@ -1769,3 +1769,58 @@ def discount_band_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         ratio_round(F.sum("qty"), F.count(F.lit(1))).alias("avg_qty"),
     )
+
+
+@op(
+    "setops_all_multiplicity",
+    oracle="""
+    WITH a AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status
+        FROM lineitem WHERE l_quantity > 25
+    ), b AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status
+        FROM lineitem WHERE l_discount > 0.05
+    ), ex AS (
+        SELECT 'except_all' AS setop, flag, status, count(*) AS n
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        GROUP BY 2, 3
+    ), ia AS (
+        SELECT 'intersect_all' AS setop, flag, status, count(*) AS n
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        GROUP BY 2, 3
+    )
+    SELECT setop, flag, status, CAST(n AS BIGINT) AS n FROM ex
+    UNION ALL
+    SELECT setop, flag, status, CAST(n AS BIGINT) AS n FROM ia
+    """,
+    tags=("setop",),
+)
+def setops_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the multiplicity-preserving set ops
+    (bag semantics: per duplicate row, max(m-n, 0) and min(m, n)
+    copies survive) that the DISTINCT-flavored except_keys /
+    intersect_keys cannot express. Spark implements both as a single
+    aggregate-then-generate over the union (count per side, replicate
+    the difference) — no pairwise matching; the op rolls the surviving
+    bags up per key so the multiplicities themselves are what the
+    oracle hashes."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select(
+        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
+    )
+    b = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("flag", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("setop"), "flag", "status", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("flag", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("setop"), "flag", "status", "n")
+    )
+    return ex.unionByName(ia)
