@@ -1824,3 +1824,25 @@ def setops_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("setop"), "flag", "status", "n")
     )
     return ex.unionByName(ia)
+
+
+@op(
+    "union_allow_missing_columns",
+    oracle="""
+    SELECT doc_id, lang, NULL AS n_chars FROM documents WHERE lang = 'en'
+    UNION ALL BY NAME
+    SELECT doc_id, NULL AS lang, n_chars FROM documents WHERE lang <> 'en'
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def union_allow_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    aligns two frames with different column sets, null-filling the
+    gaps — the shape every multi-generation data lake hits when old
+    partitions lack new columns (companion to the mergeSchema write
+    test in sources/). Resolution is BY NAME, not position, so a
+    reordered producer can't silently cross-wire columns."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en").select("doc_id", "lang")
+    rest = d.filter(F.col("lang") != "en").select("doc_id", "n_chars")
+    return en.unionByName(rest, allowMissingColumns=True)
