@@ -1846,3 +1846,69 @@ def union_allow_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = d.filter(F.col("lang") == "en").select("doc_id", "lang")
     rest = d.filter(F.col("lang") != "en").select("doc_id", "n_chars")
     return en.unionByName(rest, allowMissingColumns=True)
+
+
+_ABC_SQL = """
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                   * 1000000) AS revm
+        FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT sum(revm) AS total FROM pr
+    ), r AS (
+        SELECT l_partkey, revm,
+               row_number() OVER (ORDER BY revm DESC, l_partkey) AS rnk,
+               sum(revm) OVER (ORDER BY revm DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM pr
+    )
+    SELECT l_partkey,
+           CAST(revm AS BIGINT) AS revenue_micro,
+           CAST(rnk AS BIGINT) AS revenue_rank,
+           CASE WHEN 5 * cum <= 4 * t.total THEN 'A'
+                WHEN 20 * cum <= 19 * t.total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r CROSS JOIN t
+"""
+
+
+@op(
+    "abc_part_classification",
+    oracle=_ABC_SQL,
+    tags=("analytics", "pareto", "window"),
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: rank parts by revenue, class A
+    while the running share stays <= 80%, B to 95%, C beyond — the
+    Lorenz/Pareto cut every supply-chain and storage-tiering decision
+    uses. Revenue accumulates in exact integer micro-units and the
+    class thresholds are exact integer comparisons (5*cum <= 4*total),
+    so class boundaries can't wobble on float ties. The rank+cumsum
+    window runs over the PART-aggregated table (dimension-bounded, the
+    documented global-window class — two-pass bucket offsets are the
+    named upgrade if the part dimension ever stops fitting)."""
+    li = _t(spark, sf_dir, "lineitem")
+    revm = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,6)")
+        * 1000000
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum(revm).alias("revm"))
+    t = pr.agg(F.sum("revm").alias("total"))
+    w = Window.orderBy(F.desc("revm"), F.asc("l_partkey"))
+    r = pr.select(
+        "l_partkey",
+        "revm",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("revm").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "l_partkey",
+        F.col("revm").cast("long").alias("revenue_micro"),
+        F.col("rnk").cast("long").alias("revenue_rank"),
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
