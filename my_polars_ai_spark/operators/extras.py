@@ -2377,3 +2377,92 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_size").cast("long").alias("group_size"),
         (F.col("group_size") < K_ANON).cast("int").alias("violates_k"),
     )
+
+
+_SCD2_PIT_SQL = """
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+               lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_status
+        FROM orders
+    ), changes AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate
+        FROM ordered
+        WHERE prev_status IS NULL OR prev_status != o_orderstatus
+    ), scd AS (
+        SELECT o_custkey,
+               row_number() OVER w AS version,
+               o_orderstatus AS status,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           s.status AS status_at_order, CAST(s.version AS BIGINT) AS version
+    FROM orders o
+    JOIN scd s ON s.o_custkey = o.o_custkey
+     AND s.valid_from <= o.o_orderdate
+     AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+"""
+
+
+@op(
+    "scd2_point_in_time_join",
+    oracle=_SCD2_PIT_SQL,
+    tags=("join", "history", "asof"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension: every order
+    joined to the version of its customer's status history in force AT
+    its order date — the AS OF join every warehouse fact load runs
+    against a versioned dimension. The oracle states the natural
+    interval join (valid_from <= ts < valid_to); the Spark plan uses
+    the as-of UNION TRICK instead: version starts and probe rows
+    interleave in ONE per-key window sorted by (ts, tag, version), and
+    last_value(ignorenulls) carries the in-force version forward —
+    one sort shuffle on the key, no range join, no fan-out. Version
+    rows sort before probes at equal ts (tag 0 < 1) and by ascending
+    version within a tie, so a same-day correction (an empty
+    [d, d) interval) is superseded exactly as the interval semantics
+    demand."""
+    scd = scd2_history(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    v = scd.select(
+        "o_custkey",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("tag"),
+        "version",
+        "status",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    p = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("status"),
+        "o_orderkey",
+    )
+    u = v.unionByName(p)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts", "tag", "version")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "o_custkey",
+        "ts",
+        "tag",
+        "o_orderkey",
+        F.last("status", ignorenulls=True).over(w).alias("status_at_order"),
+        F.last("version", ignorenulls=True).over(w).alias("version"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("ts").alias("o_orderdate"),
+        "status_at_order",
+        F.col("version").cast("long").alias("version"),
+    )
