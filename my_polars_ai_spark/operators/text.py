@@ -2065,3 +2065,63 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("occurrences"),
         ratio_round(F.col("cum"), F.col("n")).alias("coverage"),
     )
+
+
+# Tiny deterministic sentiment lexicon over this corpus's vocabulary —
+# swap for AFINN/VADER wordlists in production; the plumbing (broadcast
+# lexicon join + exact rational score) is what matters at scale.
+_SENT_POS = ("fast", "big", "merge")
+_SENT_NEG = ("slow", "small", "dup")
+_POS_SQL = "(" + ", ".join(f"'{w}'" for w in _SENT_POS) + ")"
+_NEG_SQL = "(" + ", ".join(f"'{w}'" for w in _SENT_NEG) + ")"
+
+_SENTIMENT_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), c AS (
+        SELECT doc_id,
+               len(list_filter(ts, x -> x IN {_POS_SQL})) AS pos,
+               len(list_filter(ts, x -> x IN {_NEG_SQL})) AS neg
+        FROM t
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+           {oracle_signed_ratio_round('pos - neg', 'pos + neg + 1')} AS polarity,
+           CASE WHEN pos > neg THEN 'positive'
+                WHEN neg > pos THEN 'negative'
+                ELSE 'neutral' END AS sentiment
+    FROM c
+"""
+
+
+@op(
+    "sentiment_lexicon_score",
+    oracle=_SENTIMENT_SQL,
+    tags=("text", "sentiment", "pipeline"),
+)
+def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the EDBT'16 Spark-sentiment
+    shape): count positive/negative lexicon hits per document with a
+    JVM-side array filter — the lexicon is a compile-time constant
+    here and a broadcast wordlist join at real lexicon sizes — and
+    score polarity as the exact signed rational (pos-neg)/(pos+neg+1)
+    (add-one so lexicon-free docs sit at exactly 0). One narrow map,
+    no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    pos = F.size(F.filter(ts, lambda x: x.isin(*_SENT_POS)))
+    neg = F.size(F.filter(ts, lambda x: x.isin(*_SENT_NEG)))
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    c = d.select("doc_id", pos.alias("pos"), neg.alias("neg"))
+    return c.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+        signed_ratio_round(
+            F.col("pos") - F.col("neg"), F.col("pos") + F.col("neg") + 1
+        ).alias("polarity"),
+        F.when(F.col("pos") > F.col("neg"), "positive")
+        .when(F.col("neg") > F.col("pos"), "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+    )
