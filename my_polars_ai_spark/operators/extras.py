@@ -2466,3 +2466,108 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_at_order",
         F.col("version").cast("long").alias("version"),
     )
+
+
+# Pearson r from exact integer accumulator columns n, sx, sy, sxy,
+# sxx, syy (HUGEINT) — int->double conversion and the final arithmetic
+# are IEEE-portable.
+_PEARSON_EXPR = (
+    "round((CAST(n*sxy - sx*sy AS DOUBLE))"
+    " / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+    "    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)"
+)
+
+
+_XCORR_SQL = f"""
+    WITH od AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+        FROM orders GROUP BY 1
+    ), ld AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,2)) * 100 AS HUGEINT)) AS y
+        FROM lineitem GROUP BY 1
+    ), p1 AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM od JOIN ld USING (day)
+    ), ev AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(CAST(value AS DECIMAL(28,2)) * 100 AS HUGEINT)
+                        ELSE 0 END) AS y
+        FROM events GROUP BY 1
+    ), p2 AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM ev
+    )
+    SELECT 'orders_vs_revenue' AS pair, CAST(n AS BIGINT) AS n_days,
+           {_PEARSON_EXPR} AS r
+    FROM p1
+    UNION ALL
+    SELECT 'views_vs_purchase_value', CAST(n AS BIGINT), {_PEARSON_EXPR}
+    FROM p2
+"""
+
+
+@op(
+    "cross_table_daily_correlation",
+    oracle=_XCORR_SQL,
+    tags=("stats", "discovery", "analytics"),
+)
+def cross_table_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-measure discovery ACROSS tables (the ICDE'22
+    sketch-based dataset-search task, done exactly at this scale):
+    align measures from different tables on a shared day grain —
+    order counts vs shipped revenue; view counts vs purchase value —
+    and report Pearson r per pair. All six accumulators (n, Sx, Sy,
+    Sxy, Sxx, Syy) are exact integers (counts and cents), mergeable
+    across shards, so r is one IEEE-portable expression at the end.
+    Plan: one bounded daily aggregate per table, a day-keyed join of
+    the two tiny series, 1-row reduces."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    od = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast(d38).alias("x")
+    )
+    ld = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(
+            ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .cast("decimal(28,2)") * 100).cast(d38)
+        ).alias("y")
+    )
+    ev = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("int")).cast(d38).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(28,2)") * 100).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("y"),
+    )
+
+    def accum(df, label):
+        a = df.agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        return a.select(
+            F.lit(label).alias("pair"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("r"),
+        )
+
+    p1 = accum(od.join(ld, "day"), "orders_vs_revenue")
+    p2 = accum(ev, "views_vs_purchase_value")
+    return p1.unionByName(p2)
