@@ -82,7 +82,7 @@ _MODULES = (
 #   basket_size_hist, neardup_degree_hist, activity_entropy,
 #   cohort_revenue_ltv, lead_time_by_priority, repeat_customer_share,
 #   brand_supplier_hhi, discount_band_elasticity, top_tokens_by_lang
-# (d) the 26 ops added in round-4 session 4 (registry 241 -> 267):
+# (d) the 32 ops added in round-4 session 4 (registry 241 -> 273):
 #   dedup_prefix_filter_jaccard, heavy_hitters_tokens,
 #   global_shuffle_row_number, token_entropy_per_doc,
 #   decay_weighted_revenue, hard_negatives_topk,
@@ -94,7 +94,10 @@ _MODULES = (
 #   ab_test_two_proportion, dedup_cluster_pointer_doubling,
 #   count_min_estimates, winsorized_mean_by_type, rfm_segments,
 #   embedding_covariance, k_anonymity_audit, mutual_info_lang_source,
-#   token_coverage_curve
+#   token_coverage_curve, setops_all_multiplicity,
+#   union_allow_missing_columns, abc_part_classification,
+#   scd2_point_in_time_join, sentiment_lexicon_score,
+#   cross_table_daily_correlation
 # 16 + 32 + 66 + session-4's additions + 12 canaries = candidates
 # across r5/r6/r7 windows:
 # rotate out canaries whose families the

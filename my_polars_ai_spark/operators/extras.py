@@ -14,7 +14,9 @@ from my_polars_ai_spark.operators.base import (
     exact_floor_div,
     make_registrar,
     oracle_ratio_round,
+    oracle_signed_ratio_round,
     ratio_round,
+    signed_ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -2126,7 +2128,10 @@ _AB_TEST_SQL = """
     )
     SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
            CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
-           round(CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1, 6)
+           CAST((CASE WHEN (x0*n1 - x1*n0) < 0 THEN -1 ELSE 1 END)
+                * ((2*1000000*abs(CAST(x0*n1 - x1*n0 AS HUGEINT))
+                    + CAST(n0*n1 AS HUGEINT))
+                   // (2*CAST(n0*n1 AS HUGEINT))) AS DOUBLE) / 1000000
                AS diff,
            CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN NULL
                 ELSE round((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
@@ -2145,10 +2150,11 @@ _AB_TEST_SQL = """
 def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test on user conversion (variant = user_id
     parity, the deterministic assignment every experiment system hashes
-    users into): pooled standard error, z = (p0-p1)/SE. Every input to
-    the float math is an exact integer count, and the divisions/sqrt
-    are IEEE-correctly-rounded — so even the test statistic
-    hash-matches across engines. Plan: per-user conversion flag via one
+    users into): pooled standard error, z = (p0-p1)/SE. The rate
+    difference is the exact signed rational (x0*n1 - x1*n0)/(n0*n1)
+    via signed_ratio_round (the base.py contract for signed
+    rationals); z involves a sqrt so it stays in IEEE doubles, whose
+    inputs are exact integer counts — both hash-match across engines. Plan: per-user conversion flag via one
     user-keyed aggregation (map-side combinable max), then a 2-row
     rollup pivoted to one report row."""
     e = _t(spark, sf_dir, "events")
@@ -2181,7 +2187,10 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x0").cast("long").alias("x0"),
         F.col("n1").cast("long").alias("n1"),
         F.col("x1").cast("long").alias("x1"),
-        F.round(p0 - p1, 6).alias("diff"),
+        signed_ratio_round(
+            F.col("x0") * F.col("n1") - F.col("x1") * F.col("n0"),
+            F.col("n0") * F.col("n1"),
+        ).alias("diff"),
         F.round(z, 6).alias("z_stat"),
     )
 

@@ -326,7 +326,7 @@ _WS_DEN = float(2**60 + 1)
 _WEIGHTED_SAMPLE_SQL = f"""
     WITH h AS (
         SELECT doc_id, n_chars,
-               ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               ('0x' || substr(md5('estopk:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                    AS hv
         FROM documents WHERE n_chars > 0
     ), p AS (
@@ -362,7 +362,7 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows to the driver — the distributed-reservoir shape); the rank
     window runs on the already-limited k rows."""
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    hv = portable_hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    hv = portable_hash60(F.concat(F.lit("estopk:"), F.col("doc_id").cast("string")))
     lnu_micro = F.round(F.log((hv + 1) / F.lit(_WS_DEN)) * 1000000).cast("long")
     scored = d.select(
         "doc_id",

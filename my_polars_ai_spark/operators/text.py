@@ -1523,7 +1523,7 @@ _CHUNK_SLIDING_SQL = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS ts,
                len(string_split(text, ' ')) AS n
-        FROM documents
+        FROM documents WHERE len(text) > 0
     ), idx AS (
         SELECT doc_id, ts, n,
                unnest(generate_series(
@@ -1555,11 +1555,16 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice -> md5, all JVM-side; output is (doc, chunk) keyed and
     carries the content hash so downstream exact chunk-dedup
     (`dup_chunk_fraction`'s groupBy) composes directly. Empty documents
-    emit nothing (explicit n > 0 guard — F.sequence would step
-    backward on a negative bound)."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ts")
-    ).withColumn("n", F.size("ts")).filter(F.col("n") > 0)
+    emit nothing: the guard is on text length (split('') yields [''],
+    so an array-size guard alone would emit a phantom empty chunk) and
+    it also keeps F.sequence from stepping backward on a negative
+    bound."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .withColumn("n", F.size("ts"))
+    )
     n_windows = F.floor((F.col("n") + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("long")
     idx = d.select(
         "doc_id", "ts", "n",
@@ -1616,7 +1621,7 @@ _PSI_SQL = f"""
            {oracle_signed_ratio_round(
                'sum(diff_num * lnr_micro)',
                '(na + ' + str(PSI_BINS) + ') * (nb + ' + str(PSI_BINS) + ')'
-               ' * CAST(1000000000000 AS HUGEINT)')} AS psi
+               ' * CAST(1000000 AS HUGEINT)')} AS psi
     FROM terms GROUP BY source, na, nb
 """
 
@@ -1635,10 +1640,11 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pa - pb)*ln(pa/pb) becomes diff_num * lnr_micro over ONE shared
     denominator (na+B)(nb+B)*1e12, so the sum is exact integer
     arithmetic and one signed half-up division at the end — no
-    order-dependent float summation. Plan: two bounded aggregations
-    (source x bin, bin) + a 10x20 grid cross join; corpus scanned
-    once per aggregate, output dimension-bounded. The 1e6 scale on
-    both rational factors keeps everything far inside DECIMAL(38)
+    order-dependent float summation (diff_num/D is dimensionless, so
+    the denominator carries exactly ONE 1e6 — the micro-nat scale of
+    lnr). Plan: two bounded aggregations (source x bin, bin) + a
+    10x20 grid cross join; corpus scanned once per aggregate, output
+    dimension-bounded; integer magnitudes stay far inside DECIMAL(38)
     (~1e26 at petabyte row counts)."""
     d = _t(spark, sf_dir, "documents").select(
         "source",
@@ -1687,7 +1693,7 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         (F.col("na") + B).cast(d38)
         * (F.col("nb") + B).cast(d38)
-        * F.lit(1000000000000).cast(d38)
+        * F.lit(1000000).cast(d38)
     )
     from my_polars_ai_spark.operators.base import signed_ratio_round
 
@@ -1797,8 +1803,7 @@ _CALIB_SQL = f"""
         FROM t WHERE len(ts) > 0
     ), s AS (
         SELECT doc_id, (lang = 'en')::INT AS is_en,
-               CAST({oracle_ratio_round('hits', 'n_tok')} * 1000000 AS BIGINT)
-                   AS score_micro
+               (2 * 1000000 * hits + n_tok) // (2 * n_tok) AS score_micro
         FROM f
     ), b AS (
         SELECT least(score_micro // 100000, 9) AS bin, is_en, score_micro FROM s
@@ -1838,9 +1843,10 @@ def calibration_curve_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tok") > 0)
     s = f.select(
         "is_en",
-        (ratio_round(F.col("hits"), F.col("n_tok")) * 1000000)
-        .cast("long")
-        .alias("score_micro"),
+        exact_floor_div(
+            2 * 1000000 * F.col("hits").cast("decimal(38,0)") + F.col("n_tok"),
+            2 * F.col("n_tok").cast("decimal(38,0)"),
+        ).cast("long").alias("score_micro"),
     )
     b = s.select(
         F.least(exact_floor_div(F.col("score_micro"), F.lit(100000)).cast("long"), F.lit(9)).cast("int").alias("bin"),
