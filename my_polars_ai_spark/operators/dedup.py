@@ -1203,3 +1203,67 @@ def dedup_cluster_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("p").alias("cluster_id"),
         (F.col("p") == F.col("node")).cast("int").alias("is_canonical"),
     )
+
+
+BLAST_SEED_MAX = 10  # seeds: doc_id < 10 (stand-in for a flagged set)
+BLAST_MAX_HOPS = 3
+
+_BLAST_RADIUS_SQL = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), walk(node, d) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id < {BLAST_SEED_MAX}
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < {BLAST_MAX_HOPS}
+    )
+    SELECT node AS doc_id, CAST(min(d) AS INT) AS hop_distance
+    FROM walk GROUP BY node
+"""
+
+
+@op(
+    "neardup_blast_radius",
+    oracle=_BLAST_RADIUS_SQL,
+    tags=("dedup", "graph", "bfs"),
+)
+def neardup_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination blast radius: BFS hop distance from a flagged seed
+    set through the near-dup graph, capped at 3 hops — the 'if these
+    documents are benchmark-contaminated, what else is transitively
+    suspect?' query. Spark side is bounded min-distance propagation
+    (one edge join + min aggregate per hop, localCheckpoint per round
+    — the same Pregel loop as the CC ops but with min(d+1) instead of
+    min-label); the oracle is a recursive CTE whose UNION-dedup on
+    (node, d) keeps the walk polynomial even on near-clique
+    components. Frontier-only expansion (only rows that improved
+    propagate) is the named optimization at larger diameters."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    dist = docs.filter(F.col("node") < BLAST_SEED_MAX).select(
+        "node", F.lit(0).alias("d")
+    ).localCheckpoint()
+    for _ in range(BLAST_MAX_HOPS):
+        nbr = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("d").cast("int").alias("hop_distance")
+    )
