@@ -1267,3 +1267,64 @@ def neardup_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("doc_id"), F.col("d").cast("int").alias("hop_distance")
     )
+
+
+_BEST_QUALITY_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label
+        FROM walk w JOIN edges e ON e.src = w.node
+    ), clusters AS (
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM walk GROUP BY node
+    ), ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id,
+           CAST(n_chars AS BIGINT) AS keep_n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+"""
+
+
+@op(
+    "dedup_cluster_best_quality",
+    oracle=_BEST_QUALITY_SQL,
+    tags=("dedup", "cluster", "policy"),
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP decision, done the way production pipelines actually do
+    it: within each near-dup cluster retain the highest-quality member
+    (longest document, doc_id as tie-break) rather than
+    dedup_cluster_canonical's arbitrary min-id survivor. Composes the
+    CC labels with a per-cluster argmax — one keyed window over the
+    cluster assignment joined to the quality column; swap n_chars for
+    any quality_score output without touching the shape."""
+    clusters = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "cluster_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_chars").cast("long").alias("keep_n_chars"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
