@@ -61,6 +61,11 @@ HEADLINE = [
     # degenerates to near-all-pairs (measured 13.4M candidates / 25s at
     # sf0.1) — the documented-degenerate case, like dedup_ngram_jaccard.
     "heavy_hitters_tokens",
+    # session-4 wave 2: struct-keyed single-agg bars, union-trick PIT
+    # carry, global-percentile + broadcast-boundary segmentation
+    "ohlc_bars_hourly",
+    "scd2_point_in_time_join",
+    "rfm_segments",
 ]
 
 
