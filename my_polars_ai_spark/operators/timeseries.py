@@ -976,3 +976,72 @@ def open_lineitems_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("delta").over(w).cast("long").alias("open_items")
     )
+
+
+_DOW_SPIKE_SQL = """
+    WITH d AS (
+        -- +1: DuckDB dayofweek is 0=Sunday..6, Spark's is 1=Sunday..7
+        SELECT CAST(ts AS DATE) AS day, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), dw AS (
+        SELECT dow, sum(c) AS s_dow, count(*) AS n_dow FROM d GROUP BY 1
+    ), tot AS (
+        SELECT sum(c) AS s_all, count(*) AS n_all FROM d
+    ), adj AS (
+        SELECT d.day, d.dow, d.c, tot.s_all, tot.n_all,
+               (2 * 1000000 * CAST(d.c * tot.s_all * dw.n_dow AS HUGEINT)
+                + CAST(dw.s_dow * tot.n_all AS HUGEINT))
+               // (2 * CAST(dw.s_dow * tot.n_all AS HUGEINT)) AS adj_micro
+        FROM d JOIN dw USING (dow) CROSS JOIN tot
+    )
+    SELECT day, CAST(dow AS INT) AS dow, CAST(c AS BIGINT) AS n_events,
+           CAST(adj_micro AS BIGINT) AS adjusted_micro,
+           CAST(2 * adj_micro * n_all > 3 * s_all * 1000000 AS INT) AS is_spike
+    FROM adj
+"""
+
+
+@op(
+    "dow_adjusted_spike_days",
+    oracle=_DOW_SPIKE_SQL,
+    tags=("timeseries", "anomaly", "seasonality"),
+)
+def dow_adjusted_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: divide each day's event
+    count by its day-of-week index (mean-of-that-dow / overall mean) so
+    a busy-Monday pattern doesn't mask or fake spikes, then flag days
+    whose ADJUSTED volume exceeds 1.5x the overall mean. The adjusted
+    count c*S_all*N_dow/(S_dow*N_all) is an exact integer rational,
+    half-up-rounded DIRECTLY to micro-units (the integer identity —
+    never a double round-trip), and the spike test is a cross-
+    multiplied integer compare — no float anywhere. Composes
+    dow_seasonality with volume_spike_days; two bounded aggregates
+    over the daily table."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.to_date("ts").alias("day"), F.dayofweek(F.to_date("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dw = d.groupBy("dow").agg(
+        F.sum("c").alias("s_dow"), F.count(F.lit(1)).alias("n_dow")
+    )
+    tot = d.agg(F.sum("c").alias("s_all"), F.count(F.lit(1)).alias("n_all"))
+    d38 = "decimal(38,0)"
+    num = (F.col("c") * F.col("s_all") * F.col("n_dow")).cast(d38)
+    den = (F.col("s_dow") * F.col("n_all")).cast(d38)
+    adj_micro = exact_floor_div(2 * 1000000 * num + den, 2 * den)
+    adj = (
+        d.join(F.broadcast(dw), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("c").cast("long").alias("n_events"),
+            adj_micro.cast("long").alias("adjusted_micro"),
+            (
+                2 * adj_micro * F.col("n_all").cast(d38)
+                > 3 * F.col("s_all").cast(d38) * 1000000
+            ).cast("int").alias("is_spike"),
+        )
+    )
+    return adj
