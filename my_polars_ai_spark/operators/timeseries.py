@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import Op, exact_floor_div, make_registrar
+from my_polars_ai_spark.operators.base import (
+    Op,
+    exact_floor_div,
+    make_registrar,
+    oracle_signed_ratio_round,
+)
 from my_polars_ai_spark.sources.tables import load_table as _t
 
 OPS: dict[str, Op] = {}
@@ -1045,3 +1050,115 @@ def dow_adjusted_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return adj
+
+
+_LN2 = 0.6931471805599453  # literal on BOTH sides — never engine ln(2)
+
+_RETENTION_FIT_SQL = f"""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS active_week
+        FROM events
+    ), ret AS (
+        SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week, a.active_week) // 7 AS INTEGER)
+                   AS x,
+               count(*) AS n_users
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    ), base AS (
+        SELECT cohort_week, n_users AS n0 FROM ret WHERE x = 0
+    ), pts AS (
+        SELECT r.cohort_week, r.x,
+               CAST(round(ln(r.n_users * 1.0 / b.n0) * 1000000) AS BIGINT) AS y
+        FROM ret r JOIN base b USING (cohort_week)
+    ), s AS (
+        SELECT cohort_week, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM pts GROUP BY 1 HAVING count(*) >= 2
+    ), fit AS (
+        SELECT cohort_week, n,
+               {oracle_signed_ratio_round(
+                   'n*sxy - sx*sy', '(n*sxx - sx*sx) * CAST(1000000 AS HUGEINT)')}
+                   AS slope
+        FROM s
+    )
+    SELECT cohort_week, CAST(n AS BIGINT) AS n_points,
+           slope AS slope_nats_per_week,
+           CASE WHEN slope < 0 THEN round({_LN2} / -slope, 6) END
+               AS half_life_weeks
+    FROM fit
+"""
+
+
+@op(
+    "retention_halflife_fit",
+    oracle=_RETENTION_FIT_SQL,
+    tags=("timeseries", "retention", "ml"),
+)
+def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit per cohort: OLS slope of
+    ln(retention) against week offset (the log-linear trick that turns
+    exponential decay into a line), reported with the implied
+    half-life ln2/(-slope) — the single number growth teams quote.
+    ln(retention) rounds ONCE to micro-nats; all OLS accumulators are
+    exact integers; the slope is a signed half-up rational and the
+    half-life derives from the ALREADY-ROUNDED slope with a literal
+    ln2 on both engines — so even a curve fit hash-matches. Composes
+    retention_cohorts; aggregations stay on the cohort grid."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("active_week")
+    ).distinct()
+    ret = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            exact_floor_div(
+                F.datediff("active_week", "cohort_week"), F.lit(7)
+            ).cast("int").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = ret.filter(F.col("x") == 0).select(
+        "cohort_week", F.col("n_users").alias("n0")
+    )
+    y = F.round(F.log(F.col("n_users") * 1.0 / F.col("n0")) * 1000000).cast("long")
+    pts = ret.join(base, "cohort_week").select("cohort_week", "x", y.alias("y"))
+    s = (
+        pts.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    d38 = "decimal(38,0)"
+    slope = signed_ratio_round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38),
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38))
+        * 1000000,
+    )
+    fit = s.select(
+        "cohort_week", F.col("n").cast("long").alias("n_points"), slope.alias("slope")
+    )
+    return fit.select(
+        "cohort_week",
+        "n_points",
+        F.col("slope").alias("slope_nats_per_week"),
+        F.when(F.col("slope") < 0, F.round(F.lit(_LN2) / -F.col("slope"), 6)).alias(
+            "half_life_weeks"
+        ),
+    )
