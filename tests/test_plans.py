@@ -370,3 +370,46 @@ def test_session4_batch2_plan_contracts(spark, sf_dir):
     for name in ("calibration_curve_langid", "ab_test_two_proportion"):
         s = plan_summary(ops[name].fn(spark, sf_dir))
         assert s["python_evals"] == 0, name
+
+
+def test_session4_wave3_plan_contracts(spark, sf_dir):
+    """Scale-shape assertions for the late-session additions."""
+    ops = all_ops()
+    # CMS: ONE Python-free pipeline; sketch + probe joins vs broadcasts
+    s = plan_summary(ops["count_min_estimates"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    assert s["broadcast_joins"] + s["nested_loop_joins"] >= 2
+    # covariance: corpus scanned once, ONE wide aggregation after the
+    # vec_id-keyed pair fan-out — no dim-pair shuffle of raw vectors
+    s = plan_summary(ops["embedding_covariance"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    # PIT join: the union-trick is ONE sort shuffle on the key — there
+    # must be NO range/theta join machinery (no nested-loop joins)
+    s = plan_summary(ops["scd2_point_in_time_join"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0
+    assert s["python_evals"] == 0
+    # RFM: quintile boundaries via ONE 1-row reduce broadcast back —
+    # no global ntile window over the customer table
+    from my_polars_ai_spark.plans.inspect import explain_str
+
+    txt = explain_str(ops["rfm_segments"].fn(spark, sf_dir), mode="simple")
+    assert "Window" not in txt
+    # winsorized mean / MI / calibration / sentiment: JVM-side
+    for name in (
+        "winsorized_mean_by_type",
+        "mutual_info_lang_source",
+        "calibration_curve_langid",
+        "sentiment_lexicon_score",
+        "dow_adjusted_spike_days",
+        "retention_halflife_fit",
+    ):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["python_evals"] == 0, name
+    # sentiment: zero shuffles — a pure narrow map
+    s = plan_summary(ops["sentiment_lexicon_score"].fn(spark, sf_dir))
+    assert s["exchanges"] == 0
+    # ABC: the rank window is over the part AGGREGATE (after one
+    # exchange for the groupBy, one single-partition for the bounded
+    # window) — never over raw lineitem
+    txt = explain_str(ops["abc_part_classification"].fn(spark, sf_dir), mode="simple")
+    assert txt.count("Exchange SinglePartition") <= 2
