@@ -62,6 +62,30 @@ n_train = split.filter(F.col("split") == "train").agg(F.sum("n_docs")).collect()
 tokens = ops["token_counts"].fn(spark, sf_dir).agg(F.sum("n_ws_tokens")).collect()[0][0]
 waste = ops["padding_waste_stats"].fn(spark, sf_dir).agg(F.sum("padded_tokens")).collect()[0][0]
 
+# 10. Survivor policy upgrade: per-CLUSTER keep-best (longest member of
+# each connected component, not just per prefix-block).
+best = ops["dedup_cluster_best_quality"].fn(spark, sf_dir)
+n_best = best.count()
+
+# 11. Transitive contamination: everything within 3 near-dup hops of
+# the flagged seed set is suspect too.
+blast = ops["neardup_blast_radius"].fn(spark, sf_dir)
+n_blast = blast.count()
+
+# 12. Monitoring: per-source drift (PSI) + lexical diversity + sliding
+# chunks for the retrieval index.
+psi_hot = (
+    ops["psi_source_drift"].fn(spark, sf_dir).filter(F.col("psi") > 0.25).count()
+)
+entropy_low = (
+    ops["token_entropy_per_doc"].fn(spark, sf_dir).filter(F.col("entropy") < 1.0).count()
+)
+n_chunks = ops["chunk_sliding_windows"].fn(spark, sf_dir).count()
+
+# 13. Reproducible training order: seeded global shuffle positions.
+order = ops["global_shuffle_row_number"].fn(spark, sf_dir)
+n_pos = order.select("global_pos").distinct().count()
+
 print(f"corpus docs:            {n_docs}")
 print(f"pass quality >= 0.5:    {n_quality}")
 print(f"emails redacted:        {n_emails}")
@@ -73,6 +97,12 @@ print(f"sources triaged:        {n_sources}")
 print(f"train docs (of 80%):    {n_train}")
 print(f"whitespace tokens:      {tokens}")
 print(f"padded tokens @512:     {waste}")
+print(f"cluster-best survivors: {n_best}")
+print(f"3-hop blast radius:     {n_blast}")
+print(f"drifted sources (PSI):  {psi_hot}")
+print(f"low-entropy docs:       {entropy_low}")
+print(f"sliding chunks:         {n_chunks}")
+print(f"shuffled positions:     {n_pos}")
 
 assert 0 < n_quality <= n_docs
 assert n_emails == n_docs  # the synthetic payload plants exactly one each
@@ -80,3 +110,7 @@ assert 0 < n_canonical <= n_docs
 assert 0 < n_kept <= n_docs
 assert n_sources > 0 and 0 < n_train <= n_docs
 assert n_contaminated >= 0 and tokens > 0 and waste >= 0
+assert n_best == n_canonical  # exactly one survivor per cluster
+assert n_blast >= 10  # the seed set itself is always reached
+assert n_chunks > 0 and psi_hot >= 0 and entropy_low >= 0
+assert n_pos == n_docs  # the shuffle is a total order: one position per doc
