@@ -2580,3 +2580,56 @@ def cross_table_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     p1 = accum(od.join(ld, "day"), "orders_vs_revenue")
     p2 = accum(ev, "views_vs_purchase_value")
     return p1.unionByName(p2)
+
+
+_AR_AGING_SQL = """
+    WITH open_orders AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   AS cents,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01')
+                   AS age_days
+        FROM orders WHERE o_orderstatus = 'O'
+    ), bucketed AS (
+        SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 60 THEN '31-60'
+                    WHEN age_days <= 90 THEN '61-90'
+                    ELSE '90+' END AS age_bucket,
+               cents
+        FROM open_orders
+    )
+    SELECT age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS open_cents
+    FROM bucketed GROUP BY age_bucket
+"""
+
+
+@op(
+    "ar_aging_buckets",
+    oracle=_AR_AGING_SQL,
+    tags=("analytics", "finance"),
+)
+def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging: open ('O') orders bucketed by age at
+    the fixed anchor (0-30/31-60/61-90/90+ days) with exact open cents
+    per bucket — the finance report behind every collections
+    dashboard. Status filter pushes to the scan; one bounded 4-row
+    aggregation; money stays integer cents end-to-end."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(F.lit("2001-09-01").cast("date"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+    return (
+        o.select(bucket.alias("age_bucket"), cents.alias("cents"))
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_cents"),
+        )
+    )

@@ -21,7 +21,9 @@ from my_polars_ai_spark.operators.base import (
     Op,
     exact_floor_div,
     make_registrar,
+    oracle_ratio_round,
     oracle_signed_ratio_round,
+    ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -1161,4 +1163,71 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("slope") < 0, F.round(F.lit(_LN2) / -F.col("slope"), 6)).alias(
             "half_life_weeks"
         ),
+    )
+
+
+_WAU_OVERLAP_SQL = f"""
+    WITH wu AS (
+        SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+               user_id
+        FROM events
+    ), sizes AS (
+        SELECT week, count(*) AS n FROM wu GROUP BY 1
+    ), inter AS (
+        SELECT a.week AS week_a, b.week AS week_b, count(*) AS ni
+        FROM wu a JOIN wu b
+          ON a.user_id = b.user_id
+         AND b.week = a.week + INTERVAL 7 DAY
+        GROUP BY 1, 2
+    )
+    SELECT week_a, week_b, CAST(ni AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           {oracle_ratio_round('ni', 'sa.n + sb.n - ni')} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.week = week_a
+    JOIN sizes sb ON sb.week = week_b
+"""
+
+
+@op(
+    "wau_overlap_jaccard",
+    oracle=_WAU_OVERLAP_SQL,
+    tags=("timeseries", "retention", "analytics"),
+)
+def wau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week audience overlap: Jaccard between consecutive
+    weeks' active-user sets — the 'same people or new people?'
+    companion to rolling_wau (which only counts). One distinct
+    (week, user) projection; the consecutive-week self-join is keyed
+    on user_id (set intersection as an equi-join, never set
+    materialization); Jaccard is the exact half-up rational of
+    integer counts."""
+    e = _t(spark, sf_dir, "events")
+    wu = e.select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"), "user_id"
+    ).distinct()
+    sizes = wu.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
+    a = wu.select(F.col("week").alias("week_a"), "user_id")
+    b = wu.select(F.col("week").alias("week_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("week_b") == F.date_add(F.col("week_a"), 7))
+        .groupBy("week_a", "week_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("week").alias("week_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("week").alias("week_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "week_a")
+        .join(F.broadcast(sb), "week_b")
+        .select(
+            "week_a",
+            "week_b",
+            F.col("ni").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            ratio_round(
+                F.col("ni"), F.col("n_a") + F.col("n_b") - F.col("ni")
+            ).alias("jaccard"),
+        )
     )
