@@ -2633,3 +2633,81 @@ def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("open_cents"),
         )
     )
+
+
+_MIGRATION_SQL = """
+    WITH h1 AS (
+        SELECT o_custkey, count(*) AS c FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1998-06-01' GROUP BY 1
+    ), h2 AS (
+        SELECT o_custkey, count(*) AS c FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01' GROUP BY 1
+    ), b1 AS (
+        SELECT round(quantile_cont(CAST(c AS DOUBLE), 0.33), 6) AS q1,
+               round(quantile_cont(CAST(c AS DOUBLE), 0.67), 6) AS q2
+        FROM h1
+    ), b2 AS (
+        SELECT round(quantile_cont(CAST(c AS DOUBLE), 0.33), 6) AS q1,
+               round(quantile_cont(CAST(c AS DOUBLE), 0.67), 6) AS q2
+        FROM h2
+    ), s1 AS (
+        SELECT o_custkey,
+               CASE WHEN c > b1.q2 THEN 'high'
+                    WHEN c > b1.q1 THEN 'mid' ELSE 'low' END AS seg
+        FROM h1 CROSS JOIN b1
+    ), s2 AS (
+        SELECT o_custkey,
+               CASE WHEN c > b2.q2 THEN 'high'
+                    WHEN c > b2.q1 THEN 'mid' ELSE 'low' END AS seg
+        FROM h2 CROSS JOIN b2
+    )
+    SELECT coalesce(s1.seg, 'absent') AS seg_early,
+           coalesce(s2.seg, 'absent') AS seg_late,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM s1 FULL OUTER JOIN s2 USING (o_custkey)
+    GROUP BY 1, 2
+"""
+
+
+@op(
+    "segment_migration_matrix",
+    oracle=_MIGRATION_SQL,
+    tags=("analytics", "segmentation", "retention"),
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment migration: tercile activity segments computed
+    INDEPENDENTLY for the early and late half of the order history,
+    full-outer-joined per customer into the low/mid/high/absent
+    transition matrix — the upgrade/downgrade/churn picture behind
+    lifecycle marketing. Boundaries use the portable 6dp percentile
+    seam per half (a 1-row reduce each, broadcast back); the matrix is
+    a bounded 4x4 aggregation; the only wide operation is the
+    customer-keyed outer join."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-06-01").cast("date")
+
+    def half(pred, tag):
+        h = o.filter(pred).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+        b = h.agg(
+            F.round(F.percentile(F.col("c").cast("double"), F.lit(0.33)), 6).alias("q1"),
+            F.round(F.percentile(F.col("c").cast("double"), F.lit(0.67)), 6).alias("q2"),
+        )
+        return h.crossJoin(F.broadcast(b)).select(
+            "o_custkey",
+            F.when(F.col("c") > F.col("q2"), "high")
+            .when(F.col("c") > F.col("q1"), "mid")
+            .otherwise("low")
+            .alias(tag),
+        )
+
+    s1 = half(F.to_date("o_orderdate") < cut, "seg_early")
+    s2 = half(F.to_date("o_orderdate") >= cut, "seg_late")
+    return (
+        s1.join(s2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("seg_early", F.lit("absent")).alias("seg_early"),
+            F.coalesce("seg_late", F.lit("absent")).alias("seg_late"),
+        )
+        .groupBy("seg_early", "seg_late")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
