@@ -1231,3 +1231,114 @@ def wau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_SPC_SQL = """
+    WITH lt AS (
+        SELECT CAST(date_trunc('week', CAST(l.l_shipdate AS DATE)) AS DATE)
+                   AS week,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), wk AS (
+        SELECT week, count(*) AS n, sum(d) AS s FROM lt GROUP BY 1
+    ), tot AS (
+        SELECT count(*) AS n_all, sum(d) AS s_all, sum(d*d) AS ss_all FROM lt
+    ), calc AS (
+        SELECT wk.week, wk.n,
+               (CASE WHEN wk.s < 0 THEN -1 ELSE 1 END)
+                 * ((2*1000000*abs(CAST(wk.s AS HUGEINT)) + wk.n)
+                    // (2*CAST(wk.n AS HUGEINT))) AS xbar_micro,
+               (CASE WHEN tot.s_all < 0 THEN -1 ELSE 1 END)
+                 * ((2*1000000*abs(CAST(tot.s_all AS HUGEINT)) + tot.n_all)
+                    // (2*CAST(tot.n_all AS HUGEINT))) AS center_micro,
+               CAST(round(sqrt((CAST(tot.n_all AS DOUBLE)*tot.ss_all
+                                - CAST(tot.s_all AS DOUBLE)*tot.s_all)
+                               / (CAST(tot.n_all AS DOUBLE)*tot.n_all))
+                          / sqrt(CAST(wk.n AS DOUBLE)) * 3 * 1000000)
+                    AS BIGINT) AS delta_micro
+        FROM wk CROSS JOIN tot
+    )
+    SELECT week, CAST(n AS BIGINT) AS n,
+           CAST(xbar_micro AS DOUBLE) / 1000000 AS xbar,
+           CAST(center_micro - delta_micro AS DOUBLE) / 1000000 AS lcl,
+           CAST(center_micro + delta_micro AS DOUBLE) / 1000000 AS ucl,
+           CAST(xbar_micro < center_micro - delta_micro
+                OR xbar_micro > center_micro + delta_micro AS INT)
+               AS out_of_control
+    FROM calc
+"""
+
+
+@op(
+    "spc_control_chart",
+    oracle=_SPC_SQL,
+    tags=("timeseries", "quality", "spc"),
+)
+def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control x-bar chart over weekly order-to-ship
+    day deltas: weekly subgroup means with 3-sigma control limits
+    (center ± 3·σ_pop/√n_week) and out-of-control flags — the
+    manufacturing-quality view of fulfillment stability. Means are
+    signed half-up integer micro-units (the synthetic tables aren't
+    referentially date-consistent, so deltas go negative — the signed
+    identity, not the unsigned one); σ scales into micro-units with ONE
+    round of a portable double; limits are integer add/subtract and the
+    flag is a pure integer compare, so nothing can flip between
+    engines. Shape: orderkey-keyed fact join, bounded weekly aggregate,
+    1-row broadcast of the population moments."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_trunc("week", F.to_date("l_shipdate")).cast("date").alias("week"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("d"),
+    )
+    wk = lt.groupBy("week").agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("s"))
+    tot = lt.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("d").alias("s_all"),
+        F.sum(F.col("d") * F.col("d")).alias("ss_all"),
+    )
+
+    def signed_micro(num, den):
+        d38 = "decimal(38,0)"
+        n_d = num.cast(d38)
+        den_d = den.cast(d38)
+        sign = F.when(n_d < 0, -1).otherwise(1)
+        return sign * exact_floor_div(2 * 1000000 * F.abs(n_d) + den_d, 2 * den_d)
+
+    delta_micro = (
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_all").cast("double") * F.col("ss_all")
+                    - F.col("s_all").cast("double") * F.col("s_all")
+                )
+                / (F.col("n_all").cast("double") * F.col("n_all"))
+            )
+            / F.sqrt(F.col("n").cast("double"))
+            * 3
+            * 1000000
+        )
+        .cast("long")
+    )
+    calc = wk.crossJoin(F.broadcast(tot)).select(
+        "week",
+        "n",
+        signed_micro(F.col("s"), F.col("n")).cast("long").alias("xbar_micro"),
+        signed_micro(F.col("s_all"), F.col("n_all")).cast("long").alias("center_micro"),
+        delta_micro.alias("delta_micro"),
+    )
+    return calc.select(
+        "week",
+        F.col("n").cast("long").alias("n"),
+        (F.col("xbar_micro").cast("double") / 1000000).alias("xbar"),
+        ((F.col("center_micro") - F.col("delta_micro")).cast("double") / 1000000)
+        .alias("lcl"),
+        ((F.col("center_micro") + F.col("delta_micro")).cast("double") / 1000000)
+        .alias("ucl"),
+        (
+            (F.col("xbar_micro") < F.col("center_micro") - F.col("delta_micro"))
+            | (F.col("xbar_micro") > F.col("center_micro") + F.col("delta_micro"))
+        ).cast("int").alias("out_of_control"),
+    )
