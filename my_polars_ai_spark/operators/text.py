@@ -2131,3 +2131,107 @@ def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("sentiment"),
     )
+
+
+CONTAIN_PCT = 80  # containment threshold: 100*shared >= 80*chunks_of_a
+
+_CHUNK_CONTAIN_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), d AS (
+        SELECT doc_id, ts, len(ts) // {DUP_CHUNK_TOKENS} AS n_chunks FROM t
+    ), idx AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS i
+        FROM d WHERE n_chunks > 0
+    ), ch AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(
+                   ts[i*{DUP_CHUNK_TOKENS}+1 : i*{DUP_CHUNK_TOKENS}+{DUP_CHUNK_TOKENS}],
+                   ' ')) AS h
+        FROM idx
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM ch GROUP BY 1
+    ), shared AS (
+        SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+               count(*) AS n_shared
+        FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_contained, doc_container,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_chunks_contained,
+           {oracle_ratio_round('n_shared', 'sa.n')} AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_contained
+    WHERE 100 * n_shared >= {CONTAIN_PCT} * sa.n
+"""
+
+
+@op(
+    "chunk_containment_pairs",
+    oracle=_CHUNK_CONTAIN_SQL,
+    tags=("dedup", "text", "containment"),
+)
+def chunk_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment detection: document A is flagged inside
+    document B when >= 80% of A's 20-token chunks also occur in B —
+    the quote/subset/mirror case that symmetric Jaccard misses (a
+    short doc fully quoted inside a long one has low Jaccard but
+    containment 1.0). Candidate generation equi-joins on the chunk
+    HASH (bucketed by content, never all-pairs); the threshold is an
+    exact integer cross-multiplication and containment the half-up
+    rational. Order-sensitive by construction: chunks hash token
+    RUNS, so scrambled word salad does not collide the way bag-of-
+    tokens ops do."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    d = d.withColumn(
+        "n_chunks", exact_floor_div(F.size("ts"), F.lit(DUP_CHUNK_TOKENS)).cast("int")
+    ).filter(F.col("n_chunks") > 0)
+    ch = (
+        d.select(
+            "doc_id",
+            "ts",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "ts",
+                        (F.col("i") * DUP_CHUNK_TOKENS + 1).cast("int"),
+                        DUP_CHUNK_TOKENS,
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .cache()
+    )
+    sizes = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ch.select(F.col("doc_id").alias("doc_contained"), "h")
+    b = ch.select(F.col("doc_id").alias("doc_container"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("doc_contained") != F.col("doc_container"))
+        .groupBy("doc_contained", "doc_container")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_contained"), F.col("n").alias("na")
+    )
+    return (
+        shared.join(F.broadcast(sa), "doc_contained")
+        .filter(100 * F.col("n_shared") >= CONTAIN_PCT * F.col("na"))
+        .select(
+            "doc_contained",
+            "doc_container",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("na").cast("long").alias("n_chunks_contained"),
+            ratio_round(F.col("n_shared"), F.col("na")).alias("containment"),
+        )
+    )

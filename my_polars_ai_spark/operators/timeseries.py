@@ -1342,3 +1342,54 @@ def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("xbar_micro") > F.col("center_micro") + F.col("delta_micro"))
         ).cast("int").alias("out_of_control"),
     )
+
+
+_DRAWDOWN_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                   AS cents
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT day, cents,
+               max(cents) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak_cents
+        FROM daily
+    )
+    SELECT day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(peak_cents AS BIGINT) AS peak_cents,
+           {oracle_ratio_round('peak_cents - cents', 'peak_cents')} AS drawdown
+    FROM cum
+"""
+
+
+@op(
+    "revenue_max_drawdown",
+    oracle=_DRAWDOWN_SQL,
+    tags=("timeseries", "finance", "window"),
+)
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough drawdown of the daily revenue series: running
+    peak via a cumulative-max window, drawdown = (peak - value)/peak
+    as the exact half-up rational of integer cents — the
+    risk/volatility read on any business series (max over the output
+    column is the headline max-drawdown number). The window runs over
+    the calendar-bounded DAILY aggregate, never the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+        ).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("day", "cents", F.max("cents").over(w).alias("peak_cents"))
+    return cum.select(
+        "day",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("peak_cents").cast("long").alias("peak_cents"),
+        ratio_round(F.col("peak_cents") - F.col("cents"), F.col("peak_cents")).alias(
+            "drawdown"
+        ),
+    )
