@@ -413,3 +413,16 @@ def test_session4_wave3_plan_contracts(spark, sf_dir):
     # window) — never over raw lineitem
     txt = explain_str(ops["abc_part_classification"].fn(spark, sf_dir), mode="simple")
     assert txt.count("Exchange SinglePartition") <= 2
+
+
+def test_join_hints_control_physical_strategy(spark, sf_dir):
+    """The three join-strategy hints must actually steer Catalyst —
+    the knob a 100 TB tuning session turns first."""
+    from my_polars_ai_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = lambda hint: li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+    assert plan_summary(joined("broadcast"))["broadcast_joins"] >= 1
+    assert plan_summary(joined("merge"))["sortmerge_joins"] >= 1
+    assert plan_summary(joined("shuffle_hash"))["shuffled_hash_joins"] >= 1
