@@ -1393,3 +1393,96 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown"
         ),
     )
+
+
+_CUSUM_SQL = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+    ), tot AS (
+        SELECT count(*) AS n_all, sum(x) AS s_all FROM daily
+    ), dev AS (
+        -- D_t = x_t*n_all - s_all: exact mean-zero deviations scaled by
+        -- n_all; k (allowance) and h (decision) in the same unit
+        SELECT d.day,
+               CAST(d.x * t.n_all - t.s_all AS HUGEINT) AS dd,
+               CAST(t.s_all // 10 AS HUGEINT) AS k,
+               CAST(t.s_all // 2 AS HUGEINT) AS h
+        FROM daily d CROSS JOIN tot t
+    ), s AS (
+        SELECT day, k, h,
+               sum(dd - k) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+               sum(dd + k) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+        FROM dev
+    ), c AS (
+        SELECT day, h,
+               sp - least(CAST(0 AS HUGEINT),
+                          min(sp) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS cusum_pos,
+               greatest(CAST(0 AS HUGEINT),
+                        max(sn) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   - sn AS cusum_neg
+        FROM s
+    )
+    SELECT day,
+           CAST(cusum_pos AS BIGINT) AS cusum_pos,
+           CAST(cusum_neg AS BIGINT) AS cusum_neg,
+           CAST(cusum_pos > h OR cusum_neg > h AS INT) AS alarm
+    FROM c
+"""
+
+
+@op(
+    "cusum_change_detection",
+    oracle=_CUSUM_SQL,
+    tags=("timeseries", "anomaly", "spc"),
+)
+def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM sequential change detection on daily event volume — the
+    SPC chart that catches small persistent SHIFTS a 3-sigma chart
+    misses. The textbook recurrence C+_t = max(0, C+_{t-1} + x_t-k)
+    looks inherently sequential, but the reflection identity
+    C+_t = S_t - min(0, min_{j<=t} S_j) (S = prefix sum of slacked
+    deviations) turns it into cumsum + running-min — two ordinary
+    windows over the bounded daily table, no recursion, no state.
+    Deviations are pre-scaled by n_all so everything is an exact
+    integer; k = s_all//10 (allowance) and h = s_all//2 (decision
+    interval) live in the same unit."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n_all"), F.sum("x").alias("s_all"))
+    d38 = "decimal(38,0)"
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("x").cast(d38) * F.col("n_all") - F.col("s_all")).alias("dd"),
+        exact_floor_div(F.col("s_all"), F.lit(10)).alias("k"),
+        exact_floor_div(F.col("s_all"), F.lit(2)).alias("h"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = dev.select(
+        "day",
+        "k",
+        "h",
+        F.sum(F.col("dd") - F.col("k")).over(w).alias("sp"),
+        F.sum(F.col("dd") + F.col("k")).over(w).alias("sn"),
+    )
+    zero = F.lit(0).cast(d38)
+    c = s.select(
+        "day",
+        "h",
+        (F.col("sp") - F.least(zero, F.min("sp").over(w))).alias("cusum_pos"),
+        (F.greatest(zero, F.max("sn").over(w)) - F.col("sn")).alias("cusum_neg"),
+    )
+    return c.select(
+        "day",
+        F.col("cusum_pos").cast("long").alias("cusum_pos"),
+        F.col("cusum_neg").cast("long").alias("cusum_neg"),
+        ((F.col("cusum_pos") > F.col("h")) | (F.col("cusum_neg") > F.col("h")))
+        .cast("int")
+        .alias("alarm"),
+    )

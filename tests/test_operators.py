@@ -1305,3 +1305,34 @@ def test_approx_sketches_meet_error_contracts(spark, sf_dir):
             [r.approx_median_price, r.l_returnflag],
         ).fetchone()
         assert abs(rank - 0.5 * n) <= n / 10000 + 1, (r.l_returnflag, rank, n)
+
+
+def test_cusum_reflection_identity_matches_recurrence(spark, sf_dir):
+    """The windowed reflection form of CUSUM must equal the textbook
+    sequential recurrence C+_t = max(0, C+_{t-1} + d_t - k),
+    C-_t = max(0, C-_{t-1} - d_t - k), replayed in pure Python on the
+    same daily series."""
+    import duckdb
+
+    rows = (
+        all_ops()["cusum_change_detection"].fn(spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    daily = con.execute(
+        "SELECT CAST(ts AS DATE) d, count(*) x FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    n_all = len(daily)
+    s_all = sum(x for _, x in daily)
+    k = s_all // 10
+    cp = cn = 0
+    expected = []
+    for _, x in daily:
+        dd = x * n_all - s_all
+        cp = max(0, cp + dd - k)
+        cn = max(0, cn - dd - k)
+        expected.append((cp, cn))
+    got = [(r.cusum_pos, r.cusum_neg) for r in rows]
+    assert got == expected
