@@ -2711,3 +2711,110 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_early", "seg_late")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+_CUPED_SQL = """
+    WITH cust AS (
+        SELECT o_custkey, o_custkey % 2 AS variant,
+               sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+                        THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+                        THEN 1 ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ), theta AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               CAST(count(*) AS HUGEINT)*sum(x*y)
+                   - CAST(sum(x) AS HUGEINT)*sum(y) AS p,
+               CAST(count(*) AS HUGEINT)*sum(x*x)
+                   - CAST(sum(x) AS HUGEINT)*sum(x) AS q
+        FROM cust
+    ), v AS (
+        SELECT variant, count(*) AS nv, sum(x) AS sxv, sum(y) AS syv
+        FROM cust GROUP BY variant
+    ), adj AS (
+        -- mean_y_cuped = syv/nv - (p/q) * (sxv/nv - sx/n)
+        --             = (q*n*syv - p*(n*sxv - nv*sx)) / (q*n*nv)
+        SELECT v.variant, v.nv, v.syv, t.n, t.p, t.q,
+               t.q * t.n * CAST(v.syv AS HUGEINT)
+                   - t.p * (CAST(t.n AS HUGEINT)*v.sxv
+                            - CAST(v.nv AS HUGEINT)*t.sx) AS num,
+               t.q * t.n * CAST(v.nv AS HUGEINT) AS den
+        FROM v CROSS JOIN theta t
+    )
+    SELECT CAST(variant AS INT) AS variant,
+           CAST(nv AS BIGINT) AS n_customers,
+           CAST((2*1000000*CAST(syv AS HUGEINT) + nv)
+                // (2*CAST(nv AS HUGEINT)) AS DOUBLE) / 1000000 AS mean_y,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((2*1000000*abs(num) + den) // (2*den)) AS DOUBLE) / 1000000
+               AS mean_y_cuped
+    FROM adj
+"""
+
+
+@op(
+    "cuped_adjusted_ab",
+    oracle=_CUPED_SQL,
+    tags=("analytics", "experiment", "stats"),
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-variant mean of
+    the experiment-period metric (late-half order count) adjusted by
+    the pre-period covariate (early-half count) with
+    theta = cov(x,y)/var(x) — the pre-experiment-data trick every
+    mature experimentation platform applies before the t-test. theta
+    stays an exact integer rational P/Q (never a float), so the
+    adjusted mean (q*n*syv - p*(n*sxv - nv*sx)) / (q*n*nv) is ONE
+    signed half-up division — CUPED, hash-portable. Plan: one
+    customer rollup, a 1-row theta reduce, a 2-row variant rollup."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-06-01").cast("date")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((F.to_date("o_orderdate") < cut).cast("int")).alias("x"),
+        F.sum((F.to_date("o_orderdate") >= cut).cast("int")).alias("y"),
+    ).select((F.col("o_custkey") % 2).alias("variant"), "x", "y")
+    d38 = "decimal(38,0)"
+    theta = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        (
+            F.count(F.lit(1)).cast(d38) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x").cast(d38) * F.sum("y")
+        ).alias("p"),
+        (
+            F.count(F.lit(1)).cast(d38) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x").cast(d38) * F.sum("x")
+        ).alias("q"),
+    )
+    v = cust.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    adj = v.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        "nv",
+        "syv",
+        (
+            F.col("q") * F.col("n").cast(d38) * F.col("syv").cast(d38)
+            - F.col("p")
+            * (
+                F.col("n").cast(d38) * F.col("sxv").cast(d38)
+                - F.col("nv").cast(d38) * F.col("sx").cast(d38)
+            )
+        ).alias("num"),
+        (F.col("q") * F.col("n").cast(d38) * F.col("nv").cast(d38)).alias("den"),
+    )
+    return adj.select(
+        F.col("variant").cast("int").alias("variant"),
+        F.col("nv").cast("long").alias("n_customers"),
+        (
+            exact_floor_div(
+                2 * 1000000 * F.col("syv").cast(d38) + F.col("nv").cast(d38),
+                2 * F.col("nv").cast(d38),
+            ).cast("double")
+            / 1000000
+        ).alias("mean_y"),
+        (signed_ratio_round(F.col("num"), F.col("den"))).alias("mean_y_cuped"),
+    )
