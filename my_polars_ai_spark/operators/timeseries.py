@@ -1486,3 +1486,94 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+_KM_SQL = """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_trunc('week', min(CAST(o_orderdate AS DATE))) AS DATE)
+                   AS first_w,
+               CAST(date_trunc('week', max(CAST(o_orderdate AS DATE))) AS DATE)
+                   AS last_w
+        FROM orders GROUP BY 1
+    ), weeks AS (
+        SELECT DISTINCT last_w AS w FROM cust
+    ), counts AS (
+        SELECT w.w,
+               sum(CASE WHEN c.last_w = w.w THEN 1 ELSE 0 END) AS d,
+               sum(CASE WHEN c.first_w <= w.w AND c.last_w >= w.w
+                        THEN 1 ELSE 0 END) AS r
+        FROM weeks w CROSS JOIN cust c
+        GROUP BY w.w
+    ), f AS (
+        SELECT w, d, r,
+               CASE WHEN r > d
+                    THEN CAST(round(ln((r - d) * 1.0 / r) * 1000000) AS BIGINT)
+               END AS factor_micro
+        FROM counts
+    )
+    SELECT w AS week, CAST(d AS BIGINT) AS n_churned,
+           CAST(r AS BIGINT) AS n_at_risk,
+           CAST(sum(factor_micro) OVER (ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS log_survival_micro,
+           CAST(max(CASE WHEN r = d THEN 1 ELSE 0 END) OVER (ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS survival_is_zero
+    FROM f
+"""
+
+
+@op(
+    "kaplan_meier_churn",
+    oracle=_KM_SQL,
+    tags=("timeseries", "survival", "ml"),
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over customer churn (churn week = week of
+    a customer's LAST order): per event week the churned count d, the
+    at-risk count r, and the KM estimate kept in LOG space —
+    ln S(t) = sum ln((r-d)/r) with each factor micro-nat-rounded once
+    and summed exactly (exp() is NOT correctly-rounded across libms,
+    so the exponential never materializes; callers exponentiate at
+    display time). The final event week always has r == d (everyone
+    left churns), where S hits 0 — carried as an explicit flag, not a
+    -inf. The at-risk counts come from one weeks x customers bounded
+    cross join (weeks are calendar-bounded); everything else is two
+    windows over the weekly grid."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.date_trunc("week", F.min(F.to_date("o_orderdate"))).cast("date")
+        .alias("first_w"),
+        F.date_trunc("week", F.max(F.to_date("o_orderdate"))).cast("date")
+        .alias("last_w"),
+    )
+    weeks = cust.select(F.col("last_w").alias("w")).distinct()
+    counts = (
+        weeks.crossJoin(cust)
+        .groupBy("w")
+        .agg(
+            F.sum((F.col("last_w") == F.col("w")).cast("int")).alias("d"),
+            F.sum(
+                ((F.col("first_w") <= F.col("w")) & (F.col("last_w") >= F.col("w")))
+                .cast("int")
+            ).alias("r"),
+        )
+    )
+    factor = F.when(
+        F.col("r") > F.col("d"),
+        F.round(
+            F.log((F.col("r") - F.col("d")) * 1.0 / F.col("r")) * 1000000
+        ).cast("long"),
+    )
+    f = counts.select("w", "d", "r", factor.alias("factor_micro"))
+    win = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    return f.select(
+        F.col("w").alias("week"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("r").cast("long").alias("n_at_risk"),
+        F.sum("factor_micro").over(win).cast("long").alias("log_survival_micro"),
+        F.max((F.col("r") == F.col("d")).cast("int")).over(win).alias(
+            "survival_is_zero"
+        ),
+    )
