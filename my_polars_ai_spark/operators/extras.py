@@ -2818,3 +2818,82 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_y"),
         (signed_ratio_round(F.col("num"), F.col("den"))).alias("mean_y_cuped"),
     )
+
+
+_DID_SQL = """
+    WITH cust AS (
+        SELECT o_custkey, o_custkey % 2 AS grp,
+               sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+                        THEN 1 ELSE 0 END) AS pre,
+               sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+                        THEN 1 ELSE 0 END) AS post
+        FROM orders GROUP BY o_custkey
+    ), g AS (
+        SELECT grp, count(*) AS n, sum(pre) AS sp, sum(post) AS sq
+        FROM cust GROUP BY grp
+    ), w AS (
+        SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+               max(CASE WHEN grp = 1 THEN sp END) AS sp1,
+               max(CASE WHEN grp = 1 THEN sq END) AS sq1,
+               max(CASE WHEN grp = 0 THEN n END) AS n0,
+               max(CASE WHEN grp = 0 THEN sp END) AS sp0,
+               max(CASE WHEN grp = 0 THEN sq END) AS sq0
+        FROM g
+    ), d AS (
+        -- DiD = (sq1-sp1)/n1 - (sq0-sp0)/n0
+        --     = (n0*(sq1-sp1) - n1*(sq0-sp0)) / (n1*n0)
+        SELECT n1, n0,
+               CAST(n0 AS HUGEINT)*(sq1 - sp1)
+                   - CAST(n1 AS HUGEINT)*(sq0 - sp0) AS num,
+               CAST(n1 AS HUGEINT) * n0 AS den
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_control,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((2*1000000*abs(num) + den) // (2*den)) AS DOUBLE) / 1000000
+               AS did_estimate
+    FROM d
+"""
+
+
+@op(
+    "did_estimate",
+    oracle=_DID_SQL,
+    tags=("analytics", "experiment", "causal"),
+)
+def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (post - pre) change for the treated
+    group minus the same change for control — the parallel-trends
+    causal estimate, one signed half-up division over exact integer
+    sums (common denominator n1*n0). Completes the experimentation
+    family: z-test (significance), CUPED (variance reduction), DiD
+    (pre-trend adjustment). One customer rollup + a 2-row pivot."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-06-01").cast("date")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((F.to_date("o_orderdate") < cut).cast("int")).alias("pre"),
+        F.sum((F.to_date("o_orderdate") >= cut).cast("int")).alias("post"),
+    ).select((F.col("o_custkey") % 2).alias("grp"), "pre", "post")
+    g = cust.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("sq"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("sp"))).alias("sp1"),
+        F.max(F.when(F.col("grp") == 1, F.col("sq"))).alias("sq1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("sp"))).alias("sp0"),
+        F.max(F.when(F.col("grp") == 0, F.col("sq"))).alias("sq0"),
+    )
+    d38 = "decimal(38,0)"
+    num = F.col("n0").cast(d38) * (F.col("sq1") - F.col("sp1")).cast(d38) - F.col(
+        "n1"
+    ).cast(d38) * (F.col("sq0") - F.col("sp0")).cast(d38)
+    den = F.col("n1").cast(d38) * F.col("n0").cast(d38)
+    return w.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        signed_ratio_round(num, den).alias("did_estimate"),
+    )

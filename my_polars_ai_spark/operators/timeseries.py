@@ -1577,3 +1577,106 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival_is_zero"
         ),
     )
+
+
+_LOGRANK_SQL = """
+    WITH cust AS (
+        SELECT o_custkey, o_custkey % 2 AS grp,
+               CAST(date_trunc('week', min(CAST(o_orderdate AS DATE))) AS DATE)
+                   AS first_w,
+               CAST(date_trunc('week', max(CAST(o_orderdate AS DATE))) AS DATE)
+                   AS last_w
+        FROM orders GROUP BY 1
+    ), weeks AS (
+        SELECT DISTINCT last_w AS w FROM cust
+    ), counts AS (
+        SELECT w.w,
+               sum(CASE WHEN c.last_w = w.w THEN 1 ELSE 0 END) AS d,
+               sum(CASE WHEN c.first_w <= w.w AND c.last_w >= w.w
+                        THEN 1 ELSE 0 END) AS r,
+               sum(CASE WHEN c.last_w = w.w AND c.grp = 1 THEN 1 ELSE 0 END) AS d1,
+               sum(CASE WHEN c.first_w <= w.w AND c.last_w >= w.w AND c.grp = 1
+                        THEN 1 ELSE 0 END) AS r1
+        FROM weeks w CROSS JOIN cust c
+        GROUP BY w.w
+    ), terms AS (
+        SELECT
+            CAST(d1 AS HUGEINT) * 1000000
+              - (2*1000000*CAST(d AS HUGEINT)*r1 + r) // (2*CAST(r AS HUGEINT))
+                AS oe_micro,
+            CASE WHEN r > 1 THEN
+                (2*1000000*CAST(d AS HUGEINT)*r1*(r - r1)*(r - d)
+                 + CAST(r AS HUGEINT)*r*(r - 1))
+                // (2*CAST(r AS HUGEINT)*r*(r - 1))
+            ELSE CAST(0 AS HUGEINT) END AS v_micro
+        FROM counts
+    )
+    SELECT CAST(sum(oe_micro) AS BIGINT) AS sum_oe_micro,
+           CAST(sum(v_micro) AS BIGINT) AS sum_v_micro,
+           round(power(CAST(sum(oe_micro) AS DOUBLE) / 1000000, 2)
+                 / (CAST(sum(v_micro) AS DOUBLE) / 1000000), 6) AS chi2
+    FROM terms
+"""
+
+
+@op(
+    "logrank_test_churn",
+    oracle=_LOGRANK_SQL,
+    tags=("timeseries", "survival", "stats"),
+)
+def logrank_test_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing churn survival between the two customer
+    parity groups — the hypothesis test that pairs with
+    kaplan_meier_churn's curves (chi2 ~ 1df under equal hazards). Per
+    event week, observed-minus-expected group-1 churn and the
+    hypergeometric variance are each computed as EXACT half-up integer
+    micro-units (the rational identities, never a float round-trip),
+    summed exactly, and the chi-square statistic is one IEEE-portable
+    expression over the two integer sums. Same bounded weeks x
+    customers shape as the KM estimator."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.date_trunc("week", F.min(F.to_date("o_orderdate"))).cast("date")
+        .alias("first_w"),
+        F.date_trunc("week", F.max(F.to_date("o_orderdate"))).cast("date")
+        .alias("last_w"),
+    ).select((F.col("o_custkey") % 2).alias("grp"), "first_w", "last_w")
+    weeks = cust.select(F.col("last_w").alias("w")).distinct()
+    at_risk = (F.col("first_w") <= F.col("w")) & (F.col("last_w") >= F.col("w"))
+    churn = F.col("last_w") == F.col("w")
+    counts = (
+        weeks.crossJoin(cust)
+        .groupBy("w")
+        .agg(
+            F.sum(churn.cast("int")).alias("d"),
+            F.sum(at_risk.cast("int")).alias("r"),
+            F.sum((churn & (F.col("grp") == 1)).cast("int")).alias("d1"),
+            F.sum((at_risk & (F.col("grp") == 1)).cast("int")).alias("r1"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    d, r, d1, r1 = (F.col(c).cast(d38) for c in ("d", "r", "d1", "r1"))
+    e1_micro = exact_floor_div(2 * 1000000 * d * r1 + r, 2 * r)
+    v_micro = F.when(
+        F.col("r") > 1,
+        exact_floor_div(
+            2 * 1000000 * d * r1 * (r - r1) * (r - d) + r * r * (r - 1),
+            2 * r * r * (r - 1),
+        ),
+    ).otherwise(F.lit(0).cast(d38))
+    terms = counts.select(
+        (d1 * 1000000 - e1_micro).alias("oe_micro"), v_micro.alias("v_micro")
+    )
+    agg = terms.agg(
+        F.sum("oe_micro").alias("soe"), F.sum("v_micro").alias("sv")
+    )
+    chi2 = F.round(
+        F.pow(F.col("soe").cast("double") / 1000000, 2)
+        / (F.col("sv").cast("double") / 1000000),
+        6,
+    )
+    return agg.select(
+        F.col("soe").cast("long").alias("sum_oe_micro"),
+        F.col("sv").cast("long").alias("sum_v_micro"),
+        chi2.alias("chi2"),
+    )
