@@ -2111,7 +2111,7 @@ def decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AB_TEST_SQL = """
+_AB_TEST_SQL = f"""
     WITH u AS (
         SELECT user_id, user_id % 2 AS variant,
                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -2128,11 +2128,7 @@ _AB_TEST_SQL = """
     )
     SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
            CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
-           CAST((CASE WHEN (x0*n1 - x1*n0) < 0 THEN -1 ELSE 1 END)
-                * ((2*1000000*abs(CAST(x0*n1 - x1*n0 AS HUGEINT))
-                    + CAST(n0*n1 AS HUGEINT))
-                   // (2*CAST(n0*n1 AS HUGEINT))) AS DOUBLE) / 1000000
-               AS diff,
+           {oracle_signed_ratio_round('x0*n1 - x1*n0', 'n0*n1')} AS diff,
            CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN NULL
                 ELSE round((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
                      / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
@@ -2494,7 +2490,7 @@ _XCORR_SQL = f"""
     ), ld AS (
         SELECT CAST(l_shipdate AS DATE) AS day,
                sum(CAST(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(28,2)) * 100 AS HUGEINT)) AS y
+                             AS DECIMAL(28,6)) * 1000000 AS HUGEINT)) AS y
         FROM lineitem GROUP BY 1
     ), p1 AS (
         SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
@@ -2504,7 +2500,7 @@ _XCORR_SQL = f"""
         SELECT CAST(ts AS DATE) AS day,
                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
                sum(CASE WHEN event_type = 'purchase'
-                        THEN CAST(CAST(value AS DECIMAL(28,2)) * 100 AS HUGEINT)
+                        THEN CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS HUGEINT)
                         ELSE 0 END) AS y
         FROM events GROUP BY 1
     ), p2 AS (
@@ -2532,7 +2528,10 @@ def cross_table_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     align measures from different tables on a shared day grain —
     order counts vs shipped revenue; view counts vs purchase value —
     and report Pearson r per pair. All six accumulators (n, Sx, Sy,
-    Sxy, Sxx, Syy) are exact integers (counts and cents), mergeable
+    Sxy, Sxx, Syy) are exact integers (counts and tie-free 1e-6
+    units — the half-CENT boundary is exactly where the two engines'
+    double->decimal casts disagree, so money rounds at scale 6 here
+    like every other revenue op), mergeable
     across shards, so r is one IEEE-portable expression at the end.
     Plan: one bounded daily aggregate per table, a day-keyed join of
     the two tiny series, 1-row reduces."""
@@ -2546,7 +2545,7 @@ def cross_table_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     ld = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
         F.sum(
             ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .cast("decimal(28,2)") * 100).cast(d38)
+             .cast("decimal(28,6)") * 1000000).cast(d38)
         ).alias("y")
     )
     ev = e.groupBy(F.to_date("ts").alias("day")).agg(
@@ -2554,7 +2553,7 @@ def cross_table_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(
             F.when(
                 F.col("event_type") == "purchase",
-                (F.col("value").cast("decimal(28,2)") * 100).cast(d38),
+                (F.col("value").cast("decimal(28,6)") * 1000000).cast(d38),
             ).otherwise(F.lit(0).cast(d38))
         ).alias("y"),
     )
@@ -2587,7 +2586,7 @@ _AR_AGING_SQL = """
         SELECT o_orderkey, o_custkey,
                CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
                    AS cents,
-               date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01')
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15')
                    AS age_days
         FROM orders WHERE o_orderstatus = 'O'
     ), bucketed AS (
@@ -2617,7 +2616,9 @@ def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard. Status filter pushes to the scan; one bounded 4-row
     aggregation; money stays integer cents end-to-end."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    age = F.datediff(F.lit("2001-09-01").cast("date"), F.to_date("o_orderdate"))
+    # anchor INSIDE the data range (max order date is 2001-08-01): every
+    # bucket including 0-30 is reachable on this corpus
+    age = F.datediff(F.lit("2001-08-15").cast("date"), F.to_date("o_orderdate"))
     bucket = (
         F.when(age <= 30, "0-30")
         .when(age <= 60, "31-60")
@@ -2713,7 +2714,7 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUPED_SQL = """
+_CUPED_SQL = f"""
     WITH cust AS (
         SELECT o_custkey, o_custkey % 2 AS variant,
                sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-01'
@@ -2743,11 +2744,8 @@ _CUPED_SQL = """
     )
     SELECT CAST(variant AS INT) AS variant,
            CAST(nv AS BIGINT) AS n_customers,
-           CAST((2*1000000*CAST(syv AS HUGEINT) + nv)
-                // (2*CAST(nv AS HUGEINT)) AS DOUBLE) / 1000000 AS mean_y,
-           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                * ((2*1000000*abs(num) + den) // (2*den)) AS DOUBLE) / 1000000
-               AS mean_y_cuped
+           {oracle_ratio_round('syv', 'nv')} AS mean_y,
+           {oracle_signed_ratio_round('num', 'den')} AS mean_y_cuped
     FROM adj
 """
 
@@ -2820,7 +2818,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DID_SQL = """
+_DID_SQL = f"""
     WITH cust AS (
         SELECT o_custkey, o_custkey % 2 AS grp,
                sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-01'
@@ -2849,9 +2847,7 @@ _DID_SQL = """
         FROM w
     )
     SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_control,
-           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                * ((2*1000000*abs(num) + den) // (2*den)) AS DOUBLE) / 1000000
-               AS did_estimate
+           {oracle_signed_ratio_round('num', 'den')} AS did_estimate
     FROM d
 """
 

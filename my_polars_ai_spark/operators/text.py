@@ -713,6 +713,40 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_CHUNK_TOKENS = 20
 
 
+def _doc_chunk_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per non-overlapping DUP_CHUNK_TOKENS-token chunk:
+    (doc_id, source, chunk_hash). THE chunk definition — shared by
+    dup_chunk_fraction (per-source dup rate) and
+    chunk_containment_pairs (pairwise containment) so a change to
+    chunking semantics happens in exactly one place."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    )
+    d = d.withColumn(
+        "n_chunks",
+        exact_floor_div(F.size("ts"), F.lit(DUP_CHUNK_TOKENS)).cast("int"),
+    ).filter(F.col("n_chunks") > 0)
+    return d.select(
+        "doc_id",
+        "source",
+        "ts",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("ts"),
+                    F.col("i") * DUP_CHUNK_TOKENS + 1,
+                    F.lit(DUP_CHUNK_TOKENS),
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
 @op(
     "dup_chunk_fraction",
     oracle=f"""
@@ -758,30 +792,7 @@ def dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     against those counts (both sides hash-partitioned on chunk_hash —
     AQE picks the strategy), then a source-bounded rollup with the
     shared integer half-up ratio."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("ts")
-    )
-    d = d.withColumn(
-        "n_chunks",
-        exact_floor_div(F.size("ts"), F.lit(DUP_CHUNK_TOKENS)).cast("int"),
-    ).filter(F.col("n_chunks") > 0)
-    chunks = d.select(
-        "source",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
-        "ts",
-    ).select(
-        "source",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    F.col("ts"),
-                    F.col("i") * DUP_CHUNK_TOKENS + 1,
-                    F.lit(DUP_CHUNK_TOKENS),
-                ),
-            )
-        ).alias("chunk_hash"),
-    )
+    chunks = _doc_chunk_instances(spark, sf_dir).select("source", "chunk_hash")
     counts = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n"))
     dup = F.when(F.col("n") > 1, 1).otherwise(0)
     return (
@@ -2184,31 +2195,9 @@ def chunk_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational. Order-sensitive by construction: chunks hash token
     RUNS, so scrambled word salad does not collide the way bag-of-
     tokens ops do."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ts")
-    )
-    d = d.withColumn(
-        "n_chunks", exact_floor_div(F.size("ts"), F.lit(DUP_CHUNK_TOKENS)).cast("int")
-    ).filter(F.col("n_chunks") > 0)
     ch = (
-        d.select(
-            "doc_id",
-            "ts",
-            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        "ts",
-                        (F.col("i") * DUP_CHUNK_TOKENS + 1).cast("int"),
-                        DUP_CHUNK_TOKENS,
-                    ),
-                )
-            ).alias("h"),
-        )
+        _doc_chunk_instances(spark, sf_dir)
+        .select("doc_id", F.col("chunk_hash").alias("h"))
         .distinct()
         .cache()
     )

@@ -1175,9 +1175,9 @@ _WAU_OVERLAP_SQL = f"""
         SELECT week, count(*) AS n FROM wu GROUP BY 1
     ), inter AS (
         SELECT a.week AS week_a, b.week AS week_b, count(*) AS ni
-        FROM wu a JOIN wu b
-          ON a.user_id = b.user_id
-         AND b.week = a.week + INTERVAL 7 DAY
+        FROM (SELECT user_id, week, week + INTERVAL 7 DAY AS next_week FROM wu) a
+        JOIN wu b
+          ON a.user_id = b.user_id AND b.week = a.next_week
         GROUP BY 1, 2
     )
     SELECT week_a, week_b, CAST(ni AS BIGINT) AS n_both,
@@ -1207,11 +1207,17 @@ def wau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"), "user_id"
     ).distinct()
     sizes = wu.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
-    a = wu.select(F.col("week").alias("week_a"), "user_id")
-    b = wu.select(F.col("week").alias("week_b"), "user_id")
+    # join on BOTH keys (user, computed next week): Catalyst keeps a
+    # post-filtered single-key join as a per-user all-week-pairs fan-out;
+    # precomputing week+7 makes consecutive-ness part of the hash key
+    a = wu.select(
+        "user_id",
+        F.col("week").alias("week_a"),
+        F.date_add(F.col("week"), 7).alias("week_b"),
+    )
+    b = wu.select("user_id", F.col("week").alias("week_b"))
     inter = (
-        a.join(b, "user_id")
-        .filter(F.col("week_b") == F.date_add(F.col("week_a"), 7))
+        a.join(b, ["user_id", "week_b"])
         .groupBy("week_a", "week_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
