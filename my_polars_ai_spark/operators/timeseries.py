@@ -1686,3 +1686,75 @@ def logrank_test_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").cast("long").alias("sum_v_micro"),
         chi2.alias("chi2"),
     )
+
+
+_FORECAST_BT_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT day, x,
+               lag(x, 1) OVER (ORDER BY day) AS naive,
+               lag(x, 7) OVER (ORDER BY day) AS snaive
+        FROM daily
+    ), scored AS (
+        SELECT
+            sum(CASE WHEN naive IS NOT NULL THEN abs(x - naive) END) AS ae_n,
+            sum(CASE WHEN naive IS NOT NULL THEN 1 ELSE 0 END) AS n_n,
+            sum(CASE WHEN snaive IS NOT NULL THEN abs(x - snaive) END) AS ae_s,
+            sum(CASE WHEN snaive IS NOT NULL THEN 1 ELSE 0 END) AS n_s
+        FROM lagged
+    )
+    SELECT 'naive_lag1' AS method, CAST(n_n AS BIGINT) AS n_days,
+           CAST(ae_n AS BIGINT) AS abs_err_total,
+           {oracle_ratio_round('ae_n', 'n_n')} AS mae
+    FROM scored
+    UNION ALL
+    SELECT 'seasonal_naive_lag7', CAST(n_s AS BIGINT), CAST(ae_s AS BIGINT),
+           {oracle_ratio_round('ae_s', 'n_s')}
+    FROM scored
+"""
+
+
+@op(
+    "forecast_backtest_naive",
+    oracle=_FORECAST_BT_SQL,
+    tags=("timeseries", "forecast", "eval"),
+)
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest over the daily series: MAE of the naive
+    (yesterday) and seasonal-naive (same weekday last week) forecasts
+    — the two baselines every forecasting model must beat before it
+    ships, evaluated with exact integer absolute errors and the
+    half-up rational mean. Lags are windows over the bounded daily
+    table; one 1-row reduce scores both methods in a single pass."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("naive"),
+        F.lag("x", 7).over(w).alias("snaive"),
+    )
+    scored = lagged.agg(
+        F.sum(F.when(F.col("naive").isNotNull(), F.abs(F.col("x") - F.col("naive"))))
+        .alias("ae_n"),
+        F.sum(F.col("naive").isNotNull().cast("int")).alias("n_n"),
+        F.sum(F.when(F.col("snaive").isNotNull(), F.abs(F.col("x") - F.col("snaive"))))
+        .alias("ae_s"),
+        F.sum(F.col("snaive").isNotNull().cast("int")).alias("n_s"),
+    )
+    n_row = scored.select(
+        F.lit("naive_lag1").alias("method"),
+        F.col("n_n").cast("long").alias("n_days"),
+        F.col("ae_n").cast("long").alias("abs_err_total"),
+        ratio_round(F.col("ae_n"), F.col("n_n")).alias("mae"),
+    )
+    s_row = scored.select(
+        F.lit("seasonal_naive_lag7").alias("method"),
+        F.col("n_s").cast("long").alias("n_days"),
+        F.col("ae_s").cast("long").alias("abs_err_total"),
+        ratio_round(F.col("ae_s"), F.col("n_s")).alias("mae"),
+    )
+    return n_row.unionByName(s_row)
