@@ -1758,3 +1758,69 @@ def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(F.col("ae_s"), F.col("n_s")).alias("mae"),
     )
     return n_row.unionByName(s_row)
+
+
+_YOY_SQL = """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                   AS month,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                   AS cents
+        FROM orders GROUP BY 1
+    ), j AS (
+        SELECT cur.month, cur.cents,
+               prev.cents AS cents_prior_year
+        FROM m cur
+        LEFT JOIN m prev ON prev.month = cur.month - INTERVAL 1 YEAR
+    )
+    SELECT month, CAST(cents AS BIGINT) AS cents,
+           CAST(cents_prior_year AS BIGINT) AS cents_prior_year,
+           CASE WHEN cents_prior_year > 0 THEN
+               CAST((CASE WHEN cents - cents_prior_year < 0 THEN -1 ELSE 1 END)
+                    * ((2*1000000*abs(cents - cents_prior_year)
+                        + cents_prior_year)
+                       // (2*cents_prior_year)) AS DOUBLE) / 1000000
+           END AS yoy_change
+    FROM j
+"""
+
+
+@op(
+    "yoy_revenue_change",
+    oracle=_YOY_SQL,
+    tags=("timeseries", "calendar", "analytics"),
+)
+def yoy_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with the year-over-year change — the calendar
+    compare one level up from wow_revenue_change (weeks drift across
+    year boundaries; months align exactly, so YoY is the seasonality-
+    free growth read). Exact integer cents; the YoY ratio is the
+    signed half-up rational, NULL for the first year (no prior).
+    Self-join of the bounded monthly table on a shifted calendar key."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+        ).alias("cents")
+    )
+    prev = m.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("cents").alias("cents_prior_year"),
+    )
+    j = m.join(F.broadcast(prev), "month", "left")
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    return j.select(
+        "month",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("cents_prior_year").cast("long").alias("cents_prior_year"),
+        F.when(
+            F.col("cents_prior_year") > 0,
+            signed_ratio_round(
+                F.col("cents") - F.col("cents_prior_year"),
+                F.col("cents_prior_year"),
+            ),
+        ).alias("yoy_change"),
+    )

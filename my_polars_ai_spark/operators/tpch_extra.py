@@ -687,3 +687,87 @@ def basket_lift_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_PRICE_INDEX_SQL = f"""
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(l_shipdate AS DATE) < DATE '1998-06-01' AS is_base,
+               -- IEEE-portable micro conversion (property-tested seam):
+               -- double->DECIMAL casts disagree on 1e-6 ties across engines
+               CAST(floor(l_extendedprice / l_quantity * 1000000 + 0.5)
+                    AS HUGEINT) AS unit_micro,
+               CAST(CAST(l_quantity AS DECIMAL(28,6)) AS HUGEINT) AS q
+        FROM lineitem WHERE l_quantity > 0
+    ), per_part AS (
+        SELECT l_partkey,
+               sum(CASE WHEN is_base THEN unit_micro END) AS sp0,
+               sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN NOT is_base THEN unit_micro END) AS sp1,
+               sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN is_base THEN q ELSE 0 END) AS q0
+        FROM li GROUP BY 1
+    ), priced AS (
+        -- per-part mean unit prices, micro-rounded ONCE (the documented
+        -- per-item rounding point: sums of rationals with differing
+        -- denominators), then exact integer basket arithmetic
+        SELECT l_partkey, q0,
+               (2*sp0 + n0) // (2*n0) AS p0_micro,
+               (2*sp1 + n1) // (2*n1) AS p1_micro
+        FROM per_part WHERE n0 > 0 AND n1 > 0 AND q0 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(q0 * p0_micro) AS BIGINT) AS base_basket_micro,
+           CAST(sum(q0 * p1_micro) AS BIGINT) AS current_basket_micro,
+           {{orr}} AS laspeyres_index
+    FROM priced
+""".replace("{orr}", oracle_ratio_round("sum(q0 * p1_micro)", "sum(q0 * p0_micro)"))
+
+
+@op(
+    "price_index_laspeyres",
+    oracle=_PRICE_INDEX_SQL,
+    tags=("analytics", "econ", "tpch"),
+)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index: the cost of the BASE period's basket
+    (base-half quantities) at current-half prices over its cost at
+    base prices — the inflation measure across the part catalog.
+    Per-part mean unit prices are half-up micro integers (rounded
+    once — the one documented rounding point, since per-part rationals
+    have different denominators); the basket sums and the final index
+    are then exact integer arithmetic. Only parts traded in BOTH
+    halves enter (the matched-sample rule). One lineitem aggregation
+    on the part key; everything after is part-dimension-bounded."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    cut = F.lit("1998-06-01").cast("date")
+    d38 = "decimal(38,0)"
+    base = F.to_date("l_shipdate") < cut
+    unit_micro = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1000000 + F.lit(0.5)
+    ).cast(d38)
+    q = F.col("l_quantity").cast("decimal(28,6)").cast(d38)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.when(base, unit_micro)).alias("sp0"),
+        F.sum(base.cast("int")).alias("n0"),
+        F.sum(F.when(~base, unit_micro)).alias("sp1"),
+        F.sum((~base).cast("int")).alias("n1"),
+        F.sum(F.when(base, q).otherwise(F.lit(0).cast(d38))).alias("q0"),
+    )
+    priced = per_part.filter(
+        (F.col("n0") > 0) & (F.col("n1") > 0) & (F.col("q0") > 0)
+    ).select(
+        "q0",
+        exact_floor_div(2 * F.col("sp0") + F.col("n0").cast(d38), 2 * F.col("n0").cast(d38)).alias("p0_micro"),
+        exact_floor_div(2 * F.col("sp1") + F.col("n1").cast(d38), 2 * F.col("n1").cast(d38)).alias("p1_micro"),
+    )
+    return priced.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("q0") * F.col("p0_micro")).cast("long").alias("base_basket_micro"),
+        F.sum(F.col("q0") * F.col("p1_micro")).cast("long")
+        .alias("current_basket_micro"),
+        ratio_round(
+            F.sum(F.col("q0") * F.col("p1_micro")),
+            F.sum(F.col("q0") * F.col("p0_micro")),
+        ).alias("laspeyres_index"),
+    )
