@@ -2893,3 +2893,121 @@ def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("long").alias("n_control"),
         signed_ratio_round(num, den).alias("did_estimate"),
     )
+
+
+_THEIL_SQL = f"""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(28,6)) * 100
+                             AS HUGEINT)) AS HUGEINT) AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+    ), tot AS (
+        SELECT count(*) AS n, sum(x) AS xs FROM cust
+    ), terms AS (
+        SELECT c.x,
+               CAST(round(ln(CAST(t.n AS DOUBLE) * c.x / t.xs) * 1000000)
+                    AS BIGINT) AS lnr_micro
+        FROM cust c CROSS JOIN tot t WHERE c.x > 0
+    ), grp AS (
+        SELECT nation, count(*) AS ng, sum(x) AS xg FROM cust GROUP BY 1
+    ), gterms AS (
+        SELECT g.xg,
+               CAST(round(ln(CAST(t.n AS DOUBLE) * g.xg
+                             / (CAST(g.ng AS DOUBLE) * t.xs)) * 1000000)
+                    AS BIGINT) AS lnr_micro
+        FROM grp g CROSS JOIN tot t WHERE g.xg > 0
+    ), sums AS (
+        SELECT (SELECT sum(x * lnr_micro) FROM terms) AS t_num,
+               (SELECT sum(xg * lnr_micro) FROM gterms) AS b_num,
+               (SELECT xs FROM tot) AS xs
+    )
+    SELECT {oracle_signed_ratio_round('t_num', 'xs * CAST(1000000 AS HUGEINT)')}
+               AS theil_total,
+           {oracle_signed_ratio_round('b_num', 'xs * CAST(1000000 AS HUGEINT)')}
+               AS theil_between,
+           {oracle_signed_ratio_round('t_num - b_num',
+                                      'xs * CAST(1000000 AS HUGEINT)')}
+               AS theil_within
+    FROM sums
+"""
+
+
+@op(
+    "theil_decomposition",
+    oracle=_THEIL_SQL,
+    tags=("stats", "inequality", "analytics"),
+)
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer revenue, DECOMPOSED into
+    between-nation and within-nation components — the additive
+    decomposition Gini lacks (gini_per_nation gives only within-group
+    coefficients). Every term is weight*log with the log micro-rounded
+    once and the weight denominator SHARED (total revenue X), so
+    total, between, and within = total - between are three signed
+    half-up divisions over exact integer sums — the decomposition
+    identity holds EXACTLY, not approximately. Plan: customer rollup
+    (one shuffle), nation rollup derived from it, 1-row total
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    cust = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(d38)
+            ).alias("x")
+        )
+    )
+    tot = cust.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("xs"))
+    terms = (
+        cust.filter(F.col("x") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.round(
+                F.log(F.col("n").cast("double") * F.col("x") / F.col("xs")) * 1000000
+            )
+            .cast("long")
+            .alias("lnr_micro"),
+        )
+    )
+    grp = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("x").alias("xg")
+    )
+    gterms = (
+        grp.filter(F.col("xg") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "xg",
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("xg")
+                    / (F.col("ng").cast("double") * F.col("xs"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lnr_micro"),
+        )
+    )
+    t_num = terms.agg(
+        F.sum(F.col("x") * F.col("lnr_micro")).alias("t_num")
+    )
+    b_num = gterms.agg(
+        F.sum(F.col("xg") * F.col("lnr_micro")).alias("b_num")
+    )
+    sums = t_num.crossJoin(F.broadcast(b_num)).crossJoin(
+        F.broadcast(tot.select("xs"))
+    )
+    den = F.col("xs") * F.lit(1000000).cast(d38)
+    return sums.select(
+        signed_ratio_round(F.col("t_num"), den).alias("theil_total"),
+        signed_ratio_round(F.col("b_num"), den).alias("theil_between"),
+        signed_ratio_round(F.col("t_num") - F.col("b_num"), den).alias(
+            "theil_within"
+        ),
+    )
