@@ -426,3 +426,35 @@ def test_join_hints_control_physical_strategy(spark, sf_dir):
     assert plan_summary(joined("broadcast"))["broadcast_joins"] >= 1
     assert plan_summary(joined("merge"))["sortmerge_joins"] >= 1
     assert plan_summary(joined("shuffle_hash"))["shuffled_hash_joins"] >= 1
+
+
+def test_session4_wave4_plan_contracts(spark, sf_dir):
+    """The statistics/causal/finance wave stays JVM-side and bounded."""
+    ops = all_ops()
+    for name in (
+        "cusum_change_detection",
+        "spc_control_chart",
+        "kaplan_meier_churn",
+        "logrank_test_churn",
+        "cuped_adjusted_ab",
+        "did_estimate",
+        "forecast_backtest_naive",
+        "yoy_revenue_change",
+        "price_index_laspeyres",
+        "theil_decomposition",
+        "segment_migration_matrix",
+        "wau_overlap_jaccard",
+        "ar_aging_buckets",
+        "chunk_containment_pairs",
+        "revenue_max_drawdown",
+    ):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["python_evals"] == 0, name
+    # WAU overlap must be a two-key hash join, not a post-filtered
+    # nested-loop fan-out (review-2 finding 5)
+    s = plan_summary(ops["wau_overlap_jaccard"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0
+    # AR aging: status filter reaches the scan
+    from my_polars_ai_spark.plans.inspect import pushed_filters
+
+    assert any("O" in f for f in pushed_filters(ops["ar_aging_buckets"].fn(spark, sf_dir)))
