@@ -82,7 +82,7 @@ _MODULES = (
 #   basket_size_hist, neardup_degree_hist, activity_entropy,
 #   cohort_revenue_ltv, lead_time_by_priority, repeat_customer_share,
 #   brand_supplier_hhi, discount_band_elasticity, top_tokens_by_lang
-# (d) the 32 ops added in round-4 session 4 (registry 241 -> 273):
+# (d) the 51 ops added in round-4 session 4 (registry 241 -> 292):
 #   dedup_prefix_filter_jaccard, heavy_hitters_tokens,
 #   global_shuffle_row_number, token_entropy_per_doc,
 #   decay_weighted_revenue, hard_negatives_topk,
@@ -97,7 +97,14 @@ _MODULES = (
 #   token_coverage_curve, setops_all_multiplicity,
 #   union_allow_missing_columns, abc_part_classification,
 #   scd2_point_in_time_join, sentiment_lexicon_score,
-#   cross_table_daily_correlation
+#   cross_table_daily_correlation, neardup_blast_radius,
+#   dedup_cluster_best_quality, dow_adjusted_spike_days,
+#   retention_halflife_fit, wau_overlap_jaccard, ar_aging_buckets,
+#   segment_migration_matrix, spc_control_chart,
+#   chunk_containment_pairs, revenue_max_drawdown,
+#   cusum_change_detection, cuped_adjusted_ab, kaplan_meier_churn,
+#   did_estimate, logrank_test_churn, forecast_backtest_naive,
+#   price_index_laspeyres, yoy_revenue_change, theil_decomposition
 # 16 + 32 + 66 + session-4's additions + 12 canaries = candidates
 # across r5/r6/r7 windows:
 # rotate out canaries whose families the
