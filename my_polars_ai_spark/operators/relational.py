@@ -1912,3 +1912,58 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@op(
+    "star_denormalize_wide",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_quantity, l.l_extendedprice,
+           o.o_orderstatus, o.o_orderpriority,
+           c.c_mktsegment,
+           n.n_name AS customer_nation,
+           p.p_brand,
+           s.s_name AS supplier_name
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    """,
+    tags=("join", "star", "denormalize"),
+)
+def star_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Big-Table materialization: the full star join (fact ->
+    orders -> customer -> nation, fact -> part, fact -> supplier)
+    flattened into the wide row BI tools and feature stores read.
+    Plan shape at 100 TB: ONE fact-fact shuffle (lineitem-orders on
+    the orderkey); every dimension (customer at this corpus's scale,
+    nation, part, supplier) rides a broadcast hash join, so the five
+    joins cost one exchange — the plan this op exists to demonstrate
+    (asserted in the plan suite)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "o_orderstatus",
+            "o_orderpriority",
+            "c_mktsegment",
+            F.col("n_name").alias("customer_nation"),
+            "p_brand",
+            F.col("s_name").alias("supplier_name"),
+        )
+    )

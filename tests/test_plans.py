@@ -458,3 +458,13 @@ def test_session4_wave4_plan_contracts(spark, sf_dir):
     from my_polars_ai_spark.plans.inspect import pushed_filters
 
     assert any("O" in f for f in pushed_filters(ops["ar_aging_buckets"].fn(spark, sf_dir)))
+
+
+def test_star_denormalize_is_one_exchange_four_broadcasts(spark, sf_dir):
+    """The One-Big-Table star join must cost ONE fact-fact shuffle; all
+    dimensions broadcast."""
+    ops = all_ops()
+    s = plan_summary(ops["star_denormalize_wide"].fn(spark, sf_dir))
+    assert s["broadcast_joins"] >= 4
+    assert s["sortmerge_joins"] + s["shuffled_hash_joins"] <= 1
+    assert s["python_evals"] == 0
