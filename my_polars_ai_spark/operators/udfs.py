@@ -266,3 +266,53 @@ def arrow_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         batch_meta, schema="doc_id bigint, n_chars_arrow bigint, n_bytes_arrow bigint"
     )
+
+
+@op(
+    "udtf_ngrams_polymorphic",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT t.doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram,
+           CAST(i AS INTEGER) AS pos
+    FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+    """,
+    tags=("udf", "udtf", "spark4"),
+)
+def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()` API): the output
+    schema is computed at plan time from the call's literal arguments
+    — here the gram size n=3 names the output column — instead of
+    being hard-coded like udtf_bigrams' returnType string. analyze()
+    runs on the DRIVER during resolution (AnalyzeResult carries the
+    schema), so Catalyst sees precise output columns for pruning; the
+    executor-side eval() fan-out is the same narrow row-expanding
+    stage. The oracle states trigrams in plain SQL."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    class NGrams:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.functions import AnalyzeResult
+
+            return AnalyzeResult(
+                StructType()
+                .add("gram", StringType())
+                .add("pos", IntegerType())
+            )
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            for i in range(len(words) - n + 1):
+                yield (" ".join(words[i : i + n]), i + 1)
+
+    NGramsUdtf = udtf(NGrams)
+    d = _t(spark, sf_dir, "documents")
+    view = "udtf_ngrams_docs"
+    d.select("doc_id", "text").createOrReplaceTempView(view)
+    spark.udtf.register("ngrams_udtf", NGramsUdtf)
+    return spark.sql(
+        f"SELECT d.doc_id, g.gram, g.pos "
+        f"FROM {view} d, LATERAL ngrams_udtf(d.text, 3) g"
+    )
