@@ -213,3 +213,55 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB modulo the integer-division spelling (DIV vs //)."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(_RECURSIVE_CLIMB.replace("{customer}", "customer_v"))
+
+
+@op(
+    "sql_scripting_above_avg",
+    oracle="""
+    WITH t AS (
+        SELECT count(*) AS n,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000
+                        AS HUGEINT)) AS total
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM orders CROSS JOIN t
+    WHERE CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS HUGEINT) * t.n
+          > t.total
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "scripting", "spark4"),
+)
+def sql_scripting_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4's BEGIN/DECLARE/SET blocks,
+    SPARK-48338): a procedural script declares session variables,
+    fills them from one query, and uses them in the next — the
+    migration path for stored-procedure workloads. The threshold
+    comparison is cross-multiplied exact integers (price_micro * n >
+    total_micro), never a float average, so the script's branch-free
+    arithmetic hash-matches the oracle's plain-SQL restatement.
+    Catalyst compiles each statement separately; the variable is a
+    literal by the time the final query plans, so the scan still gets
+    its pushdown."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_rows BIGINT;
+          DECLARE total_micro DECIMAL(38,0);
+          SET n_rows = (SELECT count(*) FROM orders_script_v);
+          SET total_micro = (
+              SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000
+                              AS DECIMAL(38,0)))
+              FROM orders_script_v);
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_above_avg
+          FROM orders_script_v
+          WHERE CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000
+                     AS DECIMAL(38,0)) * n_rows > total_micro
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
