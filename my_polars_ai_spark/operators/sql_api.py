@@ -265,3 +265,32 @@ def sql_scripting_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@op(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "spark4", "security"),
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(query, args={...}) with named
+    markers) — the injection-safe way to template values into
+    generated SQL, which is exactly what an LLM-driven engine should
+    emit instead of f-string splicing. The markers bind as literals at
+    parse time, so pushdown and constant folding see real constants
+    (same plan as the inlined query)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders_param_v
+        WHERE o_totalprice > :min_price AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"min_price": 150000.0, "prio": "1-URGENT"},
+    )
