@@ -468,3 +468,19 @@ def test_star_denormalize_is_one_exchange_four_broadcasts(spark, sf_dir):
     assert s["broadcast_joins"] >= 4
     assert s["sortmerge_joins"] + s["shuffled_hash_joins"] <= 1
     assert s["python_evals"] == 0
+
+
+def test_session4_wave5_plan_contracts(spark, sf_dir):
+    """Spark-4 surface wave: scripting/parameterized SQL still produce
+    ordinary optimized plans (pushdown intact), and the polymorphic
+    UDTF is one Python boundary."""
+    ops = all_ops()
+    s = plan_summary(ops["udtf_ngrams_polymorphic"].fn(spark, sf_dir))
+    assert s["python_evals"] == 1
+    # parameterized markers bind as literals -> filter pushes to scan
+    from my_polars_ai_spark.plans.inspect import pushed_filters
+
+    pf = pushed_filters(ops["sql_parameterized_query"].fn(spark, sf_dir))
+    assert any("150000" in f or "o_totalprice" in f for f in pf), pf
+    s = plan_summary(ops["sql_scripting_above_avg"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
