@@ -2224,3 +2224,79 @@ def chunk_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.col("n_shared"), F.col("na")).alias("containment"),
         )
     )
+
+
+_GAINS_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ), f AS (
+        SELECT doc_id, (lang = 'en')::INT AS is_en,
+               (2 * 1000000 * len(list_filter(ts, x -> x IN {_MARKERS_SQL}))
+                + len(ts)) // (2 * len(ts)) AS score_micro
+        FROM t WHERE len(ts) > 0
+    ), ranked AS (
+        SELECT is_en,
+               ntile(10) OVER (ORDER BY score_micro DESC, doc_id) AS decile
+        FROM f
+    ), d AS (
+        SELECT decile, count(*) AS n, sum(is_en) AS n_pos
+        FROM ranked GROUP BY decile
+    ), tot AS (
+        SELECT sum(n_pos) AS pos_all FROM d
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           {oracle_ratio_round(
+               'sum(n_pos) OVER (ORDER BY decile '
+               'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)',
+               'tot.pos_all')} AS cum_capture
+    FROM d CROSS JOIN tot
+"""
+
+
+@op(
+    "gains_chart_langid",
+    oracle=_GAINS_SQL,
+    tags=("text", "ml", "eval"),
+)
+def gains_chart_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains (lift) chart for the english-marker score:
+    rank documents by score, split into deciles, report what fraction
+    of all true-'en' documents the top-k deciles capture — the
+    model-eval sibling of calibration_curve_langid (calibration asks
+    'is the probability honest?'; gains asks 'does ranking by it find
+    the positives fast?'). Scores are the exact half-up integer micro
+    ratio; the decile ntile runs over per-doc scores (documented
+    dim-bounded global window — percent_rank_approx's two-pass bucket
+    scheme is the named upgrade); capture is the exact rational of
+    integer cumsums over the 10-row decile grid."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
+    f = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        exact_floor_div(
+            2 * 1000000 * hits.cast("decimal(38,0)") + F.size(ts),
+            2 * F.size(ts).cast("decimal(38,0)"),
+        ).cast("long").alias("score_micro"),
+    ).filter(F.size(ts) > 0)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    ranked = f.select("is_en", F.ntile(10).over(w).alias("decile"))
+    dd = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_en").alias("n_pos")
+    )
+    tot = dd.agg(F.sum("n_pos").alias("pos_all"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            ratio_round(F.sum("n_pos").over(wc), F.col("pos_all")).alias(
+                "cum_capture"
+            ),
+        )
+    )
