@@ -3011,3 +3011,57 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_within"
         ),
     )
+
+
+_WILSON_SQL = """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT variant, count(*) AS n, sum(converted) AS x FROM u GROUP BY 1
+    )
+    SELECT CAST(variant AS INT) AS variant,
+           CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+           round((CAST(x AS DOUBLE) + 1.9208) / (n + 3.8416)
+                 - (1.96 * sqrt((CAST(x AS DOUBLE) * (n - x)) / n + 0.9604))
+                   / (n + 3.8416), 6) AS wilson_lo,
+           round((CAST(x AS DOUBLE) + 1.9208) / (n + 3.8416)
+                 + (1.96 * sqrt((CAST(x AS DOUBLE) * (n - x)) / n + 0.9604))
+                   / (n + 3.8416), 6) AS wilson_hi
+    FROM g
+"""
+
+
+@op(
+    "wilson_intervals_conversion",
+    oracle=_WILSON_SQL,
+    tags=("stats", "experiment"),
+)
+def wilson_intervals_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for each variant's conversion rate —
+    the interval that behaves at 0% and 100% where the naive Wald
+    interval collapses (this corpus converts every user, so the Wald
+    interval would be the degenerate [p, p]; Wilson still yields a
+    proper band). Inputs are exact integer counts; the closed form
+    uses only IEEE-portable ops (+ * / sqrt) with z=1.96 constants
+    written identically on both engines, rounded once at 6dp."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    xd = F.col("x").cast("double")
+    nd = F.col("n")
+    center = (xd + 1.9208) / (nd + 3.8416)
+    half = (1.96 * F.sqrt((xd * (nd - F.col("x"))) / nd + 0.9604)) / (nd + 3.8416)
+    return g.select(
+        F.col("variant").cast("int").alias("variant"),
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
