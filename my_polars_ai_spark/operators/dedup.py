@@ -1328,3 +1328,78 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("keep_n_chars"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+_CLUSTER_PURITY_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label
+        FROM walk w JOIN edges e ON e.src = w.node
+    ), clusters AS (
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM walk GROUP BY node
+    ), cl AS (
+        SELECT c.cluster_id, d.lang, count(*) AS n
+        FROM clusters c JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT cluster_id, lang, n,
+               sum(n) OVER (PARTITION BY cluster_id) AS n_docs,
+               count(*) OVER (PARTITION BY cluster_id) AS n_langs,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n DESC, lang) AS rn
+        FROM cl
+    )
+    SELECT cluster_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS INT) AS n_langs,
+           lang AS majority_lang,
+           {oracle_ratio_round('n', 'n_docs')} AS purity,
+           CAST(n_langs > 1 AS INT) AS crosses_languages
+    FROM ranked WHERE rn = 1
+"""
+
+
+@op(
+    "cluster_lang_purity",
+    oracle=_CLUSTER_PURITY_SQL,
+    tags=("dedup", "cluster", "quality"),
+)
+def cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity of each near-dup cluster: majority language,
+    purity fraction, and a crosses-languages flag — near-identical
+    documents in DIFFERENT languages are almost never real
+    translations in a crawled corpus; they're templates/boilerplate,
+    and this table is the triage list. Composes the CC labels with one
+    (cluster, lang) aggregation and a cluster-keyed majority window;
+    purity is the exact half-up rational."""
+    clusters = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "cluster_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cl = clusters.join(d, "doc_id").groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("lang"))
+    ranked = cl.select(
+        "cluster_id",
+        "lang",
+        "n",
+        F.sum("n").over(wc).alias("n_docs"),
+        F.count(F.lit(1)).over(wc).alias("n_langs"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("lang").alias("majority_lang"),
+        ratio_round(F.col("n"), F.col("n_docs")).alias("purity"),
+        (F.col("n_langs") > 1).cast("int").alias("crosses_languages"),
+    )
