@@ -2300,3 +2300,67 @@ def gains_chart_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MANIFEST_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents WHERE len(text) > 0
+    ), keep AS (
+        SELECT *,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS survivor
+        FROM base
+        WHERE 2 * n_distinct >= n_tok
+    )
+    SELECT doc_id, source,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           {oracle_ratio_round('n_distinct', 'n_tok')} AS diversity,
+           CASE ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10
+                WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END AS split
+    FROM keep WHERE doc_id = survivor
+"""
+
+
+@op(
+    "training_manifest",
+    oracle=_MANIFEST_SQL,
+    tags=("text", "pipeline", "capstone"),
+)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's END PRODUCT as ONE Catalyst plan: the
+    training manifest — every surviving document with its token count,
+    diversity score, and reproducible train/val/test split. Survival =
+    lexical-diversity gate (distinct/total >= 0.5, an exact integer
+    cross-multiplication) AND exact-dedup survivor (min doc_id per
+    content hash, a keyed window — no second scan); the split is the
+    seeded md5 hash in its own namespace. Because it is one
+    declarative plan, Catalyst fuses the gate into the scan, shares
+    the single shuffle between the dedup window and nothing else, and
+    the whole nightly-manifest job is scan -> window -> project."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ts = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "text",
+        "source",
+        F.size(ts).alias("n_tok"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+    ).filter(2 * F.col("n_distinct") >= F.col("n_tok"))
+    w = Window.partitionBy(F.md5("text"))
+    keep = base.withColumn("survivor", F.min("doc_id").over(w))
+    split = (
+        portable_hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 10
+    )
+    return keep.filter(F.col("doc_id") == F.col("survivor")).select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        ratio_round(F.col("n_distinct"), F.col("n_tok")).alias("diversity"),
+        F.when(split == 8, "val").when(split == 9, "test").otherwise("train")
+        .alias("split"),
+    )
