@@ -1336,3 +1336,35 @@ def test_cusum_reflection_identity_matches_recurrence(spark, sf_dir):
         expected.append((cp, cn))
     got = [(r.cusum_pos, r.cusum_neg) for r in rows]
     assert got == expected
+
+
+def test_session4_statistical_invariants(spark, sf_dir):
+    """End-to-end invariants the statistics family must satisfy by
+    construction — asserted so refactors can't silently bend them."""
+    ops = all_ops()
+    # SCD2 PIT join is total: every order matches exactly one version
+    import duckdb
+
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    pit = ops["scd2_point_in_time_join"].fn(spark, sf_dir)
+    assert pit.count() == n_orders
+    assert pit.filter("status_at_order IS NULL OR version IS NULL").count() == 0
+    # Kaplan-Meier: log-survival is non-increasing; the terminal event
+    # week always flags survival zero
+    km = ops["kaplan_meier_churn"].fn(spark, sf_dir).orderBy("week").collect()
+    lns = [r.log_survival_micro for r in km if r.log_survival_micro is not None]
+    assert all(a >= b for a, b in zip(lns, lns[1:]))
+    assert km[-1].survival_is_zero == 1
+    # Theil decomposition is exactly additive at the emitted precision
+    t = ops["theil_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert abs(t.theil_total - (t.theil_between + t.theil_within)) < 2e-6
+    assert t.theil_between >= 0 and t.theil_total >= t.theil_between - 1e-9
+    # Gains chart: the last decile captures everything
+    g = ops["gains_chart_langid"].fn(spark, sf_dir).orderBy("decile").collect()
+    assert g[-1].cum_capture == 1.0
+    # Wilson bands contain the point estimate
+    for r in ops["wilson_intervals_conversion"].fn(spark, sf_dir).collect():
+        assert r.wilson_lo <= r.x / r.n <= r.wilson_hi
