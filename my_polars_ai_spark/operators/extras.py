@@ -3065,3 +3065,54 @@ def wilson_intervals_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+
+_FANO_SQL = f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS x
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx
+        FROM daily GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_active_days,
+           CAST(sx AS BIGINT) AS n_events,
+           {oracle_ratio_round(
+               'CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx',
+               'CAST(n AS HUGEINT)*sx')} AS fano_factor
+    FROM s
+"""
+
+
+@op(
+    "fano_burstiness_per_user",
+    oracle=_FANO_SQL,
+    tags=("timeseries", "stats", "behavior"),
+)
+def fano_burstiness_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of each user's daily activity:
+    variance-to-mean of per-day event counts over ACTIVE days —
+    ~1 for Poisson-steady users, >>1 for bursty ones (the behavioral
+    segmentation signal activity_entropy can't give, since entropy
+    ignores over-dispersion). Pure integer identity
+    (n*Sxx - Sx^2)/(n*Sx) — one half-up rational per user, two keyed
+    aggregations sharing the user partitioning."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    d38 = "decimal(38,0)"
+    s = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_active_days"),
+        F.col("sx").cast("long").alias("n_events"),
+        ratio_round(
+            F.col("n").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx"),
+            F.col("n").cast(d38) * F.col("sx"),
+        ).alias("fano_factor"),
+    )
