@@ -1403,3 +1403,70 @@ def cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(F.col("n"), F.col("n_docs")).alias("purity"),
         (F.col("n_langs") > 1).cast("int").alias("crosses_languages"),
     )
+
+
+EXPLAIN_TOP_TOKENS = 3
+
+_PAIR_EXPLAIN_SQL = f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), df AS (
+        SELECT tok, count(*) AS df FROM toks GROUP BY 1
+    ), shared AS (
+        SELECT p.doc_a, p.doc_b, ta.tok, df.df
+        FROM pairs p
+        JOIN toks ta ON ta.doc_id = p.doc_a
+        JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+        JOIN df ON df.tok = ta.tok
+    ), ranked AS (
+        SELECT doc_a, doc_b, tok, df,
+               row_number() OVER (PARTITION BY doc_a, doc_b
+                                  ORDER BY df, tok) AS rn
+        FROM shared
+    )
+    SELECT doc_a, doc_b, CAST(rn AS INT) AS rank, tok,
+           CAST(df AS BIGINT) AS doc_freq
+    FROM ranked WHERE rn <= {EXPLAIN_TOP_TOKENS}
+"""
+
+
+@op(
+    "neardup_pair_explain",
+    oracle=_PAIR_EXPLAIN_SQL,
+    tags=("dedup", "explain", "quality"),
+)
+def neardup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainability for the near-dup detector: for every LSH pair,
+    the 3 RAREST tokens the two documents share — rare shared tokens
+    are the evidence a reviewer actually reads ('both contain
+    axf93-zq'), where common shared tokens explain nothing. Shared
+    tokens come from joining each pair against the token table on
+    (doc, tok) — candidate-bounded, never corpus-quadratic — and the
+    per-pair top-3 is a bounded window keyed on the pair."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    toks = _doc_tokens(spark, sf_dir)
+    df_tab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    shared = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .join(F.broadcast(df_tab), "tok")
+    )
+    w = Window.partitionBy("doc_a", "doc_b").orderBy(F.asc("df"), F.asc("tok"))
+    return (
+        shared.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EXPLAIN_TOP_TOKENS)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("rn").cast("int").alias("rank"),
+            "tok",
+            F.col("df").cast("long").alias("doc_freq"),
+        )
+    )

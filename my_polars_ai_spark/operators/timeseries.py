@@ -1824,3 +1824,74 @@ def yoy_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("yoy_change"),
     )
+
+
+_EARLY_RETENTION_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                          = (SELECT CAST(date_trunc('week', min(CAST(ts AS DATE)))
+                                         AS DATE)
+                             FROM events e2 WHERE e2.user_id = events.user_id)
+                        THEN 1 ELSE 0 END) AS x,
+               count(DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE))
+                   AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+               round((CAST(n*sxy - sx*sy AS DOUBLE))
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+           END AS pearson_r
+    FROM s
+"""
+
+
+@op(
+    "early_activity_retention_corr",
+    oracle=_EARLY_RETENTION_SQL,
+    tags=("timeseries", "retention", "stats"),
+)
+def early_activity_retention_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do heavy first-week users retain? Pearson correlation between
+    each user's FIRST-week event count and their total active weeks —
+    the single number behind every 'aha-moment' growth hypothesis.
+    First-week counts come from one user-keyed window (no correlated
+    subquery in the plan — the oracle states it that way for clarity);
+    the correlation is exact integer accumulators + one IEEE
+    expression, same contract as cross_table_daily_correlation."""
+    e = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).cast("date")
+    wu = Window.partitionBy("user_id")
+    base = e.select("user_id", week.alias("w")).withColumn(
+        "first_w", F.min("w").over(wu)
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.sum((F.col("w") == F.col("first_w")).cast("int")).alias("x"),
+        F.countDistinct("w").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).cast("double")
+    dx = (F.col("n").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).cast("double")
+    dy = (F.col("n").cast(d38) * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")).cast("double")
+    # degenerate variance (every user identical on either axis — true
+    # for total-active-weeks on the 30-day corpus): NULL, not an ANSI
+    # divide-by-zero
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.when((dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6))
+        .alias("pearson_r"),
+    )
