@@ -1895,3 +1895,35 @@ def early_activity_retention_corr(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when((dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6))
         .alias("pearson_r"),
     )
+
+
+_DOW_HOUR_SQL = """
+    SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@op(
+    "dow_hour_heatmap",
+    oracle=_DOW_HOUR_SQL,
+    tags=("timeseries", "calendar", "chart"),
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity grid — the calendar heatmap
+    feed behind every ops dashboard ('when are we busy?'). One
+    map-side-combinable aggregation to the bounded 7x24 grid; the
+    DuckDB dow is shifted +1 to Spark's Sunday=1 convention (the same
+    seam dow_adjusted_spike_days documents)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum4_value().alias("sum_value"),
+    )
