@@ -82,7 +82,7 @@ _MODULES = (
 #   basket_size_hist, neardup_degree_hist, activity_entropy,
 #   cohort_revenue_ltv, lead_time_by_priority, repeat_customer_share,
 #   brand_supplier_hhi, discount_band_elasticity, top_tokens_by_lang
-# (d) the 63 ops added in round-4 session 4 (registry 241 -> 304):
+# (d) the 64 ops added in round-4 session 4 (registry 241 -> 305):
 #   dedup_prefix_filter_jaccard, heavy_hitters_tokens,
 #   global_shuffle_row_number, token_entropy_per_doc,
 #   decay_weighted_revenue, hard_negatives_topk,
@@ -110,7 +110,8 @@ _MODULES = (
 #   gains_chart_langid, wilson_intervals_conversion,
 #   cluster_lang_purity, training_manifest,
 #   fano_burstiness_per_user, early_activity_retention_corr,
-#   neardup_pair_explain, dow_hour_heatmap
+#   neardup_pair_explain, dow_hour_heatmap,
+#   distinctive_tokens_per_source
 # 16 + 32 + 66 + session-4's additions + 12 canaries = candidates
 # across r5/r6/r7 windows:
 # rotate out canaries whose families the

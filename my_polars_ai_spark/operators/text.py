@@ -2364,3 +2364,95 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(split == 8, "val").when(split == 9, "test").otherwise("train")
         .alias("split"),
     )
+
+
+DISTINCTIVE_TOP_K = 3
+
+_DISTINCTIVE_SQL = f"""
+    WITH occ AS (
+        SELECT source, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    ), cs AS (
+        SELECT source, tok, count(*) AS c FROM occ GROUP BY 1, 2
+    ), st AS (
+        SELECT source, sum(c) AS n_s FROM cs GROUP BY 1
+    ), ct AS (
+        SELECT tok, sum(c) AS c_all FROM cs GROUP BY 1
+    ), tot AS (
+        SELECT sum(c) AS n_all FROM cs
+    ), scored AS (
+        -- smoothed log-odds of the token in this source vs the REST of
+        -- the corpus, micro-rounded once
+        SELECT cs.source, cs.tok, cs.c,
+               CAST(round(ln(((cs.c + 1) * 1.0
+                              / (st.n_s - cs.c + 1))
+                             / ((ct.c_all - cs.c + 1) * 1.0
+                                / (tot.n_all - st.n_s - (ct.c_all - cs.c) + 1)))
+                          * 1000000) AS BIGINT) AS log_odds_micro
+        FROM cs JOIN st USING (source) JOIN ct USING (tok) CROSS JOIN tot
+    ), ranked AS (
+        SELECT source, tok, c, log_odds_micro,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY log_odds_micro DESC, tok) AS rn
+        FROM scored
+    )
+    SELECT source, CAST(rn AS INT) AS rank, tok,
+           CAST(c AS BIGINT) AS count_in_source, log_odds_micro
+    FROM ranked WHERE rn <= {DISTINCTIVE_TOP_K}
+"""
+
+
+@op(
+    "distinctive_tokens_per_source",
+    oracle=_DISTINCTIVE_SQL,
+    tags=("text", "monitoring", "pipeline"),
+)
+def distinctive_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What makes each source DIFFERENT: top-3 tokens by smoothed
+    log-odds of appearing in this source versus the rest of the corpus
+    — the Monroe-style 'fightin' words' table curation reads to spot a
+    source gone weird (tf-idf finds what's rare overall; log-odds
+    finds what's disproportionate HERE). One (source, token)
+    aggregation, margins derived from it, log-odds micro-rounded once,
+    per-source rank over the bounded vocab grid."""
+    occ = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cs = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = cs.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ct = cs.groupBy("tok").agg(F.sum("c").alias("c_all"))
+    tot = cs.agg(F.sum("c").alias("n_all"))
+    in_rate = (F.col("c") + 1) * 1.0 / (F.col("n_s") - F.col("c") + 1)
+    out_rate = (F.col("c_all") - F.col("c") + 1) * 1.0 / (
+        F.col("n_all") - F.col("n_s") - (F.col("c_all") - F.col("c")) + 1
+    )
+    scored = (
+        cs.join(F.broadcast(st), "source")
+        .join(F.broadcast(ct), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            "c",
+            F.round(F.log(in_rate / out_rate) * 1000000)
+            .cast("long")
+            .alias("log_odds_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("log_odds_micro"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DISTINCTIVE_TOP_K)
+        .select(
+            "source",
+            F.col("rn").cast("int").alias("rank"),
+            "tok",
+            F.col("c").cast("long").alias("count_in_source"),
+            "log_odds_micro",
+        )
+    )
