@@ -121,7 +121,9 @@ _MODULES = (
 # asof_join_tolerance, and fold the rest across r5/r6 windows) to close
 # out full-registry driver attestation.
 # Everything not listed follows in module order.
-_PRIORITY = (
+# _PRIORITY_R4 was the active window for rounds 3-4; kept for the
+# rotation audit trail (every name in it stays registered).
+_PRIORITY_R4 = (
     # family canaries — already driver-green in r01/r02, kept so every
     # north-star family still has a fresh green row each round
     "flagship_revenue_by_nation",
@@ -246,6 +248,10 @@ _PRIORITY_R5 = (
     "linear_counting_distinct",
     "audio_frame_features",
 )
+
+# Round 5: the staged flip, executed. The driver's 50-entry CORRECTNESS
+# window now attests the R5 composition above.
+_PRIORITY = _PRIORITY_R5
 
 
 def all_ops() -> dict[str, Op]:
