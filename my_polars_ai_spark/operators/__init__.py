@@ -254,6 +254,74 @@ _PRIORITY_R5 = (
 _PRIORITY = _PRIORITY_R5
 
 
+# Round-6 window, staged and test-validated in round 5 (same discipline:
+# the r6 flip is the one-liner `_PRIORITY = _PRIORITY_R6`). Canary count
+# drops 12 -> 6 to widen first-attestation throughput to 44 ops/round:
+# after r5, 144 registry ops have never had a driver row (plus the 36
+# from the r4 window whose CORRECTNESS_r04.json never landed — if it
+# stays missing, fold them into r8). The 44 below are the first 44
+# never-attested ops in registry order: the TPC-H tail (q4/q6/q10/q14/
+# q15/q18/q19/q22), the relational/extras block, and the time-series/
+# event-analytics block through dow_hour_heatmap. The remaining 100
+# take r7+.
+_PRIORITY_R6 = (
+    # canaries — driver-green every prior round, one per north-star family
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_lsh_cosine",
+    "tfidf_top_terms",
+    "sql_api_revenue",
+    # TPC-H tail — first driver row
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customer",
+    "tpch_q22_idle_rich_customers",
+    # relational/extras block — first driver row
+    "histogram_2d",
+    "weighted_median_per_group",
+    "join_null_safe",
+    "basket_size_hist",
+    "lead_time_by_priority",
+    "repeat_customer_share",
+    "brand_supplier_hhi",
+    "discount_band_elasticity",
+    "setops_all_multiplicity",
+    "union_allow_missing_columns",
+    "abc_part_classification",
+    "star_denormalize_wide",
+    # time-series / event analytics block — first driver row
+    "rolling_trend_slope",
+    "running_distinct_event_types",
+    "event_transition_matrix",
+    "rolling_wau",
+    "session_bounce_rate",
+    "session_path_counts",
+    "ttc_daily_median",
+    "volume_spike_days",
+    "max_concurrent_sessions",
+    "cohort_revenue_ltv",
+    "ohlc_bars_hourly",
+    "open_lineitems_per_day",
+    "dow_adjusted_spike_days",
+    "retention_halflife_fit",
+    "wau_overlap_jaccard",
+    "spc_control_chart",
+    "revenue_max_drawdown",
+    "cusum_change_detection",
+    "kaplan_meier_churn",
+    "logrank_test_churn",
+    "forecast_backtest_naive",
+    "yoy_revenue_change",
+    "early_activity_retention_corr",
+    "dow_hour_heatmap",
+)
+
+
 def all_ops() -> dict[str, Op]:
     import importlib
 

@@ -1127,6 +1127,22 @@ def test_r5_window_is_staged_and_valid():
     assert not missing, missing
 
 
+def test_r6_window_is_staged_and_valid():
+    """Same staging discipline for the round-6 rotation: 50 real ops, no
+    duplicates, and every non-canary entry is genuinely first-time (not
+    already attested in r01/r02 or the live r5 window)."""
+    from my_polars_ai_spark.operators import _PRIORITY_R5, _PRIORITY_R6, all_ops
+
+    ops = all_ops()
+    assert len(_PRIORITY_R6) == 50
+    assert len(set(_PRIORITY_R6)) == 50
+    missing = [n for n in _PRIORITY_R6 if n not in ops]
+    assert not missing, missing
+    canaries = set(_PRIORITY_R6[:6])
+    fresh = set(_PRIORITY_R6[6:])
+    assert not (fresh & set(_PRIORITY_R5)), fresh & set(_PRIORITY_R5)
+
+
 def test_dbscan_core_border_noise_roles(spark, tmp_path):
     """Hand-built geometry: three mutually-near vectors form a core
     triangle; an isolated vector is noise and must be absent; every
