@@ -25,6 +25,7 @@ _MODULES = (
     "extras",
     "fuzzy",
     "tpch_extra",
+    "stats_tests",
 )
 
 

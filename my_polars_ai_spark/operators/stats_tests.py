@@ -1,0 +1,689 @@
+"""Statistical hypothesis tests + ML feature-prep operators (round 5).
+
+The reference's analytics surface stops at descriptive stats
+(reference helpers/shortcuts.py:184-241: correlation/confusion/ROC);
+a data platform that curates 100 TB training corpora also needs the
+INFERENTIAL layer — "did the distribution shift?", "is the difference
+real?" — and the feature-prep layer (encodings, folds, leakage audits)
+that sits between curation and training. Every op here follows the
+house exactness contract (operators/base.py): integer/decimal
+accumulators end-to-end, one IEEE-portable double expression at the
+end, every computed column aliased identically in Spark and DuckDB.
+
+Scale notes, applied throughout:
+- No global single-partition windows: cumulative distribution sums (KS,
+  Mann-Whitney) use the banded two-pass prefix-sum pattern from
+  operators/text.py:global_shuffle_row_number — value-range bands give
+  partition-parallel in-band windows plus a bounded (~20-row) offset
+  aggregate that broadcasts back.
+- Group-cardinality-bounded aggregates (5 priorities, 5 segments, 25
+  brands, 7 lags, 64 hash buckets, 5x5 lang folds) keep every reduce
+  tiny; the only fact-scale work is scans and hash-partitioned
+  pre-aggregation, all map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import (
+    ROUND_RATIO,
+    Op,
+    exact_floor_div,
+    make_registrar,
+    ratio_round,
+)
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+_D38 = "decimal(38,0)"
+_P = 10**ROUND_RATIO
+
+# o_totalprice in exact integer cents (house convention — see
+# operators/ml.py gini_per_nation / extras.py ar_aging_buckets).
+# A function, not a module-level Column: building a Column needs an
+# active SparkContext, and the registry must import Spark-lazily.
+def _cents():
+    return (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(_D38)
+
+
+_CENTS_SQL = "CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT)"
+
+# Value-range band width for the two-pass ECDF prefix sums: $25k bands
+# over o_totalprice (max ~$500k) => ~20 bands at any SF. Band id is
+# monotone in the value, so (band-offset + in-band prefix) == the global
+# ordered prefix, computed without a single-partition window.
+_BAND_CENTS = 2_500_000
+
+
+def _two_sample_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated two-sample value table for the KS / Mann-Whitney pair:
+    one row per distinct order-total (cents) among the compared groups,
+    with per-group counts and exact global cumulative counts.
+
+    Columns: cents, c1 (1-URGENT), c2 (5-LOW), t=c1+c2, cum1, cum2
+    (cumulative over cents ascending, inclusive). The cumulatives come
+    from per-band windows + a broadcast ~20-row band-offset table, so
+    nothing sorts globally in one task.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    is1 = (F.col("o_orderpriority") == "1-URGENT").cast("int").cast(_D38)
+    v = (
+        o.select(_cents().alias("cents"), is1.alias("is1"))
+        .groupBy("cents")
+        .agg(
+            F.sum("is1").alias("c1"),
+            (F.count(F.lit(1)).cast(_D38) - F.sum("is1")).alias("c2"),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+        .withColumn("band", exact_floor_div(F.col("cents"), F.lit(_BAND_CENTS)))
+    )
+    w_in = Window.partitionBy("band").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    v = v.withColumn("in1", F.sum("c1").over(w_in)).withColumn(
+        "in2", F.sum("c2").over(w_in)
+    )
+    bands = v.groupBy("band").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast(_D38)
+    offsets = bands.select(
+        "band",
+        F.coalesce(F.sum("b1").over(w_off), zero).alias("off1"),
+        F.coalesce(F.sum("b2").over(w_off), zero).alias("off2"),
+    )
+    return v.join(F.broadcast(offsets), "band").select(
+        "cents",
+        "c1",
+        "c2",
+        "t",
+        (F.col("off1") + F.col("in1")).alias("cum1"),
+        (F.col("off2") + F.col("in2")).alias("cum2"),
+    )
+
+
+_KS_SQL = f"""
+    WITH g AS (
+        SELECT {_CENTS_SQL} AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), v AS (
+        SELECT cents,
+               CAST(sum(is1) AS HUGEINT) AS c1,
+               CAST(count(*) - sum(is1) AS HUGEINT) AS c2
+        FROM g GROUP BY cents
+    ), w AS (
+        SELECT sum(c1) OVER (ORDER BY cents) AS cum1,
+               sum(c2) OVER (ORDER BY cents) AS cum2
+        FROM v
+    ), n AS (
+        SELECT sum(c1) AS n1, sum(c2) AS n2 FROM v
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n_urgent,
+           CAST(n.n2 AS BIGINT) AS n_low,
+           CAST((2*{_P}*max(abs(w.cum1*n.n2 - w.cum2*n.n1)) + n.n1*n.n2)
+                // (2*n.n1*n.n2) AS DOUBLE) / {_P} AS ks_d
+    FROM w CROSS JOIN n
+    GROUP BY n.n1, n.n2
+"""
+
+
+@op("ks_test_priority_totals", oracle=_KS_SQL, tags=("stats", "test", "agg"))
+def ks_test_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the order-total
+    distributions of 1-URGENT and 5-LOW orders — the distribution-shift
+    test a corpus pipeline runs between snapshots ("did the length /
+    score distribution move?"), done exactly: D's numerator
+    max|cum1*n2 - cum2*n1| stays integer to the end and is half-up
+    rounded once at micro precision. ECDF prefix sums use value-range
+    bands (~20) + broadcast offsets — no global sort task."""
+    v = _two_sample_value_counts(spark, sf_dir)
+    n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = (
+        v.crossJoin(F.broadcast(n))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+                "dev"
+            ),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("dev").alias("max_dev"))
+    )
+    return d.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        ratio_round(F.col("max_dev"), F.col("n1") * F.col("n2")).alias("ks_d"),
+    )
+
+
+_MW_SQL = f"""
+    WITH g AS (
+        SELECT {_CENTS_SQL} AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), v AS (
+        SELECT cents,
+               CAST(sum(is1) AS HUGEINT) AS c1,
+               CAST(count(*) - sum(is1) AS HUGEINT) AS c2,
+               CAST(count(*) AS HUGEINT) AS t
+        FROM g GROUP BY cents
+    ), w AS (
+        SELECT c1, t, sum(t) OVER (ORDER BY cents) - t AS cumb FROM v
+    ), s AS (
+        SELECT (SELECT sum(c1) FROM v) AS n1,
+               (SELECT sum(c2) FROM v) AS n2,
+               (SELECT sum(t) FROM v) AS n,
+               sum(c1*(2*cumb + t + 1)) AS r1x2,
+               sum(t*t*t - t) AS ties
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_low,
+           CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
+           round(CAST(r1x2 - n1*(n1+1) - n1*n2 AS DOUBLE)
+                 / (2 * nullif(sqrt(CAST(n1*n2*((n+1)*n*(n-1) - ties) AS DOUBLE)
+                                    / CAST(12*n*(n-1) AS DOUBLE)), 0)), 6) AS z
+    FROM s
+"""
+
+
+@op("mannwhitney_priority_totals", oracle=_MW_SQL, tags=("stats", "test", "agg"))
+def mannwhitney_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) for 1-URGENT vs 5-LOW order totals with
+    exact tie handling: average ranks are kept integral by working with
+    doubled ranks (2*R1 = sum c1*(2*cum_before + t + 1)), so U1*2 is an
+    exact integer. The tie-corrected normal z is ONE double expression
+    over exact integer accumulators — both engines cast the identical
+    integers and apply the same IEEE ops, so the rounded z hashes
+    equal. Banded prefix sums as in the KS op; everything else is a
+    1-row reduce."""
+    v = _two_sample_value_counts(spark, sf_dir)
+    cumb = (F.col("cum1") + F.col("cum2")) - F.col("t")
+    s = v.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("c1") * (2 * cumb + F.col("t") + 1)).alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    sig2 = (n1 * n2 * ((n + 1) * n * (n - 1) - F.col("ties"))).cast("double") / (
+        12 * n * (n - 1)
+    ).cast("double")
+    z = F.when(
+        sig2 > 0,
+        F.round((u1x2 - n1 * n2).cast("double") / (2 * F.sqrt(sig2)), 6),
+    )  # all-values-tied degenerate case: sigma = 0 -> z undefined (NULL)
+    return s.select(
+        n1.cast("long").alias("n_urgent"),
+        n2.cast("long").alias("n_low"),
+        u1x2.cast("long").alias("u1_x2"),
+        z.alias("z"),
+    )
+
+
+# One-way ANOVA on integer cents, quantized once: each group's S_g^2/n_g
+# term is half-up rounded to micro-cents^2 (exact integer division), the
+# terms sum exactly, and F is one double expression at the end. The
+# quantization is identical on both sides, so the compare is bit-exact.
+def _anova_f_sql(src_cte: str, group_col: str, val_col: str) -> str:
+    p = _P
+    return f"""
+    WITH src AS ({src_cte}),
+    g AS (
+        SELECT {group_col} AS grp,
+               CAST(count(*) AS HUGEINT) AS ng,
+               CAST(sum({val_col}) AS HUGEINT) AS sg,
+               CAST(sum({val_col}*{val_col}) AS HUGEINT) AS qg
+        FROM src GROUP BY 1
+    ), s AS (
+        SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS sx, sum(qg) AS q,
+               sum((2*{p}*sg*sg + ng) // (2*ng)) AS a_micro
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(a_micro - ((2*{p}*sx*sx + n) // (2*n)) AS DOUBLE) * (n - k)
+                 / nullif(CAST({p}*q - a_micro AS DOUBLE) * (k - 1), 0), 6) AS f_stat
+    FROM s
+    """
+
+
+def _anova_f_frame(rows: DataFrame, grp, val) -> DataFrame:
+    """Shared exact one-way ANOVA kernel: rows -> 1-row (n_groups,
+    n_rows, f_stat). ``val`` must be an integer-valued decimal column."""
+    g = rows.groupBy(grp.alias("grp")).agg(
+        F.count(F.lit(1)).cast(_D38).alias("ng"),
+        F.sum(val).alias("sg"),
+        F.sum(val * val).alias("qg"),
+    )
+    term = exact_floor_div(2 * _P * F.col("sg") * F.col("sg") + F.col("ng"), 2 * F.col("ng"))
+    s = g.agg(
+        F.count(F.lit(1)).cast(_D38).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("sx"),
+        F.sum("qg").alias("q"),
+        F.sum(term).alias("a_micro"),
+    )
+    k, n = F.col("k"), F.col("n")
+    b_micro = exact_floor_div(2 * _P * F.col("sx") * F.col("sx") + n, 2 * n)
+    den = (_P * F.col("q") - F.col("a_micro")).cast("double") * (k - 1).cast("double")
+    f_stat = F.when(  # zero within-group variance -> F undefined (NULL)
+        den > 0,
+        F.round((F.col("a_micro") - b_micro).cast("double") * (n - k).cast("double") / den, 6),
+    )
+    return s.select(
+        k.cast("long").alias("n_groups"),
+        n.cast("long").alias("n_rows"),
+        f_stat.alias("f_stat"),
+    )
+
+
+@op(
+    "anova_f_priority_totals",
+    oracle=_anova_f_sql(
+        f"SELECT o_orderpriority AS grp, {_CENTS_SQL} AS v FROM orders",
+        "grp",
+        "v",
+    ),
+    tags=("stats", "test", "agg"),
+)
+def anova_f_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities on order totals
+    — "does the group mean differ anywhere?" before drilling into pairs.
+    Between/within sums of squares come from per-group integer
+    accumulators (n_g, S_g, Q_g); the only non-integer step quantizes
+    S_g^2/n_g to micro-units exactly (half-up integer division), summed
+    over a 5-row aggregate. Exact through sf0.1-scale magnitudes; the
+    final F is one portable double expression."""
+    o = _t(spark, sf_dir, "orders")
+    rows = o.select(F.col("o_orderpriority").alias("grp"), _cents().alias("v"))
+    return _anova_f_frame(rows, F.col("grp"), F.col("v"))
+
+
+_BF_SQL = f"""
+    WITH base AS (
+        SELECT o_orderpriority AS grp, {_CENTS_SQL} AS cents FROM orders
+    ), med AS (
+        SELECT grp, CAST(round(quantile_cont(cents, 0.5) * 2) AS HUGEINT) AS m2
+        FROM base GROUP BY 1
+    ), dev AS (
+        SELECT base.grp AS grp, abs(2*base.cents - med.m2) AS d
+        FROM base JOIN med USING (grp)
+    ), g AS (
+        SELECT grp,
+               CAST(count(*) AS HUGEINT) AS ng,
+               CAST(sum(d) AS HUGEINT) AS sg,
+               CAST(sum(d*d) AS HUGEINT) AS qg
+        FROM dev GROUP BY 1
+    ), s AS (
+        SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS sx, sum(qg) AS q,
+               sum((2*{_P}*sg*sg + ng) // (2*ng)) AS a_micro
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(a_micro - ((2*{_P}*sx*sx + n) // (2*n)) AS DOUBLE) * (n - k)
+                 / nullif(CAST({_P}*q - a_micro AS DOUBLE) * (k - 1), 0), 6) AS f_stat
+    FROM s
+"""
+
+
+@op("brown_forsythe_priority", oracle=_BF_SQL, tags=("stats", "test", "agg"))
+def brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    test across order priorities: one-way ANOVA on |x - median_g|.
+    The deviation stays integer by doubling: d = |2x - 2*median_g|,
+    where 2*median = lo + hi is exact in double (cents < 2^53) on both
+    engines (percentile_cont convention: index p*(n-1), linear
+    interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    agree). Per-group medians are a bounded 5-row broadcast; the rest
+    reuses the exact ANOVA kernel."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(F.col("o_orderpriority").alias("grp"), _cents().alias("cents"))
+    med = base.groupBy("grp").agg(
+        F.round(F.expr("percentile(cents, 0.5)") * 2).cast(_D38).alias("m2")
+    )
+    dev = base.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("cents") - F.col("m2")).alias("d")
+    )
+    return _anova_f_frame(dev, F.col("grp"), F.col("d"))
+
+
+_ACF_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum({_CENTS_SQL}) AS HUGEINT) AS y
+        FROM orders GROUP BY 1
+    ), lags AS (
+        SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)
+    ), joined AS (
+        SELECT l.lag AS lag, a.y AS x, b.y AS y
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + l.lag
+    ), acc AS (
+        SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+               sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM joined GROUP BY 1
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_days,
+           round((CAST(n*sxy - sx*sy AS DOUBLE))
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS acf
+    FROM acc
+"""
+
+
+@op("acf_daily_revenue", oracle=_ACF_SQL, tags=("stats", "timeseries", "agg"))
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags 1..7 —
+    the seasonality probe behind forecast-model selection (pairs with
+    dow_seasonality / forecast_backtest_naive). Sample Pearson r between
+    the series and its lag over matched days, the pandas
+    `Series.autocorr` convention. The daily series is calendar-bounded,
+    the 7 lag pairings are day-keyed joins of that bounded series, and
+    each lag reduces to the six exact integer Pearson accumulators
+    (house pattern, extras.py _PEARSON_EXPR)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).alias("y")
+    )
+    lags = F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
+    left = daily.select(F.col("day"), F.col("y").alias("x")).select("*", lags)
+    right = daily.select(F.col("day").alias("rday"), F.col("y").alias("yy"))
+    joined = left.join(
+        right, F.col("rday") == F.date_add(F.col("day"), F.col("lag")), "inner"
+    )
+    acc = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yy").alias("sy"),
+        F.sum(F.col("x") * F.col("yy")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yy") * F.col("yy")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return acc.select(
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n_days"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("acf"),
+    )
+
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+_OHE_SQL = (
+    "SELECT n.n_name, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS seg_{s.lower()}"
+        for s in _SEGMENTS
+    )
+    + ", CAST(count(*) AS BIGINT) AS n_customers"
+    " FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey"
+    " GROUP BY n.n_name"
+)
+
+
+@op("one_hot_segment_matrix", oracle=_OHE_SQL, tags=("ml", "feature-prep", "agg"))
+def one_hot_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of a categorical (c_mktsegment -> five 0/1
+    indicator columns) aggregated per nation — the encode step of a
+    feature pipeline, kept entirely JVM-side with static CASE columns
+    (no pivot: the category set is part of the feature contract, and a
+    data-driven pivot would make the output schema depend on the data —
+    the classic training/serving skew bug). n_customers rides along as
+    the row-sum invariant."""
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    inds = [
+        F.sum((F.col("c_mktsegment") == s).cast("int"))
+        .cast("long")
+        .alias(f"seg_{s.lower()}")
+        for s in _SEGMENTS
+    ]
+    return (
+        c.join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(*inds, F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+_TE_M = 10  # smoothing pseudo-count
+
+_TE_SQL = f"""
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), g AS (
+        SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS s
+        FROM li GROUP BY 1
+    ), t AS (
+        SELECT sum(n) AS tn, sum(s) AS ts FROM g
+    )
+    SELECT g.brand,
+           CAST(g.n AS BIGINT) AS n_lineitems,
+           CAST((2*{_P}*(t.tn*g.s + {_TE_M}*t.ts) + t.tn*(g.n + {_TE_M}))
+                // (2*t.tn*(g.n + {_TE_M})) AS DOUBLE) / {_P} AS encoded_cents
+    FROM g CROSS JOIN t
+"""
+
+
+@op("target_encode_brand", oracle=_TE_SQL, tags=("ml", "feature-prep", "agg"))
+def target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of p_brand against line revenue:
+    enc = (sum_g + m*prior) / (n_g + m) with prior = global mean and
+    m = 10 pseudo-observations — the standard high-cardinality
+    categorical encoder. Computed as ONE exact rational
+    (N*S_g + m*S) / (N*(n_g + m)) in integer cents, half-up rounded once
+    at micro precision; the 1-row global accumulator is broadcast. The
+    dimension join broadcasts part onto the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(28,6)") * 100).cast(_D38)
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("p_brand").alias("brand"), cents.alias("cents"))
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("n"),
+            F.sum("cents").alias("s"),
+        )
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    num = F.col("tn") * F.col("s") + _TE_M * F.col("ts")
+    den = F.col("tn") * (F.col("n") + _TE_M)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_lineitems"),
+            ratio_round(num, den).alias("encoded_cents"),
+        )
+    )
+
+
+_FH_BUCKETS = 64
+
+_FH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), b AS (
+        SELECT tok,
+               ('0x' || substr(md5('fh:' || tok), 1, 15))::BIGINT % {_FH_BUCKETS}
+                   AS bucket
+        FROM tok
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM b GROUP BY bucket
+"""
+
+
+@op("feature_hash_buckets", oracle=_FH_SQL, tags=("ml", "feature-prep", "text"))
+def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens -> a fixed 64-dim feature space via the
+    engine-portable md5 hash (dedup.py portable_hash60), with per-bucket
+    occupancy (total occurrences + distinct tokens = the collision
+    profile a feature-hashing dimensionality choice is judged by).
+    Vocabulary-unbounded input, bounded 64-row output; the groupBy
+    map-side combines."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    b = tok.select(
+        "tok",
+        F.pmod(
+            portable_hash60(F.concat(F.lit("fh:"), F.col("tok"))), F.lit(_FH_BUCKETS)
+        ).cast("int").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+_KFOLD_K = 5
+
+_KFOLD_SQL = f"""
+    WITH f AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % {_KFOLD_K} AS INTEGER) AS fold
+        FROM documents
+    ), c AS (
+        SELECT lang, fold, CAST(count(*) AS HUGEINT) AS n_docs FROM f GROUP BY 1, 2
+    ), t AS (
+        SELECT lang, sum(n_docs) AS lang_total FROM c GROUP BY 1
+    )
+    SELECT c.lang, c.fold, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST((2*{_P}*c.n_docs + t.lang_total) // (2*t.lang_total) AS DOUBLE)
+               / {_P} AS fold_share
+    FROM c JOIN t USING (lang)
+"""
+
+
+@op("kfold_stratified_assign", oracle=_KFOLD_SQL, tags=("ml", "feature-prep"))
+def kfold_stratified_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment, reported as the
+    per-language fold balance sheet (count + share within language) that
+    validates the stratification. fold = portable_hash(doc_id) % 5:
+    hash-based like train_val_test_split (fuzzy.py), so the same doc
+    lands in the same fold on every run and engine — rand()-free
+    reproducibility, mergeable across shards."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    fold = F.pmod(
+        portable_hash60(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+        F.lit(_KFOLD_K),
+    ).cast("int")
+    c = d.select("lang", fold.alias("fold")).groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_docs")
+    )
+    t = c.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "fold",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        ratio_round(F.col("n_docs"), F.col("lang_total")).alias("fold_share"),
+    )
+
+
+_LEAK_SQL = """
+    WITH split AS (
+        SELECT md5(text) AS fp,
+               CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 10 < 8
+                    THEN 'train' ELSE 'test' END AS part
+        FROM documents
+    ), tr AS (
+        SELECT fp, CAST(count(*) AS HUGEINT) AS nt FROM split
+        WHERE part = 'train' GROUP BY fp
+    ), te AS (
+        SELECT fp, CAST(count(*) AS HUGEINT) AS ns FROM split
+        WHERE part = 'test' GROUP BY fp
+    ), leak AS (
+        SELECT coalesce(sum(tr.nt * te.ns), 0) AS pairs,
+               count(*) AS fps
+        FROM tr JOIN te USING (fp)
+    )
+    SELECT CAST((SELECT count(*) FROM split WHERE part = 'train') AS BIGINT)
+               AS n_train,
+           CAST((SELECT count(*) FROM split WHERE part = 'test') AS BIGINT)
+               AS n_test,
+           CAST(leak.pairs AS BIGINT) AS leaked_pairs,
+           CAST(leak.fps AS BIGINT) AS leaked_fingerprints
+    FROM leak
+"""
+
+
+@op("split_leakage_audit", oracle=_LEAK_SQL, tags=("ml", "feature-prep", "dedup"))
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: after the hash-based 80/20 split,
+    does any exact text occur on BOTH sides? (The evaluation-integrity
+    check every training pipeline must run — the in-repo twin of
+    benchmark_contamination, pointed at our own split.) Both sides
+    pre-aggregate to (fingerprint, count) before the join, so the
+    fingerprint equi-join moves one row per distinct text, not one per
+    document; totals are 1-row broadcast reduces."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    part = F.when(
+        F.pmod(
+            portable_hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            F.lit(10),
+        )
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    split = d.select(F.md5("text").alias("fp"), part.alias("part"))
+    tr = split.filter(F.col("part") == "train").groupBy("fp").agg(
+        F.count(F.lit(1)).cast(_D38).alias("nt")
+    )
+    te = split.filter(F.col("part") == "test").groupBy("fp").agg(
+        F.count(F.lit(1)).cast(_D38).alias("ns")
+    )
+    leak = tr.join(te, "fp").agg(
+        F.coalesce(F.sum(F.col("nt") * F.col("ns")), F.lit(0).cast(_D38)).alias(
+            "pairs"
+        ),
+        F.count(F.lit(1)).cast(_D38).alias("fps"),
+    )
+    totals = split.agg(
+        F.sum((F.col("part") == "train").cast("int")).cast("long").alias("n_train"),
+        F.sum((F.col("part") == "test").cast("int")).cast("long").alias("n_test"),
+    )
+    return totals.crossJoin(F.broadcast(leak)).select(
+        "n_train",
+        "n_test",
+        F.col("pairs").cast("long").alias("leaked_pairs"),
+        F.col("fps").cast("long").alias("leaked_fingerprints"),
+    )

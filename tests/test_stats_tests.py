@@ -1,0 +1,215 @@
+"""Known-value tests for operators/stats_tests.py.
+
+The DuckDB oracle harness proves Spark==SQL; these prove both equal the
+STATISTICS — hand-computed D/U/z/F on fixtures small enough to verify on
+paper, plus an independent pure-python (hashlib) recomputation for the
+hash-split leakage audit. A shared bug in the op and its oracle cannot
+survive these."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+
+from my_polars_ai_spark.operators import all_ops
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: (orderkey, totalprice, priority[, orderdate])."""
+    full = []
+    for r in rows:
+        k, tp, prio = r[0], r[1], r[2]
+        when = r[3] if len(r) > 3 else dt.datetime(1995, 1, 1) + dt.timedelta(days=int(k))
+        full.append((int(k), 1, "O", float(tp), when, prio))
+    spark.createDataFrame(
+        full,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_ks_known_value(spark, tmp_path):
+    # urgent totals {1,2,3}, low totals {3,4,5}: D = max|F1-F2| = 2/3.
+    rows = [
+        (1, 1.0, "1-URGENT"),
+        (2, 2.0, "1-URGENT"),
+        (3, 3.0, "1-URGENT"),
+        (4, 3.0, "5-LOW"),
+        (5, 4.0, "5-LOW"),
+        (6, 5.0, "5-LOW"),
+        (7, 9.0, "3-MEDIUM"),  # other priorities must be excluded
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_ops()["ks_test_priority_totals"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert (r[0].n_urgent, r[0].n_low) == (3, 3)
+    assert r[0].ks_d == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_mannwhitney_known_value(spark, tmp_path):
+    # A = {1,2}, B = {3,4}: R1 = 3, U1 = 0, z = -2/sqrt(5/3) / ... =
+    # (2*U1 - n1*n2) / (2*sigma) with sigma^2 = n1*n2*(N+1)/12 = 5/3.
+    rows = [
+        (1, 1.0, "1-URGENT"),
+        (2, 2.0, "1-URGENT"),
+        (3, 3.0, "5-LOW"),
+        (4, 4.0, "5-LOW"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_ops()["mannwhitney_priority_totals"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_urgent, r.n_low, r.u1_x2) == (2, 2, 0)
+    assert r.z == pytest.approx(-2 / (5 / 3) ** 0.5, abs=1e-6)
+
+
+def test_mannwhitney_all_tied_u(spark, tmp_path):
+    # Identical samples: every comparison ties, U1 = n1*n2/2, z = 0.
+    rows = [
+        (1, 7.0, "1-URGENT"),
+        (2, 7.0, "1-URGENT"),
+        (3, 7.0, "5-LOW"),
+        (4, 7.0, "5-LOW"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_ops()["mannwhitney_priority_totals"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.u1_x2 == 4  # 2*U1 = n1*n2 = 4
+    assert r.z is None  # sigma = 0 when ALL values tie -> z undefined
+
+
+def test_anova_known_value(spark, tmp_path):
+    # groups {1,2,3},{2,3,4},{3,4,5}: SSB=6 (df 2), SSW=6 (df 6) -> F=3.
+    vals = {"1-URGENT": [1, 2, 3], "2-HIGH": [2, 3, 4], "3-MEDIUM": [3, 4, 5]}
+    rows = [
+        (10 * i + j, float(v), prio)
+        for i, (prio, vs) in enumerate(vals.items())
+        for j, v in enumerate(vs)
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_ops()["anova_f_priority_totals"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_groups, r.n_rows) == (3, 9)
+    assert r.f_stat == pytest.approx(3.0, abs=1e-6)
+
+
+def test_brown_forsythe_equal_spread_is_zero(spark, tmp_path):
+    # {1,3,5} and {11,13,15}: both groups deviate {4,0,4} (doubled) from
+    # their medians -> zero between-group variance in the deviations,
+    # nonzero within -> F = 0 exactly.
+    rows = [
+        (1, 1.0, "1-URGENT"),
+        (2, 3.0, "1-URGENT"),
+        (3, 5.0, "1-URGENT"),
+        (4, 11.0, "5-LOW"),
+        (5, 13.0, "5-LOW"),
+        (6, 15.0, "5-LOW"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_ops()["brown_forsythe_priority"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.f_stat == pytest.approx(0.0, abs=1e-6)
+
+
+def test_acf_linear_series_is_one(spark, tmp_path):
+    # One order per day with linearly increasing totals: the lagged
+    # series is a perfect affine function of the original -> r = 1 at
+    # every lag.
+    rows = [
+        (k, 100.0 + 10.0 * k, "1-URGENT", dt.datetime(1995, 1, 1) + dt.timedelta(days=k))
+        for k in range(30)
+    ]
+    _write_orders(spark, tmp_path, rows)
+    got = {r.lag: (r.n_days, r.acf)
+           for r in all_ops()["acf_daily_revenue"].fn(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(1, 8))
+    for lag, (n_days, acf) in got.items():
+        assert n_days == 30 - lag
+        assert acf == pytest.approx(1.0, abs=1e-6)
+
+
+def test_one_hot_row_sum_invariant(spark, sf_dir):
+    rows = all_ops()["one_hot_segment_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        total = (r.seg_automobile + r.seg_building + r.seg_furniture
+                 + r.seg_household + r.seg_machinery)
+        assert total == r.n_customers
+
+
+def test_target_encode_known_value(spark, tmp_path):
+    # brand A: 2 items of 100.00 -> sum 20000 cents; brand B: 2 of
+    # 200.00 -> 40000 cents. prior = 15000 cents, m = 10:
+    # encA = (20000 + 10*15000)/12, encB = (40000 + 10*15000)/12.
+    spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey bigint, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    li = [
+        (1, 1, 100.0),
+        (2, 1, 100.0),
+        (3, 2, 200.0),
+        (4, 2, 200.0),
+    ]
+    spark.createDataFrame(
+        [(k, pk, 1, 1, 1.0, price, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 1))
+         for (k, pk, price) in li],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.brand: r.encoded_cents
+           for r in all_ops()["target_encode_brand"].fn(spark, str(tmp_path)).collect()}
+    assert got["Brand#A"] == pytest.approx(170000 / 12, abs=1e-6)
+    assert got["Brand#B"] == pytest.approx(190000 / 12, abs=1e-6)
+
+
+def test_kfold_shares_sum_to_one(spark, sf_dir):
+    rows = all_ops()["kfold_stratified_assign"].fn(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        assert 0 <= r.fold < 5
+        by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.fold_share
+    for lang, s in by_lang.items():
+        assert s == pytest.approx(1.0, abs=5e-6), lang
+
+
+def test_feature_hash_total_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.sources.tables import load_table
+
+    rows = all_ops()["feature_hash_buckets"].fn(spark, sf_dir).collect()
+    assert rows and all(0 <= r.bucket < 64 for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    expected = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == expected
+
+
+def test_split_leakage_matches_pure_python(spark, tmp_path):
+    # Independent recomputation with hashlib: same 60-bit md5 rule, same
+    # fingerprints — the op must agree exactly, including forced
+    # duplicate texts that land on both sides of the split.
+    texts = [f"doc text {i % 7}" for i in range(40)]  # 7 distinct, heavy dup
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    train: dict[str, int] = {}
+    test: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        fp = hashlib.md5(t.encode()).hexdigest()
+        side = train if h60(f"split:{i}") % 10 < 8 else test
+        side[fp] = side.get(fp, 0) + 1
+    shared = set(train) & set(test)
+    r = all_ops()["split_leakage_audit"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_train == sum(train.values())
+    assert r.n_test == sum(test.values())
+    assert r.leaked_fingerprints == len(shared)
+    assert r.leaked_pairs == sum(train[f] * test[f] for f in shared)
