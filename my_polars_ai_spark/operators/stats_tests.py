@@ -32,7 +32,9 @@ from my_polars_ai_spark.operators.base import (
     Op,
     exact_floor_div,
     make_registrar,
+    oracle_signed_ratio_round,
     ratio_round,
+    signed_ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -686,4 +688,129 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test",
         F.col("pairs").cast("long").alias("leaked_pairs"),
         F.col("fps").cast("long").alias("leaked_fingerprints"),
+    )
+
+
+_WELCH_SQL = f"""
+    WITH g AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+               {_CENTS_SQL} AS v
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), a AS (
+        SELECT
+            sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::HUGEINT AS n1,
+            sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END)::HUGEINT AS n2,
+            sum(CASE WHEN grp = 1 THEN v ELSE 0 END)::HUGEINT AS s1,
+            sum(CASE WHEN grp = 2 THEN v ELSE 0 END)::HUGEINT AS s2,
+            sum(CASE WHEN grp = 1 THEN v*v ELSE 0 END)::HUGEINT AS q1,
+            sum(CASE WHEN grp = 2 THEN v*v ELSE 0 END)::HUGEINT AS q2
+        FROM g
+    ), v AS (
+        SELECT n1, n2,
+               CAST(s1*n2 - s2*n1 AS DOUBLE) / CAST(n1*n2 AS DOUBLE) AS md,
+               CAST(n1*q1 - s1*s1 AS DOUBLE) / CAST(n1*n1*(n1-1) AS DOUBLE) AS v1,
+               CAST(n2*q2 - s2*s2 AS DOUBLE) / CAST(n2*n2*(n2-1) AS DOUBLE) AS v2
+        FROM a
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_low,
+           round(md / nullif(sqrt(v1 + v2), 0), 6) AS t_stat,
+           round((v1 + v2) * (v1 + v2)
+                 / nullif(v1*v1 / CAST(n1 - 1 AS DOUBLE)
+                          + v2*v2 / CAST(n2 - 1 AS DOUBLE), 0), 6) AS df
+    FROM v
+"""
+
+
+@op("welch_t_priority_totals", oracle=_WELCH_SQL, tags=("stats", "test", "agg"))
+def welch_t_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t for 1-URGENT vs 5-LOW order totals,
+    with the Welch–Satterthwaite degrees of freedom — the robust default
+    two-sample mean test (pairs with mannwhitney_priority_totals, its
+    rank-based twin). Everything up to the final expressions is a SINGLE
+    conditional-aggregation pass over the filtered fact scan (six exact
+    integer accumulators, no join at all); t and df are IEEE-portable
+    double expressions mirrored operation-for-operation in the oracle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    is1 = F.col("o_orderpriority") == "1-URGENT"
+    v = _cents()
+    zero = F.lit(0).cast(_D38)
+    a = o.select(is1.alias("g1"), v.alias("v")).agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast(_D38).alias("n1"),
+        F.sum(F.when(~F.col("g1"), 1).otherwise(0)).cast(_D38).alias("n2"),
+        F.sum(F.when(F.col("g1"), F.col("v")).otherwise(zero)).alias("s1"),
+        F.sum(F.when(~F.col("g1"), F.col("v")).otherwise(zero)).alias("s2"),
+        F.sum(F.when(F.col("g1"), F.col("v") * F.col("v")).otherwise(zero)).alias("q1"),
+        F.sum(F.when(~F.col("g1"), F.col("v") * F.col("v")).otherwise(zero)).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    md = (F.col("s1") * n2 - F.col("s2") * n1).cast("double") / (n1 * n2).cast("double")
+    v1 = (n1 * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1 * n1 * (n1 - 1)
+    ).cast("double")
+    v2 = (n2 * F.col("q2") - F.col("s2") * F.col("s2")).cast("double") / (
+        n2 * n2 * (n2 - 1)
+    ).cast("double")
+    se = F.sqrt(v1 + v2)
+    t_stat = F.when(se > 0, F.round(md / se, 6))
+    df_den = v1 * v1 / (n1 - 1).cast("double") + v2 * v2 / (n2 - 1).cast("double")
+    df = F.when(df_den > 0, F.round((v1 + v2) * (v1 + v2) / df_den, 6))
+    return a.select(
+        n1.cast("long").alias("n_urgent"),
+        n2.cast("long").alias("n_low"),
+        t_stat.alias("t_stat"),
+        df.alias("df"),
+    )
+
+
+_ROBUST_SQL = f"""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               CAST(CAST(c_acctbal AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM customer
+    ), q AS (
+        SELECT segment,
+               CAST(round(quantile_cont(cents, 0.5) * 4) AS HUGEINT) AS med4,
+               CAST(round(quantile_cont(cents, 0.75) * 4)
+                    - round(quantile_cont(cents, 0.25) * 4) AS HUGEINT) AS iqr4
+        FROM base GROUP BY 1
+    )
+    SELECT b.c_custkey, b.segment,
+           CASE WHEN q.iqr4 > 0 THEN
+               {oracle_signed_ratio_round('4*b.cents - q.med4', 'q.iqr4')}
+           END AS scaled
+    FROM base b JOIN q USING (segment)
+"""
+
+
+@op("robust_scale_acctbal", oracle=_ROBUST_SQL, tags=("ml", "feature-prep"))
+def robust_scale_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) feature scaling of account balance within
+    each market segment — the outlier-resistant alternative to z-score
+    or min-max (feature_minmax_scale) normalization. Quantile indices at
+    p in {{.25,.5,.75}} interpolate at quarter weights, so 4x the
+    quantile is an exact integer on both engines; the scaled value is
+    the one exact signed rational (4x - med4)/iqr4, NULL when the IQR
+    degenerates to zero. Per-segment quantiles are a 5-row broadcast
+    back onto the scan."""
+    c = _t(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(28,6)") * 100).cast(_D38)
+    base = c.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"), cents.alias("cents")
+    )
+    q = base.groupBy("segment").agg(
+        F.round(F.expr("percentile(cents, 0.5)") * 4).cast(_D38).alias("med4"),
+        (
+            F.round(F.expr("percentile(cents, 0.75)") * 4)
+            - F.round(F.expr("percentile(cents, 0.25)") * 4)
+        ).cast(_D38).alias("iqr4"),
+    )
+    scaled = F.when(
+        F.col("iqr4") > 0,
+        signed_ratio_round(4 * F.col("cents") - F.col("med4"), F.col("iqr4")),
+    )
+    return base.join(F.broadcast(q), "segment").select(
+        "c_custkey", "segment", scaled.alias("scaled")
     )

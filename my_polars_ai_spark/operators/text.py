@@ -2456,3 +2456,175 @@ def distinctive_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
             "log_odds_micro",
         )
     )
+
+
+_PACK_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+               ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0 AND text <> ''
+    ), pos AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (
+                   ORDER BY hv % {_N_SHUFFLE_BUCKETS}, hv, doc_id
+               ) - n_tok AS start
+        FROM t
+    ), frag AS (
+        SELECT source, n_tok,
+               ((start + n_tok - 1) // {PACK_WINDOW_TOKENS})
+                   - (start // {PACK_WINDOW_TOKENS}) + 1 AS fragments
+        FROM pos
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN fragments > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossing_docs,
+           CAST(sum(fragments) AS BIGINT) AS total_fragments,
+           {oracle_ratio_round('sum(fragments)', 'count(*)')} AS avg_fragments
+    FROM frag GROUP BY source
+"""
+
+
+@op(
+    "pack_windows_concat",
+    oracle=_PACK_SQL,
+    tags=("text", "pipeline", "training-data"),
+)
+def pack_windows_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-packing fragmentation report: stream the corpus
+    in the seeded deterministic shuffle order (same hash order as
+    `global_shuffle_row_number`), concatenate token runs into 512-token
+    windows, and measure how many documents straddle a window boundary
+    (fragments = windows a doc touches). The complement of
+    `padding_waste_stats`: packing wastes zero pad but fragments
+    documents — this op prices that trade. The global token prefix sum
+    uses the same 64-bucket two-pass pattern (per-bucket window + a
+    64-row broadcast offset table), so nothing sorts in one task at
+    100 TB."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    W = PACK_WINDOW_TOKENS
+    hv = portable_hash60(F.concat(F.lit("shuffle42:"), F.col("doc_id").cast("string")))
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("decimal(38,0)").alias("n_tok"),
+        hv.alias("hv"),
+    ).filter(F.col("n_tok") > 0).withColumn(
+        "bucket", F.pmod("hv", F.lit(_N_SHUFFLE_BUCKETS))
+    )
+    w_in = Window.partitionBy("bucket").orderBy("hv", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = t.withColumn("in_cum", F.sum("n_tok").over(w_in))
+    btot = t.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0).cast("decimal(38,0)")).alias("off"),
+    )
+    pos = t.join(F.broadcast(offsets), "bucket").select(
+        "source",
+        "n_tok",
+        (F.col("off") + F.col("in_cum") - F.col("n_tok")).alias("start"),
+    )
+    fragments = (
+        exact_floor_div(F.col("start") + F.col("n_tok") - 1, F.lit(W))
+        - exact_floor_div(F.col("start"), F.lit(W))
+        + 1
+    )
+    frag = pos.select("source", "n_tok", fragments.alias("fragments"))
+    return frag.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum((F.col("fragments") > 1).cast("int")).cast("long").alias("n_crossing_docs"),
+        F.sum("fragments").cast("long").alias("total_fragments"),
+        ratio_round(F.sum("fragments"), F.count(F.lit(1))).alias("avg_fragments"),
+    )
+
+
+_LANG_TEMP_SQL = f"""
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1
+    ), s AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT) AS sq
+        FROM c
+    ), t AS (
+        SELECT sum(n) AS tn, sum(sq) AS tsq FROM s
+    )
+    SELECT s.lang,
+           CAST(s.n AS BIGINT) AS n_docs,
+           {oracle_ratio_round('s.n', 't.tn')} AS p_share,
+           {oracle_ratio_round('s.sq', 't.tsq')} AS sampled_share
+    FROM s CROSS JOIN t
+"""
+
+
+@op(
+    "lang_sampling_temperature",
+    oracle=_LANG_TEMP_SQL,
+    tags=("text", "pipeline", "training-data"),
+)
+def lang_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the mBERT /
+    XLM-R exponent trick, alpha = 0.5): w_l proportional to sqrt(p_l),
+    which up-samples tail languages without letting the head dominate.
+    sqrt is the one non-rational step — IEEE-754 sqrt is correctly
+    rounded, so floor(sqrt(n) * 1e6) is the identical integer on both
+    engines, and every share after that is exact integer arithmetic
+    over a languages-bounded aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    s = c.withColumn(
+        "sq",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000.0).cast("decimal(38,0)"),
+    )
+    t = s.agg(F.sum("n").alias("tn"), F.sum("sq").alias("tsq"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        ratio_round(F.col("n"), F.col("tn")).alias("p_share"),
+        ratio_round(F.col("sq"), F.col("tsq")).alias("sampled_share"),
+    )
+
+
+_SPECTRUM_SQL = """
+    WITH tok AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    ), tc AS (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    )
+    SELECT CAST(c AS BIGINT) AS occurrences,
+           CAST(count(*) AS BIGINT) AS n_token_types
+    FROM tc GROUP BY c
+"""
+
+
+@op(
+    "token_frequency_spectrum",
+    oracle=_SPECTRUM_SQL,
+    tags=("text", "stats", "training-data"),
+)
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum (how many token types occur
+    exactly k times) — the input table of Good–Turing smoothing and the
+    quickest corpus-health fingerprint (a missing hapax tail means
+    boilerplate or deduplication gone wrong). Two map-side-combinable
+    aggregations: token counts (vocabulary-sized), then the bounded
+    count-of-counts."""
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy(F.col("c").alias("occurrences")).agg(
+        F.count(F.lit(1)).alias("n_token_types")
+    )

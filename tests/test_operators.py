@@ -29,19 +29,22 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R5
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
+    assert _PRIORITY == _PRIORITY_R5  # round-5 rotation is live
     window = set(ordered[:50])
+    # R5 canaries: one driver-green representative per north-star family
+    # (with the staged swaps applied — tolerance as-of, attribution
+    # stream-twin, GROUPED_AGG UDAF, weighted Bernoulli sampling).
     canaries = {
         "dedup_minhash_lsh", "dedup_cluster_canonical",   # dedup family
-        "ann_lsh_cosine", "ivf_cosine_topk",              # similarity / ANN
+        "ann_lsh_cosine",                                 # similarity / ANN
         "tfidf_top_terms",                                # text analysis
-        "multimodal_decode", "frame_sample_chunks",       # multimodal
-        "pandas_udf_sigmoid", "ema_per_user", "udtf_bigrams",  # UDF surface
-        "asof_join_backward", "tumbling_window_hourly",   # as-of / event-time
-        "stratified_sample", "sql_api_revenue",           # sampling / SQL API
+        "grouped_agg_sum_squares", "udtf_bigrams",        # UDF surface
+        "asof_join_tolerance", "view_purchase_attribution",  # as-of / event-time
+        "weighted_bernoulli_sample", "sql_api_revenue",   # sampling / SQL API
         "flagship_revenue_by_nation", "tpch_q1_pricing_summary",  # TPC-H
     }
     missing = canaries - window

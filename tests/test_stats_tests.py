@@ -213,3 +213,71 @@ def test_split_leakage_matches_pure_python(spark, tmp_path):
     assert r.n_test == sum(test.values())
     assert r.leaked_fingerprints == len(shared)
     assert r.leaked_pairs == sum(train[f] * test[f] for f in shared)
+
+
+def test_welch_t_identical_groups(spark, tmp_path):
+    # Identical samples: t = 0; df = (2v)^2 / (2*v^2/2) = 4 = n1+n2-2.
+    rows = [
+        (1, 1.0, "1-URGENT"), (2, 2.0, "1-URGENT"), (3, 3.0, "1-URGENT"),
+        (4, 1.0, "5-LOW"), (5, 2.0, "5-LOW"), (6, 3.0, "5-LOW"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_ops()["welch_t_priority_totals"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_urgent, r.n_low) == (3, 3)
+    assert r.t_stat == pytest.approx(0.0, abs=1e-6)
+    assert r.df == pytest.approx(4.0, abs=1e-6)
+
+
+def test_robust_scale_known_values(spark, tmp_path):
+    # balances {0,100,200,300,400}: median 200, IQR 200 ->
+    # scaled(400) = 1, scaled(0) = -1, scaled(200) = 0.
+    spark.createDataFrame(
+        [(i + 1, f"c{i}", 1, 100.0 * i, "BUILDING") for i in range(5)],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    got = {r.c_custkey: r.scaled
+           for r in all_ops()["robust_scale_acctbal"].fn(spark, str(tmp_path)).collect()}
+    assert got[1] == pytest.approx(-1.0, abs=1e-6)
+    assert got[3] == pytest.approx(0.0, abs=1e-6)
+    assert got[5] == pytest.approx(1.0, abs=1e-6)
+
+
+def _write_docs(spark, tmp_path, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    spark.createDataFrame(
+        [(i, t, langs[i], "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_token_frequency_spectrum_known(spark, tmp_path):
+    _write_docs(spark, tmp_path, ["a a b", "a c"])
+    got = {r.occurrences: r.n_token_types
+           for r in all_ops()["token_frequency_spectrum"].fn(spark, str(tmp_path)).collect()}
+    assert got == {3: 1, 1: 2}  # a:3; b,c:1
+
+
+def test_lang_sampling_temperature_known(spark, tmp_path):
+    # counts en=4, de=1: p = .8/.2, sqrt-weights 2e6/1e6 -> 2/3, 1/3.
+    _write_docs(spark, tmp_path, ["x"] * 5, langs=["en"] * 4 + ["de"])
+    got = {r.lang: (r.p_share, r.sampled_share)
+           for r in all_ops()["lang_sampling_temperature"].fn(spark, str(tmp_path)).collect()}
+    assert got["en"][0] == pytest.approx(0.8, abs=1e-6)
+    assert got["en"][1] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["de"][1] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_pack_windows_fragmentation_invariant(spark, tmp_path):
+    # Two 600-token docs concat-packed into 512-token windows: tokens
+    # [0,600) and [600,1200) each straddle exactly one boundary
+    # regardless of which doc the shuffle puts first.
+    _write_docs(spark, tmp_path, [" ".join(["t"] * 600), " ".join(["u"] * 600)])
+    rows = all_ops()["pack_windows_concat"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 2
+    assert r.n_tokens == 1200
+    assert r.n_crossing_docs == 2
+    assert r.total_fragments == 4
+    assert r.avg_fragments == pytest.approx(2.0, abs=1e-6)
