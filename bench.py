@@ -66,6 +66,11 @@ HEADLINE = [
     "ohlc_bars_hourly",
     "scd2_point_in_time_join",
     "rfm_segments",
+    # round-5: the two structurally-new shapes — banded two-pass ECDF
+    # prefix sums (KS test) and banded token prefix sums over the
+    # deterministic shuffle order (concat packing)
+    "ks_test_priority_totals",
+    "pack_windows_concat",
 ]
 
 

@@ -294,3 +294,50 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "prio": "1-URGENT"},
     )
+
+
+@op(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.total_cents
+    FROM customer c
+    JOIN LATERAL (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS BIGINT)
+                   AS total_cents
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY total_cents DESC, o_orderkey
+        LIMIT 2
+    ) o ON true
+    WHERE c.c_custkey <= 500
+    """,
+    tags=("sql", "lateral", "topk"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): top-2 orders
+    per customer expressed as `JOIN LATERAL (... ORDER BY ... LIMIT 2)`
+    — the SQL-native spelling of window_topk_per_group. Catalyst
+    rewrites the correlated limit into a partitioned rank filter, so the
+    physical plan is the same shuffle-once window top-k, not N
+    per-customer probes; ties break on the unique order key on both
+    engines. The custkey cap keeps the driver-compare output bounded —
+    the plan shape is customer-count-independent."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.total_cents
+        FROM customer_lv c
+        JOIN LATERAL (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS BIGINT)
+                       AS total_cents
+            FROM orders_lv
+            WHERE o_custkey = c.c_custkey
+            ORDER BY total_cents DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 500
+        """
+    )

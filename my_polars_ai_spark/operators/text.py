@@ -2628,3 +2628,140 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.groupBy(F.col("c").alias("occurrences")).agg(
         F.count(F.lit(1)).alias("n_token_types")
     )
+
+
+# round(ln(2)*1e6) — the closed-form KL term for tokens absent from the
+# other source (p ln(2p/(p+0)) = p ln 2), so only CO-OCCURRING tokens
+# ever join.
+_LN2_MICRO = 693147
+
+_JS_SQL = f"""
+    WITH tok AS (
+        SELECT source, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    ), tc AS (
+        SELECT source, tok, CAST(count(*) AS HUGEINT) AS c FROM tok GROUP BY 1, 2
+    ), n AS (
+        SELECT source, CAST(sum(c) AS HUGEINT) AS n FROM tc GROUP BY 1
+    ), co AS (
+        SELECT a.source AS sa, b.source AS sb, na.n AS na, nb.n AS nb,
+               a.c AS ac,
+               CAST(round(ln(CAST(2*a.c*nb.n AS DOUBLE)
+                             / CAST(a.c*nb.n + b.c*na.n AS DOUBLE)) * 1000000)
+                    AS HUGEINT) AS ln_micro
+        FROM tc a
+        JOIN tc b ON b.tok = a.tok AND b.source <> a.source
+        JOIN n na ON na.source = a.source
+        JOIN n nb ON nb.source = b.source
+    ), part AS (
+        SELECT p.sa, p.sb, p.na, p.nb,
+               coalesce(g.pnum, 0) + (p.na - coalesce(g.aco, 0)) * {_LN2_MICRO}
+                   AS pnum
+        FROM (
+            SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+            FROM n a JOIN n b ON a.source <> b.source
+        ) p
+        LEFT JOIN (
+            SELECT sa, sb, sum(ac * ln_micro) AS pnum, sum(ac) AS aco
+            FROM co GROUP BY 1, 2
+        ) g ON g.sa = p.sa AND g.sb = p.sb
+    )
+    SELECT x.sa AS source_a, x.sb AS source_b,
+           CAST((CASE WHEN (x.pnum*x.nb + y.pnum*x.na) < 0 THEN -1 ELSE 1 END)
+                * ((2*abs(x.pnum*x.nb + y.pnum*x.na) + 2*x.na*x.nb)
+                   // (2*(2*x.na*x.nb))) AS BIGINT) AS js_micro_nats
+    FROM part x
+    JOIN part y ON y.sa = x.sb AND y.sb = x.sa
+    WHERE x.sa < x.sb
+"""
+
+
+@op(
+    "js_divergence_sources",
+    oracle=_JS_SQL,
+    tags=("text", "stats", "drift", "training-data"),
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the token
+    distributions of every source pair — the symmetric, bounded (≤ ln 2)
+    drift distance behind 'which crawl sources actually differ?'
+    (complements psi_source_drift's per-source-vs-corpus view and
+    distinctive_tokens_per_source's per-token view). Exactness: each
+    co-occurring token's ln term is rounded ONCE to integer micro-nats
+    (the token_entropy_per_doc convention), absent-token mass uses the
+    closed form p·ln2, so every sum is exact integer arithmetic and the
+    final rational is half-up rounded once.
+
+    Scale shape: only CO-OCCURRING tokens join (one vocab-keyed shuffle,
+    per-token fanout bounded by sources²=400); everything after is
+    pair-bounded (380 rows). The absent-token closed form is what keeps
+    the disjoint-vocabulary mass out of the join entirely."""
+    d = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    n = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tc.select(
+        F.col("source").alias("sa"), F.col("tok").alias("tok"), F.col("c").alias("ac")
+    )
+    b = tc.select(
+        F.col("source").alias("sb"), F.col("tok").alias("tok"), F.col("c").alias("bc")
+    )
+    na = n.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    co = (
+        a.join(b, ["tok"])
+        .filter(F.col("sa") != F.col("sb"))
+        .join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+    )
+    ln_arg = (2 * F.col("ac") * F.col("nb")).cast("double") / (
+        F.col("ac") * F.col("nb") + F.col("bc") * F.col("na")
+    ).cast("double")
+    ln_micro = F.round(F.log(ln_arg) * 1000000).cast(dec)
+    g = co.select("sa", "sb", "ac", ln_micro.alias("ln_micro")).groupBy(
+        "sa", "sb"
+    ).agg(
+        F.sum(F.col("ac") * F.col("ln_micro")).alias("pnum"),
+        F.sum("ac").alias("aco"),
+    )
+    pairs = (
+        na.crossJoin(nb)
+        .filter(F.col("sa") != F.col("sb"))
+        .join(g, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            "na",
+            "nb",
+            (
+                F.coalesce(F.col("pnum"), F.lit(0).cast(dec))
+                + (F.col("na") - F.coalesce(F.col("aco"), F.lit(0).cast(dec)))
+                * _LN2_MICRO
+            ).alias("pnum"),
+        )
+    )
+    x = pairs
+    y = pairs.select(
+        F.col("sa").alias("sb"),
+        F.col("sb").alias("sa"),
+        F.col("pnum").alias("pnum_rev"),
+    )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    merged = x.join(y, ["sa", "sb"]).filter(F.col("sa") < F.col("sb"))
+    js_micro = signed_ratio_round(
+        F.col("pnum") * F.col("nb") + F.col("pnum_rev") * F.col("na"),
+        2 * F.col("na") * F.col("nb"),
+        scale=0,
+    )
+    return merged.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        js_micro.cast("long").alias("js_micro_nats"),
+    )

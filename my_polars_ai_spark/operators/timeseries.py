@@ -1927,3 +1927,104 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _sum4_value().alias("sum_value"),
     )
+
+
+@op(
+    "concurrency_duration_profile",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, sid, min(ts) AS s_start,
+               max(ts) + INTERVAL 10 MINUTE AS s_end
+        FROM numbered GROUP BY user_id, sid
+    ), bounds AS (
+        SELECT s_start AS ts, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT s_end, -1 FROM sessions
+    ), running AS (
+        SELECT sum(delta) OVER (ORDER BY ts, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS live,
+               epoch_us(lead(ts) OVER (ORDER BY ts, delta)) - epoch_us(ts)
+                   AS dur_us
+        FROM bounds
+    )
+    SELECT CAST(live AS BIGINT) AS concurrency,
+           CAST(sum(dur_us) AS BIGINT) AS total_micros
+    FROM running WHERE dur_us IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("timeseries", "window", "scale-pattern"),
+)
+def concurrency_duration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long the system spent at EACH concurrency level (the load
+    duration curve behind capacity sizing — max_concurrent_sessions
+    gives the peak, this gives the whole distribution, idle time
+    included). The oracle states the textbook global sweep-line with a
+    global lead; the Spark plan replaces BOTH scale-killers: the running
+    level uses the hourly-bucket two-pass prefix sum (as
+    max_concurrent_sessions), and the global lead(ts) becomes an
+    in-bucket lead stitched across buckets by joining the bounded
+    bucket table's next-bucket min — no unpartitioned window touches
+    event-scale rows. Durations are exact integer microseconds;
+    zero-length states from tied boundaries contribute 0 to every
+    level, so tie order cannot change any total."""
+    sessions = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("sw.start").alias("s_start"), F.col("sw.end").alias("s_end"))
+    )
+    bounds = sessions.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    bucketed = bounds.withColumn("bucket", F.date_trunc("hour", "ts"))
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("delta").alias("bsum"), F.min("ts").alias("bmin")
+    )
+    w_buckets = Window.orderBy("bucket")
+    w_off = w_buckets.rowsBetween(Window.unboundedPreceding, -1)
+    # bounded (calendar-hours) table: running offset + next bucket's
+    # first boundary, both broadcast back onto the event-scale rows
+    bucket_meta = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bsum").over(w_off), F.lit(0)).alias("offset"),
+        F.lead("bmin").over(w_buckets).alias("next_bmin"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("bucket").orderBy("ts", "delta")
+    running = (
+        bucketed.join(F.broadcast(bucket_meta), "bucket")
+        .select(
+            (F.col("offset") + F.sum("delta").over(w_in)).alias("live"),
+            (
+                F.unix_micros(
+                    F.coalesce(F.lead("ts").over(w_lead), F.col("next_bmin"))
+                )
+                - F.unix_micros("ts")
+            ).alias("dur_us"),
+        )
+    )
+    return (
+        running.filter(F.col("dur_us").isNotNull())
+        .groupBy(F.col("live").cast("long").alias("concurrency"))
+        .agg(F.sum("dur_us").cast("long").alias("total_micros"))
+    )

@@ -1,0 +1,100 @@
+"""Known-value tests for the round-5 wave-3 operators
+(concurrency_duration_profile, js_divergence_sources, sql_lateral_topk)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from my_polars_ai_spark.operators import all_ops
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, user_id, ts)."""
+    spark.createDataFrame(
+        [(eid, ts, uid, "view", 1.0, "{}") for (eid, uid, ts) in rows],
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+
+def test_concurrency_profile_known(spark, tmp_path):
+    # u1 session [00:00, 00:10), u2 session [00:05, 00:15):
+    # level 1 for [00:00,00:05) + [00:10,00:15) = 600s, level 2 for
+    # [00:05,00:10) = 300s.
+    t0 = dt.datetime(2001, 1, 1, 0, 0, 0)
+    _write_events(
+        spark, tmp_path,
+        [(1, 1, t0), (2, 2, t0 + dt.timedelta(minutes=5))],
+    )
+    got = {r.concurrency: r.total_micros
+           for r in all_ops()["concurrency_duration_profile"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1: 600_000_000, 2: 300_000_000}
+
+
+def test_concurrency_profile_includes_idle_gap(spark, tmp_path):
+    # Two disjoint sessions an hour apart: the gap between them is
+    # level-0 time (50 min between first session end and second start).
+    t0 = dt.datetime(2001, 1, 1, 0, 0, 0)
+    _write_events(
+        spark, tmp_path,
+        [(1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=60))],
+    )
+    got = {r.concurrency: r.total_micros
+           for r in all_ops()["concurrency_duration_profile"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1: 1_200_000_000, 0: 3_000_000_000}
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, source)."""
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for (i, t, s) in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_js_divergence_identical_and_disjoint(spark, tmp_path):
+    # srcA == srcB token distribution -> JS = 0.
+    # srcA vs srcC disjoint vocab -> JS = ln 2.
+    _write_docs(spark, tmp_path, [
+        (1, "x y", "sA"),
+        (2, "x y", "sB"),
+        (3, "p q", "sC"),
+    ])
+    got = {(r.source_a, r.source_b): r.js_micro_nats
+           for r in all_ops()["js_divergence_sources"].fn(spark, str(tmp_path)).collect()}
+    assert got[("sA", "sB")] == 0
+    assert got[("sA", "sC")] == pytest.approx(round(math.log(2) * 1e6), abs=2)
+    assert set(got) == {("sA", "sB"), ("sA", "sC"), ("sB", "sC")}
+
+
+def test_sql_lateral_topk_known(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "BUILDING"), (2, "c2", 1, 0.0, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        (10, 1, 50.0), (11, 1, 70.0), (12, 1, 60.0),  # cust 1: top2 = 11,12
+        (20, 2, 10.0),                                 # cust 2: only one
+    ]
+    spark.createDataFrame(
+        [(k, c, "O", p, dt.datetime(1995, 1, 1), "1-URGENT") for (k, c, p) in orders],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = all_ops()["sql_lateral_topk"].fn(spark, str(tmp_path)).collect()
+    got = {(r.c_custkey, r.o_orderkey) for r in rows}
+    assert got == {(1, 11), (1, 12), (2, 20)}
+
+
+def test_sql_lateral_topk_plan_is_window_not_probe(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL limit into a partitioned
+    window/rank, not a nested-loop per-customer probe."""
+    plan = (
+        all_ops()["sql_lateral_topk"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
