@@ -97,3 +97,47 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SEG_STATUSES = ("F", "O", "P")
+
+
+@op(
+    "pivot_multi_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {", ".join(
+               f"round(sum(CASE WHEN l_linestatus = '{s}' THEN l_quantity END), {ROUND_MONEY}) AS qty_{s}, "
+               f"CAST(count(CASE WHEN l_linestatus = '{s}' THEN 1 END) AS BIGINT) AS n_{s}"
+               for s in _SEG_STATUSES
+           )}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("reshape", "pivot", "agg"),
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (Polars
+    pivot(values=[...], aggregate_function=...) with several measures):
+    qty sum AND row count per line status, wide per return flag. The
+    explicit value list skips Spark's distinct-discovery job, and the
+    result columns are renamed to a stable contract (qty_F/n_F/...)
+    because Spark's default `{{value}}_{{agg}}` names would leak agg
+    aliases into the schema. One shuffle; each CASE-style pivot cell is
+    map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", list(_SEG_STATUSES))
+        .agg(
+            F.round(F.sum("l_quantity"), ROUND_MONEY).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cols = [F.col("l_returnflag")]
+    for s in _SEG_STATUSES:
+        cols.append(F.col(f"{s}_qty").alias(f"qty_{s}"))
+        # count over zero rows: pivot yields NULL, the oracle's
+        # count(CASE...) yields 0 — normalize to 0
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("long").alias(f"n_{s}"))
+    return pv.select(*cols)

@@ -555,6 +555,61 @@ SELECT q_id, neighbor_id, round(cos, {ROUND_RATIO}) AS cos, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 PQ_SHORTLIST = 64  # ADC shortlist size fed to the exact rerank
+
+
+def _pq_norm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized corpus for the PQ family: min L2 == max cosine on
+    the unit sphere, so PQ's metric agrees with the cosine rankers
+    (raw-L2 PQ measured 0.2 recall vs cosine brute; normalized ~0.7+
+    with the same codebook). cache(): feeds multiple consumers (seed
+    sample, subspace distances, exact rerank sides)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", _as_double(F.col("embedding")).alias("v0"))
+        .withColumn("nrm", _norm(F.col("v0")))
+        .select("vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("v"))
+        .cache()
+    )
+
+
+def _pq_cdist(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Rounded subspace distance of every vector to every PQ centroid:
+    (vec_id, m, k, d2). The md5-seeded codebook is a bounded M*K-row
+    broadcast (the KMeansModel.clusterCenters() analogue); distances
+    round at scale 6 so ulp drift can't flip an argmin."""
+    seeds = (
+        corpus.withColumn("h", F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: (r.h, r.vec_id))
+    codebook = spark.createDataFrame(
+        [
+            (m, k, [float(x) for x in r.v[m * PQ_SUB : (m + 1) * PQ_SUB]])
+            for k, r in enumerate(seeds)
+            for m in range(PQ_M)
+        ],
+        "m INT, k INT, csub ARRAY<DOUBLE>",
+    )
+    subs = (
+        corpus.select(
+            "vec_id",
+            "v",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        )
+        .withColumn("vsub", F.expr(f"slice(v, m * {PQ_SUB} + 1, {PQ_SUB})"))
+        .drop("v")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("vsub"), F.col("csub"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        ROUND_RATIO,
+    )
+    return subs.join(F.broadcast(codebook), "m").select("vec_id", "m", "k", d2.alias("d2"))
 _PQ_ORACLE = _PQ_ORACLE.replace("{PQ_SHORTLIST}", str(PQ_SHORTLIST))
 
 
@@ -586,57 +641,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook as 128 literal-array expressions — a ~100k-node Catalyst
     tree that cost ~7s of driver-side analysis per call; the relational
     form is 10x faster end-to-end and is also the oracle's shape.)"""
-    e = _t(spark, sf_dir, "embeddings")
-    # L2-normalize first: min L2 == max cosine on the unit sphere, so the
-    # ADC ranking agrees with the cosine rankers (raw-L2 PQ measured 0.2
-    # recall vs cosine brute; normalized ~0.7+ with the same codebook).
-    # cache(): the normalized corpus feeds FOUR consumers (seed sample,
-    # subspace distances, and both sides of the exact rerank) — without it
-    # the scan+normalize subtree re-executes per consumer.
-    corpus = (
-        e.select("vec_id", _as_double(F.col("embedding")).alias("v0"))
-        .withColumn("nrm", _norm(F.col("v0")))
-        .select("vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("v"))
-        .cache()
-    )
-
-    seeds = (
-        corpus.withColumn("h", F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))))
-        .orderBy("h", "vec_id")
-        .limit(PQ_K)
-        .collect()
-    )
-    seeds = sorted(seeds, key=lambda r: (r.h, r.vec_id))
-    # codebook as a (m, k, centroid_sub) table — M*K rows, broadcast
-    codebook = spark.createDataFrame(
-        [
-            (m, k, [float(x) for x in r.v[m * PQ_SUB : (m + 1) * PQ_SUB]])
-            for k, r in enumerate(seeds)
-            for m in range(PQ_M)
-        ],
-        "m INT, k INT, csub ARRAY<DOUBLE>",
-    )
-
-    # cdist: rounded subspace distance of every vector to every centroid —
-    # one broadcast join, one small zip_with expression
-    subs = (
-        corpus.select(
-            "vec_id",
-            "v",
-            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
-        )
-        .withColumn("vsub", F.expr(f"slice(v, m * {PQ_SUB} + 1, {PQ_SUB})"))
-        .drop("v")
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("vsub"), F.col("csub"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        ROUND_RATIO,
-    )
-    cdist = subs.join(F.broadcast(codebook), "m").select("vec_id", "m", "k", d2.alias("d2"))
+    corpus = _pq_norm_corpus(spark, sf_dir)
+    cdist = _pq_cdist(spark, corpus)
     # argmin per (vector, subspace): min_by over a (d2, k) struct —
     # map-side combinable, ties to the lower k
     codes = cdist.groupBy("vec_id", "m").agg(
@@ -1241,3 +1247,134 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("string").alias("cov_num_str"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+_PQ_DISTORTION_ORACLE = f"""
+WITH corpus AS MATERIALIZED (
+    SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v0,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))) AS nrm
+        FROM embeddings
+    )
+), seeds AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+           v AS cv
+    FROM corpus QUALIFY k < {PQ_K}
+), cdist AS (
+    SELECT c.vec_id, m.m, s.k,
+           round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                 i -> (c.v[m.m * {PQ_SUB} + i] - s.cv[m.m * {PQ_SUB} + i]) ^ 2)),
+                 {ROUND_RATIO}) AS d2
+    FROM corpus c
+    CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m
+    CROSS JOIN seeds s
+), best AS (
+    SELECT m, d2 FROM (
+        SELECT vec_id, m, d2,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS r
+        FROM cdist
+    ) WHERE r = 1
+)
+SELECT CAST(m AS INTEGER) AS m,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((2*{10**ROUND_RATIO}*sum(CAST(CAST(d2 AS DECIMAL(18,6)) * {10**ROUND_RATIO} AS HUGEINT))
+             + count(*)*{10**ROUND_RATIO})
+            // (2*count(*)*{10**ROUND_RATIO}) AS DOUBLE) / {10**ROUND_RATIO}
+           AS avg_d2
+FROM best GROUP BY m
+"""
+
+
+@op(
+    "pq_distortion_report",
+    oracle=_PQ_DISTORTION_ORACLE,
+    tags=("similarity", "ann", "pq", "report"),
+)
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion — mean squared distance
+    from each vector's subvector to its ASSIGNED centroid, the number
+    that tells you which subspace's codebook is under-fitting (the
+    `imbalance factor` check every production PQ index ships with).
+    Reuses the exact same md5-seeded codebook + rounded-distance
+    pipeline as pq_adc_topk (one broadcast join, map-side-combined
+    argmin); the average is exact integer arithmetic over
+    DECIMAL(18,6) micro-units. Output is M rows."""
+    corpus = _pq_norm_corpus(spark, sf_dir)
+    cdist = _pq_cdist(spark, corpus)
+    best = cdist.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "k")).alias("s")
+    ).select("m", F.col("s.d2").alias("d2"))
+    p = 10**ROUND_RATIO
+    sum_micro = F.sum(
+        (F.col("d2").cast("decimal(18,6)") * p).cast("decimal(38,0)")
+    )
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    from my_polars_ai_spark.operators.base import exact_floor_div
+
+    avg = (
+        exact_floor_div(2 * p * sum_micro + n * p, 2 * n * p).cast("double") / p
+    )
+    return best.groupBy(F.col("m").cast("int").alias("m")).agg(
+        n.cast("long").alias("n_vectors"),
+        avg.alias("avg_d2"),
+    )
+
+
+# Recall audit oracle: composes the two already-registered oracles as
+# derived tables — the audit is DEFINED in terms of the ops it audits.
+_RECALL_ORACLE = f"""
+WITH brute AS ({{BRUTE}}),
+ann AS ({{ANN}})
+SELECT b.q_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({TOP_K} AS BIGINT) AS k,
+       {oracle_ratio_round('count(a.neighbor_id)', str(TOP_K))} AS recall
+FROM brute b
+LEFT JOIN ann a ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.q_id
+"""
+
+
+def _recall_oracle() -> str:
+    return _RECALL_ORACLE.replace("{BRUTE}", OPS["cosine_topk_brute"].oracle).replace(
+        "{ANN}", OPS["ann_lsh_cosine"].oracle
+    )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH ANN index against the exact
+    brute-force top-k — the index-governance number a production ANN
+    deployment tracks on every rebuild ('did the new hyperplane count
+    drop recall?'). Composed FROM the registered ops themselves (same
+    plans, same caches), so this audit can never drift from what users
+    actually run; the oracle likewise embeds the two ops' oracle
+    queries as derived tables. Both sides are deterministic
+    (md5-derived hyperplanes), so even the recall of an *approximate*
+    index is hash-checked exactly."""
+    brute = OPS["cosine_topk_brute"].fn(spark, sf_dir).select("q_id", "neighbor_id")
+    ann = (
+        OPS["ann_lsh_cosine"].fn(spark, sf_dir)
+        .select("q_id", F.col("neighbor_id").alias("ann_neighbor"))
+    )
+    hits = brute.join(
+        ann,
+        (brute.q_id == ann.q_id) & (brute.neighbor_id == ann.ann_neighbor),
+        "left",
+    ).select(brute.q_id.alias("q_id"), "ann_neighbor")
+    return hits.groupBy("q_id").agg(
+        F.count("ann_neighbor").alias("n_hits"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        ratio_round(
+            F.count("ann_neighbor").cast("decimal(38,0)"),
+            F.lit(TOP_K).cast("decimal(38,0)"),
+        ).alias("recall"),
+    )
+
+
+OPS["ann_recall_report"] = Op(
+    name="ann_recall_report",
+    fn=ann_recall_report,
+    oracle=_recall_oracle(),
+    tags=("similarity", "ann", "report"),
+    doc=ann_recall_report.__doc__ or "",
+)

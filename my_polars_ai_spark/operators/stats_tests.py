@@ -147,7 +147,10 @@ def ks_test_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|cum1*n2 - cum2*n1| stays integer to the end and is half-up
     rounded once at micro precision. ECDF prefix sums use value-range
     bands (~20) + broadcast offsets — no global sort task."""
-    v = _two_sample_value_counts(spark, sf_dir)
+    # cache(): the value table feeds BOTH the totals reduce and the
+    # deviation scan (a diamond) — without it the banded-window subtree
+    # executes twice (measured 1.7s -> ~1s at sf0.1 in-bench).
+    v = _two_sample_value_counts(spark, sf_dir).cache()
     n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     d = (
         v.crossJoin(F.broadcast(n))

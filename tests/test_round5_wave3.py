@@ -98,3 +98,49 @@ def test_sql_lateral_topk_plan_is_window_not_probe(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_report_consistency(spark, sf_dir):
+    """Recall must equal |ann ∩ brute@k| / k computed independently from
+    the two underlying ops' own outputs."""
+    from my_polars_ai_spark.operators.similarity import TOP_K
+
+    ops = all_ops()
+    brute = {(r.q_id, r.neighbor_id)
+             for r in ops["cosine_topk_brute"].fn(spark, sf_dir).collect()}
+    ann = {(r.q_id, r.neighbor_id)
+           for r in ops["ann_lsh_cosine"].fn(spark, sf_dir).collect()}
+    report = {r.q_id: (r.n_hits, r.recall)
+              for r in ops["ann_recall_report"].fn(spark, sf_dir).collect()}
+    for q in {q for (q, _) in brute}:
+        hits = len({(a, b) for (a, b) in brute if a == q} & ann)
+        assert report[q][0] == hits
+        assert report[q][1] == pytest.approx(hits / TOP_K, abs=1e-6)
+
+
+def test_pq_distortion_nonnegative_and_complete(spark, sf_dir):
+    from my_polars_ai_spark.operators.similarity import PQ_M
+
+    rows = all_ops()["pq_distortion_report"].fn(spark, sf_dir).collect()
+    assert {r.m for r in rows} == set(range(PQ_M))
+    n0 = rows[0].n_vectors
+    for r in rows:
+        assert r.avg_d2 >= 0
+        assert r.n_vectors == n0  # every subspace covers every vector
+
+
+def test_pivot_multi_agg_zero_count_is_zero_not_null(spark, tmp_path):
+    # No 'P'-status rows in the fixture: n_P must be 0 (not NULL) to
+    # match the SQL count() contract; qty_P stays NULL (sum of nothing).
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 2.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 1)),
+         (2, 1, 1, 1, 3.0, 10.0, 0.0, 0.0, "N", "F", dt.datetime(1995, 1, 1))],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = all_ops()["pivot_multi_agg"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_F, r.n_O, r.n_P) == (1, 1, 0)
+    assert r.qty_P is None
+    assert r.qty_F == pytest.approx(3.0)
