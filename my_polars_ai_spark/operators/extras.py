@@ -3116,3 +3116,152 @@ def fano_burstiness_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast(d38) * F.col("sx"),
         ).alias("fano_factor"),
     )
+
+
+L_DIVERSITY = 2
+
+_L_DIV_SQL = f"""
+    WITH tagged AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS balance_band
+        FROM customer
+    ), g AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS group_size,
+               count(DISTINCT balance_band) AS n_distinct_sensitive
+        FROM tagged GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(n_distinct_sensitive AS BIGINT) AS n_distinct_sensitive,
+           CAST(n_distinct_sensitive < {L_DIVERSITY} AS INT) AS violates_l
+    FROM g
+"""
+
+
+@op(
+    "l_diversity_audit",
+    oracle=_L_DIV_SQL,
+    tags=("governance", "privacy", "agg"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling
+    (k_anonymity_audit passes a group whose members are all identical
+    on the SENSITIVE attribute; that group still leaks it). Per
+    (nation, segment) quasi-identifier class: size, number of distinct
+    sensitive values (account-balance band), and a violates-l flag
+    (< 2 distinct bands means membership discloses the band). Same
+    bounded-QI-grid aggregation shape as the k audit; the distinct
+    count is per-group bounded (3 bands)."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    g = c.select("c_nationkey", "c_mktsegment", band.alias("balance_band")).groupBy(
+        "c_nationkey", "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("balance_band").cast("long").alias("n_distinct_sensitive"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "n_distinct_sensitive",
+        (F.col("n_distinct_sensitive") < L_DIVERSITY).cast("int").alias("violates_l"),
+    )
+
+
+PAYBACK_CENTS = 5000_00  # $5k cumulative per-user revenue = "paid back"
+
+_PAYBACK_SQL = f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE))
+                   AS cohort_month
+        FROM orders GROUP BY 1
+    ), spend AS (
+        SELECT f.cohort_month,
+               (CAST(date_part('year', o.o_orderdate) AS INTEGER) * 12
+                + CAST(date_part('month', o.o_orderdate) AS INTEGER))
+               - (CAST(date_part('year', f.cohort_month) AS INTEGER) * 12
+                  + CAST(date_part('month', f.cohort_month) AS INTEGER))
+                   AS month_idx,
+               CAST(CAST(o.o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ), sizes AS (
+        SELECT cohort_month, CAST(count(DISTINCT uid) AS HUGEINT) AS n_users
+        FROM (SELECT o.o_custkey AS uid, f.cohort_month
+              FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey) GROUP BY 1
+    ), monthly AS (
+        SELECT cohort_month, month_idx, sum(cents) AS cents
+        FROM spend GROUP BY 1, 2
+    ), cum AS (
+        SELECT m.cohort_month, m.month_idx, s.n_users,
+               sum(m.cents) OVER (PARTITION BY m.cohort_month
+                                  ORDER BY m.month_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cents
+        FROM monthly m JOIN sizes s USING (cohort_month)
+    )
+    SELECT cohort_month,
+           CAST(max(n_users) AS BIGINT) AS n_users,
+           CAST(min(CASE WHEN cum_cents >= {PAYBACK_CENTS} * n_users
+                         THEN month_idx END) AS INTEGER) AS payback_month
+    FROM cum GROUP BY cohort_month
+"""
+
+
+@op(
+    "cohort_payback_month",
+    oracle=_PAYBACK_SQL,
+    tags=("analytics", "finance", "cohort"),
+)
+def cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Months until each acquisition cohort's cumulative revenue reaches
+    $5k per user — the payback-period read on the cohort_revenue_ltv
+    curve (NULL payback = cohort never recovers its cost proxy within
+    the observed window; the argmin-over-cumsum pattern). The cumulative
+    window is partitioned per cohort over MONTH indices
+    (calendar-bounded ~84 rows/cohort); user-level data never enters a
+    window. Integer cents end to end."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    month_idx = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("int")
+    cents = (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+    joined = o.join(firsts, "o_custkey")
+    sizes = joined.groupBy("cohort_month").agg(
+        F.countDistinct("o_custkey").cast("decimal(38,0)").alias("n_users")
+    )
+    monthly = joined.groupBy(
+        "cohort_month", month_idx.alias("month_idx")
+    ).agg(F.sum(cents).alias("cents"))
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = monthly.join(F.broadcast(sizes), "cohort_month").select(
+        "cohort_month",
+        "month_idx",
+        "n_users",
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
+    return cum.groupBy("cohort_month").agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.min(
+            F.when(
+                F.col("cum_cents") >= F.lit(PAYBACK_CENTS) * F.col("n_users"),
+                F.col("month_idx"),
+            )
+        ).cast("int").alias("payback_month"),
+    )

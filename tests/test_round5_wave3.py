@@ -144,3 +144,36 @@ def test_pivot_multi_agg_zero_count_is_zero_not_null(spark, tmp_path):
     assert (r.n_F, r.n_O, r.n_P) == (1, 1, 0)
     assert r.qty_P is None
     assert r.qty_F == pytest.approx(3.0)
+
+
+def test_l_diversity_stricter_than_k(spark, tmp_path):
+    # A group that is k-fine (size 5) but all-same sensitive band must
+    # violate l-diversity while passing the size check.
+    spark.createDataFrame(
+        [(i, f"c{i}", 7, 100.0, "BUILDING") for i in range(5)]   # all 'low'
+        + [(10 + i, f"d{i}", 8, float(v), "MACHINERY")           # mixed bands
+           for i, v in enumerate([-10.0, 100.0, 9000.0])],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    got = {(r.c_nationkey, r.c_mktsegment): (r.group_size, r.n_distinct_sensitive, r.violates_l)
+           for r in all_ops()["l_diversity_audit"].fn(spark, str(tmp_path)).collect()}
+    assert got[(7, "BUILDING")] == (5, 1, 1)   # uniform band leaks
+    assert got[(8, "MACHINERY")] == (3, 3, 0)
+
+
+def test_cohort_payback_known(spark, tmp_path):
+    # One user, $3k in month 0 and $2.5k in month 2: cumulative crosses
+    # the $5k/user line at month 2.
+    orders = [
+        (1, 1, 3000.0, dt.datetime(1995, 1, 10)),
+        (2, 1, 2500.0, dt.datetime(1995, 3, 5)),
+    ]
+    spark.createDataFrame(
+        [(k, c, "O", p, ts, "1-URGENT") for (k, c, p, ts) in orders],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    r = all_ops()["cohort_payback_month"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert (r[0].n_users, r[0].payback_month) == (1, 2)
