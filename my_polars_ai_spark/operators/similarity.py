@@ -1378,3 +1378,103 @@ OPS["ann_recall_report"] = Op(
     tags=("similarity", "ann", "report"),
     doc=ann_recall_report.__doc__ or "",
 )
+
+
+MRL_PREFIX_DIM = 16  # truncated-embedding prefix length
+
+_MRL_ORACLE = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           embedding[1:{MRL_PREFIX_DIM}]::DOUBLE[] AS vp
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, v AS qv, vp AS qvp FROM corpus
+    WHERE vec_id < {N_QUERIES}
+), full_ranked AS (
+    SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS r
+        FROM q CROSS JOIN corpus e WHERE e.vec_id != q.q_id
+    ) WHERE r <= {TOP_K}
+), prefix_ranked AS (
+    SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY list_cosine_similarity(q.qvp, e.vp) DESC, e.vec_id) AS r
+        FROM q CROSS JOIN corpus e WHERE e.vec_id != q.q_id
+    ) WHERE r <= {TOP_K}
+)
+SELECT f.q_id,
+       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({TOP_K} AS BIGINT) AS k,
+       {oracle_ratio_round('count(p.neighbor_id)', str(TOP_K))} AS recall
+FROM full_ranked f
+LEFT JOIN prefix_ranked p
+  ON p.q_id = f.q_id AND p.neighbor_id = f.neighbor_id
+GROUP BY f.q_id
+"""
+
+
+@op(
+    "matryoshka_prefix_recall",
+    oracle=_MRL_ORACLE,
+    tags=("similarity", "ann", "report"),
+)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension retrieval (first 16 of 64 dims —
+    the Matryoshka-embedding deployment question: how much ranking
+    quality survives a 4x cheaper index?) against full-dimension exact
+    top-k. Same broadcast-queries/stream-corpus shape as
+    cosine_topk_brute run at both widths; the prefix slice prunes the
+    scan's compute 4x and, with a prefix-only stored column, its IO.
+    Deterministic on both engines, so the degradation curve itself is
+    hash-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        _as_double(F.expr(f"slice(embedding, 1, {MRL_PREFIX_DIM})")).alias("vp"),
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("vp").alias("qvp"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v"))
+             / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos_full"),
+            (_dot(F.col("qvp"), F.col("vp"))
+             / (_norm(F.col("qvp")) * _norm(F.col("vp")))).alias("cos_prefix"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
+    wp = Window.partitionBy("q_id").orderBy(F.desc("cos_prefix"), F.asc("neighbor_id"))
+    both = scored.select(
+        "q_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    full_k = both.filter(F.col("rf") <= TOP_K).select("q_id", "neighbor_id")
+    pref_k = both.filter(F.col("rp") <= TOP_K).select(
+        "q_id", F.col("neighbor_id").alias("p_neighbor")
+    )
+    hits = full_k.join(
+        pref_k,
+        (full_k.q_id == pref_k.q_id) & (full_k.neighbor_id == pref_k.p_neighbor),
+        "left",
+    ).select(full_k.q_id.alias("q_id"), "p_neighbor")
+    return hits.groupBy("q_id").agg(
+        F.count("p_neighbor").alias("n_hits"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        ratio_round(
+            F.count("p_neighbor").cast("decimal(38,0)"),
+            F.lit(TOP_K).cast("decimal(38,0)"),
+        ).alias("recall"),
+    )

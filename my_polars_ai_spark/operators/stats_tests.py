@@ -817,3 +817,233 @@ def robust_scale_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(q), "segment").select(
         "c_custkey", "segment", scaled.alias("scaled")
     )
+
+
+# Pairwise + trend tests share the bounded per-priority success table:
+# success = order reached final status 'F'.
+_PRIO_CONV_SQL = """
+        SELECT o_orderpriority AS grp,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+"""
+
+# two-sided alpha=0.05 Bonferroni-corrected over the 10 pairs:
+# z_crit = Phi^-1(1 - 0.0025) ~= 2.807
+_PAIRWISE_Z_CRIT = 2.807
+
+_PAIRWISE_SQL = f"""
+    WITH g AS ({_PRIO_CONV_SQL}),
+    p AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               a.n AS na, a.x AS xa, b.n AS nb, b.x AS xb
+        FROM g a JOIN g b ON a.grp < b.grp
+    )
+    SELECT grp_a, grp_b,
+           CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+           {oracle_signed_ratio_round('xa*nb - xb*na', 'na*nb')} AS diff,
+           round(CASE WHEN (xa + xb) != 0 AND (xa + xb) != (na + nb) THEN
+               (CAST(xa AS DOUBLE)/na - CAST(xb AS DOUBLE)/nb)
+               / sqrt((CAST(xa + xb AS DOUBLE)/(na + nb))
+                      * (1 - CAST(xa + xb AS DOUBLE)/(na + nb))
+                      * (1.0/na + 1.0/nb))
+           END, 6) AS z,
+           CAST(abs(round(CASE WHEN (xa + xb) != 0 AND (xa + xb) != (na + nb) THEN
+               (CAST(xa AS DOUBLE)/na - CAST(xb AS DOUBLE)/nb)
+               / sqrt((CAST(xa + xb AS DOUBLE)/(na + nb))
+                      * (1 - CAST(xa + xb AS DOUBLE)/(na + nb))
+                      * (1.0/na + 1.0/nb))
+           END, 6)) > {_PAIRWISE_Z_CRIT} AS INT) AS significant
+    FROM p
+"""
+
+
+@op("pairwise_proportion_tests", oracle=_PAIRWISE_SQL, tags=("stats", "test", "agg"))
+def pairwise_proportion_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs two-proportion z-tests across the five order
+    priorities on completion rate ('F' status), with a Bonferroni
+    significance flag at the 10-comparison-corrected critical value —
+    the post-hoc matrix that follows an omnibus test
+    (anova_f_priority_totals's categorical sibling). One bounded 5-row
+    conditional aggregation, a 10-row self-join, portable double z per
+    pair; the flag compares the ROUNDED z to a non-boundary constant so
+    it can't flip between engines."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int")).cast(_D38).alias("x"),
+    )
+    a = g.select(F.col("grp").alias("grp_a"), F.col("n").alias("na"), F.col("x").alias("xa"))
+    b = g.select(F.col("grp").alias("grp_b"), F.col("n").alias("nb"), F.col("x").alias("xb"))
+    p = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    na, xa, nb, xb = F.col("na"), F.col("xa"), F.col("nb"), F.col("xb")
+    pp = (xa + xb).cast("double") / (na + nb).cast("double")
+    z_raw = F.when(
+        ((xa + xb) != 0) & ((xa + xb) != (na + nb)),
+        (xa.cast("double") / na.cast("double") - xb.cast("double") / nb.cast("double"))
+        / F.sqrt(pp * (1 - pp) * (1.0 / na.cast("double") + 1.0 / nb.cast("double"))),
+    )
+    z = F.round(z_raw, 6)
+    return p.select(
+        "grp_a",
+        "grp_b",
+        na.cast("long").alias("n_a"),
+        xa.cast("long").alias("x_a"),
+        nb.cast("long").alias("n_b"),
+        xb.cast("long").alias("x_b"),
+        signed_ratio_round(xa * nb - xb * na, na * nb).alias("diff"),
+        z.alias("z"),
+        (F.abs(z) > _PAIRWISE_Z_CRIT).cast("int").alias("significant"),
+    )
+
+
+_CA_SQL = f"""
+    WITH g AS ({_PRIO_CONV_SQL}),
+    s AS (
+        SELECT sum(n) AS nn, sum(x) AS xx,
+               sum(CAST(substr(grp, 1, 1) AS HUGEINT) * x) AS wx,
+               sum(CAST(substr(grp, 1, 1) AS HUGEINT) * n) AS wn,
+               sum(CAST(substr(grp, 1, 1) AS HUGEINT)
+                   * CAST(substr(grp, 1, 1) AS HUGEINT) * n) AS wwn
+        FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(xx AS BIGINT) AS n_success,
+           round(CAST(wx*nn - wn*xx AS DOUBLE)
+                 / nullif(sqrt(CAST(xx*(nn - xx) AS DOUBLE)
+                               * CAST(nn*wwn - wn*wn AS DOUBLE)
+                               / CAST(nn AS DOUBLE)), 0), 6) AS z_trend
+    FROM s
+"""
+
+
+@op("cochran_armitage_trend", oracle=_CA_SQL, tags=("stats", "test", "agg"))
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for TREND in completion rate across the
+    ORDERED priorities (scores 1..5 from the priority prefix digit) —
+    the dose-response question a pairwise matrix can't answer. T =
+    Σw_i·x_i·N − Σw_i·n_i·X and its variance are pure integer
+    accumulators over the bounded 5-row table; z is one portable double
+    expression, NULL when every order (or none) completed."""
+    o = _t(spark, sf_dir, "orders")
+    w_score = F.substring("o_orderpriority", 1, 1).cast("int").cast(_D38)
+    g = o.select(
+        w_score.alias("w"),
+        F.lit(1).cast(_D38).alias("one"),
+        (F.col("o_orderstatus") == "F").cast("int").cast(_D38).alias("succ"),
+    )
+    s = g.agg(
+        F.sum("one").alias("nn"),
+        F.sum("succ").alias("xx"),
+        F.sum(F.col("w") * F.col("succ")).alias("wx"),
+        F.sum("w").alias("wn"),
+        F.sum(F.col("w") * F.col("w")).alias("wwn"),
+    )
+    nn, xx = F.col("nn"), F.col("xx")
+    num = (F.col("wx") * nn - F.col("wn") * xx).cast("double")
+    var = (
+        (xx * (nn - xx)).cast("double")
+        * (nn * F.col("wwn") - F.col("wn") * F.col("wn")).cast("double")
+        / nn.cast("double")
+    )
+    se = F.sqrt(var)
+    z = F.when(se > 0, F.round(num / se, 6))
+    return s.select(
+        nn.cast("long").alias("n_rows"),
+        xx.cast("long").alias("n_success"),
+        z.alias("z_trend"),
+    )
+
+
+_KENDALL_SQL = f"""
+    WITH m AS (
+        SELECT n.n_name,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                    AS HUGEINT) AS rev,
+               CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                    AS HUGEINT) AS bal,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ), pairs AS (
+        SELECT sign(a.rev - b.rev) AS sx,
+               sign(a.bal*b.n - b.bal*a.n) AS sy
+        FROM m a JOIN m b ON a.n_name < b.n_name
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS p,
+               CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS tx,
+               CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ty,
+               CAST(sum(sx * sy) AS HUGEINT) AS cd
+        FROM pairs
+    )
+    SELECT CAST(p AS BIGINT) AS n_pairs,
+           CAST(cd AS BIGINT) AS concordant_minus_discordant,
+           round(CAST(cd AS DOUBLE)
+                 / nullif(sqrt(CAST(p - tx AS DOUBLE) * CAST(p - ty AS DOUBLE)), 0),
+                 6) AS tau_b
+    FROM s
+"""
+
+
+@op("kendall_tau_nation_metrics", oracle=_KENDALL_SQL, tags=("stats", "test", "agg"))
+def kendall_tau_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between two per-nation metrics
+    (total order revenue vs mean customer balance) — the
+    outlier-immune alternative to Pearson (corr_matrix) and a different
+    computation shape than Spearman (spearman_per_nation ranks within
+    groups; tau compares PAIRS). The mean comparison never divides:
+    bal_a/n_a vs bal_b/n_b is cross-multiplied so concordance is exact
+    integer sign arithmetic over the bounded 25x24/2 pair table; tau-b's
+    tie-corrected denominator is one portable sqrt."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev_c = (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(_D38)
+    bal_c = (F.col("c_acctbal").cast("decimal(28,6)") * 100).cast(_D38)
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev_c).alias("rev"),
+            F.sum(bal_c).alias("bal"),
+            F.count(F.lit(1)).cast(_D38).alias("n"),
+        )
+    )
+    a = m.select(
+        F.col("n_name").alias("na_name"),
+        F.col("rev").alias("rev_a"),
+        F.col("bal").alias("bal_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = m.select(
+        F.col("n_name").alias("nb_name"),
+        F.col("rev").alias("rev_b"),
+        F.col("bal").alias("bal_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("na_name") < F.col("nb_name")).select(
+        F.signum((F.col("rev_a") - F.col("rev_b")).cast("double")).cast("int").alias("sx"),
+        F.signum(
+            (F.col("bal_a") * F.col("n_b") - F.col("bal_b") * F.col("n_a")).cast("double")
+        ).cast("int").alias("sy"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(_D38).alias("p"),
+        F.sum((F.col("sx") == 0).cast("int")).cast(_D38).alias("tx"),
+        F.sum((F.col("sy") == 0).cast("int")).cast(_D38).alias("ty"),
+        F.sum(F.col("sx") * F.col("sy")).cast(_D38).alias("cd"),
+    )
+    den = F.sqrt(
+        (F.col("p") - F.col("tx")).cast("double") * (F.col("p") - F.col("ty")).cast("double")
+    )
+    tau = F.when(den > 0, F.round(F.col("cd").cast("double") / den, 6))
+    return s.select(
+        F.col("p").cast("long").alias("n_pairs"),
+        F.col("cd").cast("long").alias("concordant_minus_discordant"),
+        tau.alias("tau_b"),
+    )

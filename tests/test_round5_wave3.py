@@ -177,3 +177,62 @@ def test_cohort_payback_known(spark, tmp_path):
     r = all_ops()["cohort_payback_month"].fn(spark, str(tmp_path)).collect()
     assert len(r) == 1
     assert (r[0].n_users, r[0].payback_month) == (1, 2)
+
+
+def test_kendall_tau_perfect_and_inverse(spark, tmp_path):
+    # 3 nations; revenue order == balance order -> tau_b = 1.
+    spark.createDataFrame(
+        [(i, f"N{i}", i) for i in range(3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(i, f"c{i}", i, 100.0 * (i + 1), "BUILDING") for i in range(3)],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(i, i, "F", 1000.0 * (i + 1), dt.datetime(1995, 1, 1), "1-URGENT")
+         for i in range(3)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    r = all_ops()["kendall_tau_nation_metrics"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 3
+    assert r.concordant_minus_discordant == 3
+    assert r.tau_b == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cochran_armitage_no_trend_is_zero(spark, tmp_path):
+    # Equal completion rate in every scored group -> T = 0 -> z = 0.
+    rows = []
+    k = 0
+    for prio in ("1-URGENT", "2-HIGH", "3-MEDIUM"):
+        for status in ("F", "O"):
+            rows.append((k, 1, status, 100.0, dt.datetime(1995, 1, 1), prio))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    r = all_ops()["cochran_armitage_trend"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_rows, r.n_success) == (6, 3)
+    assert r.z_trend == pytest.approx(0.0, abs=1e-6)
+
+
+def test_pairwise_proportions_symmetric_counts(spark, sf_dir):
+    rows = all_ops()["pairwise_proportion_tests"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 choose 2
+    for r in rows:
+        assert r.grp_a < r.grp_b
+        assert 0 <= r.x_a <= r.n_a and 0 <= r.x_b <= r.n_b
+        if r.z is not None:
+            assert (abs(r.z) > 2.807) == bool(r.significant)
+
+
+def test_matryoshka_prefix_recall_bounds(spark, sf_dir):
+    rows = all_ops()["matryoshka_prefix_recall"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hits <= r.k == 3
+        assert r.recall == pytest.approx(r.n_hits / 3, abs=1e-6)
