@@ -1,0 +1,136 @@
+"""Poor-man's table format with DATA SKIPPING: partitioned parquet plus
+a JSON manifest of per-partition column statistics (min/max/rows), and a
+reader that prunes partitions whose stat range cannot satisfy the
+predicate — the zone-map / Delta-file-stats idea, implemented with
+nothing but parquet + one JSON file.
+
+Why this matters at 100 TB: predicate pushdown inside a parquet file
+only skips ROW GROUPS after the file is opened; manifest-level stats
+skip entire FILES before any task is scheduled. On a time-partitioned
+fact table a narrow date predicate turns a full-table scan into a
+handful of partitions — the single biggest IO lever a query planner
+has. (Production systems get this from Delta/Iceberg manifests; the
+mechanism is identical.)
+
+Not a transaction log: no versioning/ACID — write_manifest_table
+overwrites atomically-enough for a batch pipeline (parquet dirs first,
+manifest last, so a crashed write leaves no readable manifest). The
+jsonl_sink DataSource (python_datasource.py) demonstrates the
+two-phase-commit flavor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def write_manifest_table(
+    df: DataFrame,
+    path: str,
+    bucket_col: str,
+    stats_cols: tuple[str, ...],
+) -> dict:
+    """Write ``df`` as parquet partitioned by ``bucket_col``, plus a
+    manifest of per-bucket stats for ``stats_cols``.
+
+    The stats come from ONE aggregation over the same DataFrame (no
+    second scan of written files); the manifest is written LAST so a
+    partial write is never readable. Bucket values must be
+    path-safe scalars (ints/dates cast to string)."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    stats_rows = df.groupBy(F.col(bucket_col).cast("string").alias("__bucket")).agg(*aggs).collect()
+
+    df.withColumn("__bucket", F.col(bucket_col).cast("string")).write.mode(
+        "overwrite"
+    ).partitionBy("__bucket").parquet(os.path.join(path, "data"))
+
+    def _plain(v):
+        return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+    manifest = {
+        "bucket_col": bucket_col,
+        "stats_cols": list(stats_cols),
+        "buckets": {
+            r["__bucket"]: {
+                "rows": r["__rows"],
+                **{
+                    f"{kind}_{c}": _plain(r[f"{kind}_{c}"])
+                    for c in stats_cols
+                    for kind in ("min", "max")
+                },
+            }
+            for r in stats_rows
+        },
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_manifest_table(
+    spark: SparkSession,
+    path: str,
+    predicate_col: str | None = None,
+    lo=None,
+    hi=None,
+) -> tuple[DataFrame, dict]:
+    """Read a manifest table, pruning buckets whose [min,max] stats for
+    ``predicate_col`` do not overlap [lo, hi]. Returns (df, skip_report).
+
+    The returned DataFrame still carries the predicate as a normal
+    filter (stat pruning is an IO optimization, never a correctness
+    device — a bucket may straddle the range). skip_report records how
+    many buckets/rows the manifest eliminated, for observability."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    buckets = manifest["buckets"]
+    if predicate_col is None:
+        keep = sorted(buckets)
+    else:
+        if f"min_{predicate_col}" not in next(iter(buckets.values()), {}):
+            raise ValueError(f"no stats for column {predicate_col!r} in manifest")
+
+        def _gt(a, b):
+            # native comparison when types align (numbers, ISO strings);
+            # stringified timestamps/dates compare correctly as ISO text
+            try:
+                return a > b
+            except TypeError:
+                return str(a) > str(b)
+
+        keep = sorted(
+            b
+            for b, s in buckets.items()
+            if not (
+                (hi is not None and s[f"min_{predicate_col}"] is not None
+                 and _gt(s[f"min_{predicate_col}"], hi))
+                or (lo is not None and s[f"max_{predicate_col}"] is not None
+                    and _gt(lo, s[f"max_{predicate_col}"]))
+            )
+        )
+    skip_report = {
+        "buckets_total": len(buckets),
+        "buckets_read": len(keep),
+        "rows_skipped": sum(
+            s["rows"] for b, s in buckets.items() if b not in set(keep)
+        ),
+    }
+    if not keep:
+        raise ValueError("predicate prunes every bucket; no files to read")
+    paths = [os.path.join(path, "data", f"__bucket={b}") for b in keep]
+    df = spark.read.option("basePath", os.path.join(path, "data")).parquet(*paths)
+    if predicate_col is not None:
+        if lo is not None:
+            df = df.filter(F.col(predicate_col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(predicate_col) <= hi)
+    return df.drop("__bucket"), skip_report

@@ -1,0 +1,89 @@
+"""Tests for the data-skipping manifest table format
+(sources/manifest_format.py): correctness equals a plain filter, AND
+the manifest provably skips files the predicate excludes."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.sources.manifest_format import (
+    MANIFEST_NAME,
+    read_manifest_table,
+    write_manifest_table,
+)
+
+
+@pytest.fixture()
+def orders_df(spark):
+    rows = [
+        (k, k % 7, "O", 100.0 * (k + 1),
+         dt.datetime(1995, 1 + (k % 12), 1 + (k % 27)), "1-URGENT")
+        for k in range(200)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def test_roundtrip_equals_plain_filter(spark, tmp_path, orders_df):
+    df = orders_df.withColumn("month", F.month("o_orderdate"))
+    path = str(tmp_path / "mt")
+    write_manifest_table(df, path, "month", ("o_orderdate", "o_totalprice"))
+
+    lo, hi = dt.datetime(1995, 3, 1), dt.datetime(1995, 5, 31)
+    got, report = read_manifest_table(spark, path, "o_orderdate", lo, hi)
+    expected = df.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in expected.collect()
+    )
+    # months 3,4,5 survive out of 12 — the manifest really pruned
+    assert report["buckets_total"] == 12
+    assert report["buckets_read"] == 3
+    assert report["rows_skipped"] > 0
+
+
+def test_reader_touches_only_surviving_files(spark, tmp_path, orders_df):
+    df = orders_df.withColumn("month", F.month("o_orderdate"))
+    path = str(tmp_path / "mt")
+    write_manifest_table(df, path, "month", ("o_orderdate",))
+    got, _ = read_manifest_table(
+        spark, path, "o_orderdate", dt.datetime(1995, 7, 1), dt.datetime(1995, 7, 31)
+    )
+    files = {
+        r.f for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all("__bucket=7" in f for f in files)
+
+
+def test_numeric_stats_prune_correctly(spark, tmp_path, orders_df):
+    # numeric predicate: 9 < "10" lexicographically — native compare must win
+    df = orders_df.withColumn("kb", (F.col("o_orderkey") % 15).cast("int"))
+    path = str(tmp_path / "mt")
+    write_manifest_table(df, path, "kb", ("o_totalprice",))
+    got, report = read_manifest_table(spark, path, "o_totalprice", 150.0, 1050.0)
+    expected = df.filter((F.col("o_totalprice") >= 150.0) & (F.col("o_totalprice") <= 1050.0))
+    assert got.count() == expected.count()
+
+
+def test_unknown_stats_column_raises(spark, tmp_path, orders_df):
+    df = orders_df.withColumn("month", F.month("o_orderdate"))
+    path = str(tmp_path / "mt")
+    write_manifest_table(df, path, "month", ("o_orderdate",))
+    with pytest.raises(ValueError, match="no stats"):
+        read_manifest_table(spark, path, "o_totalprice", 0.0, 1.0)
+
+
+def test_manifest_written_last(spark, tmp_path, orders_df):
+    df = orders_df.withColumn("month", F.month("o_orderdate"))
+    path = str(tmp_path / "mt")
+    write_manifest_table(df, path, "month", ("o_orderdate",))
+    m = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    assert set(m["buckets"]) == {str(i) for i in range(1, 13)}
+    assert sum(b["rows"] for b in m["buckets"].values()) == 200
