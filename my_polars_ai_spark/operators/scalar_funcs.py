@@ -410,3 +410,44 @@ def variant_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_large"),
         F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+@op(
+    "try_arithmetic_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(CAST(l_extendedprice AS DOUBLE) / l_discount, 6)
+           END AS price_per_discount,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS INTEGER) AS qty_as_int,
+           round(CAST(l_extendedprice AS DOUBLE) + l_tax, 6) AS try_sum
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    """,
+    tags=("scalar", "ansi", "null-safety"),
+)
+def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode `try_` escape hatches (Spark 4 runs ANSI by
+    default, so 1/0 and bad casts THROW — see the divide-by-zero guards
+    all over this repo): try_divide / try_cast return NULL instead of
+    failing the job, the difference between one poison row killing a
+    100 TB pipeline and a NULL you can quarantine downstream.
+    try_cast('N' AS INT) exercises the parse-failure path; the
+    quantity string round-trip exercises the success path (TPC-H
+    quantities are integral); try_add on doubles is overflow-free here
+    and matches plain addition."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice").cast("double"), F.col("l_discount")),
+            6,
+        ).alias("price_per_discount"),
+        F.try_to_number("l_returnflag", F.lit("999")).cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("double").cast("string").cast("double").cast("int").alias("qty_as_int"),
+        F.round(
+            F.try_add(F.col("l_extendedprice").cast("double"), F.col("l_tax")), 6
+        ).alias("try_sum"),
+    )

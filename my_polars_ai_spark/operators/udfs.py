@@ -316,3 +316,36 @@ def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT d.doc_id, g.gram, g.pos "
         f"FROM {view} d, LATERAL ngrams_udtf(d.text, 3) g"
     )
+
+
+@op(
+    "arrow_scalar_udf_margin",
+    oracle=f"""
+    SELECT o_orderkey,
+           round(CAST(o_totalprice AS DOUBLE)
+                 / (1 + exp(-(CAST(o_totalprice AS DOUBLE) / 100000))), {ROUND_WIN})
+               AS margin_score
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("udf", "arrow"),
+)
+def arrow_scalar_udf_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 4 `@udf(useArrow=True)`)
+    — the middle rung of the Python-path ladder this module documents:
+    row-at-a-time @udf (anti-pattern, row_udf_label) < Arrow-optimized
+    @udf (this op: same per-ROW Python function, but batches cross the
+    JVM boundary as Arrow so serialization stops dominating) <
+    @pandas_udf (pandas_udf_sigmoid: vectorized per-BATCH compute too).
+    Same closed-form oracle discipline as the rest of the ladder; the
+    modulo filter keeps the Python-side row count bounded."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType=T.DoubleType(), useArrow=True)
+    def margin(total: float) -> float:
+        return round(total / (1 + math.exp(-(total / 100000))), ROUND_WIN)
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        margin(F.col("o_totalprice").cast("double")).alias("margin_score"),
+    )
