@@ -252,6 +252,16 @@ _PRIORITY_R5 = (
 
 # Round 5: the staged flip, executed. The driver's 50-entry CORRECTNESS
 # window now attests the R5 composition above.
+# Rotation ledger after r5 (assuming CORRECTNESS_r05 lands): r01+r02
+# attested 84 ops, r5 window attests 38 more; the r4 window's 36 ops
+# have no recorded driver rows (CORRECTNESS_r04.json never landed) —
+# if r04 stays missing, fold them into the r8 window.
+# R7 window plan (stage the tuple in round 6, flip in round 7): 6
+# canaries + the NEXT 44 never-attested ops in registry order, i.e. the
+# stats/dedup-diagnostics/embedding block from feature_minmax_scale
+# through token_cooccurrence_pmi plus the text-pipeline block through
+# top_tokens_by_lang. The 29 round-5 additions (stats_tests module,
+# wave-2..7 text/similarity/extras/sql ops) queue after those in r8/r9.
 _PRIORITY = _PRIORITY_R5
 
 
