@@ -1967,3 +1967,49 @@ def star_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("supplier_name"),
         )
     )
+
+
+_RLS_ALLOWED_NATIONS = (1, 5, 9, 13, 17, 21)  # policy: analyst region grant
+
+_RLS_SQL = f"""
+    SELECT c_custkey,
+           substr(md5(c_name), 1, 8) AS name_token,
+           c_nationkey,
+           c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS acctbal_band
+    FROM customer
+    WHERE c_nationkey IN {_RLS_ALLOWED_NATIONS}
+"""
+
+
+@op(
+    "rls_masked_view",
+    oracle=_RLS_SQL,
+    tags=("governance", "security", "filter"),
+)
+def rls_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security + column masking as one declarative view: the
+    policy (a nation grant list) becomes a pushdown-able IN filter, PII
+    (name) is tokenized to an md5 prefix — joinable, not reversible —
+    and the precise balance is coarsened to a band. This is the
+    governance pattern warehouses implement with RLS policies + masking
+    functions; expressed as a plain projection+filter it stays inside
+    whole-stage codegen, the filter reaches the parquet scan
+    (PushedFilters), and every downstream op composes with it
+    unchanged. Companion to pii_redact (content scrub) and the
+    k-anonymity/l-diversity audits (release checks)."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return c.filter(F.col("c_nationkey").isin(*_RLS_ALLOWED_NATIONS)).select(
+        "c_custkey",
+        F.substring(F.md5("c_name"), 1, 8).alias("name_token"),
+        "c_nationkey",
+        "c_mktsegment",
+        band.alias("acctbal_band"),
+    )

@@ -2765,3 +2765,127 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sb").alias("source_b"),
         js_micro.cast("long").alias("js_micro_nats"),
     )
+
+
+_HALVES_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ), halves AS (
+        SELECT doc_id,
+               ts[1 : len(ts) // 2] AS h1,
+               ts[len(ts) // 2 + 1 : len(ts)] AS h2
+        FROM t
+    ), f AS (
+        SELECT doc_id, tok, 1 AS side FROM (
+            SELECT doc_id, unnest(h1) AS tok FROM halves) WHERE tok <> ''
+        UNION ALL
+        SELECT doc_id, tok, 2 AS side FROM (
+            SELECT doc_id, unnest(h2) AS tok FROM halves) WHERE tok <> ''
+    ), c AS (
+        SELECT doc_id, tok,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+               CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS b
+        FROM f GROUP BY 1, 2
+    ), n AS (
+        SELECT doc_id, sum(a) AS na, sum(b) AS nb FROM c GROUP BY 1
+    ), terms AS (
+        SELECT c.doc_id,
+               sum(CASE WHEN c.a > 0 THEN c.a * (CASE WHEN c.b = 0 THEN {_LN2_MICRO}
+                   ELSE CAST(round(ln(CAST(2*c.a*n.nb AS DOUBLE)
+                                      / CAST(c.a*n.nb + c.b*n.na AS DOUBLE)) * 1000000)
+                        AS HUGEINT) END) ELSE 0 END) AS pnum,
+               sum(CASE WHEN c.b > 0 THEN c.b * (CASE WHEN c.a = 0 THEN {_LN2_MICRO}
+                   ELSE CAST(round(ln(CAST(2*c.b*n.na AS DOUBLE)
+                                      / CAST(c.b*n.na + c.a*n.nb AS DOUBLE)) * 1000000)
+                        AS HUGEINT) END) ELSE 0 END) AS qnum,
+               max(n.na) AS na, max(n.nb) AS nb
+        FROM c JOIN n USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(na AS BIGINT) AS n_tok_first,
+           CAST(nb AS BIGINT) AS n_tok_second,
+           CAST((CASE WHEN (pnum*nb + qnum*na) < 0 THEN -1 ELSE 1 END)
+                * ((2*abs(pnum*nb + qnum*na) + 2*na*nb)
+                   // (2*(2*na*nb))) AS BIGINT) AS js_micro_nats
+    FROM terms
+"""
+
+
+@op(
+    "intra_doc_halves_divergence",
+    oracle=_HALVES_SQL,
+    tags=("text", "quality", "training-data"),
+)
+def intra_doc_halves_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitched-document detector: Jensen–Shannon divergence between the
+    token distributions of each document's FIRST and SECOND half. A
+    coherent document's halves share vocabulary (low JS); a crawl
+    artifact gluing two unrelated pages diverges toward ln 2 — the
+    within-document counterpart of js_divergence_sources, same
+    micro-nat once-rounding contract. Everything is per-document narrow
+    work (split, explode, per-doc aggregation) — zero cross-document
+    shuffles beyond the doc-keyed combines, so it scales as a linear
+    scan."""
+    d = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    ts = F.split("text", " ")
+    t = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 8)
+    halves = t.select(
+        "doc_id",
+        F.expr("slice(ts, 1, size(ts) div 2)").alias("h1"),
+        F.expr("slice(ts, size(ts) div 2 + 1, size(ts) - size(ts) div 2)").alias("h2"),
+    )
+    f = halves.select(
+        "doc_id", F.explode("h1").alias("tok"), F.lit(1).alias("side")
+    ).unionByName(
+        halves.select("doc_id", F.explode("h2").alias("tok"), F.lit(2).alias("side"))
+    ).filter(F.col("tok") != "")
+    c = f.groupBy("doc_id", "tok").agg(
+        F.sum((F.col("side") == 1).cast("int")).cast(dec).alias("a"),
+        F.sum((F.col("side") == 2).cast("int")).cast(dec).alias("b"),
+    )
+    n = c.groupBy("doc_id").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    j = c.join(n, "doc_id")
+    ln_p = F.when(
+        F.col("b") == 0, F.lit(_LN2_MICRO).cast(dec)
+    ).otherwise(
+        F.round(
+            F.log(
+                (2 * F.col("a") * F.col("nb")).cast("double")
+                / (F.col("a") * F.col("nb") + F.col("b") * F.col("na")).cast("double")
+            )
+            * 1000000
+        ).cast(dec)
+    )
+    ln_q = F.when(
+        F.col("a") == 0, F.lit(_LN2_MICRO).cast(dec)
+    ).otherwise(
+        F.round(
+            F.log(
+                (2 * F.col("b") * F.col("na")).cast("double")
+                / (F.col("b") * F.col("na") + F.col("a") * F.col("nb")).cast("double")
+            )
+            * 1000000
+        ).cast(dec)
+    )
+    terms = j.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("a") > 0, F.col("a") * ln_p).otherwise(F.lit(0).cast(dec))).alias("pnum"),
+        F.sum(F.when(F.col("b") > 0, F.col("b") * ln_q).otherwise(F.lit(0).cast(dec))).alias("qnum"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    js_micro = signed_ratio_round(
+        F.col("pnum") * F.col("nb") + F.col("qnum") * F.col("na"),
+        2 * F.col("na") * F.col("nb"),
+        scale=0,
+    )
+    return terms.select(
+        "doc_id",
+        F.col("na").cast("long").alias("n_tok_first"),
+        F.col("nb").cast("long").alias("n_tok_second"),
+        js_micro.cast("long").alias("js_micro_nats"),
+    )

@@ -524,3 +524,65 @@ def running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
     )
+
+
+@op(
+    "vs_peers_daily",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM orders
+    ), g AS (
+        SELECT o_orderkey, day, cents,
+               sum(cents) OVER (PARTITION BY day) AS day_sum,
+               count(*) OVER (PARTITION BY day) AS day_n
+        FROM d
+    )
+    SELECT o_orderkey, day,
+           CAST(cents AS BIGINT) AS cents,
+           CASE WHEN day_n > 1 THEN
+               CAST((CASE WHEN (day_n - 1) * cents - (day_sum - cents) < 0
+                          THEN -1 ELSE 1 END)
+                    * ((2000000 * abs((day_n - 1) * cents - (day_sum - cents))
+                        + (day_n - 1))
+                       // (2 * (day_n - 1))) AS DOUBLE) / 1000000
+           END AS vs_peer_avg_cents
+    FROM g
+    WHERE o_orderkey % 50 = 0
+    """,
+    tags=("window", "analytics"),
+)
+def vs_peers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order compared against the average of its PEERS — the same
+    day's OTHER orders — i.e. the SQL:2016 `EXCLUDE CURRENT ROW` frame
+    Spark doesn't implement, emulated exactly with the algebraic
+    identity peer_avg = (S - x)/(n - 1) over a plain partition window
+    (one windowed sum + count, no self-join). vs_peer = x - (S-x)/(n-1)
+    = ((n-1)x - (S-x))/(n-1), one exact signed rational; NULL when the
+    order is alone that day. Output sampled by key to keep the
+    driver-compare bounded; the plan is row-count-independent."""
+    from my_polars_ai_spark.operators.base import signed_ratio_round
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+    d = o.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("day"), cents.alias("cents")
+    )
+    w = Window.partitionBy("day")
+    g = d.select(
+        "o_orderkey",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("day_sum"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("day_n"),
+    )
+    n1 = F.col("day_n") - 1
+    diff = n1 * F.col("cents") - (F.col("day_sum") - F.col("cents"))
+    vs_peer = F.when(F.col("day_n") > 1, signed_ratio_round(diff, n1))
+    return g.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        "day",
+        F.col("cents").cast("long").alias("cents"),
+        vs_peer.alias("vs_peer_avg_cents"),
+    )

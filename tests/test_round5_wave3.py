@@ -236,3 +236,46 @@ def test_matryoshka_prefix_recall_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= r.k == 3
         assert r.recall == pytest.approx(r.n_hits / 3, abs=1e-6)
+
+
+def test_vs_peers_exclude_current_semantics(spark, tmp_path):
+    # Day with totals {100, 200, 600} (keys 50,100,150 so the %50
+    # output filter keeps them): vs_peer(600) = 600 - (100+200)/2 = 450.
+    orders = [(50, 100.0), (100, 200.0), (150, 600.0), (200, 999.0)]
+    spark.createDataFrame(
+        [(k, 1, "O", p,
+          dt.datetime(1995, 1, 1) if k != 200 else dt.datetime(1995, 2, 2),
+          "1-URGENT") for (k, p) in orders],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r.o_orderkey: r.vs_peer_avg_cents
+           for r in all_ops()["vs_peers_daily"].fn(spark, str(tmp_path)).collect()}
+    assert got[150] == pytest.approx(45000.0, abs=1e-4)   # cents
+    assert got[50] == pytest.approx(10000 - 40000, abs=1e-4)
+    assert got[200] is None  # alone on its day
+
+
+def test_intra_doc_divergence_extremes(spark, tmp_path):
+    # doc 1: identical halves -> JS 0. doc 2: disjoint halves -> ln 2.
+    import math
+
+    _write_docs(spark, tmp_path, [
+        (1, "a b c d a b c d", "s"),
+        (2, "a a b b x x y y", "s"),
+    ])
+    got = {r.doc_id: r.js_micro_nats
+           for r in all_ops()["intra_doc_halves_divergence"].fn(spark, str(tmp_path)).collect()}
+    assert got[1] == 0
+    assert got[2] == pytest.approx(round(math.log(2) * 1e6), abs=2)
+
+
+def test_rls_masked_view_policy(spark, sf_dir):
+    rows = all_ops()["rls_masked_view"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.c_nationkey in (1, 5, 9, 13, 17, 21)
+        assert len(r.name_token) == 8
+        assert r.acctbal_band in ("negative", "low", "high")
+    cols = set(all_ops()["rls_masked_view"].fn(spark, sf_dir).columns)
+    assert "c_name" not in cols and "c_acctbal" not in cols
