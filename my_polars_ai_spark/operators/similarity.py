@@ -15,6 +15,8 @@ deterministic and oracle-checkable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1477,4 +1479,108 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("p_neighbor").cast("decimal(38,0)"),
             F.lit(TOP_K).cast("decimal(38,0)"),
         ).alias("recall"),
+    )
+
+
+_RETR_ORACLE = f"""
+WITH corpus AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, label AS q_label, v AS qv FROM corpus
+    WHERE vec_id < {N_QUERIES}
+), ranked AS (
+    SELECT q.q_id, q.q_label, e.label AS n_label,
+           row_number() OVER (PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS r
+    FROM q CROSS JOIN corpus e WHERE e.vec_id != q.q_id
+), topk AS (
+    SELECT q_id,
+           CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+           r
+    FROM ranked WHERE r <= {TOP_K}
+), m AS (
+    SELECT q_id,
+           sum(rel) AS n_rel,
+           sum(CAST(round(CAST(rel AS DOUBLE) / log2(r + 1) * 1000000)
+                    AS HUGEINT)) AS dcg_micro,
+           min(CASE WHEN rel = 1 THEN r END) AS first_rel
+    FROM topk GROUP BY q_id
+), ideal AS (
+    SELECT CAST(sum(CAST(round(1.0 / log2(CAST(range + 2 AS DOUBLE)) * 1000000)
+                         AS HUGEINT)) AS HUGEINT) AS idcg3_micro
+    FROM range({TOP_K})
+)
+SELECT m.q_id,
+       CAST(m.n_rel AS BIGINT) AS n_relevant,
+       {oracle_ratio_round('m.n_rel', str(TOP_K))} AS precision_at_k,
+       CASE WHEN m.first_rel IS NOT NULL THEN round(1.0 / m.first_rel, 6) ELSE 0.0
+       END AS mrr,
+       {oracle_ratio_round('m.dcg_micro', 'i.idcg3_micro')} AS ndcg
+FROM m CROSS JOIN ideal i
+"""
+
+
+@op(
+    "retrieval_metrics_at_k",
+    oracle=_RETR_ORACLE,
+    tags=("similarity", "eval", "report"),
+)
+def retrieval_metrics_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval quality at k=3 with label-match relevance:
+    precision@k, MRR, and nDCG@k — the metric row an embedding-model
+    eval harness reports per query before averaging. Relevance = the
+    neighbor shares the query's class label (the standard proxy when no
+    graded judgments exist). DCG's 1/log2(r+1) terms round once to
+    integer micro-units (the house ln-rounding convention), so nDCG is
+    an exact rational of integers; MRR's 1/r rounds at scale 6
+    directly (exact for r<=3)."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("label").alias("n_label"),
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v"))
+             / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select(
+            "q_id",
+            (F.col("n_label") == F.col("q_label")).cast("int").alias("rel"),
+            "r",
+        )
+    )
+    dec = "decimal(38,0)"
+    dcg_term = F.round(
+        F.col("rel").cast("double") / F.log2(F.col("r") + 1) * 1000000
+    ).cast(dec)
+    m = topk.groupBy("q_id").agg(
+        F.sum("rel").cast(dec).alias("n_rel"),
+        F.sum(dcg_term).alias("dcg_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("r"))).alias("first_rel"),
+    )
+    idcg3 = sum(round(1.0 / math.log2(i + 2) * 1000000) for i in range(TOP_K))
+    mrr = F.when(
+        F.col("first_rel").isNotNull(),
+        F.round(F.lit(1.0) / F.col("first_rel"), 6),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "q_id",
+        F.col("n_rel").cast("long").alias("n_relevant"),
+        ratio_round(F.col("n_rel"), F.lit(TOP_K).cast(dec)).alias("precision_at_k"),
+        mrr.alias("mrr"),
+        ratio_round(F.col("dcg_micro"), F.lit(idcg3).cast(dec)).alias("ndcg"),
     )

@@ -279,3 +279,32 @@ def test_rls_masked_view_policy(spark, sf_dir):
         assert r.acctbal_band in ("negative", "low", "high")
     cols = set(all_ops()["rls_masked_view"].fn(spark, sf_dir).columns)
     assert "c_name" not in cols and "c_acctbal" not in cols
+
+
+def test_retrieval_metrics_consistency(spark, sf_dir):
+    """nDCG/MRR/P@k must agree with an independent recomputation from
+    the brute-force ranking + labels."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.sources.tables import load_table
+
+    ops = all_ops()
+    labels = {r.vec_id: r.label
+              for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()}
+    brute = ops["cosine_topk_brute"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in brute:
+        by_q.setdefault(r.q_id, []).append((r.rank, labels[r.neighbor_id]))
+    got = {r.q_id: r for r in ops["retrieval_metrics_at_k"].fn(spark, sf_dir).collect()}
+    idcg = sum(round(1 / math.log2(i + 2) * 1e6) for i in range(3))
+    for q, ranked in by_q.items():
+        rel = {rank: int(lab == labels[q]) for rank, lab in ranked}
+        n_rel = sum(rel.values())
+        dcg = sum(round(rel[rank] / math.log2(rank + 1) * 1e6) for rank in rel)
+        first = min((rank for rank in rel if rel[rank]), default=None)
+        assert got[q].n_relevant == n_rel
+        assert got[q].precision_at_k == pytest.approx(n_rel / 3, abs=1e-6)
+        assert got[q].mrr == pytest.approx(0.0 if first is None else 1 / first, abs=1e-6)
+        assert got[q].ndcg == pytest.approx(dcg / idcg, abs=2e-6)
