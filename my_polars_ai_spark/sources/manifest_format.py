@@ -35,6 +35,7 @@ def write_manifest_table(
     path: str,
     bucket_col: str,
     stats_cols: tuple[str, ...],
+    mode: str = "overwrite",
 ) -> dict:
     """Write ``df`` as parquet partitioned by ``bucket_col``, plus a
     manifest of per-bucket stats for ``stats_cols``.
@@ -42,7 +43,14 @@ def write_manifest_table(
     The stats come from ONE aggregation over the same DataFrame (no
     second scan of written files); the manifest is written LAST so a
     partial write is never readable. Bucket values must be
-    path-safe scalars (ints/dates cast to string)."""
+    path-safe scalars (ints/dates cast to string).
+
+    ``mode="append"`` (the streaming-foreachBatch ingestion path)
+    appends the parquet files and MERGES the new batch's stats into the
+    existing manifest (min of mins, max of maxes, rows summed) —
+    exactly how Delta/Iceberg accrete file stats per commit."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -50,28 +58,57 @@ def write_manifest_table(
     stats_rows = df.groupBy(F.col(bucket_col).cast("string").alias("__bucket")).agg(*aggs).collect()
 
     df.withColumn("__bucket", F.col(bucket_col).cast("string")).write.mode(
-        "overwrite"
+        mode
     ).partitionBy("__bucket").parquet(os.path.join(path, "data"))
 
     def _plain(v):
         return v if isinstance(v, (int, float, str, type(None))) else str(v)
 
+    buckets: dict = {}
+    manifest_path = os.path.join(path, MANIFEST_NAME)
+    if mode == "append" and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev["bucket_col"] != bucket_col or prev["stats_cols"] != list(stats_cols):
+            raise ValueError("append with a different bucket/stats layout")
+        buckets = prev["buckets"]
+
+    def _merge(old, new, fn):
+        if old is None:
+            return new
+        if new is None:
+            return old
+        try:
+            return fn(old, new)
+        except TypeError:
+            return fn(str(old), str(new))
+
+    for r in stats_rows:
+        b = r["__bucket"]
+        fresh = {
+            "rows": r["__rows"],
+            **{
+                f"{kind}_{c}": _plain(r[f"{kind}_{c}"])
+                for c in stats_cols
+                for kind in ("min", "max")
+            },
+        }
+        if b in buckets:
+            old = buckets[b]
+            merged = {"rows": old["rows"] + fresh["rows"]}
+            for c in stats_cols:
+                merged[f"min_{c}"] = _merge(old[f"min_{c}"], fresh[f"min_{c}"], min)
+                merged[f"max_{c}"] = _merge(old[f"max_{c}"], fresh[f"max_{c}"], max)
+            buckets[b] = merged
+        else:
+            buckets[b] = fresh
+
     manifest = {
         "bucket_col": bucket_col,
         "stats_cols": list(stats_cols),
-        "buckets": {
-            r["__bucket"]: {
-                "rows": r["__rows"],
-                **{
-                    f"{kind}_{c}": _plain(r[f"{kind}_{c}"])
-                    for c in stats_cols
-                    for kind in ("min", "max")
-                },
-            }
-            for r in stats_rows
-        },
+        "buckets": buckets,
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+    with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
 

@@ -490,3 +490,40 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "open", "high", "low", "close", "n_events")
     )
     return _drain_to_memory(agg, "complete")
+
+
+def stream_manifest_ingest(spark: SparkSession, sf_dir: str, table_dir: str) -> dict:
+    """Streaming ingestion INTO the data-skipping manifest table format
+    (sources/manifest_format.py): each micro-batch appends its rows as
+    hour-bucketed parquet and MERGES its per-bucket min/max/row stats
+    into the table's manifest — how a Delta/Iceberg sink accretes file
+    statistics per commit, so a downstream reader can prune files the
+    moment the data lands. foreachBatch + availableNow; returns the
+    final manifest."""
+    from my_polars_ai_spark.sources.manifest_format import write_manifest_table
+
+    events = read_events_stream(spark, sf_dir)
+    bucketed = events.withColumn(
+        "hour_bucket", F.date_format(F.date_trunc("hour", "ts"), "yyyyMMddHH")
+    )
+
+    state: dict = {}
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state["manifest"] = write_manifest_table(
+            batch_df, table_dir, "hour_bucket", ("ts", "value"), mode="append"
+        )
+
+    q = (
+        bucketed.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state.get("manifest", {})

@@ -87,3 +87,29 @@ def test_manifest_written_last(spark, tmp_path, orders_df):
     m = json.load(open(os.path.join(path, MANIFEST_NAME)))
     assert set(m["buckets"]) == {str(i) for i in range(1, 13)}
     assert sum(b["rows"] for b in m["buckets"].values()) == 200
+
+
+def test_stream_ingest_then_pruned_read_equals_batch(spark, sf_dir, tmp_path):
+    """Stream events into the manifest format, then a stats-pruned read
+    must equal the plain batch filter — and actually skip buckets."""
+    from my_polars_ai_spark.sources.manifest_format import read_manifest_table
+    from my_polars_ai_spark.sources.tables import load_table
+    from my_polars_ai_spark.streaming.jobs import stream_manifest_ingest
+
+    table_dir = str(tmp_path / "events_mt")
+    manifest = stream_manifest_ingest(spark, sf_dir, table_dir)
+    assert manifest["buckets"]
+
+    batch = load_table(spark, sf_dir, "events")
+    total = batch.count()
+    assert sum(b["rows"] for b in manifest["buckets"].values()) == total
+
+    bounds = batch.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    import datetime as dt
+    lo = bounds.lo + dt.timedelta(hours=2)
+    hi = lo + dt.timedelta(hours=3)
+    got, report = read_manifest_table(spark, table_dir, "ts", lo, hi)
+    expected = batch.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    assert got.count() == expected
+    assert report["buckets_read"] < report["buckets_total"]
+    assert report["rows_skipped"] > 0
