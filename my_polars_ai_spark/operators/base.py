@@ -119,3 +119,23 @@ def oracle_signed_ratio_round(num_sql: str, den_sql: str, scale: int = ROUND_RAT
         f" * ((2*{p}*abs(CAST({num_sql} AS HUGEINT)) + CAST({den_sql} AS HUGEINT))"
         f" // (2*CAST({den_sql} AS HUGEINT))) AS DOUBLE) / {p}"
     )
+
+
+# Governance policy: the account-balance sensitivity band shared by the
+# masking view and the privacy audits. ONE definition — if the $5000
+# boundary or the band names change, every governance op moves together.
+BALANCE_BAND_SQL = (
+    "CASE WHEN c_acctbal < 0 THEN 'negative' "
+    "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END"
+)
+
+
+def balance_band():
+    """Spark twin of :data:`BALANCE_BAND_SQL` (lazy: needs a session)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )

@@ -3120,12 +3120,13 @@ def fano_burstiness_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 L_DIVERSITY = 2
 
+from my_polars_ai_spark.operators.base import BALANCE_BAND_SQL as _BAND_SQL
+from my_polars_ai_spark.operators.base import balance_band as _balance_band
+
 _L_DIV_SQL = f"""
     WITH tagged AS (
         SELECT c_nationkey, c_mktsegment,
-               CASE WHEN c_acctbal < 0 THEN 'negative'
-                    WHEN c_acctbal < 5000 THEN 'low'
-                    ELSE 'high' END AS balance_band
+               {_BAND_SQL} AS balance_band
         FROM customer
     ), g AS (
         SELECT c_nationkey, c_mktsegment,
@@ -3156,12 +3157,9 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-QI-grid aggregation shape as the k audit; the distinct
     count is per-group bounded (3 bands)."""
     c = _t(spark, sf_dir, "customer")
-    band = (
-        F.when(F.col("c_acctbal") < 0, "negative")
-        .when(F.col("c_acctbal") < 5000, "low")
-        .otherwise("high")
-    )
-    g = c.select("c_nationkey", "c_mktsegment", band.alias("balance_band")).groupBy(
+    g = c.select(
+        "c_nationkey", "c_mktsegment", _balance_band().alias("balance_band")
+    ).groupBy(
         "c_nationkey", "c_mktsegment"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
@@ -3239,8 +3237,10 @@ def cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     cents = (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
     joined = o.join(firsts, "o_custkey")
-    sizes = joined.groupBy("cohort_month").agg(
-        F.countDistinct("o_custkey").cast("decimal(38,0)").alias("n_users")
+    # firsts is already one row per customer: cohort size is a plain
+    # count there — no countDistinct over the order-grain join
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_users")
     )
     monthly = joined.groupBy(
         "cohort_month", month_idx.alias("month_idx")

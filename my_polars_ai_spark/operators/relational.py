@@ -1971,14 +1971,15 @@ def star_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RLS_ALLOWED_NATIONS = (1, 5, 9, 13, 17, 21)  # policy: analyst region grant
 
+from my_polars_ai_spark.operators.base import BALANCE_BAND_SQL as _BAND_SQL
+from my_polars_ai_spark.operators.base import balance_band as _balance_band
+
 _RLS_SQL = f"""
     SELECT c_custkey,
            substr(md5(c_name), 1, 8) AS name_token,
            c_nationkey,
            c_mktsegment,
-           CASE WHEN c_acctbal < 0 THEN 'negative'
-                WHEN c_acctbal < 5000 THEN 'low'
-                ELSE 'high' END AS acctbal_band
+           {_BAND_SQL} AS acctbal_band
     FROM customer
     WHERE c_nationkey IN {_RLS_ALLOWED_NATIONS}
 """
@@ -2001,15 +2002,10 @@ def rls_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. Companion to pii_redact (content scrub) and the
     k-anonymity/l-diversity audits (release checks)."""
     c = _t(spark, sf_dir, "customer")
-    band = (
-        F.when(F.col("c_acctbal") < 0, "negative")
-        .when(F.col("c_acctbal") < 5000, "low")
-        .otherwise("high")
-    )
     return c.filter(F.col("c_nationkey").isin(*_RLS_ALLOWED_NATIONS)).select(
         "c_custkey",
         F.substring(F.md5("c_name"), 1, 8).alias("name_token"),
         "c_nationkey",
         "c_mktsegment",
-        band.alias("acctbal_band"),
+        _balance_band().alias("acctbal_band"),
     )

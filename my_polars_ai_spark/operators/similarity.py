@@ -1463,20 +1463,15 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wf).alias("rf"),
         F.row_number().over(wp).alias("rp"),
     )
-    full_k = both.filter(F.col("rf") <= TOP_K).select("q_id", "neighbor_id")
-    pref_k = both.filter(F.col("rp") <= TOP_K).select(
-        "q_id", F.col("neighbor_id").alias("p_neighbor")
-    )
-    hits = full_k.join(
-        pref_k,
-        (full_k.q_id == pref_k.q_id) & (full_k.neighbor_id == pref_k.p_neighbor),
-        "left",
-    ).select(full_k.q_id.alias("q_id"), "p_neighbor")
-    return hits.groupBy("q_id").agg(
-        F.count("p_neighbor").alias("n_hits"),
+    # both frames key uniquely on (q_id, neighbor_id): a prefix-ranked
+    # hit inside the full top-k is just rp <= k on the rf <= k rows —
+    # one conditional aggregation, no self-join shuffle
+    hit = (F.col("rp") <= TOP_K).cast("long")
+    return both.filter(F.col("rf") <= TOP_K).groupBy("q_id").agg(
+        F.sum(hit).alias("n_hits"),
         F.lit(TOP_K).cast("long").alias("k"),
         ratio_round(
-            F.count("p_neighbor").cast("decimal(38,0)"),
+            F.sum(hit).cast("decimal(38,0)"),
             F.lit(TOP_K).cast("decimal(38,0)"),
         ).alias("recall"),
     )

@@ -261,7 +261,9 @@ def _anova_f_sql(src_cte: str, group_col: str, val_col: str) -> str:
     SELECT CAST(k AS BIGINT) AS n_groups,
            CAST(n AS BIGINT) AS n_rows,
            round(CAST(a_micro - ((2*{p}*sx*sx + n) // (2*n)) AS DOUBLE) * (n - k)
-                 / nullif(CAST({p}*q - a_micro AS DOUBLE) * (k - 1), 0), 6) AS f_stat
+                 / (CASE WHEN CAST({p}*q - a_micro AS DOUBLE) * (k - 1) > 0
+                         THEN CAST({p}*q - a_micro AS DOUBLE) * (k - 1) END), 6)
+               AS f_stat
     FROM s
     """
 
@@ -341,7 +343,9 @@ _BF_SQL = f"""
     SELECT CAST(k AS BIGINT) AS n_groups,
            CAST(n AS BIGINT) AS n_rows,
            round(CAST(a_micro - ((2*{_P}*sx*sx + n) // (2*n)) AS DOUBLE) * (n - k)
-                 / nullif(CAST({_P}*q - a_micro AS DOUBLE) * (k - 1), 0), 6) AS f_stat
+                 / (CASE WHEN CAST({_P}*q - a_micro AS DOUBLE) * (k - 1) > 0
+                         THEN CAST({_P}*q - a_micro AS DOUBLE) * (k - 1) END), 6)
+               AS f_stat
     FROM s
 """
 

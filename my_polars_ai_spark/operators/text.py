@@ -2810,6 +2810,7 @@ _HALVES_SQL = f"""
                 * ((2*abs(pnum*nb + qnum*na) + 2*na*nb)
                    // (2*(2*na*nb))) AS BIGINT) AS js_micro_nats
     FROM terms
+    WHERE na > 0 AND nb > 0
 """
 
 
@@ -2883,7 +2884,10 @@ def intra_doc_halves_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         2 * F.col("na") * F.col("nb"),
         scale=0,
     )
-    return terms.select(
+    # a half made entirely of empty tokens (leading-whitespace artifact)
+    # has na or nb = 0: JS against an empty distribution is undefined —
+    # drop the doc on BOTH sides rather than divide by zero under ANSI
+    return terms.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
         "doc_id",
         F.col("na").cast("long").alias("n_tok_first"),
         F.col("nb").cast("long").alias("n_tok_second"),

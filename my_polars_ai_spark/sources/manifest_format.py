@@ -12,11 +12,13 @@ handful of partitions — the single biggest IO lever a query planner
 has. (Production systems get this from Delta/Iceberg manifests; the
 mechanism is identical.)
 
-Not a transaction log: no versioning/ACID — write_manifest_table
-overwrites atomically-enough for a batch pipeline (parquet dirs first,
-manifest last, so a crashed write leaves no readable manifest). The
-jsonl_sink DataSource (python_datasource.py) demonstrates the
-two-phase-commit flavor.
+Not a full transaction log — but the streaming path IS replay-safe:
+``commit_id`` writes land in their own ``__commit=<id>`` directory
+(overwrite-idempotent) and the manifest records applied commit ids, so
+an at-least-once foreachBatch replay neither duplicates rows nor
+double-merges stats. The manifest is always written LAST, so a crashed
+write is invisible. The jsonl_sink DataSource (python_datasource.py)
+demonstrates the two-phase-commit flavor at the task level.
 """
 
 from __future__ import annotations
@@ -36,42 +38,71 @@ def write_manifest_table(
     bucket_col: str,
     stats_cols: tuple[str, ...],
     mode: str = "overwrite",
+    commit_id: int | str | None = None,
 ) -> dict:
     """Write ``df`` as parquet partitioned by ``bucket_col``, plus a
     manifest of per-bucket stats for ``stats_cols``.
 
-    The stats come from ONE aggregation over the same DataFrame (no
-    second scan of written files); the manifest is written LAST so a
-    partial write is never readable. Bucket values must be
+    The input is persisted for the duration of the call: the stats
+    aggregation and the parquet write are two actions over the same
+    plan, and without pinning them to one materialization a
+    non-deterministic input could write data that disagrees with its
+    own stats (a pruning correctness hazard). The manifest is written
+    LAST so a partial write is never readable. Bucket values must be
     path-safe scalars (ints/dates cast to string).
 
     ``mode="append"`` (the streaming-foreachBatch ingestion path)
     appends the parquet files and MERGES the new batch's stats into the
     existing manifest (min of mins, max of maxes, rows summed) —
-    exactly how Delta/Iceberg accrete file stats per commit."""
+    exactly how Delta/Iceberg accrete file stats per commit. Pass
+    ``commit_id`` (e.g. the foreachBatch batch_id) to make the append
+    REPLAY-SAFE: the batch's files land in their own ``__commit=<id>``
+    directory (overwritten, hence idempotent, on retry) and its stats
+    merge exactly once — a replayed commit_id is a no-op."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in stats_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    stats_rows = df.groupBy(F.col(bucket_col).cast("string").alias("__bucket")).agg(*aggs).collect()
+    if commit_id is not None and mode != "append":
+        raise ValueError("commit_id requires mode='append'")
 
-    df.withColumn("__bucket", F.col(bucket_col).cast("string")).write.mode(
-        mode
-    ).partitionBy("__bucket").parquet(os.path.join(path, "data"))
-
-    def _plain(v):
-        return v if isinstance(v, (int, float, str, type(None))) else str(v)
-
-    buckets: dict = {}
     manifest_path = os.path.join(path, MANIFEST_NAME)
+    prev: dict | None = None
     if mode == "append" and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             prev = json.load(f)
         if prev["bucket_col"] != bucket_col or prev["stats_cols"] != list(stats_cols):
             raise ValueError("append with a different bucket/stats layout")
-        buckets = prev["buckets"]
+        if commit_id is not None and str(commit_id) in prev.get("commits", []):
+            return prev  # replayed micro-batch: already fully applied
+
+    df = df.persist()
+    try:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        stats_rows = (
+            df.groupBy(F.col(bucket_col).cast("string").alias("__bucket"))
+            .agg(*aggs)
+            .collect()
+        )
+
+        bucketed = df.withColumn("__bucket", F.col(bucket_col).cast("string"))
+        if commit_id is not None:
+            # own directory per commit: a retry overwrites ITS files only
+            data_dir = os.path.join(path, "data", f"__commit={commit_id}")
+            bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
+        else:
+            bucketed.write.mode(mode).partitionBy("__bucket").parquet(
+                os.path.join(path, "data")
+            )
+    finally:
+        df.unpersist()
+
+    def _plain(v):
+        return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+    buckets: dict = dict(prev["buckets"]) if prev is not None else {}
+    commits: list = list(prev.get("commits", [])) if prev is not None else []
 
     def _merge(old, new, fn):
         if old is None:
@@ -108,6 +139,10 @@ def write_manifest_table(
         "stats_cols": list(stats_cols),
         "buckets": buckets,
     }
+    if commit_id is not None or commits:
+        if commit_id is not None:
+            commits.append(str(commit_id))
+        manifest["commits"] = commits
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
@@ -163,11 +198,17 @@ def read_manifest_table(
     }
     if not keep:
         raise ValueError("predicate prunes every bucket; no files to read")
-    paths = [os.path.join(path, "data", f"__bucket={b}") for b in keep]
-    df = spark.read.option("basePath", os.path.join(path, "data")).parquet(*paths)
+    base = os.path.join(path, "data")
+    if manifest.get("commits"):
+        # commit layout: data/__commit=<id>/__bucket=<b>/...
+        paths = [os.path.join(base, "__commit=*", f"__bucket={b}") for b in keep]
+    else:
+        paths = [os.path.join(base, f"__bucket={b}") for b in keep]
+    df = spark.read.option("basePath", base).parquet(*paths)
     if predicate_col is not None:
         if lo is not None:
             df = df.filter(F.col(predicate_col) >= lo)
         if hi is not None:
             df = df.filter(F.col(predicate_col) <= hi)
-    return df.drop("__bucket"), skip_report
+    drop_cols = [c for c in ("__bucket", "__commit") if c in df.columns]
+    return df.drop(*drop_cols), skip_report

@@ -512,8 +512,13 @@ def stream_manifest_ingest(spark: SparkSession, sf_dir: str, table_dir: str) -> 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # commit_id makes the at-least-once foreachBatch replay-safe: a
+        # retried batch overwrites its own __commit dir and its stats
+        # merge exactly once (same guarantee as the epoch-dir upsert
+        # sink above)
         state["manifest"] = write_manifest_table(
-            batch_df, table_dir, "hour_bucket", ("ts", "value"), mode="append"
+            batch_df, table_dir, "hour_bucket", ("ts", "value"),
+            mode="append", commit_id=batch_id,
         )
 
     q = (

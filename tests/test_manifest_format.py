@@ -113,3 +113,24 @@ def test_stream_ingest_then_pruned_read_equals_batch(spark, sf_dir, tmp_path):
     assert got.count() == expected
     assert report["buckets_read"] < report["buckets_total"]
     assert report["rows_skipped"] > 0
+
+
+def test_replayed_commit_is_noop(spark, tmp_path, orders_df):
+    """At-least-once replay: writing the same commit_id twice must not
+    duplicate rows or double-merge stats."""
+    df = orders_df.withColumn("month", F.month("o_orderdate"))
+    path = str(tmp_path / "mt")
+    m1 = write_manifest_table(df, path, "month", ("o_orderdate",),
+                              mode="append", commit_id=7)
+    m2 = write_manifest_table(df, path, "month", ("o_orderdate",),
+                              mode="append", commit_id=7)  # replay
+    assert m2 == m1
+    got, _ = read_manifest_table(spark, path)
+    assert got.count() == 200
+    assert sum(b["rows"] for b in m2["buckets"].values()) == 200
+    # a NEW commit does apply
+    m3 = write_manifest_table(df, path, "month", ("o_orderdate",),
+                              mode="append", commit_id=8)
+    assert sum(b["rows"] for b in m3["buckets"].values()) == 400
+    got3, _ = read_manifest_table(spark, path)
+    assert got3.count() == 400
