@@ -341,3 +341,59 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 500
         """
     )
+
+
+@op(
+    "sql_pipe_syntax_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), {ROUND_MONEY}) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "pipe", "agg"),
+)
+def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operator chain — the
+    GoogleSQL-pipes surface): FROM ... |> WHERE ... |> AGGREGATE reads
+    top-to-bottom like a DataFrame chain but stays pure SQL. Catalyst
+    compiles it to the identical plan as the classic SELECT the oracle
+    states — the point of the op is proving the new surface is
+    plan-equivalent, not a new execution path."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        f"""
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), {ROUND_MONEY}) AS sum_price
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+@op(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_nationkey = 7
+    GROUP BY c_mktsegment
+    """,
+    tags=("sql", "dynamic"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL via EXECUTE IMMEDIATE with a positional parameter
+    (Spark 4 surface) — the stored-procedure-style entry point that
+    pairs with sql_parameterized_query's named markers: the query text
+    is assembled at runtime but the VALUE rides a parameter, never
+    string interpolation (injection-safe by construction)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ei_v")
+    stmt = (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM customer_ei_v WHERE c_nationkey = ? GROUP BY c_mktsegment"
+    )
+    return spark.sql("EXECUTE IMMEDIATE :q USING 7", args={"q": stmt})

@@ -308,3 +308,40 @@ def test_retrieval_metrics_consistency(spark, sf_dir):
         assert got[q].precision_at_k == pytest.approx(n_rel / 3, abs=1e-6)
         assert got[q].mrr == pytest.approx(0.0 if first is None else 1 / first, abs=1e-6)
         assert got[q].ndcg == pytest.approx(dcg / idcg, abs=2e-6)
+
+
+def test_pipe_syntax_plan_equals_classic_select(spark, sf_dir):
+    """Spark 4 pipe SQL must optimize to the IDENTICAL logical plan as
+    the classic SELECT (modulo expression ids) — the new surface is
+    syntax, not a new execution path."""
+    import re
+
+    ops = all_ops()
+    pipe = ops["sql_pipe_syntax_agg"].fn(spark, sf_dir)
+    classic = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n_orders,"
+        " round(sum(o_totalprice), 2) AS sum_price"
+        " FROM orders_pipe_v WHERE o_orderstatus = 'F'"
+        " GROUP BY o_orderpriority"
+    )
+    strip = lambda p: re.sub(r"#\d+L?", "#", p)
+    p1 = strip(pipe._jdf.queryExecution().optimizedPlan().toString())
+    p2 = strip(classic._jdf.queryExecution().optimizedPlan().toString())
+    assert p1 == p2
+
+
+def test_execute_immediate_parameter_is_value_not_text(spark, sf_dir):
+    """The EXECUTE IMMEDIATE parameter must bind as a VALUE: nation 7's
+    count equals the plain filter, and a hostile 'value' cannot widen
+    the result (it just matches no nation)."""
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.sources.tables import load_table
+
+    ops = all_ops()
+    got = sum(r.n_customers
+              for r in ops["sql_execute_immediate"].fn(spark, sf_dir).collect())
+    expected = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 7
+    ).count()
+    assert got == expected
