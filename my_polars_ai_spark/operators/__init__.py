@@ -26,6 +26,7 @@ _MODULES = (
     "fuzzy",
     "tpch_extra",
     "stats_tests",
+    "classic_ml",
 )
 
 

@@ -1,0 +1,224 @@
+"""Classical ML / evaluation algorithms expressed as pure relational
+algebra (round 5 wave 11): exact ROC-AUC via the rank-sum identity, and
+closed-form multivariate OLS from normal equations — the "train a model
+inside the warehouse" family. Reference anchor: the reference's sandbox
+exposes sklearn-style requests to the LLM (reference
+polarsai/__init__.py:439-440 whitelists pandas/numpy); here the classic
+algorithms are the queries themselves, shuffled once and hash-portable.
+
+Scale notes (100 TB discipline):
+- AUC: the score table aggregates to one row per DISTINCT score before
+  any window; cumulative counts use the banded two-pass prefix-sum
+  scheme (bounded score domain -> ~20 band offsets broadcast), so no
+  global sort task ever sees event-scale data.
+- OLS: a regression is nine distributive sums — map-side combined,
+  3-row output. Cramer's rule runs on the 3-row aggregate, exact in
+  DECIMAL(38,0) (documented magnitude bound ~sf3; beyond that the
+  accumulators need the quantize-once seam used by anova_f).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_polars_ai_spark.operators.base import (
+    Op,
+    exact_floor_div,
+    make_registrar,
+    oracle_ratio_round,
+    oracle_signed_ratio_round,
+    ratio_round,
+    signed_ratio_round,
+)
+from my_polars_ai_spark.operators.text import _EN_MARKERS, _MARKERS_SQL
+from my_polars_ai_spark.sources.tables import load_table as _t
+
+OPS: dict[str, Op] = {}
+op = make_registrar(OPS)
+
+_D38 = "decimal(38,0)"
+
+# Score-domain band width for the AUC prefix sums: score_micro is a
+# ratio in [0, 1e6], so 50_000-wide bands give ~21 offsets at any SF.
+_AUC_BAND = 50_000
+
+_AUC_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ), f AS (
+        SELECT (lang = 'en')::INT AS is_en,
+               (2 * 1000000 * len(list_filter(ts, x -> x IN {_MARKERS_SQL}))
+                + len(ts)) // (2 * len(ts)) AS score_micro
+        FROM tok WHERE len(ts) > 0
+    ), v AS (
+        SELECT score_micro,
+               CAST(sum(is_en) AS HUGEINT) AS c1,
+               CAST(count(*) - sum(is_en) AS HUGEINT) AS c2,
+               CAST(count(*) AS HUGEINT) AS t
+        FROM f GROUP BY score_micro
+    ), w AS (
+        SELECT c1, t, sum(t) OVER (ORDER BY score_micro) - t AS cumb FROM v
+    ), s AS (
+        SELECT (SELECT sum(c1) FROM v) AS n1,
+               (SELECT sum(c2) FROM v) AS n2,
+               sum(c1*(2*cumb + t + 1)) AS r1x2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n2 AS BIGINT) AS n_neg,
+           {oracle_ratio_round('r1x2 - n1*(n1+1)', '2*n1*n2')} AS auc
+    FROM s
+"""
+
+
+@op("auc_langid_score", oracle=_AUC_SQL, tags=("ml", "eval", "text"))
+def auc_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the english-marker score against the true
+    lang='en' label via the Mann-Whitney rank-sum identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with average
+    ranks for ties — the single-number companion to roc_points /
+    gains_chart_langid that needs NO threshold grid. Doubled ranks
+    keep tie-averages integral (2*R_pos = sum c1*(2*cum_before+t+1)),
+    so AUC is one exact integer rational, half-up rounded once.
+    Scale shape: one groupBy collapses docs to distinct scores; banded
+    prefix sums (score domain [0,1e6] // 50k => ~21 broadcast offsets)
+    replace the global ordered window."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
+    f = d.select(
+        (F.col("lang") == "en").cast("int").cast(_D38).alias("is_en"),
+        exact_floor_div(
+            2 * 1_000_000 * hits.cast(_D38) + F.size(ts),
+            2 * F.size(ts).cast(_D38),
+        ).alias("score_micro"),
+    ).filter(F.size(ts) > 0)
+    v = (
+        f.groupBy("score_micro")
+        .agg(
+            F.sum("is_en").alias("c1"),
+            (F.count(F.lit(1)).cast(_D38) - F.sum("is_en")).alias("c2"),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+        .withColumn("band", exact_floor_div(F.col("score_micro"), F.lit(_AUC_BAND)))
+    )
+    w_in = Window.partitionBy("band").orderBy("score_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    v = v.withColumn("int_", F.sum("t").over(w_in))
+    bands = v.groupBy("band").agg(F.sum("t").alias("bt"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bands.select(
+        "band",
+        F.coalesce(F.sum("bt").over(w_off), F.lit(0).cast(_D38)).alias("off"),
+    )
+    w = v.join(F.broadcast(offsets), "band").select(
+        "c1",
+        "c2",
+        "t",
+        (F.col("off") + F.col("int_") - F.col("t")).alias("cumb"),
+    )
+    s = w.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cumb") + F.col("t") + 1)).alias("r1x2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    return s.select(
+        n1.cast("long").alias("n_pos"),
+        n2.cast("long").alias("n_neg"),
+        ratio_round(F.col("r1x2") - n1 * (n1 + 1), 2 * n1 * n2).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form two-feature OLS per group (normal equations + Cramer)
+# ---------------------------------------------------------------------------
+
+_OLS_SQL = f"""
+    WITH r AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS HUGEINT) AS x1,
+               CAST(round(l_discount * 100) AS HUGEINT) AS x2,
+               CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+               sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+               sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+               sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        FROM r GROUP BY flag
+    ), m AS (
+        SELECT flag, n,
+               n*s11 - s1*s1 AS a11, n*s22 - s2*s2 AS a22,
+               n*s12 - s1*s2 AS a12,
+               n*s1y - s1*sy AS b1, n*s2y - s2*sy AS b2
+        FROM s
+    )
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN a11*a22 - a12*a12 > 0 THEN
+             {oracle_signed_ratio_round('b1*a22 - b2*a12', 'a11*a22 - a12*a12')}
+           END AS beta_qty_cents,
+           CASE WHEN a11*a22 - a12*a12 > 0 THEN
+             {oracle_signed_ratio_round('b2*a11 - b1*a12', 'a11*a22 - a12*a12')}
+           END AS beta_disc_cents
+    FROM m
+"""
+
+
+@op(
+    "ols_price_on_qty_discount",
+    oracle=_OLS_SQL,
+    tags=("ml", "stats", "agg"),
+)
+def ols_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag TWO-feature linear regression (extended price in
+    cents on quantity and discount-pct) solved in closed form: the
+    normal equations' 2x2 system by Cramer's rule over nine
+    distributive integer sums — multivariate `fit()` as ONE map-side-
+    combined groupBy with a 3-row tail. Every accumulator and both
+    Cramer determinants stay exact in DECIMAL(38,0) (numerators peak
+    ~1e34 at sf0.1, bound holds to ~sf3 — beyond that quantize the
+    A/B terms once like anova_f); each beta is one signed half-up
+    division. Degenerate (collinear) groups return NULL betas via the
+    det>0 guard. The single-feature sibling is groupwise_ols_slope;
+    this one exists because real pricing models have more than one
+    regressor."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").cast(_D38).alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").cast(_D38).alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(28,6)") * 100)
+        .cast(_D38)
+        .alias("y"),
+    )
+    s = r.groupBy("flag").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    a11 = n * F.col("s11") - F.col("s1") * F.col("s1")
+    a22 = n * F.col("s22") - F.col("s2") * F.col("s2")
+    a12 = n * F.col("s12") - F.col("s1") * F.col("s2")
+    b1 = n * F.col("s1y") - F.col("s1") * F.col("sy")
+    b2 = n * F.col("s2y") - F.col("s2") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        n.cast("long").alias("n_rows"),
+        F.when(det > 0, signed_ratio_round(b1 * a22 - b2 * a12, det)).alias(
+            "beta_qty_cents"
+        ),
+        F.when(det > 0, signed_ratio_round(b2 * a11 - b1 * a12, det)).alias(
+            "beta_disc_cents"
+        ),
+    )

@@ -1,0 +1,96 @@
+"""Known-value tests for operators/classic_ml.py (auc_langid_score,
+ols_price_on_qty_discount) — hand-computed answers on tiny synthetic
+tables, independent of the DuckDB oracle harness."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from my_polars_ai_spark.operators import all_ops
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang)."""
+    spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for (i, t, lang) in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_auc_perfect_separation(spark, tmp_path):
+    # en docs all markers (score 1.0), others none (score 0.0) -> AUC 1.
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "the of and", "en"),
+            (2, "the the", "en"),
+            (3, "xx yy zz", "fr"),
+            (4, "aa bb", "de"),
+        ],
+    )
+    row = all_ops()["auc_langid_score"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (2, 2, 1.0)
+
+
+def test_auc_with_ties_hand_computed(spark, tmp_path):
+    # pos scores {1.0, 0.0}, neg scores {0.0}: doubled rank-sum
+    # R1x2 = 3 + 6 = 9, U1x2 = 9 - 2*3 = 3, AUC = 3 / (2*2*1) = 0.75.
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "the the", "en"),
+            (2, "xx yy", "en"),
+            (3, "qq rr", "fr"),
+        ],
+    )
+    row = all_ops()["auc_langid_score"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (2, 1, 0.75)
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: (flag, qty, discount, extendedprice_dollars)."""
+    ship = dt.datetime(2001, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, i, i, 1, float(q), float(p), float(d), 0.0, flag, "O", ship)
+            for i, (flag, q, d, p) in enumerate(rows)
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_ols_recovers_exact_planted_betas(spark, tmp_path):
+    # y_cents = 200*qty + 100*disc_pct exactly (price = 2*qty + 1*pct
+    # dollars), so the closed-form solve must return the planted betas.
+    rows = [
+        ("N", 1, 0.00, 2 * 1 + 0),
+        ("N", 2, 0.01, 2 * 2 + 1),
+        ("N", 3, 0.05, 2 * 3 + 5),
+        ("N", 4, 0.02, 2 * 4 + 2),
+    ]
+    _write_lineitem(spark, tmp_path, rows)
+    out = {
+        r.l_returnflag: r
+        for r in all_ops()["ols_price_on_qty_discount"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["N"].n_rows == 4
+    assert out["N"].beta_qty_cents == 200.0
+    assert out["N"].beta_disc_cents == 100.0
+
+
+def test_ols_collinear_group_yields_null(spark, tmp_path):
+    # Constant discount -> singular normal equations -> NULL betas.
+    rows = [
+        ("A", 1, 0.03, 10.0),
+        ("A", 2, 0.03, 14.0),
+        ("A", 3, 0.03, 18.0),
+    ]
+    _write_lineitem(spark, tmp_path, rows)
+    row = all_ops()["ols_price_on_qty_discount"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_rows == 3
+    assert row.beta_qty_cents is None and row.beta_disc_cents is None
