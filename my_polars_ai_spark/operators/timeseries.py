@@ -2028,3 +2028,58 @@ def concurrency_duration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("live").cast("long").alias("concurrency"))
         .agg(F.sum("dur_us").cast("long").alias("total_micros"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (Spark session_window with a per-event gap)
+# ---------------------------------------------------------------------------
+
+_DYNGAP_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                   THEN 1800000000 ELSE 600000000 END AS end_us
+        FROM events
+    ), f AS (
+        SELECT user_id, ts_us,
+               max(end_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM e
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_end IS NULL OR ts_us > prev_end
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM f GROUP BY user_id
+"""
+
+
+@op("session_window_dynamic_gap", oracle=_DYNGAP_SQL, tags=("timeseries", "session"))
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT — a
+    purchase holds the session open 30 minutes, anything else 10
+    (checkout flows idle longer than browsing) — via Spark's dynamic
+    ``session_window(ts, CASE ...)``, the per-event-gap feature the
+    fixed-gap ops (session_window_10m / sessionize_gap) can't express.
+    State is watermark-bounded in the streaming twin and key-local
+    here: one shuffle on user_id, merge inside the group. The oracle
+    states the interval-union semantics directly: an event opens a new
+    session iff its start is strictly AFTER the running max of all
+    earlier events' (ts + its own gap) — Spark's merge rule is
+    boundary-INCLUSIVE (an event landing exactly at the previous end
+    merges into it; pytest pins this, the corpus's microsecond
+    timestamps structurally can't). Ties ordered by event_id on both
+    sides."""
+    e = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )

@@ -349,3 +349,64 @@ def arrow_scalar_udf_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         margin(F.col("o_totalprice").cast("double")).alias("margin_score"),
     )
+
+
+@op(
+    "apply_in_arrow_center",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(28,6)) * 100 AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_in_group,
+           CAST(count(*) OVER (PARTITION BY c_nationkey) * cents
+                - sum(cents) OVER (PARTITION BY c_nationkey) AS BIGINT)
+               AS dev_cents_x_n
+    FROM c
+    """,
+    tags=("udf", "arrow", "spark4"),
+)
+def apply_in_arrow_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GroupedData.applyInArrow`` (Spark 4) — the grouped-map twin of
+    mapInArrow (arrow_doc_meta): the whole group arrives as ONE
+    ``pyarrow.Table`` and the body runs pure Arrow compute kernels, no
+    pandas materialization. Demonstrated on per-nation mean-centering
+    of customer balances kept exact: the emitted deviation is the
+    integer ``n*x - S`` (cents scaled by group size), so no float mean
+    ever exists and the oracle is plain window SQL. Group state is one
+    nation's customers — dimension-bounded; the scale caveat of any
+    grouped-map (a whole group in one Arrow buffer) is exactly why the
+    windowed-SQL formulation in the oracle is the 100 TB default and
+    this op documents the API, not the preferred plan."""
+    import pyarrow as pa
+
+    def center(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = table.num_rows
+        cents = table.column("cents")
+        s = pc.sum(cents).as_py() or 0
+        dev = pc.subtract(
+            pc.multiply(cents, pa.scalar(n, pa.int64())), pa.scalar(s, pa.int64())
+        )
+        return pa.Table.from_arrays(
+            [
+                table.column("c_custkey"),
+                pa.array([n] * n, pa.int64()),
+                pc.cast(dev, pa.int64()),
+            ],
+            names=["c_custkey", "n_in_group", "dev_cents_x_n"],
+        )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(28,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return c.groupBy("c_nationkey").applyInArrow(
+        center, schema="c_custkey bigint, n_in_group bigint, dev_cents_x_n bigint"
+    )
