@@ -451,3 +451,39 @@ def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_add(F.col("l_extendedprice").cast("double"), F.col("l_tax")), 6
         ).alias("try_sum"),
     )
+
+
+@op(
+    "collated_group_count",
+    oracle="""
+    WITH p AS (
+        SELECT CASE WHEN p_partkey % 2 = 1 THEN upper(p_type) ELSE p_type END
+                   AS p_type_cased
+        FROM part
+    )
+    SELECT lower(p_type_cased) AS p_type_lc, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1
+    """,
+    tags=("string", "spark4", "collation"),
+)
+def collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATION: group part types case-insensitively by
+    collating the key to UTF8_LCASE — comparison/grouping semantics
+    move into the TYPE, so the plan needs no lower() wrapper and an
+    equality filter on the collated column can still push down. The
+    mixed-case input is synthesized deterministically (odd part keys
+    upper-cased) because the corpus is uniformly cased; the output
+    reports lower(key) so the group representative (which Spark picks
+    arbitrarily among case variants) never reaches the result. Oracle
+    states the classic lower()-normalize formulation."""
+    p = _t(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 2 == 1, F.upper("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("p_type_cased")
+    )
+    g = p.groupBy(
+        F.collate(F.col("p_type_cased"), "UTF8_LCASE").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return g.select(
+        F.lower(F.col("k").cast("string")).alias("p_type_lc"), "n"
+    )

@@ -2083,3 +2083,97 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_ev").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_D38 = "decimal(38,0)"
+
+_DECOMP_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                             AS HUGEINT)) AS HUGEINT) AS cents
+        FROM orders GROUP BY 1
+    ), tr AS (
+        SELECT day, cents,
+               CASE WHEN count(*) OVER w7 = 7 THEN
+                   (2 * sum(cents) OVER w7 + 7) // 14
+               END AS trend_cents
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+        SELECT day, cents, trend_cents,
+               cents - trend_cents AS detr,
+               (day - DATE '1970-01-01') % 7 AS dow
+        FROM tr
+    ), seas AS (
+        SELECT *,
+               CASE WHEN sum(detr) OVER wd < 0 THEN -1 ELSE 1 END
+               * ((2 * abs(sum(detr) OVER wd) + count(detr) OVER wd)
+                  // (2 * count(detr) OVER wd)) AS seasonal_cents
+        FROM det
+        WINDOW wd AS (PARTITION BY dow)
+    )
+    SELECT day, CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(trend_cents AS BIGINT) AS trend_cents,
+           CAST(seasonal_cents AS BIGINT) AS seasonal_cents,
+           CAST(detr - seasonal_cents AS BIGINT) AS residual_cents
+    FROM seas
+"""
+
+
+@op("ts_decompose_daily", oracle=_DECOMP_SQL, tags=("timeseries", "stats"))
+def ts_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily revenue —
+    trend (centered 7-day moving average), day-of-week seasonal (mean
+    of the detrended values per dow), residual — entirely in exact
+    integer cents: the MA is the half-up rational (2*S7+7)//14, the
+    seasonal mean is sign-split half-up, residual is a subtraction, so
+    revenue == trend + seasonal + residual reconstructs exactly where
+    defined and every column hash-matches the oracle. Edge days (<7-day
+    window) carry NULL trend/residual, the classical convention.
+    Scale shape: one map-side-combined groupBy collapses facts to the
+    ~1.1k-row calendar; every window after that is calendar-bounded
+    (documented-bounded class); dow is epoch-day arithmetic — no
+    locale/calendar seam."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(_D38))
+            .alias("cents")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            exact_floor_div(2 * F.sum("cents").over(w7) + 7, F.lit(14)),
+        ).alias("trend_cents"),
+    )
+    det = tr.select(
+        "day",
+        "cents",
+        "trend_cents",
+        (F.col("cents") - F.col("trend_cents")).alias("detr"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+    )
+    wd = Window.partitionBy("dow")
+    s_d = F.sum("detr").over(wd)
+    n_d = F.count("detr").over(wd)
+    seasonal = F.when(s_d < 0, -1).otherwise(1) * exact_floor_div(
+        2 * F.abs(s_d) + n_d, 2 * n_d
+    )
+    seas = det.withColumn("seasonal_cents", seasonal)
+    return seas.select(
+        "day",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.col("trend_cents").cast("long").alias("trend_cents"),
+        F.col("seasonal_cents").cast("long").alias("seasonal_cents"),
+        (F.col("detr") - F.col("seasonal_cents")).cast("long").alias("residual_cents"),
+    )

@@ -83,3 +83,45 @@ def test_apply_in_arrow_center_exact(spark, tmp_path):
     assert got[3] == (3, 3 * 4000 - 7000)
     # singleton group centers to zero.
     assert got[4] == (1, 0)
+
+
+def test_ts_decompose_constant_series(spark, tmp_path):
+    # 14 days of constant $100 revenue: trend = 10000 cents wherever the
+    # 7-day window is full (days 4..11), detrended = 0, seasonal = 0,
+    # residual = 0; the 3 edge days each side carry NULL trend/residual.
+    import datetime as dt
+
+    t0 = dt.datetime(2001, 1, 1)
+    spark.createDataFrame(
+        [(i, 1, "O", 100.00, t0 + dt.timedelta(days=i), "1-URGENT") for i in range(14)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = sorted(
+        all_ops()["ts_decompose_daily"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) == 14
+    for i, r in enumerate(rows):
+        assert r.revenue_cents == 10000
+        if 3 <= i <= 10:
+            assert r.trend_cents == 10000
+            assert r.seasonal_cents == 0
+            assert r.residual_cents == 0
+            # additive identity reconstructs exactly
+            assert r.trend_cents + r.seasonal_cents + r.residual_cents == r.revenue_cents
+        else:
+            assert r.trend_cents is None and r.residual_cents is None
+
+
+def test_collated_group_merges_case_variants(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "widget", "BrandA"), (2, "widget", "BrandA"), (3, "gadget", "BrandA"), (4, "widget", "BrandA")],
+        "p_partkey bigint, p_type string, p_brand string",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    got = {
+        r.p_type_lc: r.n
+        for r in all_ops()["collated_group_count"].fn(spark, str(tmp_path)).collect()
+    }
+    # odd keys upper-cased to WIDGET/GADGET; collation folds them back.
+    assert got == {"widget": 3, "gadget": 1}
