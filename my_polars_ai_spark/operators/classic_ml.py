@@ -222,3 +222,130 @@ def ols_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_disc_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier, trained and evaluated in one plan
+# ---------------------------------------------------------------------------
+
+_NB_SQL = """
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ), inst AS (
+        SELECT d.doc_id, d.lang, t.tok
+        FROM d, LATERAL (SELECT unnest(ts) AS tok) t
+        WHERE t.tok <> ''
+    ), tokm AS (
+        SELECT doc_id, tok, count(*) AS m FROM inst GROUP BY doc_id, tok
+    ), tl AS (
+        SELECT tok, lang, count(*) AS c FROM inst GROUP BY tok, lang
+    ), lt AS (
+        SELECT lang, count(*) AS n_lang FROM inst GROUP BY lang
+    ), dl AS (
+        SELECT lang, count(*) AS d_lang FROM documents GROUP BY lang
+    ), gl AS (
+        SELECT (SELECT count(DISTINCT tok) FROM inst) AS v,
+               (SELECT count(*) FROM documents) AS n_docs
+    ), langs AS (
+        SELECT dl.lang, coalesce(lt.n_lang, 0) AS n_lang, dl.d_lang
+        FROM dl LEFT JOIN lt USING (lang)
+    ), contrib AS (
+        SELECT tokm.doc_id, l.lang,
+               sum(tokm.m * CAST(round(ln((coalesce(tl.c, 0) + 1.0)
+                                          / (l.n_lang + gl.v)) * 1000000)
+                                 AS BIGINT)) AS tok_score
+        FROM tokm CROSS JOIN langs l CROSS JOIN gl
+        LEFT JOIN tl ON tl.tok = tokm.tok AND tl.lang = l.lang
+        GROUP BY 1, 2
+    ), base AS (
+        SELECT doc.doc_id, doc.lang AS actual_lang, l.lang AS cand,
+               CAST(round(ln(l.d_lang * 1.0 / gl.n_docs) * 1000000) AS BIGINT)
+               + coalesce(c.tok_score, 0) AS score
+        FROM documents doc CROSS JOIN langs l CROSS JOIN gl
+        LEFT JOIN contrib c ON c.doc_id = doc.doc_id AND c.lang = l.lang
+    ), pred AS (
+        SELECT actual_lang, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand ASC) AS rn
+        FROM base
+    )
+    SELECT actual_lang, cand AS predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@op("naive_bayes_langid", oracle=_NB_SQL, tags=("ml", "text", "classifier"))
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained on the corpus's own (text, lang)
+    pairs and resubstitution-evaluated, all in ONE Catalyst plan — the
+    classic generative classifier as pure relational algebra: Laplace-
+    smoothed log-likelihoods ln((c+1)/(n_lang+V)) and the class prior
+    are each rounded ONCE to integer micro-nats (the pagerank/unigram
+    seam), every accumulation after that is exact integer sums, and
+    the argmax is a deterministic (score desc, lang asc) pick — so a
+    trained-model EVALUATION hash-matches across engines. Output is
+    the bounded actual x predicted confusion matrix (companion to
+    lang_id_confusion, which scores the hand heuristic; this one
+    learns its weights from the data).
+    Scale shape: candidate scoring joins the per-doc DISTINCT token
+    table (multiplicity m carried as a factor, never re-exploded)
+    against the (tok, lang) count table on tok — an equi-join AQE can
+    shuffle or broadcast; the lang list, totals, and vocab size are
+    1-row/L-row broadcasts. No all-pairs anything."""
+    d = _t(spark, sf_dir, "documents")
+    inst = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tokm = inst.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("m"))
+    tl = inst.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lt = inst.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    dl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("d_lang"))
+    gl = inst.agg(F.countDistinct("tok").alias("v")).crossJoin(
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    langs = dl.join(lt, "lang", "left").select(
+        F.col("lang").alias("cand"),
+        F.coalesce("n_lang", F.lit(0)).alias("n_lang"),
+        "d_lang",
+    )
+    lp = (
+        F.round(
+            F.log(
+                (F.coalesce("c", F.lit(0)) + 1.0)
+                / (F.col("n_lang") + F.col("v"))
+            )
+            * 1000000
+        ).cast("long")
+    )
+    contrib = (
+        tokm.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(gl))
+        .join(
+            tl.withColumnRenamed("lang", "cand"),
+            ["tok", "cand"],
+            "left",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(F.sum(F.col("m") * lp).alias("tok_score"))
+    )
+    prior = F.round(
+        F.log(F.col("d_lang") * 1.0 / F.col("n_docs")) * 1000000
+    ).cast("long")
+    base = (
+        d.select("doc_id", F.col("lang").alias("actual_lang"))
+        .crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(gl))
+        .join(contrib, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand",
+            (prior + F.coalesce("tok_score", F.lit(0))).alias("score"),
+        )
+    )
+    pred = base.groupBy("doc_id", "actual_lang").agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("cand"))).alias("best")
+    )
+    return pred.groupBy(
+        "actual_lang", F.col("best.cand").alias("predicted_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

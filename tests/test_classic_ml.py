@@ -94,3 +94,26 @@ def test_ols_collinear_group_yields_null(spark, tmp_path):
     row = all_ops()["ols_price_on_qty_discount"].fn(spark, str(tmp_path)).collect()[0]
     assert row.n_rows == 3
     assert row.beta_qty_cents is None and row.beta_disc_cents is None
+
+
+def test_naive_bayes_langid_known_corpus(spark, tmp_path):
+    # Separable vocab: 'the' only in en docs, 'le' only in fr docs ->
+    # resubstitution classifies all perfectly. The empty 'de' doc gets
+    # the prior-only argmax: en/fr priors tie at 2/5, tie-break lang
+    # asc -> 'en'.
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "the cat", "en"),
+            (2, "the dog", "en"),
+            (3, "le chat", "fr"),
+            (4, "le chien", "fr"),
+            (5, "", "de"),
+        ],
+    )
+    got = {
+        (r.actual_lang, r.predicted_lang): r.n_docs
+        for r in all_ops()["naive_bayes_langid"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {("en", "en"): 2, ("fr", "fr"): 2, ("de", "en"): 1}
