@@ -349,3 +349,193 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "actual_lang", F.col("best.cand").alias("predicted_lang")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (depth-1 tree) trained by exact Gini over a threshold grid
+# ---------------------------------------------------------------------------
+
+# $25k candidate-threshold bands over o_totalprice (max ~$500k) => ~20
+# candidate splits at any SF, same banding as the KS/MW value table.
+_STUMP_BAND = 2_500_000
+
+_STUMP_SQL = f"""
+    WITH g AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   // {_STUMP_BAND} AS band,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ), b AS (
+        SELECT band, CAST(sum(pos) AS HUGEINT) AS p,
+               CAST(count(*) - sum(pos) AS HUGEINT) AS q
+        FROM g GROUP BY band
+    ), c AS (
+        SELECT band,
+               sum(p) OVER (ORDER BY band) AS pl,
+               sum(q) OVER (ORDER BY band) AS ql,
+               (SELECT sum(p) FROM b) AS pt,
+               (SELECT sum(q) FROM b) AS qt
+        FROM b
+    ), s AS (
+        SELECT (band + 1) * {_STUMP_BAND} AS threshold_cents,
+               pl + ql AS nl, (pt - pl) + (qt - ql) AS nr,
+               {oracle_ratio_round(
+                   '2*(pl*ql*((pt - pl) + (qt - ql)) '
+                   '+ (pt - pl)*(qt - ql)*(pl + ql))',
+                   '(pl + ql) * ((pt - pl) + (qt - ql))')} AS gini_sum
+        FROM c
+        WHERE pl + ql > 0 AND (pt - pl) + (qt - ql) > 0
+    )
+    SELECT CAST(threshold_cents AS BIGINT) AS threshold_cents,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           gini_sum AS weighted_gini
+    FROM s
+    ORDER BY gini_sum ASC, threshold_cents ASC
+    LIMIT 1
+"""
+
+
+@op("decision_stump_train", oracle=_STUMP_SQL, tags=("ml", "train", "agg"))
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree: pick the order-total threshold
+    that best splits URGENT from non-URGENT orders by weighted Gini
+    impurity, evaluated EXACTLY — per-side impurity 2*p*q/n terms are
+    put over the common denominator n_L*n_R so the comparison is one
+    half-up-rounded integer rational per candidate; argmin tie-breaks
+    on the lower threshold. The candidate grid is the $25k banding
+    (~20 splits), so after one map-side-combined groupBy everything is
+    a broadcast-sized table — CART's split search as a 20-row scan,
+    the relational analogue of a tree library's `fit()` first node."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.select(
+        exact_floor_div(
+            (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(_D38),
+            F.lit(_STUMP_BAND),
+        ).alias("band"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").cast(_D38).alias("pos"),
+    )
+    b = g.groupBy("band").agg(
+        F.sum("pos").alias("p"),
+        (F.count(F.lit(1)).cast(_D38) - F.sum("pos")).alias("q"),
+    )
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    tot = b.agg(F.sum("p").alias("pt"), F.sum("q").alias("qt"))
+    c = b.select(
+        "band",
+        F.sum("p").over(wc).alias("pl"),
+        F.sum("q").over(wc).alias("ql"),
+    ).crossJoin(F.broadcast(tot))
+    pl, ql = F.col("pl"), F.col("ql")
+    pr, qr = F.col("pt") - pl, F.col("qt") - ql
+    nl, nr = pl + ql, pr + qr
+    s = c.filter((nl > 0) & (nr > 0)).select(
+        ((F.col("band") + 1) * _STUMP_BAND).cast("long").alias("threshold_cents"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        ratio_round(2 * (pl * ql * nr + pr * qr * nl), nl * nr).alias(
+            "weighted_gini"
+        ),
+    )
+    return s.orderBy(F.asc("weighted_gini"), F.asc("threshold_cents")).limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (co-purchase cosine, top-k per part)
+# ---------------------------------------------------------------------------
+
+_CF_TOPK = 3
+_CF_MIN_SUPPORT = 2
+
+_CF_SQL = f"""
+    WITH po AS (
+        SELECT DISTINCT l_partkey AS part, l_orderkey AS ord FROM lineitem
+    ), deg AS (
+        SELECT part, CAST(count(*) AS BIGINT) AS n FROM po GROUP BY part
+    ), pairs AS (
+        SELECT a.part AS pa, b.part AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part
+        GROUP BY 1, 2
+        HAVING count(*) >= {_CF_MIN_SUPPORT}
+    ), sym AS (
+        SELECT pa AS part, pb AS partner, n_ab FROM pairs
+        UNION ALL
+        SELECT pb AS part, pa AS partner, n_ab FROM pairs
+    ), scored AS (
+        SELECT s.part, s.partner, s.n_ab,
+               round(CAST(s.n_ab AS DOUBLE)
+                     / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) AS cosine
+        FROM sym s
+        JOIN deg da ON da.part = s.part
+        JOIN deg db ON db.part = s.partner
+    ), ranked AS (
+        SELECT part, partner, n_ab, cosine,
+               row_number() OVER (PARTITION BY part
+                                  ORDER BY cosine DESC, n_ab DESC, partner ASC)
+                   AS rnk
+        FROM scored
+    )
+    SELECT part, partner, n_ab, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_CF_TOPK}
+"""
+
+
+@op("item_item_cf_topk", oracle=_CF_SQL, tags=("ml", "recommender", "join"))
+def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the co-purchase graph —
+    the classic Amazon-style recommender primitive: parts are binary
+    vectors over orders, similarity is co-occurrence cosine
+    n_ab / sqrt(n_a * n_b), and each part keeps its top-3 partners.
+    Pair generation is an equi-join on the ORDER key (fan-out bounded
+    by parts-per-order, never a part x part product), a >= 2 support
+    cutoff prunes the singleton tail before the degree join, and the
+    per-part ranking window is bounded by the co-purchase degree.
+    cosine is sqrt+divide — both IEEE-correctly-rounded from identical
+    integer inputs, so the rounded value hash-matches (the kendall-tau
+    seam); ranking orders by the ROUNDED cosine with (n_ab, partner)
+    tie-breaks so the top-3 is engine-stable."""
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("ord"))
+        .distinct()
+    )
+    deg = po.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    a = po.select(F.col("part").alias("pa"), "ord")
+    bb = po.select(F.col("part").alias("pb"), "ord")
+    pairs = (
+        a.join(bb, "ord")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _CF_MIN_SUPPORT)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("part"), F.col("pb").alias("partner"), "n_ab"
+    ).unionAll(
+        pairs.select(F.col("pb").alias("part"), F.col("pa").alias("partner"), "n_ab")
+    )
+    scored = (
+        sym.join(deg.withColumnRenamed("part", "part_").withColumnRenamed("n", "na"),
+                 F.col("part") == F.col("part_"))
+        .drop("part_")
+        .join(deg.withColumnRenamed("part", "partner_").withColumnRenamed("n", "nb"),
+              F.col("partner") == F.col("partner_"))
+        .drop("partner_")
+        .select(
+            "part",
+            "partner",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.desc("cosine"), F.desc("n_ab"), F.asc("partner")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CF_TOPK)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )

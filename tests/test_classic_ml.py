@@ -117,3 +117,44 @@ def test_naive_bayes_langid_known_corpus(spark, tmp_path):
         for r in all_ops()["naive_bayes_langid"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {("en", "en"): 2, ("fr", "fr"): 2, ("de", "en"): 1}
+
+
+def test_decision_stump_perfect_split(spark, tmp_path):
+    # 10 cheap non-urgent + 10 expensive urgent orders: the band edge
+    # between them separates perfectly -> weighted Gini 0 at $25k.
+    t0 = dt.datetime(2001, 1, 1)
+    rows = [(i, 1, "O", 10_000.0, t0, "5-LOW") for i in range(10)] + [
+        (100 + i, 1, "O", 60_000.0, t0, "1-URGENT") for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    row = all_ops()["decision_stump_train"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.threshold_cents == 2_500_000
+    assert (row.n_left, row.n_right) == (10, 10)
+    assert row.weighted_gini == 0.0
+
+
+def test_item_item_cf_support_and_cosine(spark, tmp_path):
+    # A,B co-occur in 3 orders (support kept); A,C and B,C only once
+    # (pruned). deg(A)=deg(B)=3 -> cosine 3/sqrt(9) = 1.0 both ways.
+    ship = dt.datetime(2001, 1, 1)
+    rows = [
+        (1, 101), (1, 102), (1, 103),
+        (2, 101), (2, 102),
+        (3, 101), (3, 102),
+    ]
+    spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ship) for (o, p) in rows],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r.part, r.partner): (r.n_ab, r.cosine, r.rnk)
+        for r in all_ops()["item_item_cf_topk"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {(101, 102): (3, 1.0, 1), (102, 101): (3, 1.0, 1)}
