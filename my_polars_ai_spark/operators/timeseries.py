@@ -2177,3 +2177,66 @@ def ts_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seasonal_cents").cast("long").alias("seasonal_cents"),
         (F.col("detr") - F.col("seasonal_cents")).cast("long").alias("residual_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) of the value series per day and type
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, event_id,
+               epoch_us(ts) AS ts_us,
+               CAST(CAST(value AS DECIMAL(18,6)) * 100 AS HUGEINT) AS cents
+        FROM events
+    ), d AS (
+        SELECT day, event_type, cents,
+               coalesce(lead(ts_us) OVER (PARTITION BY day, event_type
+                                          ORDER BY ts_us, event_id),
+                        epoch_us(CAST(day + 1 AS TIMESTAMP))) - ts_us AS dur_us
+        FROM e
+    )
+    SELECT day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS covered_us,
+           {oracle_ratio_round('sum(cents * dur_us)', 'sum(dur_us)')} AS twap_cents
+    FROM d GROUP BY day, event_type
+"""
+
+
+@op("twap_daily_value", oracle=_TWAP_SQL, tags=("timeseries", "finance"))
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average price per (day, event_type) — the fair
+    average of an irregularly-sampled series, where each observation
+    holds from its timestamp until the next one (the last until
+    midnight): the finance-standard TWAP that a plain avg() gets wrong
+    whenever sampling density correlates with the value. Durations are
+    exact integer microseconds from a (day, type)-keyed lead window —
+    one shuffle, no global sort; value*duration products accumulate in
+    DECIMAL(38,0) and the TWAP is one half-up rational. Companion to
+    ohlc_bars_hourly (position in time) and decay_weighted_revenue
+    (weight by recency); ties ordered by event_id on both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(18,6)") * 100).cast(_D38).alias("cents"),
+    )
+    w = Window.partitionBy("day", "event_type").orderBy("ts_us", "event_id")
+    day_end_us = F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp"))
+    d = e.select(
+        "day",
+        "event_type",
+        "cents",
+        (
+            F.coalesce(F.lead("ts_us").over(w), day_end_us) - F.col("ts_us")
+        ).cast(_D38).alias("dur_us"),
+    )
+    return d.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("covered_us"),
+        ratio_round(F.sum(F.col("cents") * F.col("dur_us")), F.sum("dur_us")).alias(
+            "twap_cents"
+        ),
+    )

@@ -125,3 +125,22 @@ def test_collated_group_merges_case_variants(spark, tmp_path):
     }
     # odd keys upper-cased to WIDGET/GADGET; collation folds them back.
     assert got == {"widget": 3, "gadget": 1}
+
+
+def test_twap_weights_by_holding_duration(spark, tmp_path):
+    # value 100.00 held for 6h (00:00->06:00), value 200.00 held for 18h
+    # (06:00->midnight): TWAP = (100*6 + 200*18) / 24 = 175.00 — a plain
+    # avg() would say 150.
+    t0 = dt.datetime(2001, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view", 100.00, "{}"),
+            (2, t0 + dt.timedelta(hours=6), 1, "view", 200.00, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    row = all_ops()["twap_daily_value"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_events == 2
+    assert row.covered_us == 24 * 3600 * 1_000_000
+    assert row.twap_cents == 17500.0
