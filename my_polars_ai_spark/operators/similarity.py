@@ -1579,3 +1579,93 @@ def retrieval_metrics_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         mrr.alias("mrr"),
         ratio_round(F.col("dcg_micro"), F.lit(idcg3).cast(dec)).alias("ndcg"),
     )
+
+
+_NCC_SQL = f"""
+    WITH pos AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8))
+                    * 100000000 AS HUGEINT) AS xm
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS cand, dim, sum(xm) AS s,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM pos GROUP BY label, dim
+    ), terms AS (
+        SELECT p.vec_id, p.label AS actual_label, c.cand,
+               max(c.n) AS n,
+               sum((c.n * p.xm - c.s) * (c.n * p.xm - c.s)) AS num
+        FROM pos p JOIN cent c ON c.dim = p.dim
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT vec_id, actual_label, cand,
+               {oracle_ratio_round(
+                   'num', 'n * n * CAST(10000000000000000 AS HUGEINT)')} AS d2q
+        FROM terms
+    ), pred AS (
+        SELECT actual_label, cand,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2q ASC, cand ASC) AS rn
+        FROM scored
+    )
+    SELECT actual_label, cand AS predicted_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@op(
+    "nearest_centroid_confusion",
+    oracle=_NCC_SQL,
+    tags=("similarity", "ml", "classifier"),
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of every embedding
+    against ALL label centroids, reported as the bounded confusion
+    matrix — the embedding-space sibling of naive_bayes_langid and the
+    assignment-side complement of centroid_outlier_scores (that op
+    scores distance to your OWN centroid; this one asks which centroid
+    is closest). Distances stay exact integer rationals
+    (sum_d (n*x-S)^2 over n^2*1e16, the 1e-8-unit seam) quantized ONCE
+    at micro precision; argmin tie-breaks on the lower label, so the
+    prediction is engine-stable. Plan: one posexplode aggregation to
+    the (label x dim) centroid grid (640 rows, broadcast), a dim-keyed
+    join fans each component to L candidates, two map-side-combined
+    reduces — no pairwise vector joins anywhere. DECIMAL(38,0) bound
+    holds to ~sf1 per label (n*xm ~ 1e13 squared x64); beyond that the
+    components quantize once like anova_f."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("p", "x"),
+    ).select(
+        "vec_id",
+        F.col("label").alias("actual_label"),
+        (F.col("p") + 1).alias("dim"),
+        (F.col("x").cast("double").cast("decimal(20,8)") * 100000000)
+        .cast("decimal(38,0)")
+        .alias("xm"),
+    )
+    cent = (
+        pos.groupBy(F.col("actual_label").alias("cand"), "dim")
+        .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    )
+    diff = F.col("n") * F.col("xm") - F.col("s")
+    terms = pos.join(F.broadcast(cent), "dim").groupBy(
+        "vec_id", "actual_label", "cand"
+    ).agg(F.max("n").alias("n"), F.sum(diff * diff).alias("num"))
+    den = F.col("n") * F.col("n") * F.lit(10000000000000000).cast("decimal(38,0)")
+    scored = terms.select(
+        "vec_id",
+        "actual_label",
+        "cand",
+        ratio_round(F.col("num"), den).alias("d2q"),
+    )
+    pred = scored.groupBy("vec_id", "actual_label").agg(
+        F.min(F.struct(F.col("d2q"), F.col("cand"))).alias("best")
+    )
+    return pred.groupBy(
+        "actual_label", F.col("best.cand").alias("predicted_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))

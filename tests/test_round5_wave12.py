@@ -144,3 +144,23 @@ def test_twap_weights_by_holding_duration(spark, tmp_path):
     assert row.n_events == 2
     assert row.covered_us == 24 * 3600 * 1_000_000
     assert row.twap_cents == 17500.0
+
+
+def test_nearest_centroid_confusion_known(spark, tmp_path):
+    # label 0 clusters at (0, ~0), label 1 at (1, ~1); one mislabeled
+    # point sits inside cluster 1 -> predicted 1 though labeled 0.
+    spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.0, 0.2], 0),
+            (3, [1.0, 1.0], 1),
+            (4, [1.0, 0.8], 1),
+            (5, [1.0, 1.0], 0),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r.actual_label, r.predicted_label): r.n_vecs
+        for r in all_ops()["nearest_centroid_confusion"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {(0, 0): 2, (1, 1): 2, (0, 1): 1}
