@@ -26,7 +26,9 @@ from my_polars_ai_spark.operators.base import (
     exact_floor_div,
     make_registrar,
     oracle_ratio_round,
+    oracle_signed_ratio_round,
     ratio_round,
+    signed_ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -1669,3 +1671,108 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "actual_label", F.col("best.cand").alias("predicted_label")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+
+
+_PCA_SQL = f"""
+    WITH pos AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8))
+                    * 100000000 AS HUGEINT) AS xm
+        FROM embeddings
+    ), v0 AS (
+        SELECT DISTINCT dim,
+               (('0x' || substr(md5('pca0:' || CAST(dim AS VARCHAR)), 1, 15))
+                ::BIGINT % 1001) - 500 AS v
+        FROM pos
+    ), p AS (
+        SELECT pos.vec_id, sum(pos.xm * v0.v) AS pv
+        FROM pos JOIN v0 USING (dim) GROUP BY 1
+    ), t AS (
+        SELECT pos.dim, sum(pos.xm * p.pv) AS tv
+        FROM pos JOIN p USING (vec_id) GROUP BY 1
+    ), s AS (
+        SELECT dim, sum(xm) AS sa, CAST(count(*) AS HUGEINT) AS n
+        FROM pos GROUP BY dim
+    ), u AS (
+        SELECT sum(s.sa * v0.v) AS uu FROM s JOIN v0 USING (dim)
+    ), v1 AS (
+        SELECT s.dim, s.n * t.tv - s.sa * u.uu AS w
+        FROM s JOIN t USING (dim) CROSS JOIN u
+    ), m AS (
+        SELECT max(abs(w)) AS ma FROM v1
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CASE WHEN m.ma > 0 THEN
+               {oracle_signed_ratio_round('v1.w', 'm.ma')}
+           END AS v1_rel
+    FROM v1 CROSS JOIN m
+"""
+
+
+@op("pca_power_iteration_step", oracle=_PCA_SQL, tags=("similarity", "ml", "linalg"))
+def pca_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One MATRIX-FREE power-iteration step toward the top principal
+    component of the embedding cloud: v1 = C v0 with the (unnormalized)
+    covariance C_ab = n*S_ab - S_a*S_b never materialized — the 64x64
+    S_ab grid would need a per-vector dim x dim self-join, so instead
+    v1_a = n * sum_v x_va * (x_v . v0) - S_a * (S . v0): two narrow
+    per-vector passes (dot with broadcast v0, then re-weight by it),
+    each a map-side-combined aggregation. The seed v0 is md5-derived
+    per dimension (the stored-model-free idiom of the LSH family), all
+    accumulators are exact DECIMAL(38,0) in the 1e-8-unit seam, and
+    the direction is reported scale-free as each component's signed
+    half-up ratio to the max-|component| — normalization without sqrt,
+    so the whole step is integer-exact and hash-portable. Iterating is
+    re-running with v0 := v1 (the convergence loop is driver-side
+    iteration control, same contract as dedup_cluster_canonical)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("dim"),
+        (F.col("x").cast("double").cast("decimal(20,8)") * 100000000)
+        .cast("decimal(38,0)")
+        .alias("xm"),
+    )
+    v0 = pos.select("dim").distinct().select(
+        "dim",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("pca0:"), F.col("dim").cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 1001
+            - 500
+        ).cast("decimal(38,0)").alias("v"),
+    )
+    p = (
+        pos.join(F.broadcast(v0), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xm") * F.col("v")).alias("pv"))
+    )
+    t = (
+        pos.join(p, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("xm") * F.col("pv")).alias("tv"))
+    )
+    s = pos.groupBy("dim").agg(
+        F.sum("xm").alias("sa"), F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    u = s.join(F.broadcast(v0), "dim").agg(
+        F.sum(F.col("sa") * F.col("v")).alias("uu")
+    )
+    v1 = (
+        s.join(t, "dim")
+        .crossJoin(F.broadcast(u))
+        .select("dim", (F.col("n") * F.col("tv") - F.col("sa") * F.col("uu")).alias("w"))
+    )
+    m = v1.agg(F.max(F.abs(F.col("w"))).alias("ma"))
+    return v1.crossJoin(F.broadcast(m)).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.when(F.col("ma") > 0, signed_ratio_round(F.col("w"), F.col("ma"))).alias(
+            "v1_rel"
+        ),
+    )

@@ -397,3 +397,62 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM customer_ei_v WHERE c_nationkey = ? GROUP BY c_mktsegment"
     )
     return spark.sql("EXECUTE IMMEDIATE :q USING 7", args={"q": stmt})
+
+
+@op(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY ALL
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the grouping keys are inferred from the
+    non-aggregate select list, so generated SQL can't drift between
+    the projection and the GROUP BY clause (the classic LLM-codegen
+    slip this engine's SQL path would otherwise have to lint for).
+    Both engines support the identical text; the plan is the ordinary
+    hash aggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                             AS DECIMAL(38,0))) AS BIGINT) AS cents
+        FROM orders_gba_v GROUP BY ALL
+        """
+    )
+
+
+@op(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sql", "spark4", "security"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` (Spark 4) — parameterized TABLE and
+    COLUMN names, completing the injection-safe templating story:
+    sql_parameterized_query binds VALUES, this binds IDENTIFIERS, so
+    generated SQL never string-splices either. The identifier resolves
+    at parse time — the optimized plan is the same broadcast join the
+    hand-written query gets. Oracle states the resolved query."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_id_v")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_id_v")
+    return spark.sql(
+        """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM IDENTIFIER(:fact) JOIN IDENTIFIER(:dim)
+          ON IDENTIFIER(:fact || '.s_nationkey') = IDENTIFIER(:dim || '.n_nationkey')
+        GROUP BY n_name
+        """,
+        args={"fact": "supplier_id_v", "dim": "nation_id_v"},
+    )

@@ -164,3 +164,19 @@ def test_nearest_centroid_confusion_known(spark, tmp_path):
         for r in all_ops()["nearest_centroid_confusion"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {(0, 0): 2, (1, 1): 2, (0, 1): 1}
+
+
+def test_pca_power_step_finds_dominant_axis(spark, tmp_path):
+    # All variance lives on dim 1 (values 1..4), dim 2 is constant ->
+    # C has a single nonzero entry C11, so v1 is exactly axis 1: the
+    # dominant component gets |v1_rel| = 1, the dead axis exactly 0.
+    spark.createDataFrame(
+        [(i, [float(i), 5.0], i % 2) for i in range(1, 5)],
+        "vec_id bigint, embedding array<double>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.dim: r.v1_rel
+        for r in all_ops()["pca_power_iteration_step"].fn(spark, str(tmp_path)).collect()
+    }
+    assert abs(got[1]) == 1.0
+    assert got[2] == 0.0
