@@ -71,6 +71,14 @@ HEADLINE = [
     # deterministic shuffle order (concat packing)
     "ks_test_priority_totals",
     "pack_windows_concat",
+    # round-5 session-2: the three structurally-new shapes — L-way
+    # candidate fan-out scoring with broadcast model tables (naive
+    # Bayes), order-keyed co-occurrence pair join + degree-bounded
+    # ranking (item-item CF), and the matrix-free two-pass matvec
+    # (PCA power iteration)
+    "naive_bayes_langid",
+    "item_item_cf_topk",
+    "pca_power_iteration_step",
 ]
 
 
@@ -92,7 +100,12 @@ def main() -> None:
     # warm-up, min-of-2 still pays one full refill in iteration 1 and the
     # recorded min is hostage to iteration-2 noise (r1: 2.2s isolated vs
     # 5.8s in-bench for dedup_minhash_lsh).
-    for warm in ("flagship_revenue_by_nation", "dedup_minhash_lsh", "pq_adc_topk"):
+    for warm in (
+        "flagship_revenue_by_nation",
+        "dedup_minhash_lsh",
+        "pq_adc_topk",
+        "item_item_cf_topk",
+    ):
         ops[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # min of 3 iterations per query: absorbs single-JVM GC/JIT noise.

@@ -158,3 +158,60 @@ def test_item_item_cf_support_and_cosine(spark, tmp_path):
         for r in all_ops()["item_item_cf_topk"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {(101, 102): (3, 1.0, 1), (102, 101): (3, 1.0, 1)}
+
+
+def test_basket_triples_counted_once_in_canonical_order(spark, tmp_path):
+    # Orders 1-3 each contain brands A,B,C -> triple (A,B,C) support 3,
+    # generated exactly once per order; order 4 has only a pair.
+    ship = dt.datetime(2001, 1, 1)
+    li = []
+    for o in (1, 2, 3):
+        for i, pk in enumerate((101, 102, 103)):
+            li.append((o, pk))
+    li += [(4, 101), (4, 102)]
+    spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ship) for (o, p) in li],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(101, "tA", "A"), (102, "tB", "B"), (103, "tC", "C")],
+        "p_partkey bigint, p_type string, p_brand string",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    got = {
+        (r.brand_1, r.brand_2, r.brand_3): r.support
+        for r in all_ops()["basket_triple_support"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {("A", "B", "C"): 3}
+
+
+def test_business_days_excludes_weekends(spark, tmp_path):
+    # 2001-01-01 is a Monday. Fri 01-05 -> Mon 01-08 spans only {Fri}
+    # as a weekday in [order, ship): 1 business day though 3 calendar
+    # days. Sat 01-06 -> Mon 01-08 is 0. Mon -> next Mon is 5.
+    def order(ok, d):
+        return (ok, 1, "O", 100.0, dt.datetime(2001, 1, d), "1-URGENT")
+
+    spark.createDataFrame(
+        [order(1, 5), order(2, 6), order(3, 1)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    ships = {1: 8, 2: 8, 3: 8}
+    spark.createDataFrame(
+        [
+            (ok, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2001, 1, sd))
+            for ok, sd in ships.items()
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    row = all_ops()["business_days_lead_time"].fn(spark, str(tmp_path)).collect()[0]
+    # bdays: Fri->Mon = 1, Sat->Mon = 0, Mon->Mon = 5 -> total 6 over 3.
+    assert row.n_lineitems == 3
+    assert row.total_bdays == 6
+    assert row.avg_bdays == 2.0
