@@ -663,3 +663,82 @@ def business_days_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bdays").cast("long").alias("total_bdays"),
         ratio_round(F.sum("bdays"), F.count(F.lit(1))).alias("avg_bdays"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement of the lang-id heuristic
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS ts,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS act
+        FROM documents
+    ), p AS (
+        SELECT act,
+               CASE WHEN len(list_filter(ts, x -> x IN {_MARKERS_SQL})) * 1.0
+                         / greatest(len(ts), 1) >= 0.05
+                    THEN 1 ELSE 0 END AS pred
+        FROM t
+    ), c AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(pred * act) AS HUGEINT) AS a,
+               CAST(sum(pred * (1 - act)) AS HUGEINT) AS b,
+               CAST(sum((1 - pred) * act) AS HUGEINT) AS cc,
+               CAST(sum((1 - pred) * (1 - act)) AS HUGEINT) AS d
+        FROM p
+    ), k AS (
+        SELECT n, a + d AS po_num,
+               (a + b) * (a + cc) + (cc + d) * (b + d) AS pe_num
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           {oracle_ratio_round('po_num', 'n')} AS po,
+           {oracle_ratio_round('pe_num', 'n * n')} AS pe,
+           CASE WHEN n * n > pe_num THEN
+               {oracle_signed_ratio_round('n * po_num - pe_num', 'n * n - pe_num')}
+           END AS kappa
+    FROM k
+"""
+
+
+@op("cohens_kappa_langid", oracle=_KAPPA_SQL, tags=("ml", "eval", "agreement"))
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the marker-ratio heuristic's en/other call
+    (lang_id_heuristic's exact rule) and the true label — CHANCE-
+    corrected agreement, the number to quote instead of raw accuracy
+    whenever classes are imbalanced (a degenerate all-'other' rater
+    scores high accuracy here but kappa ~ 0). kappa =
+    (N*(a+d) - pe_num) / (N^2 - pe_num) with pe_num from the exact
+    integer marginals — one signed half-up rational; NULL when chance
+    agreement is total (pe = 1), where kappa is undefined. One narrow
+    map + one 4-counter reduce; the inter-rater-agreement member of
+    the evaluation family (accuracy: lang_id_confusion, ranking: auc,
+    calibration: calibration_curve)."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
+    ratio = hits / F.greatest(F.size(ts), F.lit(1))
+    pred = (ratio >= 0.05).cast("int")
+    act = (F.col("lang") == "en").cast("int")
+    c = d.select(pred.alias("pred"), act.alias("act")).agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum(F.col("pred") * F.col("act")).cast(_D38).alias("a"),
+        F.sum(F.col("pred") * (1 - F.col("act"))).cast(_D38).alias("b"),
+        F.sum((1 - F.col("pred")) * F.col("act")).cast(_D38).alias("cc"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("act"))).cast(_D38).alias("d"),
+    )
+    n = F.col("n")
+    po_num = F.col("a") + F.col("d")
+    pe_num = (F.col("a") + F.col("b")) * (F.col("a") + F.col("cc")) + (
+        F.col("cc") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    return c.select(
+        n.cast("long").alias("n_docs"),
+        ratio_round(po_num, n).alias("po"),
+        ratio_round(pe_num, n * n).alias("pe"),
+        F.when(
+            n * n > pe_num,
+            signed_ratio_round(n * po_num - pe_num, n * n - pe_num),
+        ).alias("kappa"),
+    )

@@ -2893,3 +2893,160 @@ def intra_doc_halves_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_tok_second"),
         js_micro.cast("long").alias("js_micro_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings (hybrid search)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+_RRF_DEPTH = 50
+
+_RRF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks WHERE tok != '' GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(dl) * 1.0 / count(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN {_BM25_QUERY_SQL} GROUP BY 1, 2
+    ), df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), bm AS (
+        SELECT tf.doc_id,
+               round(sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                           + {BM25_B} * dl.dl / s.avgdl))), 6)
+                   AS score
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY 1
+    ), r1 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM bm QUALIFY r <= {_RRF_DEPTH}
+    ), dens AS (
+        SELECT tf.doc_id,
+               (2 * 1000000 * sum(tf.tf) + dl.dl) // (2 * dl.dl) AS d_micro
+        FROM tf JOIN dl USING (doc_id) GROUP BY tf.doc_id, dl.dl
+    ), r2 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY d_micro DESC, doc_id ASC) AS r
+        FROM dens QUALIFY r <= {_RRF_DEPTH}
+    ), fused AS (
+        SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+               r1.r AS r_bm25, r2.r AS r_density,
+               coalesce((2 * 1000000 + ({RRF_K} + r1.r))
+                        // (2 * ({RRF_K} + r1.r)), 0)
+               + coalesce((2 * 1000000 + ({RRF_K} + r2.r))
+                          // (2 * ({RRF_K} + r2.r)), 0) AS rrf_micro
+        FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25,
+           CAST(r_density AS BIGINT) AS r_density,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id ASC
+    LIMIT 20
+"""
+
+
+@op("rrf_fusion_topk", oracle=_RRF_SQL, tags=("text", "search", "hybrid"))
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal-Rank Fusion: the BM25 ranking and
+    a query-term-DENSITY ranking (the lexical stand-in for a second
+    retriever) are fused as sum of 1/(60+rank) over each list's top-50
+    — the modern hybrid-search combiner that needs NO score calibration
+    between retrievers, only ranks. Each 1/(60+r) term is the half-up
+    integer micro rational, so fused scores sum and compare exactly;
+    rankings order by the ROUNDED bm25 / exact density with doc_id
+    tie-breaks, so both lists are engine-stable; a doc missing from one
+    list contributes 0 (rank columns stay NULL to show provenance).
+    Plan: the token stream is pruned to query terms BEFORE any shuffle
+    (the bm25_scores discipline); both rank windows run over the
+    query-matching subset only (bounded by term selectivity) and the
+    final top-20 is TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf
+                    * F.col("tf")
+                    * (BM25_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    r1 = (
+        bm.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", F.col("r").alias("r_bm25"))
+    )
+    dens = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("stf"))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            exact_floor_div(
+                2 * 1_000_000 * F.col("stf").cast("decimal(38,0)") + F.col("dl"),
+                2 * F.col("dl").cast("decimal(38,0)"),
+            ).alias("d_micro"),
+        )
+    )
+    w2 = Window.orderBy(F.desc("d_micro"), F.asc("doc_id"))
+    r2 = (
+        dens.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", F.col("r").alias("r_density"))
+    )
+
+    def rrf_term(r):
+        k_r = (RRF_K + r).cast("decimal(38,0)")
+        return F.coalesce(
+            exact_floor_div(2 * 1_000_000 + k_r, 2 * k_r), F.lit(0).cast("decimal(38,0)")
+        )
+
+    fused = r1.join(r2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_bm25").cast("long").alias("r_bm25"),
+        F.col("r_density").cast("long").alias("r_density"),
+        (rrf_term(F.col("r_bm25")) + rrf_term(F.col("r_density")))
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)

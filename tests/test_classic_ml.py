@@ -215,3 +215,49 @@ def test_business_days_excludes_weekends(spark, tmp_path):
     assert row.n_lineitems == 3
     assert row.total_bdays == 6
     assert row.avg_bdays == 2.0
+
+
+def test_cohens_kappa_hand_computed(spark, tmp_path):
+    # a=2 (en pred en), c=1 (en pred other), d=1 (other pred other):
+    # po = 3/4, pe_num = (a+b)(a+c) + (c+d)(b+d) = 2*3 + 2*1 = 8,
+    # kappa = (4*3 - 8) / (16 - 8) = 0.5.
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "the the", "en"),
+            (2, "the of", "en"),
+            (3, "zz ww", "en"),
+            (4, "xx yy", "fr"),
+        ],
+    )
+    row = all_ops()["cohens_kappa_langid"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_docs == 4
+    assert row.po == 0.75
+    assert row.pe == 0.5
+    assert row.kappa == 0.5
+
+
+def test_rrf_fusion_ranks_and_micro_terms(spark, tmp_path):
+    # doc 1 is pure query terms -> density rank 1; doc 3 has no query
+    # terms -> absent entirely. rrf_micro must equal the half-up micro
+    # sum of 1/(60+r) over the doc's present ranks.
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "hash hash hash", "en"),
+            (2, "hash join aa bb cc dd", "en"),
+            (3, "yy zz", "en"),
+        ],
+    )
+    rows = all_ops()["rrf_fusion_topk"].fn(spark, str(tmp_path)).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert 3 not in by_doc
+    assert by_doc[1].r_density == 1
+
+    def term(r):
+        return 0 if r is None else (2 * 1_000_000 + (60 + r)) // (2 * (60 + r))
+
+    for r in rows:
+        assert r.rrf_micro == term(r.r_bm25) + term(r.r_density)
