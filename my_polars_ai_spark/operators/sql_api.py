@@ -456,3 +456,85 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"fact": "supplier_id_v", "dim": "nation_id_v"},
     )
+
+
+# Fixed keyset cursor: "the page after ($150,000.00, order 0)" — a
+# LITERAL the client got from the previous page's last row, so the
+# query shape is SF-independent.
+_KEYSET_PRICE = 150000.0
+_KEYSET_PAGE = 10
+
+_KEYSET_SQL = f"""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS BIGINT) AS cents
+    FROM orders
+    WHERE o_totalprice < {_KEYSET_PRICE}
+       OR (o_totalprice = {_KEYSET_PRICE} AND o_orderkey > 0)
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {_KEYSET_PAGE}
+"""
+
+
+@op("keyset_pagination_page", oracle=_KEYSET_SQL, tags=("sql", "pagination", "topk"))
+def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (seek-method) pagination — the scalable replacement for
+    OFFSET: the next page is `WHERE sort_key < cursor ORDER BY sort_key
+    LIMIT n`, so the engine does a pushdown-able filter plus
+    TakeOrderedAndProject no matter how deep the page, where
+    `OFFSET 1000000` must still produce and discard a million rows on
+    every request. The cursor is the (price, key) pair of the previous
+    page's last row — carried by the client as a literal AGAINST THE
+    STORED COLUMN (not a derived expression, which would defeat
+    pushdown — plan-asserted), with the composite tie-break spelled as
+    the classic OR so the filter stays sargable on the leading column. Deep-pagination OFFSET is the
+    documented anti-pattern this op exists to name."""
+    o = _t(spark, sf_dir, "orders")
+    page = o.filter(
+        (F.col("o_totalprice") < _KEYSET_PRICE)
+        | ((F.col("o_totalprice") == _KEYSET_PRICE) & (F.col("o_orderkey") > 0))
+    )
+    return (
+        page.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_KEYSET_PAGE)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+@op(
+    "sql_unpivot_syntax",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val FROM s
+    UNION ALL
+    SELECT o_orderstatus, 'n_customers' AS metric, n_customers AS val FROM s
+    """,
+    tags=("sql", "reshape"),
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard ``UNPIVOT`` clause (Spark 3.4+) — wide-to-long
+    in the query text itself, the spelling a SQL-emitting LLM should
+    use instead of the stack() incantation (the DataFrame unpivot/melt
+    twin is unpivot_metrics). The oracle states the desugared UNION
+    ALL, which is exactly Catalyst's expansion — same plan, two
+    spellings."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_unp_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, metric, val FROM (
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM orders_unp_v GROUP BY o_orderstatus
+        ) UNPIVOT (val FOR metric IN (n_orders, n_customers))
+        """
+    )

@@ -484,3 +484,13 @@ def test_session4_wave5_plan_contracts(spark, sf_dir):
     assert any("150000" in f or "o_totalprice" in f for f in pf), pf
     s = plan_summary(ops["sql_scripting_above_avg"].fn(spark, sf_dir))
     assert s["python_evals"] == 0
+
+
+def test_keyset_pagination_is_filter_plus_take_ordered(spark, sf_dir):
+    """Keyset pagination must compile to a pushdown-able filter +
+    TakeOrderedAndProject — the whole point vs OFFSET: no global sort,
+    no produce-and-discard scan."""
+    df = all_ops()["keyset_pagination_page"].fn(spark, sf_dir)
+    assert plan_summary(df)["take_ordered"] >= 1
+    pushed = pushed_filters(df)
+    assert any("o_totalprice" in p for p in pushed), pushed
