@@ -742,3 +742,122 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             signed_ratio_round(n * po_num - pe_num, n * n - pe_num),
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Information-gain feature ranking (feature selection)
+# ---------------------------------------------------------------------------
+
+# Candidate features for predicting lang='en', each a bounded-domain
+# categorical derived from the documents table.
+_IG_SQL = """
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               source AS f_source,
+               CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END AS f_length,
+               CASE WHEN len(string_split(text, ' '))
+                         > 2 * len(list_distinct(string_split(text, ' ')))
+                    THEN 'repetitive' ELSE 'diverse' END AS f_diversity
+        FROM documents
+    ), u AS (
+        SELECT y, f_source AS v, 'source' AS feature FROM f
+        UNION ALL
+        SELECT y, f_length AS v, 'length_band' AS feature FROM f
+        UNION ALL
+        SELECT y, f_diversity AS v, 'diversity_band' AS feature FROM f
+    ), cell AS (
+        SELECT feature, v, y, CAST(count(*) AS HUGEINT) AS c
+        FROM u GROUP BY 1, 2, 3
+    ), vt AS (
+        SELECT feature, v, sum(c) AS nv FROM cell GROUP BY 1, 2
+    ), tot AS (
+        SELECT feature, sum(c) AS n,
+               sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS n1
+        FROM cell GROUP BY 1
+    ), hy AS (
+        SELECT feature, n,
+               -(n1 * CAST(round(ln(n1 * 1.0 / n) * 1000000) AS BIGINT)
+                 + (n - n1) * CAST(round(ln((n - n1) * 1.0 / n) * 1000000)
+                                   AS BIGINT)) AS hy_num
+        FROM tot WHERE n1 > 0 AND n1 < n
+    ), hcond AS (
+        SELECT cell.feature,
+               -sum(cell.c * CAST(round(ln(cell.c * 1.0 / vt.nv) * 1000000)
+                                  AS BIGINT)) AS hc_num
+        FROM cell JOIN vt ON vt.feature = cell.feature AND vt.v = cell.v
+        GROUP BY 1
+    )
+    SELECT hy.feature,
+           CAST((hy.hy_num - hcond.hc_num) // hy.n AS BIGINT)
+               AS info_gain_micro_nats
+    FROM hy JOIN hcond ON hcond.feature = hy.feature
+"""
+
+
+@op("feature_information_gain", oracle=_IG_SQL, tags=("ml", "feature", "selection"))
+def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature selection by information gain: IG(y; f) = H(y) - H(y|f)
+    for three candidate predictors of lang='en' (source, length band,
+    repetitiveness band), ranked in one pass — the decision-tree /
+    feature-store triage number, generalizing mutual_info_lang_source
+    to a FEATURE COMPARISON table. Every ln is micro-nat-rounded once
+    (the unigram/pagerank seam), entropies stay integer-weighted sums
+    over the bounded (feature x value x y) cell grid, and the final
+    IG is one exact floor division per feature; the whole computation
+    after the first narrow map is broadcast-sized. Stacking features
+    through ONE union keeps it a single scan of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    y = (F.col("lang") == "en").cast("int").alias("y")
+    f = d.select(
+        y,
+        F.col("source").alias("f_source"),
+        F.when(F.col("n_chars") >= 200, "long").otherwise("short").alias("f_length"),
+        F.when(
+            F.size(ts) > 2 * F.size(F.array_distinct(ts)), "repetitive"
+        ).otherwise("diverse").alias("f_diversity"),
+    )
+    u = (
+        f.select("y", F.col("f_source").alias("v"), F.lit("source").alias("feature"))
+        .unionAll(
+            f.select("y", F.col("f_length").alias("v"), F.lit("length_band").alias("feature"))
+        )
+        .unionAll(
+            f.select("y", F.col("f_diversity").alias("v"), F.lit("diversity_band").alias("feature"))
+        )
+    )
+    cell = u.groupBy("feature", "v", "y").agg(
+        F.count(F.lit(1)).cast(_D38).alias("c")
+    )
+    vt = cell.groupBy("feature", "v").agg(F.sum("c").alias("nv"))
+    tot = cell.groupBy("feature").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("y") == 1, F.col("c")).otherwise(F.lit(0).cast(_D38))).alias("n1"),
+    )
+
+    def mn(num, den):
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")) * 1000000
+        ).cast("long").cast(_D38)
+
+    hy = tot.filter((F.col("n1") > 0) & (F.col("n1") < F.col("n"))).select(
+        "feature",
+        "n",
+        (
+            -(
+                F.col("n1") * mn(F.col("n1"), F.col("n"))
+                + (F.col("n") - F.col("n1")) * mn(F.col("n") - F.col("n1"), F.col("n"))
+            )
+        ).alias("hy_num"),
+    )
+    hcond = (
+        cell.join(vt, ["feature", "v"])
+        .groupBy("feature")
+        .agg((-F.sum(F.col("c") * mn(F.col("c"), F.col("nv")))).alias("hc_num"))
+    )
+    return hy.join(hcond, "feature").select(
+        "feature",
+        exact_floor_div(F.col("hy_num") - F.col("hc_num"), F.col("n"))
+        .cast("long")
+        .alias("info_gain_micro_nats"),
+    )

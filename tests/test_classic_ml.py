@@ -261,3 +261,26 @@ def test_rrf_fusion_ranks_and_micro_terms(spark, tmp_path):
 
     for r in rows:
         assert r.rrf_micro == term(r.r_bm25) + term(r.r_density)
+
+
+def test_information_gain_separating_vs_useless_feature(spark, tmp_path):
+    # source perfectly predicts y (en docs in src_en, others in src_xx)
+    # -> IG(source) = H(y) = ln 2 for a 2/4 split... here 2 en / 2 fr
+    # -> H(y) = ln 2 ~ 693147 micro-nats. All docs share the same
+    # length/diversity band -> IG = 0 for both other features.
+    spark.createDataFrame(
+        [
+            (1, "aa bb", "en", "src_en", 100),
+            (2, "cc dd", "en", "src_en", 100),
+            (3, "ee ff", "fr", "src_xx", 100),
+            (4, "gg hh", "fr", "src_xx", 100),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.feature: r.info_gain_micro_nats
+        for r in all_ops()["feature_information_gain"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["source"] == 693147
+    assert got["length_band"] == 0
+    assert got["diversity_band"] == 0
