@@ -861,3 +861,158 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("info_gain_micro_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking), one row-marginal step
+# ---------------------------------------------------------------------------
+
+_IPF_SQL = f"""
+    WITH cell AS (
+        SELECT lang, source, CAST(count(*) AS HUGEINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), marg AS (
+        SELECT lang, sum(n) AS nl FROM cell GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS HUGEINT) AS nn,
+               CAST(count(DISTINCT lang) AS HUGEINT) AS l FROM cell
+    )
+    SELECT cell.lang, cell.source, CAST(cell.n AS BIGINT) AS n,
+           {oracle_ratio_round('cell.n * tot.nn', 'tot.l * marg.nl')} AS w
+    FROM cell JOIN marg USING (lang) CROSS JOIN tot
+"""
+
+
+@op("ipf_raking_step", oracle=_IPF_SQL, tags=("stats", "survey", "reweight"))
+def ipf_raking_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iterative-proportional-fitting (raking) step: rescale the
+    (lang x source) cell counts so every LANGUAGE marginal hits the
+    uniform target N/L while source ratios within each language are
+    preserved — the survey-statistics reweighting that is also exactly
+    how a curation pipeline rebalances a corpus toward a target
+    language mix without touching within-language source shares.
+    w_ls = n_ls * N / (L * n_l) is one exact half-up rational per cell
+    (no float factor table); the companion column step (rescale to
+    source targets, then iterate to convergence) reuses this op with
+    the axes swapped — driver-side iteration control, the
+    dedup_cluster_canonical contract. Everything after the first
+    groupBy is the broadcast-sized cell grid."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+    marg = cell.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = cell.agg(
+        F.sum("n").alias("nn"), F.countDistinct("lang").cast(_D38).alias("l")
+    )
+    return (
+        cell.join(F.broadcast(marg), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("long").alias("n"),
+            ratio_round(F.col("n") * F.col("nn"), F.col("l") * F.col("nl")).alias("w"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-quantized) embedding retrieval via Hamming popcount
+# ---------------------------------------------------------------------------
+
+_HAM_QUERIES = 10
+_HAM_TOPK = 5
+
+_HAM_SQL = f"""
+    WITH pos AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), code AS (
+        SELECT vec_id,
+               sum(CASE WHEN x > 0 AND dim <= 32
+                        THEN (CAST(1 AS BIGINT) << (dim - 1)) ELSE 0 END) AS lo,
+               sum(CASE WHEN x > 0 AND dim > 32
+                        THEN (CAST(1 AS BIGINT) << (dim - 33)) ELSE 0 END) AS hi
+        FROM pos GROUP BY 1
+    ), scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                   AS hamming
+        FROM code c
+        JOIN code q ON q.vec_id < {_HAM_QUERIES} AND c.vec_id != q.vec_id
+    )
+    SELECT q_id, neighbor_id, CAST(hamming AS INT) AS hamming,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY hamming ASC, neighbor_id ASC)
+                      AS rnk
+        FROM scored
+    ) WHERE rnk <= {_HAM_TOPK}
+"""
+
+
+@op("binary_hamming_topk", oracle=_HAM_SQL, tags=("similarity", "embedding", "quantization"))
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary embedding retrieval: sign-quantize each 64-dim vector to
+    TWO bigint words (1 bit per dimension — a 32x compression over
+    float32, the coarsest rung below int8_quantize_embeddings) and
+    rank neighbors by Hamming distance computed as
+    popcount(xor(lo)) + popcount(xor(hi)) — pure JVM bit arithmetic,
+    integer-exact by construction, no rounding seam at all. The 10
+    queries broadcast against the streaming code table (the
+    cosine_topk_brute shape at 1/32 the bytes); per-query ranking
+    compiles to WindowGroupLimit. At 100 TB the codes table is the
+    index you keep hot: 16 bytes/vector, and the same popcount probe
+    is how FAISS/SCANN binary stages work."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    code = pos.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("x") > 0) & (F.col("dim") <= 32),
+                F.expr("shiftleft(1L, dim - 1)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                (F.col("x") > 0) & (F.col("dim") > 32),
+                F.expr("shiftleft(1L, dim - 33)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("hi"),
+    )
+    q = code.filter(F.col("vec_id") < _HAM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = (
+        code.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HAM_TOPK)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -284,3 +284,65 @@ def test_information_gain_separating_vs_useless_feature(spark, tmp_path):
     assert got["source"] == 693147
     assert got["length_band"] == 0
     assert got["diversity_band"] == 0
+
+
+def test_ipf_row_step_hits_uniform_lang_marginal(spark, tmp_path):
+    # 3 en docs (2 src_a, 1 src_b) + 1 fr doc: after the row step each
+    # language's weights sum to N/L = 2, and within-lang source RATIOS
+    # are preserved (2:1).
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "aa", "en"),
+            (2, "bb", "en"),
+            (3, "cc", "en"),
+            (4, "dd", "fr"),
+        ],
+    )
+    # _write_docs pins source='src0' for all rows; rewrite with mixed
+    # sources for this test instead.
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [
+            (1, "aa", "en", "src_a", 2),
+            (2, "bb", "en", "src_a", 2),
+            (3, "cc", "en", "src_b", 2),
+            (4, "dd", "fr", "src_a", 2),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = all_ops()["ipf_raking_step"].fn(spark, str(tmp_path)).collect()
+    w = {(r.lang, r.source): r.w for r in rows}
+    # en: n_l=3, target 2 -> w = n * 4 / (2*3): src_a 2 docs -> 4/3,
+    # src_b 1 doc -> 2/3. fr: 1 doc -> w = 4/(2*1) = 2.
+    assert w[("en", "src_a")] == round(4 / 3, 6)
+    assert w[("en", "src_b")] == round(2 / 3, 6)
+    assert w[("fr", "src_a")] == 2.0
+    assert abs(sum(v for (l, _), v in w.items() if l == "en") - 2.0) < 2e-6
+    assert round(w[("en", "src_a")] / w[("en", "src_b")], 4) == 2.0
+
+
+def test_binary_hamming_exact_distances(spark, tmp_path):
+    # 3 vectors with hand-packable sign patterns across both words:
+    # v1 = +,+ ; v2 = +,- ; v3 = -,- on (dim1, dim33).
+    spark.createDataFrame(
+        [
+            (0, [1.0] + [0.0] * 31 + [1.0] + [0.0] * 31, 0),
+            (1, [1.0] + [0.0] * 31 + [-1.0] + [0.0] * 31, 0),
+            (2, [-1.0] + [0.0] * 31 + [-1.0] + [0.0] * 31, 0),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r.q_id, r.neighbor_id): (r.hamming, r.rnk)
+        for r in all_ops()["binary_hamming_topk"].fn(spark, str(tmp_path)).collect()
+    }
+    # q0: v1 differs on dim33 only (1), v2 on dim1+dim33 (2).
+    assert got[(0, 1)] == (1, 1)
+    assert got[(0, 2)] == (2, 2)
+    # q2: v1 differs on dim33 (1), v0 on both (2).
+    assert got[(2, 1)] == (1, 1)
+    assert got[(2, 0)] == (2, 2)
