@@ -212,3 +212,32 @@ def read_manifest_table(
             df = df.filter(F.col(predicate_col) <= hi)
     drop_cols = [c for c in ("__bucket", "__commit") if c in df.columns]
     return df.drop(*drop_cols), skip_report
+
+
+def read_manifest_as_of(spark: SparkSession, path: str, as_of_commit: int | str) -> DataFrame:
+    """Time-travel read: the table AS OF ``as_of_commit`` (inclusive) —
+    the Delta/Iceberg `VERSION AS OF` idea on this format. Works
+    because every commit's files live in their own ``__commit=<id>``
+    directory and the manifest's ``commits`` list is append-ordered:
+    the snapshot at commit k is exactly the union of the first k
+    commit directories, reconstructed WITHOUT any copy-on-write.
+    Stats-based pruning is deliberately unavailable here: the manifest
+    merges bucket stats cumulatively (min/max are not invertible), so
+    historical reads scan their commit dirs and filter normally —
+    correctness never depended on stats anyway. Raises on an unknown
+    commit id, and on a table written without commit ids (no history
+    to travel)."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    commits = manifest.get("commits")
+    if not commits:
+        raise ValueError("table has no commit history (written without commit_id)")
+    want = str(as_of_commit)
+    if want not in commits:
+        raise ValueError(f"unknown commit {want!r}; history: {commits}")
+    keep = commits[: commits.index(want) + 1]
+    base = os.path.join(path, "data")
+    paths = [os.path.join(base, f"__commit={c}") for c in keep]
+    df = spark.read.option("basePath", base).parquet(*paths)
+    drop_cols = [c for c in ("__bucket", "__commit") if c in df.columns]
+    return df.drop(*drop_cols)

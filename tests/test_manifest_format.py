@@ -134,3 +134,38 @@ def test_replayed_commit_is_noop(spark, tmp_path, orders_df):
     assert sum(b["rows"] for b in m3["buckets"].values()) == 400
     got3, _ = read_manifest_table(spark, path)
     assert got3.count() == 400
+
+
+def test_time_travel_read_as_of_commit(spark, tmp_path, orders_df):
+    """AS-OF reads reconstruct each historical snapshot exactly from the
+    per-commit directories — no copy-on-write, no stats dependence."""
+    from my_polars_ai_spark.sources.manifest_format import read_manifest_as_of
+
+    df = orders_df.withColumn("month", F.month("o_orderdate"))
+    path = str(tmp_path / "mt")
+    first = df.filter(F.col("o_orderkey") < 80)
+    second = df.filter((F.col("o_orderkey") >= 80) & (F.col("o_orderkey") < 150))
+    third = df.filter(F.col("o_orderkey") >= 150)
+    for cid, batch in ((1, first), (2, second), (3, third)):
+        write_manifest_table(batch, path, "month", ("o_orderdate",),
+                             mode="append", commit_id=cid)
+    assert read_manifest_as_of(spark, path, 1).count() == 80
+    as_of_2 = read_manifest_as_of(spark, path, 2)
+    assert as_of_2.count() == 150
+    assert as_of_2.agg(F.max("o_orderkey")).collect()[0][0] == 149
+    assert read_manifest_as_of(spark, path, 3).count() == 200
+    # latest snapshot == the ordinary read
+    full, _ = read_manifest_table(spark, path)
+    assert full.count() == 200
+    with pytest.raises(ValueError, match="unknown commit"):
+        read_manifest_as_of(spark, path, 99)
+
+
+def test_time_travel_requires_commit_history(spark, tmp_path, orders_df):
+    from my_polars_ai_spark.sources.manifest_format import read_manifest_as_of
+
+    df = orders_df.withColumn("month", F.month("o_orderdate"))
+    path = str(tmp_path / "mt_nohist")
+    write_manifest_table(df, path, "month", ("o_orderdate",))
+    with pytest.raises(ValueError, match="no commit history"):
+        read_manifest_as_of(spark, path, 1)
