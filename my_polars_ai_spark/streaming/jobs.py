@@ -532,3 +532,56 @@ def stream_manifest_ingest(spark: SparkSession, sf_dir: str, table_dir: str) -> 
     finally:
         q.stop()
     return state.get("manifest", {})
+
+
+def stream_dlq_split(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter-queue ingest: every micro-batch splits on a validity
+    predicate — clean rows append to the main table, rejects append to
+    a quarantine (DLQ) table WITH the batch id and reject reason
+    attached — the production pattern that keeps one poison record
+    from stalling a pipeline while losing nothing (the streaming
+    composition of the try_arithmetic_funcs quarantine idea). Both
+    sinks write per-batch epoch directories keyed by batch_id, so an
+    at-least-once replay overwrites its own files and the pair of
+    tables never double-counts (same idempotency contract as
+    stream_foreachbatch_upsert). Returns (main_df, dlq_df) read back
+    from the stores."""
+    import os
+
+    events = read_events_stream(spark, sf_dir)
+    # validity contract for the events table: non-negative value and a
+    # JSON-shaped props payload
+    valid = (F.col("value") >= 0) & F.col("props").startswith("{")
+
+    def split(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df.withColumn("__ok", valid)
+        flagged.filter(F.col("__ok")).drop("__ok").write.mode("overwrite").parquet(
+            os.path.join(store_dir, "main", f"epoch={batch_id}")
+        )
+        (
+            flagged.filter(~F.col("__ok"))
+            .drop("__ok")
+            .withColumn("reject_batch", F.lit(batch_id).cast("long"))
+            .withColumn(
+                "reject_reason",
+                F.when(F.col("value") < 0, "negative_value").otherwise("bad_props"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, "dlq", f"epoch={batch_id}"))
+        )
+
+    q = (
+        events.writeStream.foreachBatch(split)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(store_dir, "_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    main = spark.read.parquet(os.path.join(store_dir, "main", "epoch=*"))
+    dlq = spark.read.parquet(os.path.join(store_dir, "dlq", "epoch=*"))
+    return main, dlq

@@ -292,3 +292,42 @@ def test_stream_ohlc_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert s == b
+
+
+def test_stream_dlq_split_quarantines_rejects_losslessly(spark, tmp_path):
+    """main + DLQ must partition the input exactly: nothing dropped,
+    nothing double-counted, reasons attached to rejects."""
+    import datetime as dt
+
+    from my_polars_ai_spark.streaming.jobs import stream_dlq_split
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (1, t0, 1, "view", 10.0, "{}"),
+        (2, t0, 1, "view", -5.0, "{}"),       # negative -> DLQ
+        (3, t0, 2, "click", 7.0, "oops"),     # bad props -> DLQ
+        (4, t0, 2, "view", 1.0, '{"k": 1}'),
+    ]
+    # the corpus stores events.parquet as a single FILE (the stream
+    # source glob-filters on that name), so write one directly
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(src / "events.parquet"))
+    main, dlq = stream_dlq_split(spark, str(src), str(tmp_path / "store"))
+    assert sorted(r.event_id for r in main.collect()) == [1, 4]
+    rejects = {r.event_id: r.reject_reason for r in dlq.collect()}
+    assert rejects == {2: "negative_value", 3: "bad_props"}
+    assert main.count() + dlq.count() == 4
