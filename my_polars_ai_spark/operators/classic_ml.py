@@ -1016,3 +1016,113 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (privacy triad completion)
+# ---------------------------------------------------------------------------
+
+_QI_K = 5
+
+_QI_SQL = f"""
+    WITH c AS (
+        SELECT n.n_name, r.r_name, cu.c_mktsegment AS segment
+        FROM customer cu
+        JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), k0 AS (
+        SELECT n_name, r_name, segment, CAST(count(*) AS BIGINT) AS k0
+        FROM c GROUP BY 1, 2, 3
+    ), k1 AS (
+        SELECT r_name, segment, CAST(count(*) AS BIGINT) AS k1
+        FROM c GROUP BY 1, 2
+    ), k2 AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS k2
+        FROM c GROUP BY 1
+    )
+    SELECT k0.n_name, k0.segment, k0.k0, k1.k1, k2.k2,
+           CASE WHEN k0.k0 >= {_QI_K} THEN 0
+                WHEN k1.k1 >= {_QI_K} THEN 1
+                WHEN k2.k2 >= {_QI_K} THEN 2
+           END AS min_safe_level
+    FROM k0
+    JOIN k1 ON k1.r_name = k0.r_name AND k1.segment = k0.segment
+    JOIN k2 ON k2.segment = k0.segment
+"""
+
+
+@op("qi_generalization_ladder", oracle=_QI_SQL, tags=("privacy", "governance", "agg"))
+def qi_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity GENERALIZATION ladder: for every
+    (nation, segment) quasi-identifier class, its size at three
+    release granularities — as-is, nation->region, geography dropped —
+    and the MINIMAL generalization level that reaches k>=5. This is
+    the decision table behind Mondrian-style anonymization (k_anonymity
+    _audit says WHETHER a class leaks; this says WHAT to coarsen),
+    completing the privacy triad with l_diversity_audit. All three
+    granularities aggregate from one scan (the coarser levels are
+    rollups of the finer — Catalyst computes them as independent
+    bounded aggregates joined back on broadcast-sized keys); NULL
+    min_safe_level means even the coarsest release leaks."""
+    cu = _t(spark, sf_dir, "customer").select("c_nationkey", F.col("c_mktsegment").alias("segment"))
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    c = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", "r_name", "segment")
+    )
+    k0 = c.groupBy("n_name", "r_name", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("k0")
+    )
+    k1 = c.groupBy("r_name", "segment").agg(F.count(F.lit(1)).cast("long").alias("k1"))
+    k2 = c.groupBy("segment").agg(F.count(F.lit(1)).cast("long").alias("k2"))
+    lvl = (
+        F.when(F.col("k0") >= _QI_K, 0)
+        .when(F.col("k1") >= _QI_K, 1)
+        .when(F.col("k2") >= _QI_K, 2)
+    )
+    return (
+        k0.join(F.broadcast(k1), ["r_name", "segment"])
+        .join(F.broadcast(k2), "segment")
+        .select("n_name", "segment", "k0", "k1", "k2", lvl.alias("min_safe_level"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypothetical-set rank (SQL standard RANK(x) WITHIN GROUP, emulated)
+# ---------------------------------------------------------------------------
+
+_HYPO_BAL = 5000.0
+
+_HYPO_SQL = f"""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(1 + sum(CASE WHEN c_acctbal < {_HYPO_BAL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hypothetical_rank
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@op("hypothetical_rank_of_value", oracle=_HYPO_SQL, tags=("stats", "rank", "agg"))
+def hypothetical_rank_of_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard hypothetical-set RANK(x) WITHIN GROUP (ORDER BY ...)
+    — 'what rank WOULD a $5,000 balance hold in each nation?' — which
+    neither engine ships as a function, emulated by its definition:
+    1 + count of rows strictly below the hypothetical value. One
+    conditional aggregation per group, no window at all — the rank of
+    a value you haven't inserted costs a single map-side-combined
+    pass (the what-if sibling of percent_rank_approx)."""
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                1 + F.sum((F.col("c_acctbal") < _HYPO_BAL).cast("long"))
+            ).cast("long").alias("hypothetical_rank"),
+        )
+    )

@@ -346,3 +346,42 @@ def test_binary_hamming_exact_distances(spark, tmp_path):
     # q2: v1 differs on dim33 (1), v0 on both (2).
     assert got[(2, 1)] == (1, 1)
     assert got[(2, 0)] == (2, 2)
+
+
+def test_qi_ladder_picks_minimal_safe_level(spark, tmp_path):
+    # nation n1 has 2 customers in BUILDING (k0=2 < 5); its region r1
+    # pools 5 (k1=5 -> level 1). nation n2's class alone has 5 -> level 0.
+    custs = [(i, 1, "BUILDING", 100.0) for i in range(2)]
+    custs += [(10 + i, 2, "BUILDING", 100.0) for i in range(3)]
+    custs += [(20 + i, 3, "BUILDING", 100.0) for i in range(5)]
+    spark.createDataFrame(
+        custs, "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "n1", 1), (2, "n2", 1), (3, "n3", 2)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "r1"), (2, "r2")], "r_regionkey bigint, r_name string"
+    ).write.parquet(str(tmp_path / "region.parquet"))
+    got = {
+        r.n_name: (r.k0, r.k1, r.k2, r.min_safe_level)
+        for r in all_ops()["qi_generalization_ladder"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["n1"] == (2, 5, 10, 1)
+    assert got["n2"] == (3, 5, 10, 1)
+    assert got["n3"] == (5, 5, 10, 0)
+
+
+def test_hypothetical_rank_counts_strictly_below(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, 1, "B", 1000.0), (2, 1, "B", 5000.0), (3, 1, "B", 9000.0)],
+        "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "n1", 1)], "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    row = all_ops()["hypothetical_rank_of_value"].fn(spark, str(tmp_path)).collect()[0]
+    # only the 1000 balance is strictly below 5000 -> rank 2 (ties at
+    # the hypothetical value do not push it down).
+    assert (row.n_customers, row.hypothetical_rank) == (3, 2)
