@@ -1126,3 +1126,67 @@ def hypothetical_rank_of_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("hypothetical_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 bandit scores (exploration policy snapshot from logged data)
+# ---------------------------------------------------------------------------
+
+_UCB_WIN = 100.0
+
+_UCB_SQL = f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CASE WHEN value > {_UCB_WIN} THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS wins
+        FROM events GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(n) AS HUGEINT) AS nn,
+               CAST(round(ln(CAST(sum(n) AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS ln_nn_micro
+        FROM v
+    )
+    SELECT v.event_type, CAST(v.n AS BIGINT) AS n,
+           CAST(v.wins AS BIGINT) AS wins,
+           round({oracle_ratio_round('v.wins', 'v.n')}
+                 + sqrt(2.0 * t.ln_nn_micro
+                        / (1000000.0 * CAST(v.n AS DOUBLE))), 6) AS ucb1
+    FROM v CROSS JOIN t
+"""
+
+
+@op("ucb1_variant_scores", oracle=_UCB_SQL, tags=("ml", "bandit", "policy"))
+def ucb1_variant_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit scores per event-type 'arm' from the logged history:
+    empirical win rate (value > 100 as the reward) plus the
+    sqrt(2 ln N / n_i) exploration bonus — the snapshot an
+    explore/exploit scheduler would rank arms by next round, computed
+    deterministically from counts alone (bandits need no randomness
+    until you SAMPLE; the policy VALUES are pure aggregation). Float
+    discipline: the win rate is the exact half-up micro rational, ln N
+    is micro-rounded ONCE, and the bonus is a single sqrt/divide chain
+    over those integers — every IEEE op correctly rounded from
+    identical inputs, so the final 6-dp score hash-matches. One
+    map-side-combined groupBy to the bounded arm table; companions:
+    ab_test_two_proportion (fixed-horizon testing) and
+    wilson_intervals_conversion (interval view of the same counts)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum((F.col("value") > _UCB_WIN).cast("int")).cast(_D38).alias("wins"),
+    )
+    t = v.agg(
+        F.round(F.log(F.sum("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ln_nn_micro")
+    )
+    bonus = F.sqrt(
+        2.0 * F.col("ln_nn_micro") / (1000000.0 * F.col("n").cast("double"))
+    )
+    return v.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("wins").cast("long").alias("wins"),
+        F.round(ratio_round(F.col("wins"), F.col("n")) + bonus, 6).alias("ucb1"),
+    )

@@ -3050,3 +3050,195 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance: diversified top-3 from the BM25 top-10
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 10
+
+_MMR_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks WHERE tok != '' GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN {_BM25_QUERY_SQL} GROUP BY 1, 2
+    ), df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), bm AS (
+        SELECT tf.doc_id,
+               CAST(round(sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                       + {BM25_B} * dl.dl / s.avgdl))) * 1000000) AS BIGINT)
+                   AS rel
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY 1
+    ), cand AS (
+        SELECT doc_id, rel FROM bm
+        ORDER BY rel DESC, doc_id ASC LIMIT {_MMR_POOL}
+    ), ctok AS (
+        SELECT c.doc_id, list_distinct(string_split(d.text, ' ')) AS ts
+        FROM cand c JOIN documents d USING (doc_id)
+    ), sim AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               (2 * 1000000 * len(list_intersect(a.ts, b.ts))
+                + len(list_distinct(a.ts || b.ts)))
+               // (2 * len(list_distinct(a.ts || b.ts))) AS s_micro
+        FROM ctok a JOIN ctok b ON a.doc_id != b.doc_id
+    ), p1 AS (
+        SELECT doc_id, rel FROM cand ORDER BY rel DESC, doc_id ASC LIMIT 1
+    ), m1 AS (
+        SELECT c.doc_id, c.rel, sim.s_micro AS max_sim
+        FROM cand c
+        JOIN p1 ON c.doc_id != p1.doc_id
+        JOIN sim ON sim.da = c.doc_id AND sim.db = p1.doc_id
+    ), p2 AS (
+        SELECT doc_id, rel, max_sim FROM m1
+        ORDER BY rel - max_sim DESC, doc_id ASC LIMIT 1
+    ), m2 AS (
+        SELECT c.doc_id, c.rel, max(sim.s_micro) AS max_sim
+        FROM cand c
+        JOIN p1 ON c.doc_id != p1.doc_id
+        JOIN p2 ON c.doc_id != p2.doc_id
+        JOIN sim ON sim.da = c.doc_id
+                AND sim.db IN (p1.doc_id, p2.doc_id)
+        GROUP BY c.doc_id, c.rel
+    ), p3 AS (
+        SELECT doc_id, rel, max_sim FROM m2
+        ORDER BY rel - max_sim DESC, doc_id ASC LIMIT 1
+    )
+    SELECT 1 AS pick_order, doc_id, rel AS rel_micro,
+           CAST(0 AS BIGINT) AS max_sim_micro FROM p1
+    UNION ALL
+    SELECT 2, doc_id, rel, CAST(max_sim AS BIGINT) FROM p2
+    UNION ALL
+    SELECT 3, doc_id, rel, CAST(max_sim AS BIGINT) FROM p3
+"""
+
+
+@op("mmr_diversified_topk", oracle=_MMR_SQL, tags=("text", "search", "diversity"))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: pick 3 results from the BM25 top-10
+    that balance relevance against redundancy — score(d) = rel(d) -
+    max_sim(d, selected) at lambda = 0.5, the RAG/search diversifier
+    that stops three near-identical documents filling the context
+    window. The greedy loop is UNROLLED into relational algebra (pick
+    1 = argmax rel; picks 2-3 = argmax rel - running-max Jaccard to
+    the selected set), every argmax a deterministic (score desc,
+    doc_id) limit over the 10-row candidate pool — no driver collect.
+    Exactness: relevance is the micro-rounded BM25 (rounded ONCE),
+    pairwise similarity the half-up micro token Jaccard, so scores
+    subtract and compare as integers. The candidate pool bounds every
+    join at 10 rows x 10 rows regardless of corpus size; at 100 TB
+    only the BM25 stage touches the corpus (query-term-pruned scan)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    bm = (
+        tf.join(F.broadcast(dfx), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf * F.col("tf") * (BM25_K1 + 1.0)
+                    / (F.col("tf") + BM25_K1
+                       * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+                ) * 1_000_000
+            ).cast("long").alias("rel")
+        )
+    )
+    cand = bm.orderBy(F.desc("rel"), F.asc("doc_id")).limit(_MMR_POOL).cache()
+    ctok = cand.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    a = ctok.select(F.col("doc_id").alias("da"), F.col("ts").alias("ta"))
+    b = ctok.select(F.col("doc_id").alias("db"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("decimal(38,0)")
+    union = F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("decimal(38,0)")
+    sim = (
+        a.crossJoin(b)
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            "da",
+            "db",
+            exact_floor_div(2 * 1_000_000 * inter + union, 2 * union)
+            .cast("long")
+            .alias("s_micro"),
+        )
+        .cache()
+    )
+
+    def pick(frame, score_col):
+        return frame.orderBy(F.desc(score_col), F.asc("doc_id")).limit(1)
+
+    p1 = pick(cand, "rel").select(
+        F.col("doc_id").alias("p1_id"), F.col("rel").alias("p1_rel")
+    )
+    m1 = (
+        cand.crossJoin(F.broadcast(p1))
+        .filter(F.col("doc_id") != F.col("p1_id"))
+        .join(
+            sim.select(F.col("da").alias("doc_id"), F.col("db").alias("p1_id"), "s_micro"),
+            ["doc_id", "p1_id"],
+        )
+        .select("doc_id", "rel", F.col("s_micro").alias("max_sim"),
+                (F.col("rel") - F.col("s_micro")).alias("score"))
+    )
+    p2 = pick(m1, "score").select(
+        F.col("doc_id").alias("p2_id"),
+        F.col("rel").alias("p2_rel"),
+        F.col("max_sim").alias("p2_sim"),
+    )
+    m2 = (
+        cand.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .filter((F.col("doc_id") != F.col("p1_id")) & (F.col("doc_id") != F.col("p2_id")))
+        .join(sim.withColumnRenamed("da", "doc_id"), "doc_id")
+        .filter((F.col("db") == F.col("p1_id")) | (F.col("db") == F.col("p2_id")))
+        .groupBy("doc_id", "rel")
+        .agg(F.max("s_micro").alias("max_sim"))
+        .select("doc_id", "rel", "max_sim", (F.col("rel") - F.col("max_sim")).alias("score"))
+    )
+    p3 = pick(m2, "score")
+    out1 = p1.select(
+        F.lit(1).alias("pick_order"),
+        F.col("p1_id").alias("doc_id"),
+        F.col("p1_rel").alias("rel_micro"),
+        F.lit(0).cast("long").alias("max_sim_micro"),
+    )
+    out2 = p2.select(
+        F.lit(2).alias("pick_order"),
+        F.col("p2_id").alias("doc_id"),
+        F.col("p2_rel").alias("rel_micro"),
+        F.col("p2_sim").cast("long").alias("max_sim_micro"),
+    )
+    out3 = p3.select(
+        F.lit(3).alias("pick_order"),
+        "doc_id",
+        F.col("rel").alias("rel_micro"),
+        F.col("max_sim").cast("long").alias("max_sim_micro"),
+    )
+    return out1.unionAll(out2).unionAll(out3)

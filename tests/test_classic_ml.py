@@ -385,3 +385,24 @@ def test_hypothetical_rank_counts_strictly_below(spark, tmp_path):
     # only the 1000 balance is strictly below 5000 -> rank 2 (ties at
     # the hypothetical value do not push it down).
     assert (row.n_customers, row.hypothetical_rank) == (3, 2)
+
+
+def test_ucb1_scores_match_formula(spark, tmp_path):
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "A", 150.0 if i < 2 else 50.0, "{}") for i in range(4)]
+    rows.append((10, t0, 2, "B", 50.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r
+        for r in all_ops()["ucb1_variant_scores"].fn(spark, str(tmp_path)).collect()
+    }
+    ln5_micro = round(math.log(5) * 1_000_000)
+    assert got["A"].wins == 2
+    assert got["A"].ucb1 == round(0.5 + math.sqrt(2.0 * ln5_micro / (1e6 * 4)), 6)
+    assert got["B"].ucb1 == round(0.0 + math.sqrt(2.0 * ln5_micro / (1e6 * 1)), 6)

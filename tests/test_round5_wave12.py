@@ -180,3 +180,23 @@ def test_pca_power_step_finds_dominant_axis(spark, tmp_path):
     }
     assert abs(got[1]) == 1.0
     assert got[2] == 0.0
+
+
+def test_mmr_demotes_exact_duplicate(spark, tmp_path):
+    # d3 has the highest BM25 (rare 'join', tf 4) -> pick 1. d1 and d2
+    # are exact duplicates, both diverse from d3 -> pick 2 goes to d1
+    # (tie-break), and the duplicate d2 arrives LAST carrying
+    # max_sim_micro = 1e6 (full Jaccard overlap with d1) — the
+    # redundancy penalty doing its job.
+    spark.createDataFrame(
+        [
+            (1, "hash stream", "en", "s", 11),
+            (2, "hash stream", "en", "s", 11),
+            (3, "join join join join", "en", "s", 19),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.pick_order: r for r in all_ops()["mmr_diversified_topk"].fn(spark, str(tmp_path)).collect()}
+    assert rows[1].doc_id == 3 and rows[1].max_sim_micro == 0
+    assert rows[2].doc_id == 1
+    assert rows[3].doc_id == 2 and rows[3].max_sim_micro == 1_000_000
