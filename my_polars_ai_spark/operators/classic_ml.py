@@ -382,7 +382,7 @@ _STUMP_SQL = f"""
                {oracle_ratio_round(
                    '2*(pl*ql*((pt - pl) + (qt - ql)) '
                    '+ (pt - pl)*(qt - ql)*(pl + ql))',
-                   '(pl + ql) * ((pt - pl) + (qt - ql))')} AS gini_sum
+                   '(pl + ql) * ((pt - pl) + (qt - ql)) * (pt + qt)')} AS gini_sum
         FROM c
         WHERE pl + ql > 0 AND (pt - pl) + (qt - ql) > 0
     )
@@ -399,9 +399,10 @@ _STUMP_SQL = f"""
 def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a depth-1 decision tree: pick the order-total threshold
     that best splits URGENT from non-URGENT orders by weighted Gini
-    impurity, evaluated EXACTLY — per-side impurity 2*p*q/n terms are
-    put over the common denominator n_L*n_R so the comparison is one
-    half-up-rounded integer rational per candidate; argmin tie-breaks
+    impurity (n_L*G_L + n_R*G_R)/N in [0, 0.5], evaluated EXACTLY —
+    per-side impurity 2*p*q/n terms are put over the common
+    denominator n_L*n_R*N so the comparison is one half-up-rounded
+    integer rational per candidate; argmin tie-breaks
     on the lower threshold. The candidate grid is the $25k banding
     (~20 splits), so after one map-side-combined groupBy everything is
     a broadcast-sized table — CART's split search as a 20-row scan,
@@ -432,9 +433,10 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("band") + 1) * _STUMP_BAND).cast("long").alias("threshold_cents"),
         nl.cast("long").alias("n_left"),
         nr.cast("long").alias("n_right"),
-        ratio_round(2 * (pl * ql * nr + pr * qr * nl), nl * nr).alias(
-            "weighted_gini"
-        ),
+        ratio_round(
+            2 * (pl * ql * nr + pr * qr * nl),
+            nl * nr * (F.col("pt") + F.col("qt")),
+        ).alias("weighted_gini"),
     )
     return s.orderBy(F.asc("weighted_gini"), F.asc("threshold_cents")).limit(1)
 

@@ -292,14 +292,16 @@ BM25_B = 0.75
 BM25_QUERY = ("hash", "join", "stream")
 _BM25_QUERY_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
 
-
-@op(
-    "bm25_scores",
-    oracle=f"""
-    WITH toks AS (
+# Shared BM25 pipeline — ONE definition of the tokenization, tf
+# saturation and idf smoothing, consumed by bm25_scores /
+# rrf_fusion_topk / mmr_diversified_topk on BOTH the Spark and the
+# oracle side, so the three retrieval ops cannot silently diverge
+# (review finding: the pipeline used to be triplicated).
+_BM25_CTES = f"""toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks WHERE tok != '' GROUP BY 1
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks WHERE tok != '' GROUP BY 1
     ), stats AS (
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                sum(dl) * 1.0 / count(*) AS avgdl
@@ -309,33 +311,29 @@ _BM25_QUERY_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
         FROM toks WHERE tok IN {_BM25_QUERY_SQL} GROUP BY 1, 2
     ), df AS (
         SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-    ), scored AS (
-        SELECT tf.doc_id,
-               sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+    )"""
+
+_BM25_SUM_SQL = f"""sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
                    * tf.tf * ({BM25_K1} + 1.0)
                    / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                                           + {BM25_B} * dl.dl / s.avgdl))) AS score
-        FROM tf
-        JOIN df USING (tok)
-        JOIN dl USING (doc_id)
-        CROSS JOIN stats s
-        GROUP BY 1
+                                           + {BM25_B} * dl.dl / s.avgdl)))"""
+
+
+def _bm25_scored_sql(score_expr: str) -> str:
+    """The ``bm`` CTE body: per-doc score aggregated from the shared
+    CTEs, with the caller choosing the final rounding of
+    ``{_BM25_SUM_SQL}`` (spelled via the ``score_expr`` template)."""
+    return (
+        f"SELECT tf.doc_id, {score_expr} AS score\n"
+        "        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)\n"
+        "        CROSS JOIN stats s GROUP BY 1"
     )
-    SELECT doc_id, round(score, {ROUND_RATIO}) AS bm25
-    FROM scored
-    ORDER BY score DESC, doc_id
-    LIMIT 20
-    """,
-    tags=("text", "search", "bm25"),
-)
-def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-text relevance ranking: BM25 top-20 docs for a fixed query
-    (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))) — TF-IDF's
-    production successor and the classic retrieval baseline. The term
-    filter prunes the exploded token stream to query terms BEFORE the TF
-    shuffle (at 100 TB the scan emits only query-term hits); doc lengths
-    are one narrow aggregate; df and the corpus stats ride broadcasts;
-    top-20 compiles to TakeOrderedAndProject."""
+
+
+def _bm25_parts(spark: SparkSession, sf_dir: str):
+    """Spark twin of ``_BM25_CTES``: returns (toks, dl, stats, tf, df,
+    scored) where ``scored`` is (doc_id, score) with the UNROUNDED
+    BM25 sum — each consumer applies its own final rounding."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
@@ -355,13 +353,40 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
         F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    return (
+    scored = (
         tf.join(F.broadcast(df), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return toks, dl, stats, tf, df, scored
+
+
+@op(
+    "bm25_scores",
+    oracle=f"""
+    WITH {_BM25_CTES}, scored AS (
+        {_bm25_scored_sql(_BM25_SUM_SQL)}
+    )
+    SELECT doc_id, round(score, {ROUND_RATIO}) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "search", "bm25"),
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: BM25 top-20 docs for a fixed query
+    (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))) — TF-IDF's
+    production successor and the classic retrieval baseline. The term
+    filter prunes the exploded token stream to query terms BEFORE the TF
+    shuffle (at 100 TB the scan emits only query-term hits); doc lengths
+    are one narrow aggregate; df and the corpus stats ride broadcasts;
+    top-20 compiles to TakeOrderedAndProject."""
+    *_, scored = _bm25_parts(spark, sf_dir)
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
         .select("doc_id", F.round("score", ROUND_RATIO).alias("bm25"))
     )
@@ -2903,29 +2928,8 @@ RRF_K = 60
 _RRF_DEPTH = 50
 
 _RRF_SQL = f"""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        FROM toks WHERE tok != '' GROUP BY 1
-    ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               sum(dl) * 1.0 / count(*) AS avgdl
-        FROM dl
-    ), tf AS (
-        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-        FROM toks WHERE tok IN {_BM25_QUERY_SQL} GROUP BY 1, 2
-    ), df AS (
-        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-    ), bm AS (
-        SELECT tf.doc_id,
-               round(sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-                   * tf.tf * ({BM25_K1} + 1.0)
-                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                                           + {BM25_B} * dl.dl / s.avgdl))), 6)
-                   AS score
-        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
-        GROUP BY 1
+    WITH {_BM25_CTES}, bm AS (
+        {_bm25_scored_sql(f"round({_BM25_SUM_SQL}, 6)")}
     ), r1 AS (
         SELECT doc_id,
                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
@@ -2971,45 +2975,8 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bm25_scores discipline); both rank windows run over the
     query-matching subset only (bounded by term selectivity) and the
     final top-20 is TakeOrderedAndProject."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
-        F.col("tok") != ""
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(*BM25_QUERY))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    bm = (
-        tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    idf
-                    * F.col("tf")
-                    * (BM25_K1 + 1.0)
-                    / (
-                        F.col("tf")
-                        + BM25_K1
-                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-                    )
-                ),
-                6,
-            ).alias("score")
-        )
-    )
+    _toks, dl, _stats, tf, _df, raw = _bm25_parts(spark, sf_dir)
+    bm = raw.select("doc_id", F.round("score", 6).alias("score"))
     w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     r1 = (
         bm.withColumn("r", F.row_number().over(w1))
@@ -3059,30 +3026,11 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_POOL = 10
 
 _MMR_SQL = f"""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        FROM toks WHERE tok != '' GROUP BY 1
-    ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               sum(dl) * 1.0 / count(*) AS avgdl FROM dl
-    ), tf AS (
-        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-        FROM toks WHERE tok IN {_BM25_QUERY_SQL} GROUP BY 1, 2
-    ), df AS (
-        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-    ), bm AS (
-        SELECT tf.doc_id,
-               CAST(round(sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-                   * tf.tf * ({BM25_K1} + 1.0)
-                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                       + {BM25_B} * dl.dl / s.avgdl))) * 1000000) AS BIGINT)
-                   AS rel
-        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
-        GROUP BY 1
+    WITH {_BM25_CTES}, bm AS (
+        {_bm25_scored_sql(
+            f"CAST(round({_BM25_SUM_SQL} * 1000000) AS BIGINT)")}
     ), cand AS (
-        SELECT doc_id, rel FROM bm
+        SELECT doc_id, score AS rel FROM bm
         ORDER BY rel DESC, doc_id ASC LIMIT {_MMR_POOL}
     ), ctok AS (
         SELECT c.doc_id, list_distinct(string_split(d.text, ' ')) AS ts
@@ -3140,35 +3088,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join at 10 rows x 10 rows regardless of corpus size; at 100 TB
     only the BM25 stage touches the corpus (query-term-pruned scan)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
-        F.col("tok") != ""
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(*BM25_QUERY))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    bm = (
-        tf.join(F.broadcast(dfx), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    idf * F.col("tf") * (BM25_K1 + 1.0)
-                    / (F.col("tf") + BM25_K1
-                       * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-                ) * 1_000_000
-            ).cast("long").alias("rel")
-        )
+    *_, raw = _bm25_parts(spark, sf_dir)
+    bm = raw.select(
+        "doc_id", F.round(F.col("score") * 1_000_000).cast("long").alias("rel")
     )
     cand = bm.orderBy(F.desc("rel"), F.asc("doc_id")).limit(_MMR_POOL).cache()
     ctok = cand.join(d.select("doc_id", "text"), "doc_id").select(

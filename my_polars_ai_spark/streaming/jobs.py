@@ -552,8 +552,13 @@ def stream_dlq_split(
 
     events = read_events_stream(spark, sf_dir)
     # validity contract for the events table: non-negative value and a
-    # JSON-shaped props payload
-    valid = (F.col("value") >= 0) & F.col("props").startswith("{")
+    # JSON-shaped props payload. NULL in either column must land in the
+    # DLQ, not vanish: the raw predicate evaluates to NULL on NULL
+    # inputs and then BOTH filter(p) and filter(~p) drop the row —
+    # coalesce to false so rejects stay rejects (reviewed bug).
+    valid = F.coalesce(
+        (F.col("value") >= 0) & F.col("props").startswith("{"), F.lit(False)
+    )
 
     def split(batch_df: DataFrame, batch_id: int) -> None:
         flagged = batch_df.withColumn("__ok", valid)
@@ -566,7 +571,9 @@ def stream_dlq_split(
             .withColumn("reject_batch", F.lit(batch_id).cast("long"))
             .withColumn(
                 "reject_reason",
-                F.when(F.col("value") < 0, "negative_value").otherwise("bad_props"),
+                F.when(
+                    F.col("value").isNull() | (F.col("value") < 0), "invalid_value"
+                ).otherwise("bad_props"),
             )
             .write.mode("overwrite")
             .parquet(os.path.join(store_dir, "dlq", f"epoch={batch_id}"))

@@ -406,3 +406,22 @@ def test_ucb1_scores_match_formula(spark, tmp_path):
     assert got["A"].wins == 2
     assert got["A"].ucb1 == round(0.5 + math.sqrt(2.0 * ln5_micro / (1e6 * 4)), 6)
     assert got["B"].ucb1 == round(0.0 + math.sqrt(2.0 * ln5_micro / (1e6 * 1)), 6)
+
+
+def test_decision_stump_weighted_gini_scale(spark, tmp_path):
+    # Impure split: left band has 1 urgent among 4, right band is pure
+    # (4 urgent). weighted Gini = (2*1*3/4 + 0) / 8 = 0.1875 — the
+    # metric must be the [0, 0.5] impurity, not a count-scaled sum.
+    t0 = dt.datetime(2001, 1, 1)
+    rows = [(i, 1, "O", 10_000.0, t0, "5-LOW") for i in range(3)]
+    rows += [(10, 1, "O", 10_000.0, t0, "1-URGENT")]
+    rows += [(20 + i, 1, "O", 60_000.0, t0, "1-URGENT") for i in range(4)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    row = all_ops()["decision_stump_train"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.threshold_cents == 2_500_000
+    assert (row.n_left, row.n_right) == (4, 4)
+    assert row.weighted_gini == 0.1875

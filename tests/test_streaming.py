@@ -312,6 +312,8 @@ def test_stream_dlq_split_quarantines_rejects_losslessly(spark, tmp_path):
         (2, t0, 1, "view", -5.0, "{}"),       # negative -> DLQ
         (3, t0, 2, "click", 7.0, "oops"),     # bad props -> DLQ
         (4, t0, 2, "view", 1.0, '{"k": 1}'),
+        (5, t0, 3, "view", None, "{}"),       # NULL value -> DLQ, not dropped
+        (6, t0, 3, "view", 2.0, None),        # NULL props -> DLQ, not dropped
     ]
     # the corpus stores events.parquet as a single FILE (the stream
     # source glob-filters on that name), so write one directly
@@ -329,5 +331,10 @@ def test_stream_dlq_split_quarantines_rejects_losslessly(spark, tmp_path):
     main, dlq = stream_dlq_split(spark, str(src), str(tmp_path / "store"))
     assert sorted(r.event_id for r in main.collect()) == [1, 4]
     rejects = {r.event_id: r.reject_reason for r in dlq.collect()}
-    assert rejects == {2: "negative_value", 3: "bad_props"}
-    assert main.count() + dlq.count() == 4
+    assert rejects == {
+        2: "invalid_value",
+        3: "bad_props",
+        5: "invalid_value",
+        6: "bad_props",
+    }
+    assert main.count() + dlq.count() == 6

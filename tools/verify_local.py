@@ -107,6 +107,12 @@ def main():
         except Exception as e:
             n_fail += 1
             print(f"  ✗ {name}: EXC {type(e).__name__}: {str(e)[:300]}")
+        finally:
+            # a few ops cache() diamond subtrees by design and return a
+            # lazy frame, so nothing ever unpersists them; in a 360-op
+            # sweep those pins would accumulate until LRU churn — drop
+            # them between ops (review finding)
+            spark.catalog.clearCache()
     print(f"\npass={n_pass} fail={n_fail} rows_only={n_rows_only}")
     return 1 if n_fail else 0
 
