@@ -263,6 +263,17 @@ _PRIORITY_R5 = (
 # through token_cooccurrence_pmi plus the text-pipeline block through
 # top_tokens_by_lang. The 29 round-5 additions (stats_tests module,
 # wave-2..7 text/similarity/extras/sql ops) queue after those in r8/r9.
+# Round-5 session-2 additions (waves 11-17, 27 ops: auc_langid_score,
+# ols_price_on_qty_discount, session_window_dynamic_gap,
+# apply_in_arrow_center, ts_decompose_daily, collated_group_count,
+# naive_bayes_langid, decision_stump_train, item_item_cf_topk,
+# twap_daily_value, nearest_centroid_confusion, pca_power_iteration_step,
+# sql_group_by_all, sql_identifier_clause, basket_triple_support,
+# business_days_lead_time, rrf_fusion_topk, cohens_kappa_langid,
+# keyset_pagination_page, sql_unpivot_syntax, feature_information_gain,
+# ipf_raking_step, binary_hamming_topk, qi_generalization_ladder,
+# hypothetical_rank_of_value, ucb1_variant_scores, mmr_diversified_topk)
+# append to the registry tail and join the r8/r9 first-attestation queue.
 _PRIORITY = _PRIORITY_R5
 
 
