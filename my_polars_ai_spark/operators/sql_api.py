@@ -538,3 +538,37 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) UNPIVOT (val FOR metric IN (n_orders, n_customers))
         """
     )
+
+
+@op(
+    "sql_offset_pagination",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS BIGINT) AS cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {_KEYSET_PAGE} OFFSET 20
+    """,
+    tags=("sql", "pagination", "antipattern"),
+)
+def sql_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET pagination — kept as the documented ANTI-PATTERN exhibit
+    next to keyset_pagination_page (the row_udf_label of pagination):
+    page 3 via `ORDER BY ... LIMIT 10 OFFSET 20` must still order and
+    discard every earlier row, so cost grows linearly with page depth
+    — at page 100,000 of a 100 TB table the cluster sorts and throws
+    away a million rows per request, where the keyset filter stays a
+    pushdown + TakeOrderedAndProject forever. Correct, portable, and
+    exactly what not to generate for deep pages."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(20)
+        .limit(_KEYSET_PAGE)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )

@@ -1051,3 +1051,66 @@ def kendall_tau_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cd").cast("long").alias("concordant_minus_discordant"),
         tau.alias("tau_b"),
     )
+
+
+# Benjamini-Hochberg step-up critical |z| values for m=10 ranked
+# two-sided comparisons at FDR alpha=0.05: crit_i = Phi^-1(1 -
+# 0.05*i/10 / 2), precomputed by bisection on erfc (non-boundary 4-dp
+# literals; rank-1 equals the Bonferroni 2.807 by construction).
+_BH_CRIT = (2.807, 2.5758, 2.4324, 2.3263, 2.2414,
+            2.1701, 2.1084, 2.0537, 2.0047, 1.96)
+_BH_CRIT_SQL = "[" + ", ".join(str(c) for c in _BH_CRIT) + "]"
+
+_BH_SQL = f"""
+    WITH pw AS ({_PAIRWISE_SQL}),
+    r AS (
+        SELECT grp_a, grp_b, z,
+               row_number() OVER (ORDER BY abs(z) DESC NULLS LAST,
+                                  grp_a ASC, grp_b ASC) AS rnk
+        FROM pw
+    ), h AS (
+        SELECT *, CASE WHEN z IS NOT NULL
+                        AND abs(z) >= {_BH_CRIT_SQL}[rnk]
+                       THEN rnk ELSE 0 END AS hit
+        FROM r
+    ), mx AS (
+        SELECT max(hit) AS max_hit FROM h
+    )
+    SELECT grp_a, grp_b, z, CAST(rnk AS INT) AS rnk,
+           CAST(CASE WHEN rnk <= mx.max_hit THEN 1 ELSE 0 END AS INT)
+               AS significant_bh
+    FROM h CROSS JOIN mx
+"""
+
+
+@op("bh_fdr_pairwise", oracle=_BH_SQL, tags=("stats", "test", "multiplicity"))
+def bh_fdr_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over the 10 pairwise
+    proportion z-tests — the step-UP procedure that recovers power
+    Bonferroni throws away (every |z| past its RANKED threshold, plus
+    everything ranked above the last success, is significant at FDR
+    0.05). Composes the registered pairwise op directly, so the z
+    matrix cannot drift from what users run; thresholds are
+    precomputed non-boundary literals (rank 1 IS the Bonferroni
+    2.807), the ranking orders by the ROUNDED z with name tie-breaks,
+    and the step-up cutoff is one 10-row max broadcast back — the
+    whole procedure after the 5-row aggregation is constant-sized."""
+    pw = pairwise_proportion_tests(spark, sf_dir)
+    w = Window.orderBy(F.abs(F.col("z")).desc_nulls_last(), F.asc("grp_a"), F.asc("grp_b"))
+    r = pw.select("grp_a", "grp_b", "z").withColumn("rnk", F.row_number().over(w))
+    crit = F.element_at(F.array(*[F.lit(c) for c in _BH_CRIT]), F.col("rnk"))
+    h = r.withColumn(
+        "hit",
+        F.when(F.col("z").isNotNull() & (F.abs("z") >= crit), F.col("rnk")).otherwise(0),
+    )
+    mx = h.agg(F.max("hit").alias("max_hit"))
+    return (
+        h.crossJoin(F.broadcast(mx))
+        .select(
+            "grp_a",
+            "grp_b",
+            "z",
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.col("rnk") <= F.col("max_hit")).cast("int").alias("significant_bh"),
+        )
+    )

@@ -281,3 +281,23 @@ def test_pack_windows_fragmentation_invariant(spark, tmp_path):
     assert r.n_crossing_docs == 2
     assert r.total_fragments == 4
     assert r.avg_fragments == pytest.approx(2.0, abs=1e-6)
+
+
+def test_bh_stepup_includes_ranks_above_last_hit(spark, sf_dir):
+    """BH is step-UP: every rank at or above the deepest threshold
+    crossing is significant, and the flag set must be a superset of
+    Bonferroni's (rank-1 threshold IS the Bonferroni critical value)."""
+    from my_polars_ai_spark.operators import all_ops
+
+    bh = {(r.grp_a, r.grp_b): r for r in all_ops()["bh_fdr_pairwise"].fn(spark, sf_dir).collect()}
+    bonf = {
+        (r.grp_a, r.grp_b): r.significant
+        for r in all_ops()["pairwise_proportion_tests"].fn(spark, sf_dir).collect()
+    }
+    sig_ranks = sorted(r.rnk for r in bh.values() if r.significant_bh)
+    # contiguous prefix of ranks
+    assert sig_ranks == list(range(1, len(sig_ranks) + 1))
+    # superset of Bonferroni
+    for pair, b in bonf.items():
+        if b:
+            assert bh[pair].significant_bh == 1
