@@ -32,6 +32,7 @@ from my_polars_ai_spark.operators.base import (
     Op,
     exact_floor_div,
     make_registrar,
+    oracle_ratio_round,
     oracle_signed_ratio_round,
     ratio_round,
     signed_ratio_round,
@@ -1113,4 +1114,148 @@ def bh_fdr_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
             (F.col("rnk") <= F.col("max_hit")).cast("int").alias("significant_bh"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential testing: SPRT boundary crossing per arm
+# ---------------------------------------------------------------------------
+
+# Wald SPRT for reward = (value > 100): H0 p=0.3 vs H1 p=0.5,
+# alpha = beta = 0.05. Per-event log-likelihood-ratio increments and
+# the decision boundaries ln((1-b)/a) = ln 19, precomputed once to
+# integer micro-nats so the cumulative walk is exact integer summation.
+_SPRT_SUCC = 510_826     # round(ln(0.5/0.3) * 1e6)
+_SPRT_FAIL = -336_472    # round(ln(0.5/0.7) * 1e6)
+_SPRT_BOUND = 2_944_439  # round(ln(19) * 1e6)
+
+_SPRT_SQL = f"""
+    WITH e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN value > 100 THEN {_SPRT_SUCC}
+                    ELSE {_SPRT_FAIL} END AS llr
+        FROM events
+    ), w AS (
+        SELECT event_type, ts_us, event_id,
+               sum(llr) OVER (PARTITION BY event_type
+                              ORDER BY ts_us, event_id) AS cum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts_us, event_id) AS idx
+        FROM e
+    ), x AS (
+        SELECT event_type, idx, cum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY idx) AS hit_rank
+        FROM w
+        WHERE cum >= {_SPRT_BOUND} OR cum <= -{_SPRT_BOUND}
+    ), nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1
+    )
+    SELECT nn.event_type, nn.n_events,
+           CAST(x.idx AS BIGINT) AS crossing_index,
+           CASE WHEN x.cum >= {_SPRT_BOUND} THEN 'accept_h1'
+                WHEN x.cum <= -{_SPRT_BOUND} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM nn LEFT JOIN x ON x.event_type = nn.event_type AND x.hit_rank = 1
+"""
+
+
+@op("sprt_boundary_crossing", oracle=_SPRT_SQL, tags=("stats", "sequential", "test"))
+def sprt_boundary_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test replayed over each
+    event-type arm: walk the cumulative log-likelihood ratio of
+    reward = (value > 100) under H1 p=0.5 vs H0 p=0.3 in event-time
+    order and report WHERE the walk first exits the ±ln 19 band
+    (alpha = beta = 0.05) — the always-valid sequential complement to
+    the fixed-horizon ab_test_two_proportion ('how early could we have
+    stopped?'). Per-event increments and both boundaries are
+    precomputed micro-nat literals, so the walk is an exact integer
+    keyed running sum; the first crossing is the rank-1 row of the
+    filtered walk (deterministic (ts, event_id) order), and arms that
+    never cross report NULL index with decision 'continue'."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("value") > 100, _SPRT_SUCC).otherwise(_SPRT_FAIL).alias("llr"),
+    )
+    ww = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    w = e.select(
+        "event_type",
+        F.sum("llr").over(ww.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(ww).alias("idx"),
+    )
+    hits = w.filter(
+        (F.col("cum") >= _SPRT_BOUND) | (F.col("cum") <= -_SPRT_BOUND)
+    )
+    first = hits.withColumn(
+        "hit_rank",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("idx")),
+    ).filter(F.col("hit_rank") == 1)
+    nn = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    decision = (
+        F.when(F.col("cum") >= _SPRT_BOUND, "accept_h1")
+        .when(F.col("cum") <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+    )
+    return nn.join(first.select("event_type", "idx", "cum"), "event_type", "left").select(
+        "event_type",
+        "n_events",
+        F.col("idx").cast("long").alias("crossing_index"),
+        F.coalesce(decision, F.lit("continue")).alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis: minimum detectable effect at current sample size
+# ---------------------------------------------------------------------------
+
+_MDE_ZA = 1.96    # two-sided alpha = 0.05
+_MDE_ZB = 0.8416  # power = 0.80
+
+_MDE_SQL = f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS conv
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS conversions,
+           {oracle_ratio_round('conv', 'n')} AS p,
+           round(({_MDE_ZA} + {_MDE_ZB})
+                 * sqrt(2.0 * (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 6) AS mde
+    FROM v
+"""
+
+
+@op("mde_power_analysis", oracle=_MDE_SQL, tags=("stats", "experiment", "design"))
+def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per arm at the CURRENT sample size —
+    the experiment-DESIGN number that belongs before any test in the
+    family (ab_test / wilson / cuped / sprt answer 'what happened';
+    this answers 'what could this much data even see'): MDE =
+    (z_a/2 + z_b) * sqrt(2 p(1-p) / n) at alpha 0.05, power 0.80, with
+    the z's as non-boundary literals and the baseline rate exact from
+    counts. A detector asked for a 1% lift on an arm whose MDE reads
+    4% is underpowered by inspection. One bounded aggregation; the
+    sqrt/divide chain is IEEE-identical from identical integers."""
+    e = _t(spark, sf_dir, "events")
+    v = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum((F.col("value") > 100).cast("int")).cast(_D38).alias("conv"),
+    )
+    pd_ = F.col("conv").cast("double") / F.col("n").cast("double")
+    return v.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("conv").cast("long").alias("conversions"),
+        ratio_round(F.col("conv"), F.col("n")).alias("p"),
+        F.round(
+            (_MDE_ZA + _MDE_ZB)
+            * F.sqrt(2.0 * pd_ * (1.0 - pd_) / F.col("n").cast("double")),
+            6,
+        ).alias("mde"),
     )

@@ -301,3 +301,32 @@ def test_bh_stepup_includes_ranks_above_last_hit(spark, sf_dir):
     for pair, b in bonf.items():
         if b:
             assert bh[pair].significant_bh == 1
+
+
+def test_sprt_crossing_points_hand_computed(spark, tmp_path):
+    """6 straight successes cross +ln19 at index 6 (6*510826 >= 2944439);
+    9 straight failures cross -ln19 at index 9; a short mixed arm never
+    crosses and reports continue/NULL."""
+    import datetime as dt
+
+    from my_polars_ai_spark.operators import all_ops
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(6):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "A", 150.0, "{}"))
+    for i in range(9):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 1, "B", 50.0, "{}"))
+    rows.append((200, t0, 1, "C", 150.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: (r.crossing_index, r.decision)
+        for r in all_ops()["sprt_boundary_crossing"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (6, "accept_h1")
+    assert got["B"] == (9, "accept_h0")
+    assert got["C"] == (None, "continue")
