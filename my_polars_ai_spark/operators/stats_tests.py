@@ -1259,3 +1259,91 @@ def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mde"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimal transport: 1-D Wasserstein distance between two arms
+# ---------------------------------------------------------------------------
+
+_W1_SQL = f"""
+    WITH g AS (
+        SELECT {_CENTS_SQL} AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), v AS (
+        SELECT cents,
+               CAST(sum(is1) AS HUGEINT) AS c1,
+               CAST(count(*) - sum(is1) AS HUGEINT) AS c2
+        FROM g GROUP BY cents
+    ), w AS (
+        SELECT cents,
+               sum(c1) OVER (ORDER BY cents) AS cum1,
+               sum(c2) OVER (ORDER BY cents) AS cum2,
+               lead(cents) OVER (ORDER BY cents) AS next_cents
+        FROM v
+    ), n AS (
+        SELECT sum(c1) AS n1, sum(c2) AS n2 FROM v
+    ), t AS (
+        SELECT sum(abs(w.cum1*n.n2 - w.cum2*n.n1) * (w.next_cents - w.cents))
+                   AS num,
+               max(n.n1) AS n1, max(n.n2) AS n2
+        FROM w CROSS JOIN n
+        WHERE w.next_cents IS NOT NULL
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_low,
+           {oracle_ratio_round('num', 'n1 * n2')} AS w1_cents
+    FROM t
+"""
+
+
+@op("wasserstein_1d_priority", oracle=_W1_SQL, tags=("stats", "transport", "agg"))
+def wasserstein_1d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the URGENT and
+    LOW order-total distributions — 'how many cents must each
+    probability unit travel', the magnitude-aware complement of the
+    KS test (KS reports the worst VERTICAL gap between ECDFs; W1
+    integrates the HORIZONTAL area, so a uniform $100 shift that
+    barely moves KS shows up at full size here). On a sorted axis
+    W1 = sum |F1-F2| * gap, which the shared two-sample value table
+    makes exact: integer ECDF deviations (cum1*n2 - cum2*n1) times
+    integer cent gaps, normalized once by n1*n2 — banded prefix sums
+    for the cumulatives and a bucket-stitched lead for the gap
+    (concurrency_duration_profile's trick), so nothing sorts globally
+    in one task."""
+    v = _two_sample_value_counts(spark, sf_dir).withColumn(
+        "band", exact_floor_div(F.col("cents"), F.lit(_BAND_CENTS))
+    )
+    w_lead = Window.partitionBy("band").orderBy("cents")
+    bands = v.groupBy("band").agg(F.min("cents").alias("bmin"))
+    w_b = Window.orderBy("band")
+    next_bmin = bands.select(
+        "band", F.lead("bmin").over(w_b).alias("next_bmin")
+    )
+    w = v.join(F.broadcast(next_bmin), "band").select(
+        "cents",
+        "cum1",
+        "cum2",
+        F.coalesce(F.lead("cents").over(w_lead), F.col("next_bmin")).alias(
+            "next_cents"
+        ),
+    )
+    n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    t = (
+        w.filter(F.col("next_cents").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                * (F.col("next_cents") - F.col("cents"))
+            ).alias("num"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    return t.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        ratio_round(F.col("num"), F.col("n1") * F.col("n2")).alias("w1_cents"),
+    )

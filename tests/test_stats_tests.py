@@ -330,3 +330,27 @@ def test_sprt_crossing_points_hand_computed(spark, tmp_path):
     assert got["A"] == (6, "accept_h1")
     assert got["B"] == (9, "accept_h0")
     assert got["C"] == (None, "continue")
+
+
+def test_wasserstein_uniform_shift_equals_shift(spark, tmp_path):
+    """A pure translation: LOW = {100, 200}, URGENT = {150, 250} (same
+    shape, +$50) -> W1 must be exactly the shift, 5000 cents."""
+    import datetime as dt
+
+    from my_polars_ai_spark.operators import all_ops
+
+    t0 = dt.datetime(2001, 1, 1)
+    rows = [
+        (1, 1, "O", 150.0, t0, "1-URGENT"),
+        (2, 1, "O", 250.0, t0, "1-URGENT"),
+        (3, 1, "O", 100.0, t0, "5-LOW"),
+        (4, 1, "O", 200.0, t0, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    row = all_ops()["wasserstein_1d_priority"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_urgent, row.n_low) == (2, 2)
+    assert row.w1_cents == 5000.0
