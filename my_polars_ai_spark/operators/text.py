@@ -3164,3 +3164,73 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_sim").cast("long").alias("max_sim_micro"),
     )
     return out1.unionAll(out2).unionAll(out3)
+
+
+_ECE_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ), f AS (
+        SELECT (lang = 'en')::INT AS is_en,
+               least(((2 * 1000000 * len(list_filter(ts, x -> x IN {_MARKERS_SQL}))
+                       + len(ts)) // (2 * len(ts))) // 100000, 9) AS bin,
+               (2 * 1000000 * len(list_filter(ts, x -> x IN {_MARKERS_SQL}))
+                + len(ts)) // (2 * len(ts)) AS score_micro
+        FROM t WHERE len(ts) > 0
+    ), b AS (
+        SELECT bin, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(is_en) AS HUGEINT) AS e,
+               CAST(sum(score_micro) AS HUGEINT) AS s
+        FROM f GROUP BY bin
+    ), tot AS (
+        SELECT sum(n) AS nn, CAST(count(*) AS BIGINT) AS n_bins,
+               sum(abs(1000000 * e - s)) AS dev
+        FROM b
+    )
+    SELECT CAST(nn AS BIGINT) AS n_docs, n_bins,
+           {oracle_ratio_round('dev', 'nn * 1000000')} AS ece
+    FROM tot
+"""
+
+
+@op("ece_langid", oracle=_ECE_SQL, tags=("text", "ml", "eval"))
+def ece_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the marker score as a P(en)
+    classifier — the single number summarizing the reliability diagram
+    (calibration_curve_langid shows the curve; dashboards page on this
+    scalar): ECE = sum_b (n_b/N)|observed_b - predicted_b|, which over
+    the micro-integer scores collapses to sum_b |1e6*e_b - s_b| /
+    (N*1e6) — one exact integer rational, no per-bin division ever
+    happening. Same decile binning as the curve op by construction;
+    one narrow map + bounded aggregation + 1-row reduce."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
+    f = d.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        exact_floor_div(
+            2 * 1_000_000 * hits.cast("decimal(38,0)") + F.size(ts),
+            2 * F.size(ts).cast("decimal(38,0)"),
+        ).cast("long").alias("score_micro"),
+    ).filter(F.size(ts) > 0)
+    b = f.select(
+        F.least(
+            exact_floor_div(F.col("score_micro"), F.lit(100000)).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        "is_en",
+        "score_micro",
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("is_en").cast("decimal(38,0)").alias("e"),
+        F.sum("score_micro").cast("decimal(38,0)").alias("s"),
+    )
+    tot = b.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.abs(1_000_000 * F.col("e") - F.col("s"))).alias("dev"),
+    )
+    return tot.select(
+        F.col("nn").cast("long").alias("n_docs"),
+        "n_bins",
+        ratio_round(F.col("dev"), F.col("nn") * 1_000_000).alias("ece"),
+    )

@@ -2240,3 +2240,78 @@ def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov matrix power: 3-step reach probability via relational matmul
+# ---------------------------------------------------------------------------
+
+_MK3_SQL = """
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type AS a, event_type AS b,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+        SELECT a, sum(n) AS rt FROM c GROUP BY 1
+    ), p AS (
+        SELECT c.a, c.b, (2 * 1000000 * c.n + r.rt) // (2 * r.rt) AS pm
+        FROM c JOIN r USING (a)
+    ), p2 AS (
+        SELECT x.a, y.b, sum(x.pm * y.pm) AS v
+        FROM p x JOIN p y ON x.b = y.a GROUP BY 1, 2
+    ), p3 AS (
+        SELECT x.a, y.b, sum(x.v * y.pm) AS v
+        FROM p2 x JOIN p y ON x.b = y.a GROUP BY 1, 2
+    )
+    SELECT a AS start_type,
+           CAST((2 * v + 1000000000000) // 2000000000000 AS BIGINT)
+               AS p3_purchase_micro
+    FROM p3 WHERE b = 'purchase'
+"""
+
+
+@op("markov_3step_purchase", oracle=_MK3_SQL, tags=("timeseries", "markov", "join"))
+def markov_3step_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability of being at 'purchase' exactly THREE transitions
+    after each starting event type, computed as the matrix power P^3
+    with MATRIX MULTIPLICATION AS EQUI-JOINS over the bounded
+    |types|x|types| transition table — the next-event-prediction
+    rollout built on event_transition_matrix's chain. Each P entry is
+    quantized ONCE to half-up micro (the anova quantize-once seam);
+    both multiplications then run in exact integer arithmetic at
+    micro^2 / micro^3 scale and the result is one half-up rescale —
+    so an inherently iterative linear-algebra computation stays
+    hash-portable. Only the lag pass touches event-scale data; the
+    matmuls join 7x7 tables."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+    )
+    r = c.groupBy("a").agg(F.sum("n").alias("rt"))
+    p = c.join(r, "a").select(
+        "a",
+        "b",
+        exact_floor_div(2 * 1_000_000 * F.col("n") + F.col("rt"), 2 * F.col("rt"))
+        .alias("pm"),
+    )
+    x = p.select(F.col("a"), F.col("b").alias("k"), F.col("pm").alias("px"))
+    y = p.select(F.col("a").alias("k"), F.col("b"), F.col("pm").alias("py"))
+    p2 = x.join(y, "k").groupBy("a", "b").agg(F.sum(F.col("px") * F.col("py")).alias("v"))
+    x2 = p2.select("a", F.col("b").alias("k"), F.col("v").alias("vx"))
+    p3 = x2.join(y, "k").groupBy("a", "b").agg(F.sum(F.col("vx") * F.col("py")).alias("v"))
+    return p3.filter(F.col("b") == "purchase").select(
+        F.col("a").alias("start_type"),
+        exact_floor_div(
+            2 * F.col("v") + F.lit(10).cast(_D38) ** 12,
+            F.lit(2).cast(_D38) * F.lit(10).cast(_D38) ** 12,
+        ).cast("long").alias("p3_purchase_micro"),
+    )

@@ -200,3 +200,38 @@ def test_mmr_demotes_exact_duplicate(spark, tmp_path):
     assert rows[1].doc_id == 3 and rows[1].max_sim_micro == 0
     assert rows[2].doc_id == 1
     assert rows[3].doc_id == 2 and rows[3].max_sim_micro == 1_000_000
+
+
+def test_markov_p3_deterministic_chain(spark, tmp_path):
+    # Deterministic cycle view -> click -> purchase -> view ... :
+    # P is a permutation matrix, so P^3 = I and p3(start->purchase) is
+    # 1e6 exactly when start == purchase, else 0.
+    t0 = dt.datetime(2024, 1, 1)
+    cyc = ["view", "click", "purchase"]
+    rows = [
+        (i, 1, cyc[i % 3], t0 + dt.timedelta(minutes=i)) for i in range(31)
+    ]
+    _write_events(spark, tmp_path, [(eid, uid, et, ts) for (eid, uid, et, ts) in rows])
+    got = {
+        r.start_type: r.p3_purchase_micro
+        for r in all_ops()["markov_3step_purchase"].fn(spark, str(tmp_path)).collect()
+    }
+    # sparse result: zero-probability paths are simply absent rows
+    assert got.get("purchase", 0) == 1_000_000
+    assert got.get("view", 0) == 0 and got.get("click", 0) == 0
+
+
+def test_ece_perfectly_calibrated_is_zero_like(spark, tmp_path):
+    # All-marker en docs (score 1.0, all en) and no-marker fr docs
+    # (score 0.0, none en): both bins perfectly calibrated -> ECE 0.
+    spark.createDataFrame(
+        [
+            (1, "the of", "en", "s", 6),
+            (2, "the a", "en", "s", 5),
+            (3, "xx yy", "fr", "s", 5),
+            (4, "zz ww", "fr", "s", 5),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_ops()["ece_langid"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_docs, row.n_bins, row.ece) == (4, 2, 0.0)
