@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from my_polars_ai_spark.operators.base import (
     ROUND_RATIO,
     Op,
+    exact_floor_div,
     make_registrar,
     oracle_ratio_round,
     ratio_round,
@@ -1469,4 +1470,75 @@ def neardup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             F.col("df").cast("long").alias("doc_freq"),
         )
+    )
+
+
+_LCC_SQL = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), deg AS (
+        SELECT a AS doc_id, CAST(count(*) AS HUGEINT) AS d FROM sym GROUP BY 1
+    ), wedges AS (
+        SELECT x.a AS v, x.b AS nb1, y.b AS nb2
+        FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+    ), tri AS (
+        SELECT w.v AS doc_id, CAST(count(*) AS HUGEINT) AS t
+        FROM wedges w JOIN pairs p ON p.doc_a = w.nb1 AND p.doc_b = w.nb2
+        GROUP BY 1
+    )
+    SELECT deg.doc_id, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tri.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+               CAST((2 * 1000000 * 2 * coalesce(tri.t, 0)
+                     + deg.d * (deg.d - 1))
+                    // (2 * deg.d * (deg.d - 1)) AS BIGINT)
+           END AS lcc_micro
+    FROM deg LEFT JOIN tri USING (doc_id)
+"""
+
+
+@op("local_clustering_coefficient", oracle=_LCC_SQL, tags=("dedup", "graph"))
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-NODE clustering coefficient over the near-dup pair graph:
+    lcc(v) = 2*t_v / (d_v*(d_v-1)) — how template-like each document's
+    neighborhood is (near_dup_triangle_stats reports the GLOBAL census;
+    this localizes it: a doc whose neighbors all pair with each other
+    sits inside a mirror family, lcc ~ 1; a hub bridging unrelated
+    clusters scores ~ 0). Wedges come from the id-oriented two-hop
+    join over the candidate-bounded LSH pairs, closed against the
+    canonical edge list — fan-in bounded by near-dup degree, never
+    all-pairs; the coefficient is one half-up micro rational, NULL for
+    degree<2 where it is undefined."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    x = sym.select("a", F.col("b").alias("nb1"))
+    y = sym.select(F.col("a"), F.col("b").alias("nb2"))
+    wedges = x.join(y, "a").filter(F.col("nb1") < F.col("nb2"))
+    tri = (
+        wedges.join(
+            pairs.select(F.col("doc_a").alias("nb1"), F.col("doc_b").alias("nb2")),
+            ["nb1", "nb2"],
+        )
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+    )
+    t0 = F.coalesce(F.col("t"), F.lit(0).cast("decimal(38,0)"))
+    dd = F.col("d") * (F.col("d") - 1)
+    return deg.join(tri, "doc_id", "left").select(
+        "doc_id",
+        F.col("d").cast("long").alias("degree"),
+        t0.cast("long").alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            exact_floor_div(2 * 1_000_000 * 2 * t0 + dd, 2 * dd).cast("long"),
+        ).alias("lcc_micro"),
     )

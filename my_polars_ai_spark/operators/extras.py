@@ -3265,3 +3265,61 @@ def cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int").alias("payback_month"),
     )
+
+
+_LOO_SQL = f"""
+    WITH c AS (
+        SELECT n.n_name,
+               CAST(CAST(c_acctbal AS DECIMAL(28,6)) * 100 AS HUGEINT) AS cents
+        FROM customer JOIN nation n ON c_nationkey = n_nationkey
+    ), g AS (
+        SELECT n_name, CAST(count(*) AS HUGEINT) AS n, sum(cents) AS s
+        FROM c GROUP BY 1
+    ), t AS (
+        SELECT sum(n) AS nn, sum(s) AS ss FROM g
+    )
+    SELECT g.n_name, CAST(g.n AS BIGINT) AS n_customers,
+           {oracle_signed_ratio_round('t.ss - g.s', 't.nn - g.n', 2)} AS loo_mean_cents,
+           {oracle_signed_ratio_round(
+               'g.n * t.ss - t.nn * g.s', 't.nn * (t.nn - g.n)', 2)}
+               AS influence_cents
+    FROM g CROSS JOIN t
+"""
+
+
+@op("loo_nation_mean_influence", oracle=_LOO_SQL, tags=("stats", "influence", "agg"))
+def loo_nation_mean_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-GROUP-out influence: how much the global mean customer
+    balance moves when each nation is excluded — the jackknife-style
+    sensitivity diagnostic ('is the KPI a property of the corpus or of
+    one contributor?') that generalizes to any distributive metric.
+    influence = loo_mean - global_mean collapses to the single exact
+    signed rational (n_g*S - N*s_g)/(N*(N-n_g)) — no subtraction of
+    two separately-rounded means, so the sign is exact even for tiny
+    influences. One groupBy + one 1-row broadcast; the per-nation
+    arithmetic is dimension-bounded."""
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey).select(
+        "n_name",
+        (F.col("c_acctbal").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    g = c.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    t = g.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_customers"),
+        signed_ratio_round(F.col("ss") - F.col("s"), F.col("nn") - F.col("n"), 2).alias(
+            "loo_mean_cents"
+        ),
+        signed_ratio_round(
+            F.col("n") * F.col("ss") - F.col("nn") * F.col("s"),
+            F.col("nn") * (F.col("nn") - F.col("n")),
+            2,
+        ).alias("influence_cents"),
+    )

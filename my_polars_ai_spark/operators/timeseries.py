@@ -2315,3 +2315,64 @@ def markov_3step_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).cast(_D38) * F.lit(10).cast(_D38) ** 12,
         ).cast("long").alias("p3_purchase_micro"),
     )
+
+
+_MKH_SQL = """
+    WITH o AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type AS a, event_type AS b,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+        SELECT a, sum(n) AS rt FROM c GROUP BY 1
+    ), term AS (
+        SELECT c.n,
+               -CAST(round(ln(CAST(c.n AS DOUBLE) / CAST(r.rt AS DOUBLE))
+                           * 1000000) AS BIGINT) AS nl
+        FROM c JOIN r USING (a)
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+           CAST((2 * 1000000 * sum(n * nl) + sum(n) * 1000000)
+                // (2 * sum(n) * 1000000) AS DOUBLE) / 1000000 AS h_cond_nats
+    FROM term
+"""
+
+
+@op("markov_conditional_entropy", oracle=_MKH_SQL, tags=("timeseries", "markov", "stats"))
+def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | prev) of the user-journey Markov
+    chain — the PREDICTABILITY ceiling of next-event prediction in
+    nats (0 = journeys are deterministic, ln|types| = the previous
+    event tells you nothing), weighting each transition's -ln p by its
+    empirical frequency. The transition-level ln is micro-nat-rounded
+    ONCE; the expectation is then exact integer weighting over the
+    bounded |types|^2 table with one half-up division — the
+    information-theoretic companion to event_transition_matrix and
+    markov_3step_purchase (and activity_entropy's conditional
+    sibling)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+    )
+    r = c.groupBy("a").agg(F.sum("n").alias("rt"))
+    nl = (
+        -F.round(
+            F.log(F.col("n").cast("double") / F.col("rt").cast("double")) * 1_000_000
+        ).cast("long")
+    ).cast(_D38)
+    term = c.join(r, "a").select("n", nl.alias("nl"))
+    agg = term.agg(
+        F.sum("n").alias("nn"), F.sum(F.col("n") * F.col("nl")).alias("wsum")
+    )
+    return agg.select(
+        F.col("nn").cast("long").alias("n_transitions"),
+        ratio_round(F.col("wsum"), F.col("nn") * 1_000_000).alias("h_cond_nats"),
+    )

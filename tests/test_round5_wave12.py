@@ -235,3 +235,59 @@ def test_ece_perfectly_calibrated_is_zero_like(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     row = all_ops()["ece_langid"].fn(spark, str(tmp_path)).collect()[0]
     assert (row.n_docs, row.n_bins, row.ece) == (4, 2, 0.0)
+
+
+def test_lcc_triangle_of_duplicates(spark, tmp_path):
+    # Three identical docs form a near-dup triangle: each node has
+    # degree 2, 1 triangle, lcc = 1.0 (1e6 micro). An unrelated doc has
+    # no edges and is absent from the output.
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    spark.createDataFrame(
+        [
+            (1, text, "en", "s", len(text)),
+            (2, text, "en", "s", len(text)),
+            (3, text, "en", "s", len(text)),
+            (4, "totally different words here nothing shared at all", "en", "s", 50),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.degree, r.n_triangles, r.lcc_micro)
+        for r in all_ops()["local_clustering_coefficient"].fn(spark, str(tmp_path)).collect()
+    }
+    assert 4 not in got
+    assert got == {1: (2, 1, 1_000_000), 2: (2, 1, 1_000_000), 3: (2, 1, 1_000_000)}
+
+
+def test_markov_conditional_entropy_deterministic_chain_is_zero(spark, tmp_path):
+    # A deterministic cycle has H(next|prev) = 0: the previous event
+    # fully determines the next one.
+    t0 = dt.datetime(2024, 1, 1)
+    cyc = ["view", "click", "purchase"]
+    _write_events(
+        spark,
+        tmp_path,
+        [(i, 1, cyc[i % 3], t0 + dt.timedelta(minutes=i)) for i in range(30)],
+    )
+    row = all_ops()["markov_conditional_entropy"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_transitions == 29
+    assert row.h_cond_nats == 0.0
+
+
+def test_loo_influence_hand_computed(spark, tmp_path):
+    # balances: n1 = {100}, n2 = {200, 300}; global mean 200.
+    # LOO(n1) = 250 -> influence +50; LOO(n2) = 100 -> influence -100.
+    spark.createDataFrame(
+        [(1, 1, "B", 100.0), (2, 2, "B", 200.0), (3, 2, "B", 300.0)],
+        "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "n1", 1), (2, "n2", 1)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    got = {
+        r.n_name: (r.loo_mean_cents, r.influence_cents)
+        for r in all_ops()["loo_nation_mean_influence"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["n1"] == (25000.0, 5000.0)
+    assert got["n2"] == (10000.0, -10000.0)
