@@ -1192,3 +1192,76 @@ def ucb1_variant_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wins").cast("long").alias("wins"),
         F.round(ratio_round(F.col("wins"), F.col("n")) + bonus, 6).alias("ucb1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation: fold-to-fold stability of a fitted coefficient
+# ---------------------------------------------------------------------------
+
+_KF_SQL = f"""
+    WITH r AS (
+        SELECT ('0x' || substr(md5('slopefold:' || CAST(l_orderkey AS VARCHAR)),
+                               1, 15))::BIGINT % 5 AS fold,
+               CAST(l_quantity AS HUGEINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT fold, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(x*y) AS sxy
+        FROM r GROUP BY fold
+    )
+    SELECT CAST(fold AS INT) AS fold, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n*sxx - sx*sx > 0 THEN
+               {oracle_signed_ratio_round('n*sxy - sx*sy', 'n*sxx - sx*sx', 2)}
+           END AS slope_cents_per_unit
+    FROM s
+"""
+
+
+@op("kfold_slope_stability", oracle=_KF_SQL, tags=("ml", "validation", "agg"))
+def kfold_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation stability of a fitted coefficient: the OLS
+    price-per-unit slope re-fitted independently on 5 content-addressed
+    folds (the train_val_test_split md5 idiom keyed on the order, so
+    folds are reproducible and growth-stable) — if the five slopes
+    scatter, the coefficient is noise, not signal; their spread is the
+    poor man's standard error that needs no distributional assumption.
+    Each fold's regression is the same five distributive DECIMAL(38,0)
+    sums as groupwise_ols_slope with the fold as the group key — CV of
+    a closed-form model costs exactly one map-side-combined groupBy.
+    NULL slope on a degenerate (constant-x) fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("slopefold:"), F.col("l_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    r = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").cast("long").cast(_D38).alias("x"),
+        (F.col("l_extendedprice").cast("decimal(28,6)") * 100).cast(_D38).alias("y"),
+    )
+    s = r.groupBy("fold").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    det = nn * sxx - sx * sx
+    return s.select(
+        F.col("fold").cast("int").alias("fold"),
+        nn.cast("long").alias("n_rows"),
+        F.when(det > 0, signed_ratio_round(nn * sxy - sx * sy, det, 2)).alias(
+            "slope_cents_per_unit"
+        ),
+    )
