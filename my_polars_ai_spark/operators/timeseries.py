@@ -2376,3 +2376,123 @@ def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").cast("long").alias("n_transitions"),
         ratio_round(F.col("wsum"), F.col("nn") * 1_000_000).alias("h_cond_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust regression: Theil-Sen slope of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_TS_SLOPE_SQL = """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                             AS HUGEINT)) AS HUGEINT) AS cents
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT CASE WHEN b.cents >= a.cents THEN 1 ELSE -1 END
+               * ((2 * 1000000 * abs(b.cents - a.cents) + (b.d - a.d))
+                  // (2 * (b.d - a.d))) AS slope_micro
+        FROM daily a JOIN daily b ON b.d > a.d
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs
+    )
+    SELECT n.n_pairs,
+           CAST(median(slope_micro) AS DOUBLE) AS theil_sen_slope_micro
+    FROM pairs CROSS JOIN n
+    GROUP BY n.n_pairs
+"""
+
+
+@op("theil_sen_daily_slope", oracle=_TS_SLOPE_SQL, tags=("timeseries", "robust", "stats"))
+def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of daily revenue: the MEDIAN of
+    all pairwise day-to-day slopes — up to ~29% of days can be
+    corrupted (holiday spikes, backfill gaps) before the estimate
+    moves, where OLS (rolling_trend_slope's family) chases every
+    outlier. Each pairwise slope is quantized ONCE to half-up signed
+    micro-cents/day, so the median runs over exact integers (the exact
+    -percentile seam). The pair join is ~600k rows at ANY corpus size
+    because it runs on the calendar-bounded daily aggregate — the
+    documented bounded-domain class, quadratic only in days, never in
+    orders."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("d")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(_D38)).alias("cents")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    diff = F.col("cb") - F.col("ca")
+    gap = (F.col("db") - F.col("da")).cast(_D38)
+    slope = F.when(diff >= 0, 1).otherwise(-1) * exact_floor_div(
+        2 * 1_000_000 * F.abs(diff) + gap, 2 * gap
+    )
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        slope.cast("long").alias("slope_micro")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(slope_micro, 0.5)").alias("theil_sen_slope_micro"),
+    )
+
+
+_SEAS_STRENGTH_SQL = f"""
+    WITH dc AS ({_DECOMP_SQL})
+    SELECT CAST(count(residual_cents) AS BIGINT) AS n_days,
+           CASE WHEN count(residual_cents) * sum(
+                    (seasonal_cents + residual_cents)
+                    * (seasonal_cents + residual_cents))
+                    - sum(seasonal_cents + residual_cents)
+                      * sum(seasonal_cents + residual_cents) > 0 THEN
+               round(greatest(0.0, 1.0 -
+                   CAST(count(residual_cents) * sum(residual_cents * residual_cents)
+                        - sum(residual_cents) * sum(residual_cents) AS DOUBLE)
+                   / CAST(count(residual_cents) * sum(
+                         (seasonal_cents + residual_cents)
+                         * (seasonal_cents + residual_cents))
+                         - sum(seasonal_cents + residual_cents)
+                           * sum(seasonal_cents + residual_cents) AS DOUBLE)), 6)
+           END AS seasonal_strength
+    FROM dc WHERE residual_cents IS NOT NULL
+"""
+
+
+@op("seasonal_strength_daily", oracle=_SEAS_STRENGTH_SQL, tags=("timeseries", "stats"))
+def seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonal-strength statistic F_s = max(0, 1 -
+    Var(residual)/Var(seasonal+residual)) over the additive
+    decomposition — the single forecastability number ('is day-of-week
+    worth modeling?') that summarizes ts_decompose_daily the way ECE
+    summarizes the calibration curve. COMPOSES the registered
+    decomposition op, so the statistic can't drift from the curve
+    users see; both variances are n*Σx² − (Σx)² integer accumulators
+    over the detrended days (edge days with NULL trend excluded, the
+    classical convention), and the ratio is one IEEE divide rounded
+    once. NULL when the detrended series is constant (strength
+    undefined)."""
+    dc = ts_decompose_daily(spark, sf_dir).filter(F.col("residual_cents").isNotNull())
+    det = (F.col("seasonal_cents") + F.col("residual_cents")).cast(_D38)
+    res = F.col("residual_cents").cast(_D38)
+    s = dc.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum(res).alias("sr"),
+        F.sum(res * res).alias("srr"),
+        F.sum(det).alias("sd"),
+        F.sum(det * det).alias("sdd"),
+    )
+    var_res = F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")
+    var_det = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            var_det > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - var_res.cast("double") / var_det.cast("double"),
+                ),
+                6,
+            ),
+        ).alias("seasonal_strength"),
+    )

@@ -291,3 +291,42 @@ def test_loo_influence_hand_computed(spark, tmp_path):
     }
     assert got["n1"] == (25000.0, 5000.0)
     assert got["n2"] == (10000.0, -10000.0)
+
+
+def _write_orders_daily(spark, tmp_path, day_to_dollars):
+    t0 = dt.datetime(2001, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, 1, "O", float(v), t0 + dt.timedelta(days=d), "1-URGENT")
+            for i, (d, v) in enumerate(day_to_dollars.items())
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_theil_sen_recovers_linear_slope(spark, tmp_path):
+    # revenue = 100 + 5*day dollars -> every pairwise slope is exactly
+    # 500 cents/day -> median 500e6 micro-cents/day.
+    _write_orders_daily(spark, tmp_path, {d: 100 + 5 * d for d in range(5)})
+    row = all_ops()["theil_sen_daily_slope"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_pairs == 10
+    assert row.theil_sen_slope_micro == 500_000_000.0
+
+
+def test_seasonal_strength_pure_weekly_pattern_is_one(spark, tmp_path):
+    # Revenue depends ONLY on day-of-week over 3 full weeks: the 7-day
+    # centered MA is constant, residuals vanish -> strength 1.0.
+    pattern = [100, 120, 90, 110, 105, 95, 80]
+    _write_orders_daily(
+        spark, tmp_path, {d: pattern[d % 7] for d in range(21)}
+    )
+    row = all_ops()["seasonal_strength_daily"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_days == 15  # 21 minus 3 edge days each side
+    assert row.seasonal_strength == 1.0
+
+
+def test_seasonal_strength_constant_series_is_null(spark, tmp_path):
+    _write_orders_daily(spark, tmp_path, {d: 100 for d in range(10)})
+    row = all_ops()["seasonal_strength_daily"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.seasonal_strength is None
