@@ -1542,3 +1542,78 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_floor_div(2 * 1_000_000 * 2 * t0 + dd, 2 * dd).cast("long"),
         ).alias("lcc_micro"),
     )
+
+
+_ASSORT_SQL = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), deg AS (
+        SELECT a AS doc_id, CAST(count(*) AS HUGEINT) AS d FROM sym GROUP BY 1
+    ), ed AS (
+        SELECT da.d AS x, db.d AS y
+        FROM sym
+        JOIN deg da ON da.doc_id = sym.a
+        JOIN deg db ON db.doc_id = sym.b
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+               round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           END AS assortativity
+    FROM s
+"""
+
+
+@op("degree_assortativity", oracle=_ASSORT_SQL, tags=("dedup", "graph", "stats"))
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph: the Pearson
+    correlation of endpoint degrees over every (symmetrized) edge —
+    positive means template families pair with template families
+    (mirror farms), negative means hubs attach to leaves (one canonical
+    doc quoted everywhere); with local_clustering_coefficient and the
+    degree histogram this completes the graph-shape triage kit. Exact
+    integer moment accumulators over candidate-bounded edges, one IEEE
+    sqrt/divide at the end (the corr seam), NULL when either endpoint
+    degree is constant."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    ed = (
+        sym.join(deg.select(F.col("doc_id").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("doc_id").alias("b"), F.col("d").alias("y")), "b")
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r = F.round(
+        (n * F.col("sxy") - sx * sy).cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+        6,
+    )
+    return s.select(
+        n.cast("long").alias("n_edge_ends"),
+        F.when((vx > 0) & (vy > 0), r).alias("assortativity"),
+    )

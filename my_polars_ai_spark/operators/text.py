@@ -3234,3 +3234,82 @@ def ece_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bins",
         ratio_round(F.col("dev"), F.col("nn") * 1_000_000).alias("ece"),
     )
+
+
+_HITS_SQL = f"""
+    WITH e AS (
+        SELECT doc_contained, doc_container FROM ({_CHUNK_CONTAIN_SQL})
+    ), outd AS (
+        SELECT doc_container AS doc_id, CAST(count(*) AS HUGEINT) AS h1
+        FROM e GROUP BY 1
+    ), ind AS (
+        SELECT doc_contained AS doc_id, CAST(count(*) AS HUGEINT) AS a1
+        FROM e GROUP BY 1
+    ), a2 AS (
+        SELECT e.doc_contained AS doc_id, sum(outd.h1) AS auth2
+        FROM e JOIN outd ON outd.doc_id = e.doc_container
+        GROUP BY 1
+    ), h2 AS (
+        SELECT e.doc_container AS doc_id, sum(ind.a1) AS hub2
+        FROM e JOIN ind ON ind.doc_id = e.doc_contained
+        GROUP BY 1
+    ), nodes AS (
+        SELECT doc_id FROM outd UNION SELECT doc_id FROM ind
+    )
+    SELECT n.doc_id,
+           CAST(coalesce(a2.auth2, 0) AS BIGINT) AS auth2,
+           CAST(coalesce(h2.hub2, 0) AS BIGINT) AS hub2
+    FROM nodes n
+    LEFT JOIN a2 USING (doc_id)
+    LEFT JOIN h2 USING (doc_id)
+    ORDER BY auth2 DESC, doc_id ASC
+    LIMIT 20
+"""
+
+
+@op("hits_containment_step", oracle=_HITS_SQL, tags=("text", "graph", "linkanalysis"))
+def hits_containment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS iteration over the DIRECTED containment graph
+    (container -> contained): from the uniform start, authority_2(d) =
+    sum of its containers' out-degrees and hub_2(c) = sum of its
+    contents' in-degrees — heavily-quoted source documents surface as
+    authorities, anthology/stitched documents as hubs, the DIRECTED
+    complement of pagerank_near_dup (whose graph is symmetric and so
+    cannot tell the two roles apart). COMPOSES the registered
+    containment op's edge definition; all scores are exact integer
+    sums over candidate-bounded edges, top-20 by authority with
+    doc_id tie-break. Further iterations alternate the same two
+    joins — driver-side iteration control, the dedup_cluster
+    contract."""
+    e = chunk_containment_pairs(spark, sf_dir).select(
+        "doc_contained", "doc_container"
+    ).cache()
+    outd = e.groupBy(F.col("doc_container").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("h1")
+    )
+    ind = e.groupBy(F.col("doc_contained").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("a1")
+    )
+    a2 = (
+        e.join(outd.withColumnRenamed("doc_id", "doc_container"), "doc_container")
+        .groupBy(F.col("doc_contained").alias("doc_id"))
+        .agg(F.sum("h1").alias("auth2"))
+    )
+    h2 = (
+        e.join(ind.withColumnRenamed("doc_id", "doc_contained"), "doc_contained")
+        .groupBy(F.col("doc_container").alias("doc_id"))
+        .agg(F.sum("a1").alias("hub2"))
+    )
+    nodes = outd.select("doc_id").unionAll(ind.select("doc_id")).distinct()
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        nodes.join(a2, "doc_id", "left")
+        .join(h2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("auth2", zero).cast("long").alias("auth2"),
+            F.coalesce("hub2", zero).cast("long").alias("hub2"),
+        )
+        .orderBy(F.desc("auth2"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -330,3 +330,39 @@ def test_seasonal_strength_constant_series_is_null(spark, tmp_path):
     _write_orders_daily(spark, tmp_path, {d: 100 for d in range(10)})
     row = all_ops()["seasonal_strength_daily"].fn(spark, str(tmp_path)).collect()[0]
     assert row.seasonal_strength is None
+
+
+def test_hits_separates_authorities_from_hubs(spark, tmp_path):
+    # B is the concatenation of A and C (an anthology): A and C are
+    # contained in B. After one HITS iteration A and C are the
+    # authorities (auth2 = out-degree of their container = 2) and B is
+    # the hub (hub2 = sum of its contents' in-degrees = 2).
+    a_text = " ".join(f"a{i}" for i in range(20))
+    c_text = " ".join(f"c{i}" for i in range(20))
+    b_text = a_text + " " + c_text
+    spark.createDataFrame(
+        [
+            (1, a_text, "en", "s", len(a_text)),
+            (2, b_text, "en", "s", len(b_text)),
+            (3, c_text, "en", "s", len(c_text)),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.auth2, r.hub2)
+        for r in all_ops()["hits_containment_step"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 0), 3: (2, 0), 2: (0, 2)}
+
+
+def test_assortativity_regular_graph_is_null(spark, tmp_path):
+    # A triangle of identical docs is 2-regular: endpoint degrees are
+    # constant -> correlation undefined -> NULL, with 6 edge-ends.
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    spark.createDataFrame(
+        [(i, text, "en", "s", len(text)) for i in (1, 2, 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_ops()["degree_assortativity"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_edge_ends == 6
+    assert row.assortativity is None
