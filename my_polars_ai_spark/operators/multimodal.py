@@ -24,6 +24,7 @@ from my_polars_ai_spark.operators.base import (
     Op,
     make_registrar,
     oracle_ratio_round,
+    ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -500,3 +501,81 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode_ppm_batches, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(_resize_ppm_batches, schema=RESIZE_SCHEMA)
+
+
+_XCLIP_MIN_SHARED = 2
+
+_XCLIP_SQL = f"""
+    WITH frames AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(text) / {FRAME_LEN}.0) AS BIGINT)))
+                   AS frame_idx,
+               text
+        FROM documents WHERE len(text) > 0
+    ), sampled AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, CAST(frame_idx * {FRAME_LEN} + 1 AS INTEGER),
+                          {FRAME_LEN})) AS h
+        FROM frames WHERE frame_idx % {FRAME_STRIDE} = 0
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS HUGEINT) AS n FROM sampled GROUP BY 1
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS HUGEINT) AS n_shared
+        FROM sampled a JOIN sampled b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_XCLIP_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared_frames,
+           CAST(sa.n AS BIGINT) AS n_frames_a,
+           {oracle_ratio_round('n_shared', 'sa.n')} AS overlap_of_a
+    FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+"""
+
+
+@op(
+    "cross_clip_frame_overlap",
+    oracle=_XCLIP_SQL,
+    tags=("multimodal", "dedup", "frames"),
+)
+def cross_clip_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO dedup primitive: clip pairs sharing sampled keyframes —
+    the frame-level analogue of dup_chunk_fraction (re-encoded,
+    trimmed, or stitched copies of a clip share exact frame signatures
+    even when whole-file hashes differ). Candidates come from an
+    equi-join on the frame HASH over the strided keyframe table
+    (_frame_hashes, the shared frame definition) — bucketed by
+    content, never clip x clip — with a >=2-shared-frames support
+    cutoff before the size join; overlap is the exact half-up fraction
+    of the smaller-id clip's sampled frames. At 100 TB the keyframe
+    table is ~1/4 of frames and the join fan-out is bounded by how
+    often a signature repeats — the same candidate-generation
+    discipline as the text near-dup family."""
+    sampled = _frame_hashes(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("frame_hash").alias("h")).distinct()
+    sizes = sampled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    a = sampled.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sampled.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_shared"))
+        .filter(F.col("n_shared") >= _XCLIP_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared_frames"),
+            F.col("na").cast("long").alias("n_frames_a"),
+            ratio_round(F.col("n_shared"), F.col("na")).alias("overlap_of_a"),
+        )
+    )

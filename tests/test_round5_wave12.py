@@ -366,3 +366,33 @@ def test_assortativity_regular_graph_is_null(spark, tmp_path):
     row = all_ops()["degree_assortativity"].fn(spark, str(tmp_path)).collect()[0]
     assert row.n_edge_ends == 6
     assert row.assortativity is None
+
+
+def test_cross_clip_overlap_detects_trimmed_copy(spark, tmp_path):
+    # clip B is clip A with its first 64 chars (4 frames) trimmed: the
+    # surviving sampled frames of B all appear in A at shifted indices
+    # ONLY if the trim preserves frame alignment — trim exactly
+    # 4*FRAME_LEN chars so frames realign. A 3rd unrelated clip shares
+    # nothing.
+    base = "".join(chr(97 + (i % 26)) for i in range(256))  # 16 frames
+    trimmed = base[64:]  # drops frames 0-3, keeps alignment
+    other = "".join(chr(65 + (i % 26)) for i in range(256))
+    spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, trimmed, "en", "s", len(trimmed)),
+            (3, other, "en", "s", len(other)),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = all_ops()["cross_clip_frame_overlap"].fn(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # base period 26 vs frame 16 -> every frame distinct; sampled = idx
+    # 0,4,8,12 of each. trimmed's sampled frames (old idx 4,8,12) all
+    # exist in A's FULL frame set, but only those at idx%4==0 in BOTH
+    # samplings collide: old 4,8,12 -> new 0,4,8 -> hashes of old 4,8,12
+    # which ARE sampled in A -> 3 shared.
+    assert r.n_shared_frames == 3
+    assert r.n_frames_a == 4
