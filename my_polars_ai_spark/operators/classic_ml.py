@@ -1265,3 +1265,92 @@ def kfold_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_unit"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence encoding + information value (credit-scoring)
+# ---------------------------------------------------------------------------
+
+_WOE_SQL = f"""
+    WITH g AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   // {_STUMP_BAND} AS band,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+        FROM orders
+    ), b AS (
+        SELECT band, CAST(sum(good) AS HUGEINT) AS gi,
+               CAST(count(*) - sum(good) AS HUGEINT) AS bi
+        FROM g GROUP BY band
+    ), t AS (
+        SELECT sum(gi) AS gt, sum(bi) AS bt,
+               CAST(count(*) AS HUGEINT) AS nb FROM b
+    ), w AS (
+        SELECT b.band, b.gi, b.bi, t.gt, t.bt, t.nb,
+               CAST(round(ln((b.gi + 1.0) / (t.gt + t.nb)) * 1000000) AS BIGINT)
+               - CAST(round(ln((b.bi + 1.0) / (t.bt + t.nb)) * 1000000) AS BIGINT)
+                   AS woe
+        FROM b CROSS JOIN t
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(gi AS BIGINT) AS n_good, CAST(bi AS BIGINT) AS n_bad,
+           woe AS woe_micro_nats,
+           {oracle_signed_ratio_round(
+               '(gi*(bt + nb) - bi*(gt + nb)) * woe',
+               '(gt + nb) * (bt + nb) * 1000000')} AS iv_contrib
+    FROM w
+"""
+
+
+@op("woe_iv_encoding", oracle=_WOE_SQL, tags=("ml", "feature", "encoding"))
+def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding of the order-total band against
+    completion, with each band's Information Value contribution — the
+    credit-scoring feature transform (WOE makes any band monotone in
+    log-odds; summed IV is the classic keep/drop screen: <0.02
+    useless, >0.3 strong). Laplace-smoothed so empty bands stay
+    defined; both lns are micro-nat-rounded ONCE and IV contributions
+    are exact signed rationals over one shared denominator — summing
+    the column reproduces total IV exactly. The scale shape is the
+    $25k banding groupBy (the stump/KS value table): everything after
+    it is a ~20-row broadcast computation."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.select(
+        exact_floor_div(
+            (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(_D38),
+            F.lit(_STUMP_BAND),
+        ).alias("band"),
+        (F.col("o_orderstatus") == "F").cast("int").cast(_D38).alias("good"),
+    )
+    b = g.groupBy("band").agg(
+        F.sum("good").alias("gi"),
+        (F.count(F.lit(1)).cast(_D38) - F.sum("good")).alias("bi"),
+    )
+    t = b.agg(
+        F.sum("gi").alias("gt"),
+        F.sum("bi").alias("bt"),
+        F.count(F.lit(1)).cast(_D38).alias("nb"),
+    )
+    w = b.crossJoin(F.broadcast(t))
+    mn_g = F.round(
+        F.log((F.col("gi").cast("double") + 1.0) / (F.col("gt") + F.col("nb")).cast("double"))
+        * 1_000_000
+    ).cast("long")
+    mn_b = F.round(
+        F.log((F.col("bi").cast("double") + 1.0) / (F.col("bt") + F.col("nb")).cast("double"))
+        * 1_000_000
+    ).cast("long")
+    woe = (mn_g - mn_b).cast(_D38)
+    return w.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("gi").cast("long").alias("n_good"),
+        F.col("bi").cast("long").alias("n_bad"),
+        woe.cast("long").alias("woe_micro_nats"),
+        signed_ratio_round(
+            (
+                F.col("gi") * (F.col("bt") + F.col("nb"))
+                - F.col("bi") * (F.col("gt") + F.col("nb"))
+            )
+            * woe,
+            (F.col("gt") + F.col("nb")) * (F.col("bt") + F.col("nb")) * 1_000_000,
+        ).alias("iv_contrib"),
+    )

@@ -2496,3 +2496,72 @@ def seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("seasonal_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conformal prediction interval for the seasonal-naive daily forecast
+# ---------------------------------------------------------------------------
+
+_CONF_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                             AS HUGEINT)) AS HUGEINT) AS cents
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT abs(cents - lag(cents, 7) OVER (ORDER BY day)) AS ae
+        FROM daily
+    ), e AS (
+        SELECT ae FROM r WHERE ae IS NOT NULL
+    ), q AS (
+        SELECT CAST(quantile_cont(CAST(ae AS DOUBLE), 0.95) AS DOUBLE) AS q95
+        FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_scored_days,
+           q.q95 AS q95_abs_err_cents,
+           CAST(sum(CASE WHEN CAST(ae AS DOUBLE) <= q.q95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered
+    FROM e CROSS JOIN q
+    GROUP BY q.q95
+"""
+
+
+@op("conformal_daily_interval", oracle=_CONF_SQL, tags=("timeseries", "ml", "uncertainty"))
+def conformal_daily_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-free conformal prediction interval for the seasonal-naive
+    daily revenue forecast: the 95th percentile of historical absolute
+    lag-7 errors IS the distribution-free interval half-width —
+    tomorrow's forecast ± q95 covers ~95% of days with NO
+    distributional assumption (the uncertainty companion to
+    forecast_backtest_naive, which scores the point forecast this op
+    wraps an interval around). Errors are exact integer cents from a
+    calendar-bounded lag window; the quantile is the exact-percentile
+    seam over the ~1.1k-day error table and the coverage count is a
+    boundary-free integer<=double comparison (q95 interpolates between
+    integer errors on both engines identically)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(_D38)).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("day")
+    e = daily.select(
+        F.abs(F.col("cents") - F.lag("cents", 7).over(w)).alias("ae")
+    ).filter(F.col("ae").isNotNull())
+    q = e.agg(F.expr("percentile(CAST(ae AS DOUBLE), 0.95)").alias("q95"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .groupBy("q95")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_days"),
+            F.sum((F.col("ae").cast("double") <= F.col("q95")).cast("int"))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_scored_days",
+            F.col("q95").alias("q95_abs_err_cents"),
+            "n_covered",
+        )
+    )

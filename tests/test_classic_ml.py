@@ -425,3 +425,43 @@ def test_decision_stump_weighted_gini_scale(spark, tmp_path):
     assert row.threshold_cents == 2_500_000
     assert (row.n_left, row.n_right) == (4, 4)
     assert row.weighted_gini == 0.1875
+
+
+def test_woe_iv_separating_bands(spark, tmp_path):
+    import math
+
+    # band 0 ($10k) all completed (5 good), band 1 ($30k) all open
+    # (5 bad). With Laplace smoothing and 2 bands:
+    # woe0 = round(ln(6/7)*1e6) - round(ln(1/7)*1e6), woe1 mirrored.
+    t0 = dt.datetime(2001, 1, 1)
+    rows = [(i, 1, "F", 10_000.0, t0, "1-URGENT") for i in range(5)]
+    rows += [(10 + i, 1, "O", 30_000.0, t0, "1-URGENT") for i in range(5)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.band: r
+        for r in all_ops()["woe_iv_encoding"].fn(spark, str(tmp_path)).collect()
+    }
+    woe0 = round(math.log(6 / 7) * 1e6) - round(math.log(1 / 7) * 1e6)
+    assert got[0].woe_micro_nats == woe0
+    assert got[1].woe_micro_nats == -woe0
+    assert got[0].iv_contrib > 0 and got[1].iv_contrib > 0
+
+
+def test_conformal_constant_series_zero_width(spark, tmp_path):
+    t0 = dt.datetime(2001, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, 1, "O", 100.0, t0 + dt.timedelta(days=i), "1-URGENT")
+            for i in range(14)
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    row = all_ops()["conformal_daily_interval"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_scored_days == 7
+    assert row.q95_abs_err_cents == 0.0
+    assert row.n_covered == 7
