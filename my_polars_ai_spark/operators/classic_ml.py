@@ -1354,3 +1354,83 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gt") + F.col("nb")) * (F.col("bt") + F.col("nb")) * 1_000_000,
         ).alias("iv_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified ATE: discount effect on quantity, price-band adjusted
+# ---------------------------------------------------------------------------
+
+_ATE_SQL = f"""
+    WITH r AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   // {_STUMP_BAND} AS band,
+               CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS treated,
+               CAST(l_quantity AS HUGEINT) AS q
+        FROM lineitem
+    ), s AS (
+        SELECT band,
+               CAST(sum(treated) AS HUGEINT) AS nt,
+               sum(CASE WHEN treated = 1 THEN q ELSE 0 END) AS st,
+               CAST(count(*) - sum(treated) AS HUGEINT) AS nc,
+               sum(CASE WHEN treated = 0 THEN q ELSE 0 END) AS sc
+        FROM r GROUP BY band
+    ), ok AS (
+        SELECT *, CAST(nt + nc AS HUGEINT) AS nb FROM s WHERE nt > 0 AND nc > 0
+    ), t AS (
+        SELECT sum(nb) AS n_total FROM ok
+    )
+    SELECT CAST(ok.band AS BIGINT) AS band,
+           CAST(ok.nt AS BIGINT) AS n_treated, CAST(ok.nc AS BIGINT) AS n_control,
+           {oracle_signed_ratio_round('ok.st * ok.nc - ok.sc * ok.nt',
+                                      'ok.nt * ok.nc')} AS band_effect,
+           {oracle_signed_ratio_round(
+               '(ok.st * ok.nc - ok.sc * ok.nt) * ok.nb',
+               'ok.nt * ok.nc * t.n_total')} AS weighted_contrib
+    FROM ok CROSS JOIN t
+"""
+
+
+@op("stratified_ate_discount", oracle=_ATE_SQL, tags=("ml", "causal", "agg"))
+def stratified_ate_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate: does a deep
+    discount (>5%) move quantity, CONTROLLING for price band — the
+    confounder-adjustment member of the causal family (did_estimate
+    handles time, cuped_adjusted_ab handles covariates; this handles
+    stratification, the design propensity-score matching collapses to
+    when the propensity is band-constant). Per-band effect is one
+    exact signed rational (st*nc - sc*nt)/(nt*nc); the band's
+    population-weighted contribution shares a single denominator with
+    the grand total so SUMMING the column gives the stratified ATE
+    exactly; off-support bands (no treated or no control) are excluded
+    by the positivity filter, as the estimator requires. One groupBy
+    to the bounded band grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        exact_floor_div(
+            (F.col("l_extendedprice").cast("decimal(28,6)") * 100).cast(_D38),
+            F.lit(_STUMP_BAND),
+        ).alias("band"),
+        (F.col("l_discount") > 0.05).cast("int").cast(_D38).alias("treated"),
+        F.col("l_quantity").cast("long").cast(_D38).alias("q"),
+    )
+    s = r.groupBy("band").agg(
+        F.sum("treated").alias("nt"),
+        F.sum(F.when(F.col("treated") == 1, F.col("q")).otherwise(F.lit(0).cast(_D38))).alias("st"),
+        (F.count(F.lit(1)).cast(_D38) - F.sum("treated")).alias("nc"),
+        F.sum(F.when(F.col("treated") == 0, F.col("q")).otherwise(F.lit(0).cast(_D38))).alias("sc"),
+    )
+    ok = s.filter((F.col("nt") > 0) & (F.col("nc") > 0)).withColumn(
+        "nb", F.col("nt") + F.col("nc")
+    )
+    t = ok.agg(F.sum("nb").alias("n_total"))
+    eff_num = F.col("st") * F.col("nc") - F.col("sc") * F.col("nt")
+    return ok.crossJoin(F.broadcast(t)).select(
+        F.col("band").cast("long").alias("band"),
+        F.col("nt").cast("long").alias("n_treated"),
+        F.col("nc").cast("long").alias("n_control"),
+        signed_ratio_round(eff_num, F.col("nt") * F.col("nc")).alias("band_effect"),
+        signed_ratio_round(
+            eff_num * F.col("nb"),
+            F.col("nt") * F.col("nc") * F.col("n_total"),
+        ).alias("weighted_contrib"),
+    )

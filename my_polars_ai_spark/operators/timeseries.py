@@ -2565,3 +2565,121 @@ def conformal_daily_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_covered",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: first / last / linear credit per channel
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000
+
+_ATTR_SQL = f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+        SELECT event_id AS tid, user_id, event_type AS ch, epoch_us(ts) AS tts
+        FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+        SELECT p.pid, tch.ch, tch.tts, tch.tid
+        FROM p JOIN tch ON tch.user_id = p.user_id
+                       AND tch.tts < p.pts
+                       AND tch.tts >= p.pts - {_ATTR_WINDOW_US}
+    ), per AS (
+        SELECT pid, CAST(count(*) AS HUGEINT) AS n FROM j GROUP BY pid
+    ), rk AS (
+        SELECT pid, ch,
+               row_number() OVER (PARTITION BY pid ORDER BY tts ASC, tid ASC)
+                   AS rf,
+               row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC)
+                   AS rl
+        FROM j
+    ), linsum AS (
+        SELECT ch, CAST(sum(lc) AS BIGINT) AS linear_credit_micro FROM (
+            SELECT j.ch, per.pid,
+                   (2 * 1000000 * CAST(count(*) AS HUGEINT) + per.n)
+                   // (2 * per.n) AS lc
+            FROM j JOIN per USING (pid)
+            GROUP BY j.ch, per.pid, per.n
+        ) GROUP BY ch
+    ), fl AS (
+        SELECT ch, CAST(count(*) AS BIGINT) AS n_first
+        FROM rk WHERE rf = 1 GROUP BY 1
+    ), ll AS (
+        SELECT ch, CAST(count(*) AS BIGINT) AS n_last
+        FROM rk WHERE rl = 1 GROUP BY 1
+    )
+    SELECT linsum.ch AS channel,
+           coalesce(fl.n_first, 0) AS n_first_touch,
+           coalesce(ll.n_last, 0) AS n_last_touch,
+           linsum.linear_credit_micro
+    FROM linsum
+    LEFT JOIN fl ON fl.ch = linsum.ch
+    LEFT JOIN ll ON ll.ch = linsum.ch
+"""
+
+
+@op("attribution_models_compare", oracle=_ATTR_SQL, tags=("timeseries", "attribution"))
+def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three marketing-attribution models side by side — first-touch,
+    last-touch, and linear credit per channel over each purchase's
+    24-hour touch window — the comparison table that decides channel
+    budgets (view_purchase_attribution is the single-touch streaming
+    member; this is the multi-touch batch generalization). The
+    purchase-touch join is keyed on the USER with a time-range
+    residual (per-user fan-out, never a global product); first/last
+    are deterministic (ts, event_id) arg-min/max; each purchase's
+    linear shares m/n are quantized once to half-up micro so the
+    per-channel totals are exact integer sums. Purchases with no
+    prior touch are unattributed and drop out, as every model
+    requires."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+    )
+    tch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("event_type").alias("ch"),
+        F.unix_micros("ts").alias("tts"),
+    )
+    j = p.join(tch, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - _ATTR_WINDOW_US)
+    )
+    per = j.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.min_by("ch", F.struct("tts", "tid")).alias("first_ch"),
+        F.max_by("ch", F.struct("tts", "tid")).alias("last_ch"),
+    )
+    lin = (
+        j.join(per.select("pid", "n"), "pid")
+        .groupBy("ch", "pid", "n")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+        .select(
+            "ch",
+            exact_floor_div(
+                2 * 1_000_000 * F.col("m") + F.col("n"), 2 * F.col("n")
+            ).alias("lc"),
+        )
+        .groupBy("ch")
+        .agg(F.sum("lc").cast("long").alias("linear_credit_micro"))
+    )
+    fl = per.groupBy(F.col("first_ch").alias("ch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    ll = per.groupBy(F.col("last_ch").alias("ch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last")
+    )
+    return (
+        lin.join(fl, "ch", "left")
+        .join(ll, "ch", "left")
+        .select(
+            F.col("ch").alias("channel"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first_touch"),
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last_touch"),
+            "linear_credit_micro",
+        )
+    )

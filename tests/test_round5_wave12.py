@@ -396,3 +396,44 @@ def test_cross_clip_overlap_detects_trimmed_copy(spark, tmp_path):
     # which ARE sampled in A -> 3 shared.
     assert r.n_shared_frames == 3
     assert r.n_frames_a == 4
+
+
+def test_attribution_three_models_disagree_correctly(spark, tmp_path):
+    # Journey: view@0, click@1h, purchase@2h. First-touch credits view,
+    # last-touch credits click, linear splits 500000 micro each.
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "view", t0),
+            (2, 1, "click", t0 + h),
+            (3, 1, "purchase", t0 + 2 * h),
+        ],
+    )
+    got = {
+        r.channel: (r.n_first_touch, r.n_last_touch, r.linear_credit_micro)
+        for r in all_ops()["attribution_models_compare"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["view"] == (1, 0, 500_000)
+    assert got["click"] == (0, 1, 500_000)
+
+
+def test_stratified_ate_recovers_planted_effect(spark, tmp_path):
+    # One band: treated rows (discount .08) buy 2 more units than
+    # control -> band_effect == weighted_contrib == +2.0.
+    ship = dt.datetime(2001, 1, 1)
+    rows = [(i, 1, 1, 1, 5.0, 100.0, 0.08, 0.0, "N", "O", ship) for i in range(3)]
+    rows += [(10 + i, 1, 1, 1, 3.0, 100.0, 0.01, 0.0, "N", "O", ship) for i in range(3)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    row = all_ops()["stratified_ate_discount"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_treated, row.n_control) == (3, 3)
+    assert row.band_effect == 2.0
+    assert row.weighted_contrib == 2.0
