@@ -3313,3 +3313,105 @@ def hits_containment_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("auth2"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the BM25 and density rankings
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_DEPTH = 50
+# (1-p) * p^(i-1) weights as shared literals — identical digits reach
+# both engines, so the per-depth rounding cannot diverge.
+_RBO_W = tuple(round((1 - _RBO_P) * _RBO_P ** (i - 1), 12) for i in range(1, _RBO_DEPTH + 1))
+_RBO_W_SQL = "[" + ", ".join(repr(w) for w in _RBO_W) + "]"
+
+_RBO_SQL = f"""
+    WITH {_BM25_CTES}, bm AS (
+        {_bm25_scored_sql(f"round({_BM25_SUM_SQL}, 6)")}
+    ), r1 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM bm QUALIFY r <= {_RBO_DEPTH}
+    ), dens AS (
+        SELECT tf.doc_id,
+               (2 * 1000000 * sum(tf.tf) + dl.dl) // (2 * dl.dl) AS d_micro
+        FROM tf JOIN dl USING (doc_id) GROUP BY tf.doc_id, dl.dl
+    ), r2 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY d_micro DESC, doc_id ASC) AS r
+        FROM dens QUALIFY r <= {_RBO_DEPTH}
+    ), both_m AS (
+        SELECT greatest(r1.r, r2.r) AS m
+        FROM r1 JOIN r2 USING (doc_id)
+    ), depths AS (
+        SELECT unnest(range(1, {_RBO_DEPTH} + 1)) AS i
+    ), xd AS (
+        SELECT d.i,
+               CAST((SELECT count(*) FROM both_m WHERE m <= d.i) AS BIGINT) AS x
+        FROM depths d
+    )
+    SELECT CAST((SELECT count(*) FROM both_m) AS BIGINT) AS n_common,
+           CAST(sum(CAST(round({_RBO_W_SQL}[i] * x * 1000000.0 / i) AS BIGINT))
+                AS BIGINT) AS rbo_micro
+    FROM xd
+"""
+
+
+@op("rbo_rankings", oracle=_RBO_SQL, tags=("text", "search", "eval"))
+def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (p=0.9, depth 50) between the BM25 and
+    query-density rankings — the top-weighted rank-similarity measure
+    that answers 'do my two retrievers agree WHERE IT MATTERS?'
+    (Kendall over full lists treats rank 1 and rank 49 swaps equally;
+    RBO geometrically discounts depth, and is the standard metric for
+    comparing search engines / index versions). A common doc enters
+    the agreement at depth max(r1, r2), so every A_i comes from ONE
+    bounded cumulative over the 50-row depth grid; each depth's
+    (1-p)p^(i-1) * X_i / i term is rounded once to micro with both
+    engines reading identical weight literals, then integer-summed.
+    Both rankings reuse the shared _bm25_parts pipeline — the third
+    consumer, same definition."""
+    _toks, dl, _stats, tf, _df, raw = _bm25_parts(spark, sf_dir)
+    bm = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    r1 = (
+        bm.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= _RBO_DEPTH)
+        .select("doc_id", F.col("r").alias("ra"))
+    )
+    dens = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("stf"))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            exact_floor_div(
+                2 * 1_000_000 * F.col("stf").cast("decimal(38,0)") + F.col("dl"),
+                2 * F.col("dl").cast("decimal(38,0)"),
+            ).alias("d_micro"),
+        )
+    )
+    w2 = Window.orderBy(F.desc("d_micro"), F.asc("doc_id"))
+    r2 = (
+        dens.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") <= _RBO_DEPTH)
+        .select("doc_id", F.col("r").alias("rb"))
+    )
+    both_m = r1.join(r2, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    ).cache()
+    depths = _toks.sparkSession.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("i")
+    )
+    xd = depths.join(F.broadcast(both_m), F.col("m") <= F.col("i"), "left").groupBy(
+        "i"
+    ).agg(F.count("m").alias("x"))
+    wlit = F.element_at(F.array(*[F.lit(w) for w in _RBO_W]), F.col("i"))
+    n_common = both_m.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    terms = xd.select(
+        F.round(wlit * F.col("x") * 1_000_000.0 / F.col("i")).cast("long").alias("t")
+    )
+    return terms.agg(F.sum("t").cast("long").alias("rbo_micro")).crossJoin(
+        F.broadcast(n_common)
+    ).select("n_common", "rbo_micro")

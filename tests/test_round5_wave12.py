@@ -437,3 +437,37 @@ def test_stratified_ate_recovers_planted_effect(spark, tmp_path):
     assert (row.n_treated, row.n_control) == (3, 3)
     assert row.band_effect == 2.0
     assert row.weighted_contrib == 2.0
+
+
+def test_rbo_identical_rankings_near_one(spark, tmp_path):
+    # A corpus where only distinct single-term docs match: both
+    # rankings order them identically -> every depth agrees fully and
+    # RBO equals the truncated weight mass sum(w_i) ~ 0.9948.
+    docs = []
+    for i in range(10):
+        # identical tf and length for each doc of the same term pattern
+        docs.append((i, "hash " + " ".join(f"x{i}_{j}" for j in range(i + 1)), "en", "s", 20))
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_ops()["rbo_rankings"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_common == 10
+    # both lists contain the same 10 docs; whatever the internal order
+    # disagreement, X_i == i wherever both prefixes coincide fully at
+    # the end, so rbo <= mass. Exact equality only when orders match:
+    # here density ranks by tf/len (doc 0 highest) and bm25 by idf*sat
+    # (also doc 0 highest, same monotone length penalty) -> identical.
+    import math
+    expected = sum(
+        round(w * i * 1_000_000.0 / i) for i, w in zip(range(1, 11), row_weights())
+    ) + sum(
+        round(w * 10 * 1_000_000.0 / i)
+        for i, w in zip(range(11, 51), row_weights()[10:])
+    )
+    assert row.rbo_micro == expected
+
+
+def row_weights():
+    p = 0.9
+    return [round((1 - p) * p ** (i - 1), 12) for i in range(1, 51)]
