@@ -1295,7 +1295,7 @@ _WOE_SQL = f"""
            CAST(gi AS BIGINT) AS n_good, CAST(bi AS BIGINT) AS n_bad,
            woe AS woe_micro_nats,
            {oracle_signed_ratio_round(
-               '(gi*(bt + nb) - bi*(gt + nb)) * woe',
+               '((gi + 1)*(bt + nb) - (bi + 1)*(gt + nb)) * woe',
                '(gt + nb) * (bt + nb) * 1000000')} AS iv_contrib
     FROM w
 """
@@ -1308,9 +1308,10 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit-scoring feature transform (WOE makes any band monotone in
     log-odds; summed IV is the classic keep/drop screen: <0.02
     useless, >0.3 strong). Laplace-smoothed so empty bands stay
-    defined; both lns are micro-nat-rounded ONCE and IV contributions
-    are exact signed rationals over one shared denominator — summing
-    the column reproduces total IV exactly. The scale shape is the
+    defined; both lns are micro-nat-rounded ONCE, the probability
+    difference uses the SAME smoothed distributions as the log-ratio
+    (so each contribution is sign-consistent and the column sums to
+    total IV exactly). The scale shape is the
     $25k banding groupBy (the stump/KS value table): everything after
     it is a ~20-row broadcast computation."""
     o = _t(spark, sf_dir, "orders")
@@ -1347,8 +1348,8 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         woe.cast("long").alias("woe_micro_nats"),
         signed_ratio_round(
             (
-                F.col("gi") * (F.col("bt") + F.col("nb"))
-                - F.col("bi") * (F.col("gt") + F.col("nb"))
+                (F.col("gi") + 1) * (F.col("bt") + F.col("nb"))
+                - (F.col("bi") + 1) * (F.col("gt") + F.col("nb"))
             )
             * woe,
             (F.col("gt") + F.col("nb")) * (F.col("bt") + F.col("nb")) * 1_000_000,

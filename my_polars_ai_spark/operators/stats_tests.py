@@ -1202,7 +1202,7 @@ def sprt_boundary_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.col("idx").cast("long").alias("crossing_index"),
-        F.coalesce(decision, F.lit("continue")).alias("decision"),
+        decision.alias("decision"),
     )
 
 

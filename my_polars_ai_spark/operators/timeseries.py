@@ -360,6 +360,22 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_batch(spark, sf_dir)
 
 
+def _transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE empirical first-order chain: per-user (ts, event_id)-ordered
+    lag pairs reduced to (a=prev, b=next, n) counts — shared by
+    event_transition_matrix, markov_3step_purchase and
+    markov_conditional_entropy so the chain definition (ordering,
+    tie-breaks, NULL handling) lives in exactly one place."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    )
+
+
 @op(
     "event_transition_matrix",
     oracle="""
@@ -385,15 +401,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One exchange on user_id for the window (state bounded per user),
     one |event_types|^2-bounded aggregate; ties in the ordering are
     broken by event_id so the lag is deterministic on both engines."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = e.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    return (
-        ordered.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    return _transition_counts(spark, sf_dir).select(
+        F.col("a").alias("prev_type"),
+        F.col("b").alias("next_type"),
+        F.col("n").cast("long").alias("n_transitions"),
     )
 
 
@@ -2288,14 +2299,7 @@ def markov_3step_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     so an inherently iterative linear-algebra computation stays
     hash-portable. Only the lag pass touches event-scale data; the
     matmuls join 7x7 tables."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    c = (
-        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
-        .agg(F.count(F.lit(1)).cast(_D38).alias("n"))
-    )
+    c = _transition_counts(spark, sf_dir)
     r = c.groupBy("a").agg(F.sum("n").alias("rt"))
     p = c.join(r, "a").select(
         "a",
@@ -2311,8 +2315,8 @@ def markov_3step_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p3.filter(F.col("b") == "purchase").select(
         F.col("a").alias("start_type"),
         exact_floor_div(
-            2 * F.col("v") + F.lit(10).cast(_D38) ** 12,
-            F.lit(2).cast(_D38) * F.lit(10).cast(_D38) ** 12,
+            2 * F.col("v") + F.lit(10**12).cast(_D38),
+            F.lit(2 * 10**12).cast(_D38),
         ).cast("long").alias("p3_purchase_micro"),
     )
 
@@ -2354,14 +2358,7 @@ def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     information-theoretic companion to event_transition_matrix and
     markov_3step_purchase (and activity_entropy's conditional
     sibling)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    c = (
-        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
-        .agg(F.count(F.lit(1)).cast(_D38).alias("n"))
-    )
+    c = _transition_counts(spark, sf_dir)
     r = c.groupBy("a").agg(F.sum("n").alias("rt"))
     nl = (
         -F.round(
