@@ -579,3 +579,130 @@ def cross_clip_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.col("n_shared"), F.col("na")).alias("overlap_of_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: average-hash (aHash) fingerprints + banded Hamming join
+# ---------------------------------------------------------------------------
+
+_AHASH_PX = 64       # fingerprint over the first 64 "pixels" (codepoints)
+_AHASH_MAX_HAM = 6   # near-dup threshold
+# 8 bands x 8 bits: <=6 differing bits leave >=2 bands exact, so banding
+# on every 8-bit slice is pigeonhole-LOSSLESS at this threshold.
+_AHASH_BANDS = 8
+
+_AHASH_SQL = f"""
+    WITH px AS (
+        SELECT doc_id,
+               unnest(range(1, {_AHASH_PX} + 1)) AS d,
+               text
+        FROM documents WHERE len(text) >= {_AHASH_PX}
+    ), v AS (
+        SELECT doc_id, d,
+               ord(substr(text, CAST(d AS INTEGER), 1)) AS c
+        FROM px
+    ), m AS (
+        SELECT doc_id, sum(c) AS s FROM v GROUP BY doc_id
+    ), bits AS (
+        SELECT v.doc_id,
+               sum(CASE WHEN v.c * {_AHASH_PX} > m.s AND v.d <= 32
+                        THEN (CAST(1 AS BIGINT) << (v.d - 1)) ELSE 0 END) AS lo,
+               sum(CASE WHEN v.c * {_AHASH_PX} > m.s AND v.d > 32
+                        THEN (CAST(1 AS BIGINT) << (v.d - 33)) ELSE 0 END) AS hi
+        FROM v JOIN m USING (doc_id)
+        GROUP BY v.doc_id
+    ), bands AS (
+        SELECT doc_id, lo, hi, b.b,
+               CASE WHEN b.b < 4 THEN (lo >> (8 * b.b)) & 255
+                    ELSE (hi >> (8 * (b.b - 4))) & 255 END AS bv
+        FROM bits CROSS JOIN (SELECT unnest(range({_AHASH_BANDS})) AS b) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.lo AS alo, a.hi AS ahi,
+               bb.doc_id AS doc_b, bb.lo AS blo, bb.hi AS bhi
+        FROM bands a JOIN bands bb
+          ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT)
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
+          <= {_AHASH_MAX_HAM}
+"""
+
+
+@op("image_ahash_pairs", oracle=_AHASH_SQL, tags=("multimodal", "dedup", "image"))
+def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup detection by average hash (aHash): each payload's
+    first 64 pixels (codepoints of the text-derived P6 payload — the
+    same byte source multimodal_decode parses) become one bit each
+    (pixel*64 > pixel-sum, the integer cross-multiplied 'brighter than
+    mean' test), packed into two bigint words; pairs within Hamming 6
+    are near-duplicate images — the perceptual-hash member of the
+    dedup family, completing the modality set (text: minhash/simhash,
+    video: cross_clip_frame_overlap, image: this). Candidates come
+    from 8-bit band blocking, pigeonhole-LOSSLESS at the threshold
+    (<=6 flipped bits leave >=2 of 8 bands exact — the simhash band
+    discipline), verified by exact popcount; never all-pairs."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= _AHASH_PX)
+    px = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.substring("text", 1, _AHASH_PX), "(?!^)")
+        ).alias("p", "ch"),
+    ).select(
+        "doc_id", (F.col("p") + 1).alias("dd"), F.ascii("ch").alias("c")
+    )
+    m = px.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    bit_on = F.col("c") * _AHASH_PX > F.col("s")
+    bits = (
+        px.join(m, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(bit_on & (F.col("dd") <= 32), F.expr("shiftleft(1L, dd - 1)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("lo"),
+            F.sum(
+                F.when(bit_on & (F.col("dd") > 32), F.expr("shiftleft(1L, dd - 33)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("hi"),
+        )
+    )
+    bands = bits.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias("b"),
+    ).withColumn(
+        "bv",
+        F.when(
+            F.col("b") < 4, F.expr("shiftright(lo, 8 * b)").bitwiseAND(255)
+        ).otherwise(F.expr("shiftright(hi, 8 * (b - 4))").bitwiseAND(255)),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("alo"),
+        F.col("hi").alias("ahi"),
+        "b",
+        "bv",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("blo"),
+        F.col("hi").alias("bhi"),
+        "b",
+        "bv",
+    )
+    cand = (
+        a.join(bb, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "alo", "ahi", "doc_b", "blo", "bhi")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("alo").bitwiseXOR(F.col("blo"))) + F.bit_count(
+        F.col("ahi").bitwiseXOR(F.col("bhi"))
+    )
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= _AHASH_MAX_HAM)

@@ -471,3 +471,28 @@ def test_rbo_identical_rankings_near_one(spark, tmp_path):
 def row_weights():
     p = 0.9
     return [round((1 - p) * p ** (i - 1), 12) for i in range(1, 51)]
+
+
+def test_image_ahash_finds_one_bit_perturbation(spark, tmp_path):
+    # B differs from A in ONE pixel far from the mean boundary -> their
+    # fingerprints differ in at most 1 bit -> pair found with small
+    # hamming. C is a different pattern entirely -> no pair with A.
+    base = ("az" * 32)          # alternating bright/dark, 64 px
+    onebit = "zz" + base[2:]    # flip pixel 1 from dark to bright
+    # NOTE: aHash is contrast-invariant — "mn"*32 would produce the
+    # SAME alternating bit pattern as "az"*32. A different PATTERN
+    # (period 4 vs period 2) is what makes an image different here.
+    other = ("aazz" * 16)
+    spark.createDataFrame(
+        [
+            (1, base, "en", "s", 64),
+            (2, onebit, "en", "s", 64),
+            (3, other, "en", "s", 64),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = all_ops()["image_ahash_pairs"].fn(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert (1, 2) in got
+    assert got[(1, 2)] <= 2
+    assert (1, 3) not in got
