@@ -3415,3 +3415,63 @@ def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.agg(F.sum("t").cast("long").alias("rbo_micro")).crossJoin(
         F.broadcast(n_common)
     ).select("n_common", "rbo_micro")
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability proxy per source
+# ---------------------------------------------------------------------------
+
+_READ_SQL = f"""
+    WITH d AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, '[aeiou]+')) AS n_syl
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_syl) AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(sum(n_words) AS DOUBLE) / count(*))
+                 - 84.6 * (CAST(sum(n_syl) AS DOUBLE) / sum(n_words)), 4)
+               AS flesch_proxy
+    FROM d GROUP BY source
+"""
+
+
+@op("flesch_proxy_readability", oracle=_READ_SQL, tags=("text", "quality", "readability"))
+def flesch_proxy_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease PROXY per source — the readability family of
+    curation filters (easy/hard text mix drives pretraining curricula):
+    206.835 - 1.015*(words per doc) - 84.6*(syllables per word), with
+    vowel RUNS as the standard syllable approximation and the document
+    standing in for the sentence (this corpus has no punctuation — the
+    substitution is the documented caveat, the formula's shape is the
+    point). Counts are exact integers from one narrow map (regexp
+    stays whole-stage-codegen JVM); the two divisions and literal
+    weights are a single IEEE expression rounded once, identical on
+    both engines."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    m = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.regexp_count("text", F.lit("[aeiou]+")).alias("n_syl"),
+    )
+    g = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_syl").alias("n_syllables"),
+    )
+    return g.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_docs"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch_proxy"),
+    )
