@@ -494,3 +494,26 @@ def test_keyset_pagination_is_filter_plus_take_ordered(spark, sf_dir):
     assert plan_summary(df)["take_ordered"] >= 1
     pushed = pushed_filters(df)
     assert any("o_totalprice" in p for p in pushed), pushed
+
+
+def test_session2_classic_ml_ops_stay_jvm_side(spark, sf_dir):
+    """The whole classic-ML / retrieval / graph wave is pure relational
+    algebra: training, scoring, matmul, hashing — zero Python
+    boundaries anywhere (the applyInArrow/udf ops are the only
+    sanctioned exceptions, tested elsewhere)."""
+    ops = all_ops()
+    for name in (
+        "naive_bayes_langid",
+        "decision_stump_train",
+        "item_item_cf_topk",
+        "pca_power_iteration_step",
+        "markov_3step_purchase",
+        "binary_hamming_topk",
+        "image_ahash_pairs",
+        "mmr_diversified_topk",
+        "rrf_fusion_topk",
+        "wasserstein_1d_priority",
+        "theil_sen_daily_slope",
+    ):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["python_evals"] == 0, name
