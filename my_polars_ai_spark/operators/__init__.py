@@ -263,17 +263,28 @@ _PRIORITY_R5 = (
 # through token_cooccurrence_pmi plus the text-pipeline block through
 # top_tokens_by_lang. The 29 round-5 additions (stats_tests module,
 # wave-2..7 text/similarity/extras/sql ops) queue after those in r8/r9.
-# Round-5 session-2 additions (waves 11-17, 27 ops: auc_langid_score,
-# ols_price_on_qty_discount, session_window_dynamic_gap,
-# apply_in_arrow_center, ts_decompose_daily, collated_group_count,
-# naive_bayes_langid, decision_stump_train, item_item_cf_topk,
-# twap_daily_value, nearest_centroid_confusion, pca_power_iteration_step,
-# sql_group_by_all, sql_identifier_clause, basket_triple_support,
-# business_days_lead_time, rrf_fusion_topk, cohens_kappa_langid,
-# keyset_pagination_page, sql_unpivot_syntax, feature_information_gain,
-# ipf_raking_step, binary_hamming_topk, qi_generalization_ladder,
-# hypothetical_rank_of_value, ucb1_variant_scores, mmr_diversified_topk)
-# append to the registry tail and join the r8/r9 first-attestation queue.
+# Round-5 session-2 additions (waves 11-31, 50 ops — registry 340->390):
+#   apply_in_arrow_center, attribution_models_compare, auc_langid_score,
+#   basket_triple_support, bh_fdr_pairwise, binary_hamming_topk,
+#   business_days_lead_time, cohens_kappa_langid, collated_group_count,
+#   conformal_daily_interval, cross_clip_frame_overlap,
+#   decision_stump_train, degree_assortativity, ece_langid,
+#   feature_information_gain, flesch_proxy_readability,
+#   hits_containment_step, hypothetical_rank_of_value, image_ahash_pairs,
+#   ipf_raking_step, item_item_cf_topk, keyset_pagination_page,
+#   kfold_slope_stability, local_clustering_coefficient,
+#   loo_nation_mean_influence, markov_3step_purchase,
+#   markov_conditional_entropy, mde_power_analysis, mmr_diversified_topk,
+#   naive_bayes_langid, nearest_centroid_confusion,
+#   ols_price_on_qty_discount, pca_power_iteration_step,
+#   qi_generalization_ladder, rbo_rankings, rrf_fusion_topk,
+#   seasonal_strength_daily, session_window_dynamic_gap,
+#   sprt_boundary_crossing, sql_group_by_all, sql_identifier_clause,
+#   sql_offset_pagination, sql_unpivot_syntax, stratified_ate_discount,
+#   theil_sen_daily_slope, ts_decompose_daily, twap_daily_value,
+#   ucb1_variant_scores, wasserstein_1d_priority, woe_iv_encoding.
+# They append to the registry tail and join the r8/r9 first-attestation
+# queue.
 _PRIORITY = _PRIORITY_R5
 
 
