@@ -28,6 +28,12 @@ for name in (
     "funnel_conversion",
     "retention_cohorts",
     "key_skew_profile",
+    # round-5 session-2: classic ML / retrieval / multimodal dedup
+    "naive_bayes_langid",
+    "item_item_cf_topk",
+    "mmr_diversified_topk",
+    "ts_decompose_daily",
+    "image_ahash_pairs",
 ):
     print(f"\n=== {name} ===")
     ops[name].fn(spark, sf_dir).show(5, truncate=False)
