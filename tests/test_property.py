@@ -323,3 +323,49 @@ def test_prefix_filter_bound_is_lossless(sets):
             # ...which implies the per-set form of the theorem too
             assert any(x in b for x in pa), (a, b, pa)
             assert any(x in a for x in pb), (a, b, pb)
+
+
+@given(
+    m=st.integers(min_value=0, max_value=10**9),
+    n=st.integers(min_value=1, max_value=10**9),
+)
+@_SETTINGS
+def test_half_up_micro_identity(m, n):
+    """The (2*1e6*m + n) // (2n) spelling used across the session-2 ops
+    (RRF terms, linear attribution shares, density ranks, LCC, WOE
+    weights) IS round-half-up(1e6 * m / n) — checked against exact
+    Fraction arithmetic, no floats anywhere."""
+    from fractions import Fraction
+
+    got = (2 * 10**6 * m + n) // (2 * n)
+    x = Fraction(10**6 * m, n)
+    frac = x - (x.numerator // x.denominator)
+    want = x.numerator // x.denominator + (1 if frac >= Fraction(1, 2) else 0)
+    assert got == want
+
+
+@given(
+    e1=st.integers(min_value=0, max_value=40_000),
+    delta=st.integers(min_value=0, max_value=4_000),
+)
+@_SETTINGS
+def test_business_day_closed_form_matches_brute_loop(e1, delta):
+    """business_days_lead_time's closed form f(b) - f(a) with
+    f(d) = 5*(m//7) + min(m%7, 5), m = epoch_day + 3, must equal the
+    brute count of weekdays in [a, b) for arbitrary epoch-day ranges."""
+    import datetime as dt
+
+    e2 = e1 + delta
+
+    def f(e):
+        m = e + 3
+        return 5 * (m // 7) + min(m % 7, 5)
+
+    got = f(e2) - f(e1)
+    d0 = dt.date(1970, 1, 1)
+    want = sum(
+        1
+        for e in range(e1, e2)
+        if (d0 + dt.timedelta(days=e)).weekday() < 5
+    )
+    assert got == want
