@@ -7,7 +7,7 @@ only reachable via SQL (GROUPING SETS) and explicit scale patterns
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import ROUND_MONEY, ROUND_RATIO, Op, make_registrar
@@ -571,4 +571,48 @@ def sql_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
+    )
+
+
+_TIES_K = 10
+
+_TIES_SQL = f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, cents
+    FROM o
+    QUALIFY rank() OVER (ORDER BY cents DESC) <= {_TIES_K}
+"""
+
+
+@op("topk_with_ties", oracle=_TIES_SQL, tags=("sql", "topk", "rank"))
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES — the SQL-standard `FETCH FIRST k ROWS WITH
+    TIES` semantics: every row tying the k-th value is kept, so the
+    result is deterministic WITHOUT inventing a tie-break column (the
+    honest answer to 'top 10 orders by value' when three orders share
+    10th place; row_number-based top-k silently drops two of them).
+    Neither engine ships the
+    standard clause (Spark has no WITH TIES; DuckDB rejects it too),
+    so the portable spelling is rank() <= k — equal keys share a rank,
+    so the filter admits exactly the standard's row set; the oracle
+    states it as QUALIFY.
+    The window is a documented top-k global sort (WindowGroupLimit
+    prunes per partition before the single ordered merge)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.orderBy(F.desc("cents"))
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= _TIES_K)
+        .drop("rnk")
     )

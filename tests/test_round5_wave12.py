@@ -496,3 +496,18 @@ def test_image_ahash_finds_one_bit_perturbation(spark, tmp_path):
     assert (1, 2) in got
     assert got[(1, 2)] <= 2
     assert (1, 3) not in got
+
+
+def test_topk_with_ties_keeps_tied_rows(spark, tmp_path):
+    # 12 orders: two tie at the 10th-place value -> WITH TIES semantics
+    # returns 11 rows where row_number-based top-10 would return 10.
+    t0 = dt.datetime(2001, 1, 1)
+    vals = [100, 95, 90, 85, 80, 75, 70, 65, 60, 55, 55, 10]
+    spark.createDataFrame(
+        [(i, 1, "O", float(v), t0, "1-URGENT") for i, v in enumerate(vals)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = all_ops()["topk_with_ties"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 11
+    assert min(r.cents for r in rows) == 5500
