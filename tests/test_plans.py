@@ -517,3 +517,24 @@ def test_session2_classic_ml_ops_stay_jvm_side(spark, sf_dir):
     ):
         s = plan_summary(ops[name].fn(spark, sf_dir))
         assert s["python_evals"] == 0, name
+
+
+def test_session2_join_ops_have_no_cartesian_or_bnlj(spark, sf_dir):
+    """The candidate-generation discipline holds structurally: none of
+    the session-2 join-heavy ops compiles to a CartesianProduct or
+    BroadcastNestedLoopJoin — every pair/triple/attribution join is a
+    keyed equi-join (the brute cosine baseline's broadcast BNLJ is the
+    sanctioned exception and lives elsewhere)."""
+    ops = all_ops()
+    for name in (
+        "item_item_cf_topk",
+        "basket_triple_support",
+        "attribution_models_compare",
+        "cross_clip_frame_overlap",
+        "image_ahash_pairs",
+        "local_clustering_coefficient",
+        "degree_assortativity",
+        "hits_containment_step",
+    ):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["nested_loop_joins"] == 0, name
