@@ -1435,3 +1435,59 @@ def stratified_ate_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt") * F.col("nc") * F.col("n_total"),
         ).alias("weighted_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-cell suppression: the safe release artifact
+# ---------------------------------------------------------------------------
+
+_SUPPRESS_K = 5
+
+_SUPPRESS_SQL = f"""
+    WITH c AS (
+        SELECT n.n_name, cu.c_mktsegment AS segment
+        FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    ), cell AS (
+        SELECT n_name, segment, CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY 1, 2
+    )
+    SELECT CASE WHEN n >= {_SUPPRESS_K} THEN n_name ELSE '__OTHER__' END
+               AS n_name,
+           CASE WHEN n >= {_SUPPRESS_K} THEN segment ELSE '__OTHER__' END
+               AS segment,
+           CAST(sum(n) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_cells_merged
+    FROM cell GROUP BY 1, 2
+"""
+
+
+@op("suppressed_release_histogram", oracle=_SUPPRESS_SQL, tags=("privacy", "governance"))
+def suppressed_release_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression: the (nation, segment) count release with
+    every cell under k=5 MERGED into a single '__OTHER__' bucket — the
+    actual safe artifact the privacy arc ends in (k_anonymity_audit
+    says WHICH cells leak, qi_generalization_ladder says WHAT to
+    coarsen, this PUBLISHES — statistical-agency primary suppression;
+    total preserved exactly because suppressed mass is pooled, not
+    dropped). n_cells_merged makes the pooling auditable. Two bounded
+    aggregations over the broadcast-joined dimension grid."""
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cell = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keep = F.col("n") >= _SUPPRESS_K
+    return (
+        cell.select(
+            F.when(keep, F.col("n_name")).otherwise("__OTHER__").alias("n_name"),
+            F.when(keep, F.col("segment")).otherwise("__OTHER__").alias("segment"),
+            "n",
+        )
+        .groupBy("n_name", "segment")
+        .agg(
+            F.sum("n").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_cells_merged"),
+        )
+    )

@@ -465,3 +465,26 @@ def test_conformal_constant_series_zero_width(spark, tmp_path):
     assert row.n_scored_days == 7
     assert row.q95_abs_err_cents == 0.0
     assert row.n_covered == 7
+
+
+def test_suppression_pools_small_cells_preserving_total(spark, tmp_path):
+    # nation n1 x BUILDING has 6 (kept); n1 x AUTO has 2 and n2 x AUTO
+    # has 3 (both suppressed -> pooled into one __OTHER__ cell of 5,
+    # merging 2 cells). Totals are preserved exactly.
+    custs = [(i, 1, "BUILDING", 1.0) for i in range(6)]
+    custs += [(10 + i, 1, "AUTOMOBILE", 1.0) for i in range(2)]
+    custs += [(20 + i, 2, "AUTOMOBILE", 1.0) for i in range(3)]
+    spark.createDataFrame(
+        custs, "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "n1", 1), (2, "n2", 1)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    got = {
+        (r.n_name, r.segment): (r.n_customers, r.n_cells_merged)
+        for r in all_ops()["suppressed_release_histogram"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[("n1", "BUILDING")] == (6, 1)
+    assert got[("__OTHER__", "__OTHER__")] == (5, 2)
+    assert sum(v for (v, _) in got.values()) == 11
