@@ -592,3 +592,31 @@ def stream_dlq_split(
     main = spark.read.parquet(os.path.join(store_dir, "main", "epoch=*"))
     dlq = spark.read.parquet(os.path.join(store_dir, "dlq", "epoch=*"))
     return main, dlq
+
+
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.timeseries.session_window_dynamic_gap:
+    the same per-EVENT gap expression (purchase holds the session open
+    30 minutes, everything else 10) under a watermark — dynamic-gap
+    session state merges exactly as in batch, and eviction is bounded
+    by watermark + max gap. Aggregated to per-user session counts so
+    the stream==batch equality test compares the registered op's exact
+    output shape."""
+    events = read_events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    sess = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    # the session merge is the STATEFUL half; the per-user rollup runs
+    # as a batch tail over the drained sessions (chaining two stateful
+    # aggs trips Spark's global-watermark correctness check — same
+    # split as stream_session_bounce)
+    drained = _drain_to_memory(sess, "complete")
+    return drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )

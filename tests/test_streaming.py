@@ -338,3 +338,18 @@ def test_stream_dlq_split_quarantines_rejects_losslessly(spark, tmp_path):
         6: "bad_props",
     }
     assert main.count() + dlq.count() == 6
+
+
+def test_stream_dynamic_gap_sessions_match_batch(spark, sf_dir):
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.streaming.jobs import stream_session_dynamic_gap
+
+    streamed = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in stream_session_dynamic_gap(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in all_ops()["session_window_dynamic_gap"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
