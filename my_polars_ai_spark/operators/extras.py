@@ -3323,3 +3323,147 @@ def loo_nation_mean_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("influence_cents"),
     )
+
+
+_SNAPCOL_SQL = """
+    WITH c AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS bal, c_mktsegment AS seg,
+               c_nationkey AS nat
+        FROM customer
+    ), new AS (
+        SELECT c_custkey,
+               round(CASE WHEN c_custkey % 7 = 0 THEN bal + 50.0 ELSE bal END, 2)
+                   AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE seg END AS seg,
+               CASE WHEN c_custkey % 9 = 0 THEN (nat + 1) % 25 ELSE nat END
+                   AS nat
+        FROM c
+    ), j AS (
+        SELECT o.c_custkey,
+               CASE WHEN o.bal IS DISTINCT FROM n.bal THEN 1 ELSE 0 END AS d_bal,
+               CASE WHEN o.seg IS DISTINCT FROM n.seg THEN 1 ELSE 0 END AS d_seg,
+               CASE WHEN o.nat IS DISTINCT FROM n.nat THEN 1 ELSE 0 END AS d_nat
+        FROM c o JOIN new n USING (c_custkey)
+    )
+    SELECT col, CAST(n_changed AS BIGINT) AS n_changed,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM (
+        SELECT 'bal' AS col, sum(d_bal) AS n_changed, count(*) AS n_rows FROM j
+        UNION ALL
+        SELECT 'seg', sum(d_seg), count(*) FROM j
+        UNION ALL
+        SELECT 'nat', sum(d_nat), count(*) FROM j
+    )
+"""
+
+
+@op("snapshot_diff_columns", oracle=_SNAPCOL_SQL, tags=("cdc", "diff", "agg"))
+def snapshot_diff_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-level CDC drill-down: which columns actually changed
+    between two snapshot versions, and how often — the question after
+    snapshot_diff says a row 'changed' ('is it the balance feed or the
+    segment re-map?' routes the incident). The synthetic new snapshot
+    perturbs three columns on different key residues so every column's
+    count is exercised; comparisons are null-safe (IS DISTINCT FROM),
+    the join is ONE key-partitioned equi-join, and the per-column
+    rollup is a 3-row stack of conditional sums — one pass, no
+    per-column re-joins."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    new = c.select(
+        "c_custkey",
+        F.round(
+            F.when(F.col("c_custkey") % 7 == 0, F.col("bal") + 50.0).otherwise(
+                F.col("bal")
+            ),
+            2,
+        ).alias("bal"),
+        F.when(F.col("c_custkey") % 5 == 0, "MOVED").otherwise(F.col("seg")).alias("seg"),
+        F.when(F.col("c_custkey") % 9 == 0, (F.col("nat") + 1) % 25)
+        .otherwise(F.col("nat"))
+        .alias("nat"),
+    )
+    o = c.alias("o")
+    n = new.alias("n")
+    j = o.join(n, "c_custkey").select(
+        (~F.col("o.bal").eqNullSafe(F.col("n.bal"))).cast("int").alias("d_bal"),
+        (~F.col("o.seg").eqNullSafe(F.col("n.seg"))).cast("int").alias("d_seg"),
+        (~F.col("o.nat").eqNullSafe(F.col("n.nat"))).cast("int").alias("d_nat"),
+    )
+    agg = j.agg(
+        F.sum("d_bal").alias("bal"),
+        F.sum("d_seg").alias("seg"),
+        F.sum("d_nat").alias("nat"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.selectExpr(
+        "stack(3, 'bal', bal, 'seg', seg, 'nat', nat) as (col, n_changed)",
+        "n_rows",
+    ).select(
+        "col", F.col("n_changed").cast("long"), F.col("n_rows").cast("long")
+    )
+
+
+_TOPN_CONC_N = 10
+
+_TOPN_CONC_SQL = f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT))
+                   AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS r
+        FROM cust
+    ), s AS (
+        SELECT sum(CASE WHEN r <= {_TOPN_CONC_N} THEN cents ELSE 0 END) AS top,
+               sum(cents) AS total,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM ranked
+    )
+    SELECT n_customers,
+           CAST(top AS BIGINT) AS top{_TOPN_CONC_N}_cents,
+           CAST(total AS BIGINT) AS total_cents,
+           {oracle_ratio_round('top', 'total')} AS top{_TOPN_CONC_N}_share
+    FROM s
+"""
+
+
+@op("revenue_concentration_topn", oracle=_TOPN_CONC_SQL, tags=("finance", "concentration", "agg"))
+def revenue_concentration_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-concentration KPI: the share of total revenue held by
+    the top-10 customers — the 'key-account risk' number next to
+    brand_supplier_hhi (HHI summarizes the whole distribution; top-N
+    share is what the board asks for) and the customer-side complement
+    of abc_part_classification. Exact integer cents throughout; the
+    rank runs over the customer-grain aggregate (dimension-bounded,
+    deterministic tie-break), and the share is one half-up rational.
+    One fact groupBy + one bounded rank + a 1-row reduce."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = cust.withColumn("r", F.row_number().over(w))
+    s = ranked.agg(
+        F.sum(
+            F.when(F.col("r") <= _TOPN_CONC_N, F.col("cents")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("top"),
+        F.sum("cents").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    return s.select(
+        "n_customers",
+        F.col("top").cast("long").alias(f"top{_TOPN_CONC_N}_cents"),
+        F.col("total").cast("long").alias("total_cents"),
+        ratio_round(F.col("top"), F.col("total")).alias(f"top{_TOPN_CONC_N}_share"),
+    )
