@@ -1617,3 +1617,48 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_edge_ends"),
         F.when((vx > 0) & (vy > 0), r).alias("assortativity"),
     )
+
+
+_NORM_DEDUP_SQL = """
+    WITH n AS (
+        SELECT doc_id, source,
+               md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h
+        FROM documents
+    ), keep AS (
+        SELECT doc_id, source, h,
+               min(doc_id) OVER (PARTITION BY h) AS survivor
+        FROM n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = survivor THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_normalized_texts
+    FROM keep
+"""
+
+
+@op("dedup_normalized_text", oracle=_NORM_DEDUP_SQL, tags=("dedup", "text", "normalize"))
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonical normalization — lowercase, trim,
+    collapse whitespace runs, THEN hash — the standard curation step
+    between raw exact dedup (dedup_exact_text, which 'Hello  world'
+    and 'hello world' slip past) and near-dup similarity (which is
+    overkill for pure case/whitespace variants). Normalization is a
+    zero-shuffle narrow map of JVM string expressions; survivorship is
+    the min-id-per-fingerprint window keyed on the HASH (content-
+    bucketed, the dedup_exact_text discipline); the report is the
+    bounded 1-row summary so the oracle hash-checks survivor selection
+    itself (doc_id = survivor count) rather than re-emitting the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))))
+    n = d.select("doc_id", h.alias("h"))
+    w = Window.partitionBy("h")
+    keep = n.withColumn("survivor", F.min("doc_id").over(w))
+    return keep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") == F.col("survivor")).cast("int"))
+        .cast("long")
+        .alias("n_survivors"),
+        F.countDistinct("h").cast("long").alias("n_normalized_texts"),
+    )

@@ -511,3 +511,18 @@ def test_topk_with_ties_keeps_tied_rows(spark, tmp_path):
     rows = all_ops()["topk_with_ties"].fn(spark, str(tmp_path)).collect()
     assert len(rows) == 11
     assert min(r.cents for r in rows) == 5500
+
+
+def test_normalized_dedup_catches_case_and_whitespace_variants(spark, tmp_path):
+    spark.createDataFrame(
+        [
+            (1, "Hello  World", "en", "s", 12),
+            (2, "hello world", "en", "s", 11),
+            (3, "  HELLO WORLD  ", "en", "s", 15),
+            (4, "different text", "en", "s", 14),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_ops()["dedup_normalized_text"].fn(spark, str(tmp_path)).collect()[0]
+    # docs 1-3 normalize identically -> one survivor + doc 4.
+    assert (row.n_docs, row.n_survivors, row.n_normalized_texts) == (4, 2, 2)
