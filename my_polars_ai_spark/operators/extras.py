@@ -3467,3 +3467,36 @@ def revenue_concentration_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("total_cents"),
         ratio_round(F.col("top"), F.col("total")).alias(f"top{_TOPN_CONC_N}_share"),
     )
+
+
+_ENDINGS_SQL = """
+    WITH c AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100 AS HUGEINT) % 100
+                   AS ending
+        FROM orders
+    )
+    SELECT CAST(ending AS INT) AS cents_ending,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM c GROUP BY ending
+"""
+
+
+@op("price_endings_hist", oracle=_ENDINGS_SQL, tags=("finance", "audit", "histogram"))
+def price_endings_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the cents ENDING (last two digits) of order
+    totals — the pricing-forensics companion to benford_first_digit:
+    human-set prices pile up on .99/.95/.00, rule-generated or
+    fabricated ones spread uniformly, and a migration that re-rounds
+    currency shows up as mass teleporting between endings. Exact
+    integer cents modulo; one map-side-combined aggregation to the
+    <=100-row grid."""
+    o = _t(spark, sf_dir, "orders")
+    ending = (
+        (F.col("o_totalprice").cast("decimal(28,6)") * 100).cast("decimal(38,0)")
+        % 100
+    )
+    return (
+        o.select(ending.cast("int").alias("cents_ending"))
+        .groupBy("cents_ending")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
