@@ -1491,3 +1491,151 @@ def suppressed_release_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_cells_merged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of the raked weights
+# ---------------------------------------------------------------------------
+
+_ESS_SQL = f"""
+    WITH cell AS (
+        SELECT lang, source, CAST(count(*) AS HUGEINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), marg AS (
+        SELECT lang, sum(n) AS nl FROM cell GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS HUGEINT) AS nn,
+               CAST(count(DISTINCT lang) AS HUGEINT) AS l FROM cell
+    ), w AS (
+        SELECT cell.n,
+               (2 * 1000000 * cell.n * tot.nn + tot.l * marg.nl)
+               // (2 * tot.l * marg.nl) AS wm
+        FROM cell JOIN marg USING (lang) CROSS JOIN tot
+    ), s AS (
+        SELECT sum(n * wm) AS sw, sum(n * wm * wm) AS sww,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM w
+    )
+    SELECT n_docs, n_cells,
+           {oracle_ratio_round('sw * sw', 'sww')} AS ess,
+           {oracle_ratio_round('sw * sw', 'sww * n_docs')} AS ess_ratio
+    FROM s
+"""
+
+
+@op("ess_after_raking", oracle=_ESS_SQL, tags=("stats", "survey", "reweight"))
+def ess_after_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the IPF-raked weights:
+    ESS = (Σw)²/Σw² — the price tag of reweighting (raking to a
+    uniform language marginal costs information; ESS says how many
+    UNWEIGHTED documents the weighted corpus is worth, and ess_ratio
+    < ~0.5 is the standard 'weights too aggressive' alarm). Composes
+    ipf_raking_step's cell weights (per-document weights are the cell
+    weight replicated n times, so the sums weight each cell by n);
+    weights are the op's own once-quantized micro values, making every
+    accumulator an exact integer and ESS one half-up rational. All
+    broadcast-sized after the first groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+    marg = cell.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = cell.agg(
+        F.sum("n").alias("nn"), F.countDistinct("lang").cast(_D38).alias("l")
+    )
+    w = (
+        cell.join(F.broadcast(marg), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            exact_floor_div(
+                2 * 1_000_000 * F.col("n") * F.col("nn") + F.col("l") * F.col("nl"),
+                2 * F.col("l") * F.col("nl"),
+            ).alias("wm"),
+        )
+    )
+    s = w.agg(
+        F.sum(F.col("n") * F.col("wm")).alias("sw"),
+        F.sum(F.col("n") * F.col("wm") * F.col("wm")).alias("sww"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return s.select(
+        "n_docs",
+        "n_cells",
+        ratio_round(F.col("sw") * F.col("sw"), F.col("sww")).alias("ess"),
+        ratio_round(
+            F.col("sw") * F.col("sw"), F.col("sww") * F.col("n_docs")
+        ).alias("ess_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects (distributional causal read)
+# ---------------------------------------------------------------------------
+
+_QTE_SQL = """
+    WITH r AS (
+        SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS treated,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ), qt AS (
+        SELECT
+            quantile_cont(CASE WHEN treated = 1 THEN CAST(q AS DOUBLE) END, 0.25) AS t0,
+            quantile_cont(CASE WHEN treated = 1 THEN CAST(q AS DOUBLE) END, 0.5)  AS t1,
+            quantile_cont(CASE WHEN treated = 1 THEN CAST(q AS DOUBLE) END, 0.75) AS t2,
+            quantile_cont(CASE WHEN treated = 0 THEN CAST(q AS DOUBLE) END, 0.25) AS c0,
+            quantile_cont(CASE WHEN treated = 0 THEN CAST(q AS DOUBLE) END, 0.5)  AS c1,
+            quantile_cont(CASE WHEN treated = 0 THEN CAST(q AS DOUBLE) END, 0.75) AS c2
+        FROM r
+    )
+    SELECT quantile, q_treated, q_control, q_treated - q_control AS qte
+    FROM (
+        SELECT 0.25 AS quantile, t0 AS q_treated, c0 AS q_control FROM qt
+        UNION ALL SELECT 0.5, t1, c1 FROM qt
+        UNION ALL SELECT 0.75, t2, c2 FROM qt
+    )
+"""
+
+
+@op("qte_discount_quantiles", oracle=_QTE_SQL, tags=("ml", "causal", "quantile"))
+def qte_discount_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the deep-discount 'effect' on
+    quantity read at p25/p50/p75 of each arm's DISTRIBUTION — the
+    distributional complement of stratified_ate_discount's single mean
+    (an interventions that moves only the top of the distribution has
+    QTE(0.75) >> QTE(0.25) and a mean that hides it). Exact
+    interpolated percentiles over integer quantities are engine-
+    portable (the conformal_daily_interval seam: identical integers,
+    identical interpolation arithmetic); the effect is one subtraction
+    of identically-computed doubles. Two conditional percentile
+    aggregations in ONE pass over the fact table, 3-row output."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        (F.col("l_discount") > 0.05).cast("int").alias("treated"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    levels = [0.25, 0.5, 0.75]
+    qt = r.agg(
+        *[
+            F.expr(
+                f"percentile(CASE WHEN treated = 1 THEN CAST(q AS DOUBLE) END, {p})"
+            ).alias(f"t_{i}")
+            for i, p in enumerate(levels)
+        ],
+        *[
+            F.expr(
+                f"percentile(CASE WHEN treated = 0 THEN CAST(q AS DOUBLE) END, {p})"
+            ).alias(f"c_{i}")
+            for i, p in enumerate(levels)
+        ],
+    )
+    stacked = qt.selectExpr(
+        "stack(3, 0.25D, t_0, c_0, 0.5D, t_1, c_1, 0.75D, t_2, c_2)"
+        " as (quantile, q_treated, q_control)"
+    )
+    return stacked.select(
+        "quantile",
+        "q_treated",
+        "q_control",
+        (F.col("q_treated") - F.col("q_control")).alias("qte"),
+    )

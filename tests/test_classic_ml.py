@@ -488,3 +488,37 @@ def test_suppression_pools_small_cells_preserving_total(spark, tmp_path):
     assert got[("n1", "BUILDING")] == (6, 1)
     assert got[("__OTHER__", "__OTHER__")] == (5, 2)
     assert sum(v for (v, _) in got.values()) == 11
+
+
+def test_ess_uniform_weights_equal_n(spark, tmp_path):
+    # A corpus already at the uniform language marginal gets weight 1
+    # everywhere -> ESS == N exactly, ess_ratio == 1.
+    docs = [(i, "aa", "en", "s1", 2) for i in range(3)]
+    docs += [(10 + i, "bb", "fr", "s1", 2) for i in range(3)]
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_ops()["ess_after_raking"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_docs == 6
+    assert row.ess == 6.0
+    assert row.ess_ratio == 1.0
+
+
+def test_qte_reads_planted_distributional_shift(spark, tmp_path):
+    # control quantities {1..4}; treated = control + 10 shift -> QTE is
+    # exactly 10 at every quantile.
+    ship = dt.datetime(2001, 1, 1)
+    rows = [(i, 1, 1, 1, float(q), 10.0, 0.01, 0.0, "N", "O", ship)
+            for i, q in enumerate([1, 2, 3, 4])]
+    rows += [(10 + i, 1, 1, 1, float(q + 10), 10.0, 0.08, 0.0, "N", "O", ship)
+             for i, q in enumerate([1, 2, 3, 4])]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.quantile: r.qte for r in all_ops()["qte_discount_quantiles"].fn(spark, str(tmp_path)).collect()}
+    assert got == {0.25: 10.0, 0.5: 10.0, 0.75: 10.0}
