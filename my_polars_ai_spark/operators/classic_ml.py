@@ -1639,3 +1639,151 @@ def qte_discount_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_control",
         (F.col("q_treated") - F.col("q_control")).alias("qte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positivity / overlap diagnostic for the stratified ATE
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SQL = f"""
+    WITH r AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   // {_STUMP_BAND} AS band,
+               CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS treated
+        FROM lineitem
+    ), s AS (
+        SELECT band, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(treated) AS HUGEINT) AS nt
+        FROM r GROUP BY band
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n AS BIGINT) AS n_rows,
+           {oracle_ratio_round('nt', 'n')} AS treatment_rate,
+           CAST(CASE WHEN 20 * nt < n OR 20 * nt > 19 * n
+                     THEN 1 ELSE 0 END AS INT) AS off_support
+    FROM s
+"""
+
+
+@op("propensity_overlap_report", oracle=_OVERLAP_SQL, tags=("ml", "causal", "diagnostic"))
+def propensity_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positivity/overlap diagnostic for the stratified ATE: per price
+    band, the empirical treatment rate and an off-support flag where
+    it leaves [5%, 95%] — the assumption CHECK that must precede
+    stratified_ate_discount (bands the estimator would extrapolate in
+    get flagged here first; the causal-inference sibling of
+    mde_power_analysis's 'can this data even answer that' role). The
+    support test is the integer cross-multiplication 20*nt < n (no
+    float threshold can sit on a boundary); one groupBy to the
+    bounded band grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        exact_floor_div(
+            (F.col("l_extendedprice").cast("decimal(28,6)") * 100).cast(_D38),
+            F.lit(_STUMP_BAND),
+        ).alias("band"),
+        (F.col("l_discount") > 0.05).cast("int").cast(_D38).alias("treated"),
+    )
+    s = r.groupBy("band").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"), F.sum("treated").alias("nt")
+    )
+    off = (20 * F.col("nt") < F.col("n")) | (20 * F.col("nt") > 19 * F.col("n"))
+    return s.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("n").cast("long").alias("n_rows"),
+        ratio_round(F.col("nt"), F.col("n")).alias("treatment_rate"),
+        off.cast("int").alias("off_support"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Op 400: the corpus health scorecard (capstone composition)
+# ---------------------------------------------------------------------------
+
+_SCORECARD_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, source, lang, text,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), fp AS (
+        SELECT md5(text) AS h, count(*) AS c FROM d GROUP BY 1
+    ), dup AS (
+        SELECT sum(c) - count(*) AS n_dup_docs, sum(c) AS n_all FROM fp
+    ), langs AS (
+        SELECT lang, CAST(count(*) AS HUGEINT) AS nl FROM d GROUP BY 1
+    ), lent AS (
+        SELECT sum(nl * (-CAST(round(ln(nl * 1.0 / t.n) * 1000000) AS BIGINT)))
+                   AS ent_num,
+               max(t.n) AS n
+        FROM langs CROSS JOIN (SELECT CAST(sum(nl) AS HUGEINT) AS n FROM langs) t
+    ), srcs AS (
+        SELECT source, CAST(count(*) AS HUGEINT) AS ns FROM d GROUP BY 1
+    ), hhi AS (
+        SELECT sum(ns * ns) AS ss, max(t.n) AS n
+        FROM srcs CROSS JOIN (SELECT CAST(sum(ns) AS HUGEINT) AS n FROM srcs) t
+    ), toks AS (
+        SELECT CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d
+    )
+    SELECT CAST(dup.n_all AS BIGINT) AS n_docs,
+           toks.n_tokens,
+           {oracle_ratio_round('dup.n_dup_docs', 'dup.n_all')} AS exact_dup_rate,
+           {oracle_ratio_round('lent.ent_num', 'lent.n * 1000000')}
+               AS lang_entropy_nats,
+           {oracle_ratio_round('hhi.ss', 'hhi.n * hhi.n')} AS source_hhi
+    FROM dup CROSS JOIN lent CROSS JOIN hhi CROSS JOIN toks
+"""
+
+
+@op("corpus_health_scorecard", oracle=_SCORECARD_SQL, tags=("text", "pipeline", "capstone"))
+def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 400: the corpus-health one-pager — volume, token count, exact
+    -duplicate rate, language-mix entropy, and source-concentration
+    HHI as ONE fused plan over a single corpus scan: the numbers a
+    curation run publishes next to its training_manifest (the manifest
+    is WHAT ships; this is WHETHER the corpus is healthy enough to
+    ship). Dedup rate comes from fingerprint multiplicities (never a
+    self-join), entropy is once-rounded micro-nat weighting, HHI one
+    exact rational — each member family has its deep-dive op
+    (dedup_exact_text, mutual_info, brand_supplier_hhi); this is the
+    dashboard row that says which one to open."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text", F.size(F.split("text", " ")).alias("n_tok")
+    ).cache()
+    fp = d.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    dup = fp.agg(
+        (F.sum("c") - F.count(F.lit(1))).cast(_D38).alias("n_dup_docs"),
+        F.sum("c").cast(_D38).alias("n_all"),
+    )
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).cast(_D38).alias("nl"))
+    lt = langs.agg(F.sum("nl").alias("n"))
+    mn = F.round(
+        F.log(F.col("nl").cast("double") / F.col("n").cast("double")) * 1_000_000
+    ).cast("long").cast(_D38)
+    lent = (
+        langs.crossJoin(F.broadcast(lt))
+        .agg(
+            F.sum(F.col("nl") * (-mn)).alias("ent_num"),
+            F.max("n").alias("n"),
+        )
+    )
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).cast(_D38).alias("ns"))
+    st = srcs.agg(F.sum("ns").alias("n"))
+    hhi = (
+        srcs.crossJoin(F.broadcast(st))
+        .agg(F.sum(F.col("ns") * F.col("ns")).alias("ss"), F.max("n").alias("n"))
+    )
+    toks = d.agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    return (
+        dup.crossJoin(F.broadcast(lent))
+        .crossJoin(F.broadcast(hhi.select(F.col("ss"), F.col("n").alias("hn"))))
+        .crossJoin(F.broadcast(toks))
+        .select(
+            F.col("n_all").cast("long").alias("n_docs"),
+            "n_tokens",
+            ratio_round(F.col("n_dup_docs"), F.col("n_all")).alias("exact_dup_rate"),
+            ratio_round(F.col("ent_num"), F.col("n") * 1_000_000).alias(
+                "lang_entropy_nats"
+            ),
+            ratio_round(F.col("ss"), F.col("hn") * F.col("hn")).alias("source_hhi"),
+        )
+    )
