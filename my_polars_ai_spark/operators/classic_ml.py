@@ -1787,3 +1787,79 @@ def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.col("ss"), F.col("hn") * F.col("hn")).alias("source_hhi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Macro-F1 over the naive Bayes confusion matrix
+# ---------------------------------------------------------------------------
+
+_MACRO_F1_SQL = f"""
+    WITH cm AS ({_NB_SQL}),
+    per AS (
+        SELECT l.lang,
+               coalesce(tp.n_docs, 0) AS tp,
+               coalesce(pr.n_pred, 0) AS n_pred,
+               coalesce(ac.n_act, 0) AS n_act
+        FROM (SELECT DISTINCT actual_lang AS lang FROM cm) l
+        LEFT JOIN (SELECT actual_lang AS lang, n_docs FROM cm
+                   WHERE actual_lang = predicted_lang) tp USING (lang)
+        LEFT JOIN (SELECT predicted_lang AS lang, sum(n_docs) AS n_pred
+                   FROM cm GROUP BY 1) pr USING (lang)
+        LEFT JOIN (SELECT actual_lang AS lang, sum(n_docs) AS n_act
+                   FROM cm GROUP BY 1) ac USING (lang)
+    )
+    SELECT lang,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_act AS BIGINT) AS n_act,
+           CASE WHEN n_pred + n_act > 0 THEN
+               {oracle_ratio_round('2 * tp', 'n_pred + n_act')}
+           END AS f1
+    FROM per
+"""
+
+
+@op("nb_macro_f1", oracle=_MACRO_F1_SQL, tags=("ml", "eval", "classifier"))
+def nb_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class F1 for the naive Bayes language classifier, straight
+    from its registered confusion matrix (COMPOSES naive_bayes_langid,
+    so the eval can't drift from the model users run): F1 collapses to
+    the single exact rational 2*tp/(n_pred + n_act) — no separate
+    precision/recall roundings to compound — with NULL where a class
+    was never predicted nor present. The macro average is the plain
+    mean of the f1 column (left to the reader/dashboard so the per-
+    class diagnosis stays primary). Everything after the NB plan is
+    the bounded |langs|-row grid."""
+    cm = naive_bayes_langid(spark, sf_dir).cache()
+    langs = cm.select(F.col("actual_lang").alias("lang")).distinct()
+    tp = cm.filter(F.col("actual_lang") == F.col("predicted_lang")).select(
+        F.col("actual_lang").alias("lang"), F.col("n_docs").alias("tp")
+    )
+    pr = cm.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n_docs").alias("n_pred")
+    )
+    ac = cm.groupBy(F.col("actual_lang").alias("lang")).agg(
+        F.sum("n_docs").alias("n_act")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    per = (
+        langs.join(tp, "lang", "left")
+        .join(pr, "lang", "left")
+        .join(ac, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("tp").cast("decimal(38,0)"), zero).alias("tp"),
+            F.coalesce(F.col("n_pred").cast("decimal(38,0)"), zero).alias("n_pred"),
+            F.coalesce(F.col("n_act").cast("decimal(38,0)"), zero).alias("n_act"),
+        )
+    )
+    return per.select(
+        "lang",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_act").cast("long").alias("n_act"),
+        F.when(
+            F.col("n_pred") + F.col("n_act") > 0,
+            ratio_round(2 * F.col("tp"), F.col("n_pred") + F.col("n_act")),
+        ).alias("f1"),
+    )

@@ -522,3 +522,25 @@ def test_qte_reads_planted_distributional_shift(spark, tmp_path):
     ).write.parquet(str(tmp_path / "lineitem.parquet"))
     got = {r.quantile: r.qte for r in all_ops()["qte_discount_quantiles"].fn(spark, str(tmp_path)).collect()}
     assert got == {0.25: 10.0, 0.5: 10.0, 0.75: 10.0}
+
+
+def test_nb_macro_f1_perfect_and_missed_class(spark, tmp_path):
+    # Same separable corpus as the NB test: en and fr classify
+    # perfectly (F1 = 1); 'de' (one empty doc) is predicted as en ->
+    # tp=0, n_act=1, n_pred(de)=0 -> F1 = 0; en's F1 dips below 1
+    # because it absorbs the de doc (tp=2, n_pred=3, n_act=2 -> 0.8).
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "the cat", "en"),
+            (2, "the dog", "en"),
+            (3, "le chat", "fr"),
+            (4, "le chien", "fr"),
+            (5, "", "de"),
+        ],
+    )
+    got = {r.lang: r.f1 for r in all_ops()["nb_macro_f1"].fn(spark, str(tmp_path)).collect()}
+    assert got["fr"] == 1.0
+    assert got["en"] == 0.8
+    assert got["de"] == 0.0
