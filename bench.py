@@ -79,6 +79,9 @@ HEADLINE = [
     "naive_bayes_langid",
     "item_item_cf_topk",
     "pca_power_iteration_step",
+    # session-2 closing: the fused multi-subtree single-scan report
+    # (five independent aggregations sharing one cached corpus scan)
+    "corpus_health_scorecard",
 ]
 
 
