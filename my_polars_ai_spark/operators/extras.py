@@ -1243,14 +1243,16 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT o_custkey,
-           (list(o_orderkey ORDER BY cents DESC, o_orderkey))[1:3] AS top_orders
+           array_to_string((list(o_orderkey ORDER BY cents DESC, o_orderkey))[1:3], ',') AS top_orders
     FROM o GROUP BY o_custkey
     """,
     tags=("agg", "array", "nested"),
 )
 def array_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted, capped array aggregation: each customer's top-3 order
-    keys by price as an ARRAY column — the nested-result shape feature
+    keys by price, surfaced as a ','-joined string (the driver's
+    pandas canonicalizer cannot factorize list columns) — internally
+    the nested-result shape feature
     stores and API backends ask for (one row per entity, ranked list
     inside). Per-group state is the collected group (bounded by orders
     per customer); for unbounded groups the scale path is the
@@ -1272,8 +1274,12 @@ def array_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(item).alias("items"))
         .select(
             "o_custkey",
-            F.transform(
-                F.slice(F.sort_array("items"), 1, 3), lambda s: s["k"]
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array("items"), 1, 3),
+                    lambda s: s["k"].cast("string"),
+                ),
+                ",",
             ).alias("top_orders"),
         )
     )

@@ -1159,14 +1159,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
     tags=("join", "anti"),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) — customers who never ordered."""
+    """Left-anti join (NOT EXISTS) — customers with no URGENT order.
+
+    The priority slice keeps the remainder non-empty AND data-dependent
+    at every SF (in TPC-H every customer in `customer` may have orders,
+    which made the unfiltered variant prove itself on a trivially empty
+    0 = 0 result — a wrong join type would still have matched)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -154,7 +154,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
            list_contains(list(l_linenumber), 3) AS has_line3,
            list_sort(list(l_linenumber))[1] AS first_line
@@ -165,10 +165,12 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family: collect_list (sorted for determinism), size, contains,
-    element access."""
+    element access. The collected array is surfaced as a ','-joined
+    string on BOTH sides — the driver's pandas canonicalizer cannot
+    factorize list-valued columns (same hazard as misc_scalar_funcs)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias("line_numbers"),
         F.size(F.collect_list("l_linenumber")).alias("n_lines"),
         F.array_contains(F.collect_list("l_linenumber"), 3).alias("has_line3"),
         F.element_at(F.array_sort(F.collect_list("l_linenumber")), 1).alias("first_line"),
@@ -294,8 +296,8 @@ def string_pad_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           list_sort(list_intersect(coalesce(lines_o, []), coalesce(lines_f, []))) AS in_both,
-           list_sort(list_distinct(list_concat(coalesce(lines_o, []), coalesce(lines_f, [])))) AS in_either,
+           coalesce(array_to_string(list_sort(list_intersect(coalesce(lines_o, []), coalesce(lines_f, []))), ','), '') AS in_both,
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(coalesce(lines_o, []), coalesce(lines_f, [])))), ','), '') AS in_either,
            list_has_all(coalesce(lines_o, []), coalesce(lines_f, [])) AS o_covers_f
     FROM per_status
     """,
@@ -304,7 +306,8 @@ def string_pad_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (intersect/union/containment) on per-group
     collected arrays — the JVM-side way to compare sets without exploding
-    back to rows."""
+    back to rows. Set-valued outputs are ','-joined strings on both
+    sides (driver-canonicalizer list hazard)."""
     li = _t(spark, sf_dir, "lineitem")
     empty = F.array().cast("array<int>")
     per_status = li.groupBy("l_orderkey").agg(
@@ -319,8 +322,8 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_status.select(
         "l_orderkey",
-        F.array_sort(F.array_intersect("lines_o", "lines_f")).alias("in_both"),
-        F.array_sort(F.array_union("lines_o", "lines_f")).alias("in_either"),
+        F.array_join(F.array_sort(F.array_intersect("lines_o", "lines_f")), ",").alias("in_both"),
+        F.array_join(F.array_sort(F.array_union("lines_o", "lines_f")), ",").alias("in_either"),
         (F.size(F.array_except("lines_f", "lines_o")) == 0).alias("o_covers_f"),
     )
 
@@ -329,7 +332,7 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "misc_scalar_funcs",
     oracle="""
     SELECT p_partkey,
-           regexp_extract_all(p_name, '[a-z]+') AS words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ') AS words,
            translate(p_brand, '#', '-') AS brand_dashed,
            CAST(ascii(p_name) AS INTEGER) AS first_char_code,
            least(p_size, 25) AS size_capped,
@@ -340,11 +343,18 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def misc_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misc scalar family: regexp_extract_all (list of matches),
-    translate, ascii, row-wise least/greatest (clip/clamp surface)."""
+    translate, ascii, row-wise least/greatest (clip/clamp surface).
+
+    The match list is re-joined to a space-delimited string on BOTH
+    sides: the driver's pandas canonicalizer sorts/factorizes column
+    values and cannot hash Python lists, so array-typed output columns
+    are a harness hazard even when values agree (round-5 driver red)."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0).alias("words"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0), " "
+        ).alias("words"),
         F.translate("p_brand", "#", "-").alias("brand_dashed"),
         F.ascii("p_name").alias("first_char_code"),
         F.least("p_size", F.lit(25)).alias("size_capped"),

@@ -1153,7 +1153,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tok,
            CAST(count(*) AS BIGINT) AS df,
-           (list(doc_id ORDER BY doc_id))[1:5] AS first_postings
+           array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS first_postings
     FROM f GROUP BY tok
     """,
     tags=("text", "index", "agg"),
@@ -1167,7 +1167,8 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct — map-side combine collects partial postings per
     partition, the merge concatenates them, and array_sort + slice
     makes the stored prefix deterministic. Output bounded by vocabulary
-    x 5."""
+    x 5; the stored prefix is a ','-joined string on both sides
+    (driver-canonicalizer list hazard)."""
     toks = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
@@ -1175,7 +1176,9 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("first_postings"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5), ","
+        ).alias("first_postings"),
     )
 
 

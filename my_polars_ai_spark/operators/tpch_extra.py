@@ -503,7 +503,7 @@ def tpch_q16_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
         HAVING sum(CAST(l_quantity AS BIGINT)) > 300
     )
-    SELECT s_name, s_acctbal, red_qty
+    SELECT s_name, s_acctbal, CAST(red_qty AS BIGINT) AS red_qty
     FROM shipped
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation   ON n_nationkey = s_nationkey
