@@ -2295,10 +2295,17 @@ def gains_chart_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-eval sibling of calibration_curve_langid (calibration asks
     'is the probability honest?'; gains asks 'does ranking by it find
     the positives fast?'). Scores are the exact half-up integer micro
-    ratio; the decile ntile runs over per-doc scores (documented
-    dim-bounded global window — percent_rank_approx's two-pass bucket
-    scheme is the named upgrade); capture is the exact rational of
-    integer cumsums over the 10-row decile grid."""
+    ratio. The decile assignment is EXACT ntile(10) semantics computed
+    without a global sort (two-pass bucketed rank, the
+    percent_rank_approx scheme made exact): (1) histogram per distinct
+    score value — bounded at <= 1e6+1 micro-ratio values no matter the
+    corpus size — with a cumulative strictly-higher count over that
+    bounded grid; (2) a HASH-PARTITIONED row_number within each score
+    bucket (tiebreak doc_id, matching the ntile ORDER BY); global rank
+    = higher-count + in-bucket rank, and the decile falls out of ntile
+    arithmetic (first N%10 tiles get one extra row). No partition ever
+    swallows the corpus. Capture is the exact rational of integer
+    cumsums over the 10-row decile grid."""
     d = _t(spark, sf_dir, "documents")
     ts = F.split("text", " ")
     hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
@@ -2310,23 +2317,56 @@ def gains_chart_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.size(ts).cast("decimal(38,0)"),
         ).cast("long").alias("score_micro"),
     ).filter(F.size(ts) > 0)
-    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
-    ranked = f.select("is_en", F.ntile(10).over(w).alias("decile"))
+    hist = f.groupBy("score_micro").agg(F.count(F.lit(1)).alias("n_s"))
+    w_cum = Window.orderBy(F.desc("score_micro")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.orderBy(F.desc("score_micro")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # n_all rides the same bounded-histogram window pass (a separate
+    # f.agg() would rescan the corpus subtree just to count it)
+    cum = hist.select(
+        "score_micro",
+        F.coalesce(F.sum("n_s").over(w_cum), F.lit(0)).cast("long").alias("higher"),
+        F.sum("n_s").over(w_tot).cast("long").alias("n_all"),
+    )
+    w_in = Window.partitionBy("score_micro").orderBy("doc_id")
+    g = (
+        f.withColumn("rn", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(cum), "score_micro")
+        .withColumn("grank", F.col("higher") + F.col("rn"))
+    )
+    # ntile(10) arithmetic: sizes are base+1 for the first rem tiles,
+    # base after; DIV keeps it exact in long space (greatest() guards
+    # the degenerate N<10 divisor, where the else branch is never taken)
+    ranked = g.select(
+        "is_en",
+        F.expr(
+            "CASE WHEN grank <= (n_all % 10) * (n_all DIV 10 + 1) "
+            "THEN (grank + n_all DIV 10) DIV (n_all DIV 10 + 1) "
+            "ELSE n_all % 10 + (grank - (n_all % 10) * (n_all DIV 10 + 1) "
+            "     + greatest(n_all DIV 10, 1) - 1) DIV greatest(n_all DIV 10, 1) "
+            "END"
+        ).cast("int").alias("decile"),
+    )
     dd = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("is_en").alias("n_pos")
     )
-    tot = dd.agg(F.sum("n_pos").alias("pos_all"))
+    # pos_all as a full-frame window over the 10-row decile grid (NOT a
+    # separate .agg + crossJoin, which would recompute the whole corpus
+    # subtree a second time)
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        dd.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("decile").cast("int").alias("decile"),
-            F.col("n").cast("long").alias("n_docs"),
-            F.col("n_pos").cast("long").alias("n_pos"),
-            ratio_round(F.sum("n_pos").over(wc), F.col("pos_all")).alias(
-                "cum_capture"
-            ),
-        )
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dd.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        ratio_round(F.sum("n_pos").over(wc), F.sum("n_pos").over(w_all)).alias(
+            "cum_capture"
+        ),
     )
 
 
@@ -2975,15 +3015,19 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks, so both lists are engine-stable; a doc missing from one
     list contributes 0 (rank columns stay NULL to show provenance).
     Plan: the token stream is pruned to query terms BEFORE any shuffle
-    (the bm25_scores discipline); both rank windows run over the
-    query-matching subset only (bounded by term selectivity) and the
-    final top-20 is TakeOrderedAndProject."""
+    (the bm25_scores discipline); each retriever takes its top-DEPTH
+    via orderBy().limit() — TakeOrderedAndProject, a distributed
+    per-partition top-k + driver merge, never a global sort window —
+    and only the resulting <=50-row lists see a row_number (bounded
+    single-partition window over DEPTH rows). Final top-20 is again
+    TakeOrderedAndProject."""
     _toks, dl, _stats, tf, _df, raw = _bm25_parts(spark, sf_dir)
     bm = raw.select("doc_id", F.round("score", 6).alias("score"))
     w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     r1 = (
-        bm.withColumn("r", F.row_number().over(w1))
-        .filter(F.col("r") <= _RRF_DEPTH)
+        bm.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("r", F.row_number().over(w1))
         .select("doc_id", F.col("r").alias("r_bm25"))
     )
     dens = (
@@ -3000,8 +3044,9 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.orderBy(F.desc("d_micro"), F.asc("doc_id"))
     r2 = (
-        dens.withColumn("r", F.row_number().over(w2))
-        .filter(F.col("r") <= _RRF_DEPTH)
+        dens.orderBy(F.desc("d_micro"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("r", F.row_number().over(w2))
         .select("doc_id", F.col("r").alias("r_density"))
     )
 
@@ -3374,13 +3419,17 @@ def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-p)p^(i-1) * X_i / i term is rounded once to micro with both
     engines reading identical weight literals, then integer-summed.
     Both rankings reuse the shared _bm25_parts pipeline — the third
-    consumer, same definition."""
+    consumer, same definition. Each ranking takes its top-DEPTH via
+    orderBy().limit() (distributed TakeOrderedAndProject) before the
+    row_number, so the only unpartitioned window runs over <=50 rows —
+    never the query-matching corpus subset."""
     _toks, dl, _stats, tf, _df, raw = _bm25_parts(spark, sf_dir)
     bm = raw.select("doc_id", F.round("score", 6).alias("score"))
     w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     r1 = (
-        bm.withColumn("r", F.row_number().over(w1))
-        .filter(F.col("r") <= _RBO_DEPTH)
+        bm.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RBO_DEPTH)
+        .withColumn("r", F.row_number().over(w1))
         .select("doc_id", F.col("r").alias("ra"))
     )
     dens = (
@@ -3397,8 +3446,9 @@ def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.orderBy(F.desc("d_micro"), F.asc("doc_id"))
     r2 = (
-        dens.withColumn("r", F.row_number().over(w2))
-        .filter(F.col("r") <= _RBO_DEPTH)
+        dens.orderBy(F.desc("d_micro"), F.asc("doc_id"))
+        .limit(_RBO_DEPTH)
+        .withColumn("r", F.row_number().over(w2))
         .select("doc_id", F.col("r").alias("rb"))
     )
     both_m = r1.join(r2, "doc_id").select(

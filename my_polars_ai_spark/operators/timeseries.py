@@ -1555,9 +1555,12 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exponential never materializes; callers exponentiate at
     display time). The final event week always has r == d (everyone
     left churns), where S hits 0 — carried as an explicit flag, not a
-    -inf. The at-risk counts come from one weeks x customers bounded
-    cross join (weeks are calendar-bounded); everything else is two
-    windows over the weekly grid."""
+    -inf. At-risk counts NEVER materialize weeks x customers: customers
+    aggregate to per-week entry (first_w) and exit (last_w) counts, and
+    r(w) = cum(entries <= w) - cum(exits < w) falls out of two
+    cumulative windows over the calendar-bounded weekly grid — the
+    sweep-line identity that replaces the cross join (at 100x, weeks x
+    customers is billions of scaffold rows; this is |weeks| rows)."""
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.date_trunc("week", F.min(F.to_date("o_orderdate"))).cast("date")
@@ -1565,17 +1568,29 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.max(F.to_date("o_orderdate"))).cast("date")
         .alias("last_w"),
     )
-    weeks = cust.select(F.col("last_w").alias("w")).distinct()
+    entries = cust.groupBy(F.col("first_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_enter")
+    )
+    exits = cust.groupBy(F.col("last_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_exit")
+    )
+    grid = entries.join(exits, "w", "full_outer")
+    w_le = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    w_lt = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
     counts = (
-        weeks.crossJoin(cust)
-        .groupBy("w")
-        .agg(
-            F.sum((F.col("last_w") == F.col("w")).cast("int")).alias("d"),
-            F.sum(
-                ((F.col("first_w") <= F.col("w")) & (F.col("last_w") >= F.col("w")))
-                .cast("int")
+        grid.select(
+            "w",
+            F.coalesce("n_exit", F.lit(0)).alias("d"),
+            (
+                F.sum(F.coalesce("n_enter", F.lit(0))).over(w_le)
+                - F.coalesce(
+                    F.sum(F.coalesce("n_exit", F.lit(0))).over(w_lt), F.lit(0)
+                )
             ).alias("r"),
         )
+        # the event grid is the distinct churn weeks only (a week that
+        # only ever saw entries contributes no KM factor)
+        .filter(F.col("d") > 0)
     )
     factor = F.when(
         F.col("r") > F.col("d"),
@@ -1649,8 +1664,10 @@ def logrank_test_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     hypergeometric variance are each computed as EXACT half-up integer
     micro-units (the rational identities, never a float round-trip),
     summed exactly, and the chi-square statistic is one IEEE-portable
-    expression over the two integer sums. Same bounded weeks x
-    customers shape as the KM estimator."""
+    expression over the two integer sums. Same sweep-line at-risk
+    identity as the KM estimator — per-week entry/exit counts plus
+    cumulative windows over the bounded weekly grid, no weeks x
+    customers scaffold."""
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.date_trunc("week", F.min(F.to_date("o_orderdate"))).cast("date")
@@ -1658,19 +1675,31 @@ def logrank_test_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.max(F.to_date("o_orderdate"))).cast("date")
         .alias("last_w"),
     ).select((F.col("o_custkey") % 2).alias("grp"), "first_w", "last_w")
-    weeks = cust.select(F.col("last_w").alias("w")).distinct()
-    at_risk = (F.col("first_w") <= F.col("w")) & (F.col("last_w") >= F.col("w"))
-    churn = F.col("last_w") == F.col("w")
-    counts = (
-        weeks.crossJoin(cust)
-        .groupBy("w")
-        .agg(
-            F.sum(churn.cast("int")).alias("d"),
-            F.sum(at_risk.cast("int")).alias("r"),
-            F.sum((churn & (F.col("grp") == 1)).cast("int")).alias("d1"),
-            F.sum((at_risk & (F.col("grp") == 1)).cast("int")).alias("r1"),
-        )
+    # Same sweep-line identity as kaplan_meier_churn, carried per group:
+    # r(w) = cum(entries <= w) - cum(exits < w), never weeks x customers.
+    g1 = (F.col("grp") == 1).cast("long")
+    entries = cust.groupBy(F.col("first_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_enter"), F.sum(g1).alias("n_enter1")
     )
+    exits = cust.groupBy(F.col("last_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_exit"), F.sum(g1).alias("n_exit1")
+    )
+    grid = entries.join(exits, "w", "full_outer")
+    w_le = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    w_lt = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+
+    def _risk(enter_col: str, exit_col: str):
+        return F.sum(F.coalesce(enter_col, F.lit(0))).over(w_le) - F.coalesce(
+            F.sum(F.coalesce(exit_col, F.lit(0))).over(w_lt), F.lit(0)
+        )
+
+    counts = grid.select(
+        "w",
+        F.coalesce("n_exit", F.lit(0)).alias("d"),
+        _risk("n_enter", "n_exit").alias("r"),
+        F.coalesce("n_exit1", F.lit(0)).alias("d1"),
+        _risk("n_enter1", "n_exit1").alias("r1"),
+    ).filter(F.col("d") > 0)
     d38 = "decimal(38,0)"
     d, r, d1, r1 = (F.col(c).cast(d38) for c in ("d", "r", "d1", "r1"))
     e1_micro = exact_floor_div(2 * 1000000 * d * r1 + r, 2 * r)

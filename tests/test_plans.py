@@ -415,6 +415,30 @@ def test_session4_wave3_plan_contracts(spark, sf_dir):
     assert txt.count("Exchange SinglePartition") <= 2
 
 
+def test_doc_grain_rankers_never_sort_corpus_into_one_partition(spark, sf_dir):
+    """Round-6 upgrades: the doc-grain rank shapes must not funnel the
+    corpus through an unpartitioned window. rrf/rbo take top-depth via
+    TakeOrderedAndProject per retriever BEFORE ranking; gains assigns
+    exact ntile deciles via the two-pass bucketed-rank scheme (histogram
+    cumulative + per-score partitioned row_number + broadcast rejoin)."""
+    ops = all_ops()
+    s = plan_summary(ops["rrf_fusion_topk"].fn(spark, sf_dir))
+    assert s["take_ordered"] >= 2, s      # one per retriever (+ final top-20)
+    s = plan_summary(ops["rbo_rankings"].fn(spark, sf_dir))
+    assert s["take_ordered"] >= 2, s
+    g = ops["gains_chart_langid"].fn(spark, sf_dir)
+    s = plan_summary(g)
+    assert s["broadcast_joins"] >= 1, s   # per-score cum counts rejoin broadcast
+    assert s["python_evals"] == 0
+    from my_polars_ai_spark.plans.inspect import explain_str
+
+    txt = explain_str(g, mode="simple")
+    # unpartitioned sorts allowed only on bounded sets: the score
+    # histogram window and the 10-row decile grid — the per-doc
+    # numbering must be hash-partitioned by score_micro
+    assert txt.count("Exchange SinglePartition") <= 2, txt
+
+
 def test_join_hints_control_physical_strategy(spark, sf_dir):
     """The three join-strategy hints must actually steer Catalyst —
     the knob a 100 TB tuning session turns first."""
@@ -454,6 +478,11 @@ def test_session4_wave4_plan_contracts(spark, sf_dir):
     # nested-loop fan-out (review-2 finding 5)
     s = plan_summary(ops["wau_overlap_jaccard"].fn(spark, sf_dir))
     assert s["nested_loop_joins"] == 0
+    # survival ops: the at-risk counts come from the sweep-line
+    # entry/exit identity — no weeks x customers CartesianProduct/BNLJ
+    for name in ("kaplan_meier_churn", "logrank_test_churn"):
+        s = plan_summary(ops[name].fn(spark, sf_dir))
+        assert s["nested_loop_joins"] == 0, name
     # AR aging: status filter reaches the scan
     from my_polars_ai_spark.plans.inspect import pushed_filters
 
