@@ -367,6 +367,109 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_K = 4  # Lloyd's-step clusters
+
+
+_KMEANS_STEP_ORACLE = f"""
+WITH corpus AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+           v AS cv
+    FROM corpus QUALIFY cluster < {KM_K}
+), assigned AS (
+    SELECT vec_id, v, cluster FROM (
+        SELECT c.vec_id, c.v, s.cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_distance(c.v, s.cv), {ROUND_RATIO}) ASC,
+                            s.cluster) AS arank
+        FROM corpus c CROSS JOIN seeds s
+    ) WHERE arank = 1
+), pos AS (
+    SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+    FROM assigned
+)
+SELECT CAST(cluster AS INT) AS cluster, CAST(dim AS INT) AS dim,
+       CAST(sum(CAST(CAST(x AS DECIMAL(20,8)) * 100000000 AS DECIMAL(38,0)))
+            AS BIGINT) AS sum_micro8,
+       CAST(count(*) AS BIGINT) AS n
+FROM pos GROUP BY cluster, dim
+"""
+
+
+@op(
+    "kmeans_lloyd_step",
+    oracle=_KMEANS_STEP_ORACLE,
+    tags=("ml", "cluster", "similarity"),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd's iteration of k-means (K=4) as pure relational
+    algebra — the oracle-checkable twin of `kmeans_segments` (which
+    exhibits the pyspark.ml library integration and stays rows-only
+    because trained cluster ids are implementation-specific). Seeded
+    init: the K corpus vectors ranked first by md5(vec_id) — the
+    `ivf_cosine_topk` codebook pattern, a pure function of the data,
+    so BOTH engines derive identical centroids. Assignment is a NARROW
+    projection against the K literal centroid vectors (euclidean
+    distance rounded before the argmin so engine ulp drift can't flip
+    assignment; ties fall to the lower cluster id on both sides); the
+    update step is `label_centroids`' exact integer accumulation keyed
+    by the ASSIGNED cluster: per-dimension DECIMAL(20,8) 1e-8-unit
+    sums + member counts, which hash identically at any partitioning.
+    The caller derives new centroids as sum_micro8/(n*1e8) and
+    iterates.
+
+    100 TB shape: the codebook is a bounded K-row driver-side artifact
+    (= KMeansModel.clusterCenters()); assignment adds ZERO shuffles;
+    the only exchange is the (cluster, dim)-keyed hash aggregation
+    with map-side partial agg (state = K x 64 rows per task)."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    seeds = (
+        corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: (r.h, r.vec_id))
+    codebook = [(cl, list(r.v)) for cl, r in enumerate(seeds)]
+
+    def _dist_to(cv: list[float]) -> Column:
+        lv = F.array(*[F.lit(float(x)) for x in cv])
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), lv, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            ROUND_RATIO,
+        )
+
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(_dist_to(cv).alias("d"), F.lit(cl).alias("cluster"))
+                for cl, cv in codebook
+            ]
+        )
+    )
+    assigned = corpus.withColumn("cluster", ranked[0]["cluster"])
+    exploded = assigned.select("cluster", F.posexplode("v").alias("p", "x"))
+    return exploded.groupBy(
+        F.col("cluster").cast("int").alias("cluster"),
+        (F.col("p") + 1).cast("int").alias("dim"),
+    ).agg(
+        F.sum(
+            (F.col("x").cast("decimal(20,8)") * 100000000).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("sum_micro8"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 EMB_DEDUP_THRESHOLD = 0.3  # this synthetic corpus has no true near-dups
 # (max pairwise cosine ~0.51); 0.3 exercises the full pipeline with a
 # real result set. On a production corpus set ~0.95+.

@@ -29,23 +29,22 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R5
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R6
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R5  # round-5 rotation is live
+    assert _PRIORITY == _PRIORITY_R6  # round-6 rotation is live
     window = set(ordered[:50])
-    # R5 canaries: one driver-green representative per north-star family
-    # (with the staged swaps applied — tolerance as-of, attribution
-    # stream-twin, GROUPED_AGG UDAF, weighted Bernoulli sampling).
+    # R6 canaries (one per north-star family; TPC-H/SQL covered by the
+    # window's own 8 TPC-H-tail rows) plus the two round-5 driver reds
+    # whose fixes MUST re-attest this round.
     canaries = {
-        "dedup_minhash_lsh", "dedup_cluster_canonical",   # dedup family
-        "ann_lsh_cosine",                                 # similarity / ANN
-        "tfidf_top_terms",                                # text analysis
-        "grouped_agg_sum_squares", "udtf_bigrams",        # UDF surface
-        "asof_join_tolerance", "view_purchase_attribution",  # as-of / event-time
-        "weighted_bernoulli_sample", "sql_api_revenue",   # sampling / SQL API
-        "flagship_revenue_by_nation", "tpch_q1_pricing_summary",  # TPC-H
+        "flagship_revenue_by_nation",   # joins / flagship
+        "dedup_minhash_lsh",            # dedup family
+        "ann_lsh_cosine",               # similarity / ANN
+        "tfidf_top_terms",              # text analysis
+        "tpch_q20_top_shippers",        # r5 red: oracle HUGEINT cast
+        "misc_scalar_funcs",            # r5 red: unhashable array column
     }
     missing = canaries - window
     assert not missing, f"family canaries outside driver window: {sorted(missing)}"
@@ -122,7 +121,11 @@ def test_minhash_pairs_are_subset_of_truth(spark, sf_dir):
         )
     )
     assert lsh <= truth
-    assert len(lsh) / max(len(truth), 1) >= 0.5  # decent recall on this corpus
+    # the md5-seeded signatures are deterministic on this corpus:
+    # measured recall is 0.908 at sf0.001 / 0.900 at sf0.01, so 0.85 is
+    # a floor a real quantizer/banding regression would trip (the old
+    # 0.5 floor let a half-broken banding scheme pass)
+    assert len(lsh) / max(len(truth), 1) >= 0.85
 
 
 def test_asof_join_backward_known_answer(spark):
