@@ -358,6 +358,70 @@ _PRIORITY_R6 = (
     "dow_hour_heatmap",
 )
 
+# Round-7 window, staged and test-validated in round 6 (the r7 flip is
+# the one-liner `_PRIORITY = _PRIORITY_R7`). 6 canaries + the NEXT 44
+# never-attested ops in registry order after the r6 window: the
+# scalar/array tail (now string-surfaced for the driver canonicalizer),
+# the time-series/markov/attribution block, and the stats/dedup-
+# diagnostics block through co_supplier_pairs. Cumulative ledger going
+# in: r01+r02+r05 attested 124 rows; r6 should add ~46 (44 first-time +
+# 2 re-attested reds). ~189 remain for r8+ (including the 36 r4-window
+# ops whose CORRECTNESS_r04.json never landed).
+_PRIORITY_R7 = (
+    # canaries — one per north-star family
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_lsh_cosine",
+    "tfidf_top_terms",
+    "sql_api_revenue",
+    # never-attested, registry order
+    "tpch_q17_small_qty_revenue",
+    "revenue_share_of_region",
+    "rls_masked_view",
+    "ntile_quartiles",
+    "rolling_range_7d",
+    "vs_peers_daily",
+    "pivot_multi_agg",
+    "array_funcs",
+    "higher_order_array_funcs",
+    "struct_map_access",
+    "json_funcs",
+    "array_set_ops",
+    "try_arithmetic_funcs",
+    "collated_group_count",
+    "sliding_window_1h_30m",
+    "daily_rollup",
+    "sequence_islands",
+    "funnel_conversion",
+    "retention_cohorts",
+    "concurrency_duration_profile",
+    "session_window_dynamic_gap",
+    "ts_decompose_daily",
+    "twap_daily_value",
+    "markov_3step_purchase",
+    "markov_conditional_entropy",
+    "theil_sen_daily_slope",
+    "seasonal_strength_daily",
+    "conformal_daily_interval",
+    "attribution_models_compare",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "corr_matrix",
+    "impute_mean",
+    "confusion_matrix",
+    "feature_minmax_scale",
+    "groupwise_ols_slope",
+    "chi_square_lang_source",
+    "gini_per_nation",
+    "spearman_per_nation",
+    "doc_fingerprint",
+    "dedup_cluster_size_hist",
+    "dedup_keep_longest",
+    "source_overlap_matrix",
+    "co_supplier_pairs",
+)
+
 # Round 6: the staged flip, executed (window composition amended — see
 # the _PRIORITY_R6 comment above for the canary/re-attest changes).
 _PRIORITY = _PRIORITY_R6
