@@ -1,6 +1,7 @@
 """Named LLM providers (parity with the reference provider surface:
 polarsai/__init__.py:165-195 langchain switch; llm/deprecated/openai.py,
-azure_openai.py, starcoder.py, falcon.py direct HTTP clients).
+azure_openai.py, starcoder.py, falcon.py, open_assistant.py,
+google_palm.py direct HTTP clients).
 
 All providers speak public HTTP APIs (OpenAI chat/completions wire format,
 HuggingFace Inference API) through an injectable ``transport`` callable
@@ -184,6 +185,83 @@ class FalconLLM(HuggingFaceTextGenLLM):
     _type = "falcon"
 
 
+class OpenAssistantLLM(HuggingFaceTextGenLLM):
+    """OpenAssistant pythia-12b via HF Inference API (reference
+    llm/deprecated/open_assistant.py — same HuggingFaceLLM shape with
+    the model URL pinned)."""
+
+    _api_url = (
+        "https://api-inference.huggingface.co/models/"
+        "OpenAssistant/oasst-sft-1-pythia-12b"
+    )
+    _type = "open-assistant"
+
+
+class GooglePalmLLM(LLM):
+    """Google PaLM text completion (reference llm/deprecated/
+    google_palm.py BaseGoogle/GooglePalm surface), re-expressed against
+    the public Generative Language REST API (models/text-bison-001
+    :generateText) through the same injectable transport as every other
+    provider. Parameter validation mirrors the reference's
+    ``_validate`` ranges; the Vertex-hosted variant stays behind
+    ``load_llm("GoogleVertexAI")`` exactly as the reference split the
+    two classes."""
+
+    def __init__(
+        self,
+        api_token: str | None = None,
+        model: str = "models/text-bison-001",
+        temperature: float = 0.0,
+        top_p: float = 0.8,
+        top_k: int = 40,
+        max_output_tokens: int = 1024,
+        transport: Transport | None = None,
+    ):
+        self.api_token = api_token or os.getenv("GOOGLE_PALM_API_KEY")
+        if not self.api_token:
+            raise APIKeyNotFoundError(
+                "Google PaLM API key is required (api_token or GOOGLE_PALM_API_KEY)"
+            )
+        if not model:
+            raise ValueError("model is required.")
+        if not 0 <= temperature <= 1:
+            raise ValueError("temperature must be in the range [0.0, 1.0]")
+        if not 0 <= top_p <= 1:
+            raise ValueError("top_p must be in the range [0.0, 1.0]")
+        if top_k <= 0:
+            raise ValueError("top_k must be greater than zero")
+        if max_output_tokens <= 0:
+            raise ValueError("max_output_tokens must be greater than zero")
+        self.model = model
+        self.temperature = temperature
+        self.top_p = top_p
+        self.top_k = top_k
+        self.max_output_tokens = max_output_tokens
+        self._transport = transport or _default_transport
+
+    @property
+    def type(self) -> str:
+        return "google-palm"
+
+    def predict(self, text: str) -> str:
+        url = (
+            f"https://generativelanguage.googleapis.com/v1beta3/{self.model}"
+            f":generateText?key={self.api_token}"
+        )
+        payload = {
+            "prompt": {"text": text},
+            "temperature": self.temperature,
+            "topP": self.top_p,
+            "topK": self.top_k,
+            "maxOutputTokens": self.max_output_tokens,
+        }
+        response = self._transport(url, {}, payload)
+        candidates = response.get("candidates") or []
+        if not candidates:
+            raise ValueError("Google PaLM returned no candidates")
+        return candidates[0]["output"]
+
+
 def load_llm(llm_type: str, **options) -> LLM:
     """The reference's constructor switch (polarsai/__init__.py:165-195
     ``_load_llm``: LlamaCpp | OpenAI | SageMaker | Custom) re-expressed as
@@ -198,6 +276,10 @@ def load_llm(llm_type: str, **options) -> LLM:
         return StarcoderLLM(**options)
     if llm_type == "Falcon":
         return FalconLLM(**options)
+    if llm_type == "OpenAssistant":
+        return OpenAssistantLLM(**options)
+    if llm_type == "GooglePalm":
+        return GooglePalmLLM(**options)
     if llm_type == "Fake":
         return FakeLLM(**options)
     if llm_type == "Custom":

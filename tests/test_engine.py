@@ -345,6 +345,38 @@ def test_huggingface_providers():
     assert fa.predict("hi") == "from falcon-7b-instruct" and fa.type == "falcon"
 
 
+def test_open_assistant_and_google_palm_providers():
+    from my_polars_ai_spark.engine.exceptions import APIKeyNotFoundError
+    from my_polars_ai_spark.engine.providers import GooglePalmLLM, OpenAssistantLLM
+
+    def hf_transport(url, headers, payload):
+        assert payload["inputs"] == "hi"
+        return [{"generated_text": f"from {url.rsplit('/', 1)[-1]}"}]
+
+    oa = OpenAssistantLLM(api_token="hf-test", transport=hf_transport)
+    assert oa.predict("hi") == "from oasst-sft-1-pythia-12b"
+    assert oa.type == "open-assistant"
+
+    seen = {}
+
+    def palm_transport(url, headers, payload):
+        seen["url"] = url
+        assert payload["prompt"] == {"text": "hi"}
+        assert payload["topK"] == 40
+        return {"candidates": [{"output": "palm says hi"}]}
+
+    gp = GooglePalmLLM(api_token="g-test", transport=palm_transport)
+    assert gp.predict("hi") == "palm says hi" and gp.type == "google-palm"
+    assert "models/text-bison-001:generateText" in seen["url"]
+    # reference BaseGoogle._validate parameter ranges
+    with pytest.raises(ValueError):
+        GooglePalmLLM(api_token="g", temperature=1.5)
+    with pytest.raises(ValueError):
+        GooglePalmLLM(api_token="g", top_k=0)
+    with pytest.raises(APIKeyNotFoundError):
+        GooglePalmLLM(api_token=None)
+
+
 def test_load_llm_factory_switch():
     from my_polars_ai_spark.engine.exceptions import BadImportError
     from my_polars_ai_spark.engine.providers import OpenAILLM, load_llm
