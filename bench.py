@@ -82,6 +82,11 @@ HEADLINE = [
     # session-2 closing: the fused multi-subtree single-scan report
     # (five independent aggregations sharing one cached corpus scan)
     "corpus_health_scorecard",
+    # round-6: the two structurally-new shapes — exact ntile via
+    # two-pass bucketed rank (no corpus-sized window), and the
+    # sweep-line survival counts (no weeks x customers cross join)
+    "gains_chart_langid",
+    "kaplan_meier_churn",
 ]
 
 

@@ -1893,28 +1893,60 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lorenz/Pareto cut every supply-chain and storage-tiering decision
     uses. Revenue accumulates in exact integer micro-units and the
     class thresholds are exact integer comparisons (5*cum <= 4*total),
-    so class boundaries can't wobble on float ties. The rank+cumsum
-    window runs over the PART-aggregated table (dimension-bounded, the
-    documented global-window class — two-pass bucket offsets are the
-    named upgrade if the part dimension ever stops fitting)."""
+    so class boundaries can't wobble on float ties.
+
+    Scale shape (round-6 upgrade, the gains_chart_langid two-pass
+    scheme): ranks and running sums are EXACT but no window ever sees
+    the whole part dimension — parts hash into $1000-wide revenue
+    buckets; one bounded bucket histogram carries the
+    strictly-higher-bucket count/sum cumulatives (plus the grand total
+    on the same pass); each part then gets rank = higher_n + in-bucket
+    row_number and cum = higher_sum + in-bucket running sum through
+    HASH-PARTITIONED windows. Bucket order = revenue order because the
+    bucket key is revenue DIV width, so the composition is exactly the
+    global (revm DESC, partkey ASC) ordering."""
     li = _t(spark, sf_dir, "lineitem")
     revm = (
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(28,6)")
         * 1000000
     )
-    pr = li.groupBy("l_partkey").agg(F.sum(revm).alias("revm"))
-    t = pr.agg(F.sum("revm").alias("total"))
-    w = Window.orderBy(F.desc("revm"), F.asc("l_partkey"))
-    r = pr.select(
-        "l_partkey",
-        "revm",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("revm").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    # per-part totals are integer-valued micro-units: long-exact
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(revm).cast("long").alias("revl")
     )
-    return r.crossJoin(F.broadcast(t)).select(
+    bucket_w = 1_000_000_000  # $1000 in micro-units
+    prb = pr.withColumn("b", F.expr(f"revl DIV {bucket_w}"))
+    hist = prb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.col("revl").cast("decimal(38,0)")).alias("s_b"),
+    )
+    w_hi = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(F.desc("b")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    cumh = hist.select(
+        "b",
+        F.coalesce(F.sum("n_b").over(w_hi), F.lit(0)).cast("long").alias("n_higher"),
+        F.coalesce(F.sum("s_b").over(w_hi), zero).alias("s_higher"),
+        F.sum("s_b").over(w_all).alias("total"),
+    )
+    w_in = Window.partitionBy("b").orderBy(F.desc("revl"), F.asc("l_partkey"))
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    r = prb.join(F.broadcast(cumh), "b").select(
         "l_partkey",
-        F.col("revm").cast("long").alias("revenue_micro"),
+        "revl",
+        (F.col("n_higher") + F.row_number().over(w_in)).alias("rnk"),
+        (
+            F.col("s_higher")
+            + F.sum(F.col("revl").cast("decimal(38,0)")).over(w_run)
+        ).alias("cum"),
+        "total",
+    )
+    return r.select(
+        "l_partkey",
+        F.col("revl").alias("revenue_micro"),
         F.col("rnk").cast("long").alias("revenue_rank"),
         F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
         .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
