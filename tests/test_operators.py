@@ -1408,3 +1408,53 @@ def test_coverage_md_stays_consistent_with_registry():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "consistent" in r.stdout
+
+
+def test_gains_ntile_arithmetic_matches_spark_ntile(spark, tmp_path):
+    """The two-pass bucketed decile assignment must reproduce EXACT
+    ntile(10) semantics at awkward corpus sizes: N divisible by 10
+    (all tiles equal), N % 10 != 0 (first r tiles one row larger), and
+    N < 10 (more tiles than rows — only the first branch of the DIV
+    arithmetic ever fires)."""
+    from pyspark.sql import Window
+
+    for n in (20, 23, 7):
+        rows = [
+            (i, ("the and is " * (i % 5 + 1)).strip(), "en" if i % 3 else "fr",
+             "s", 10)
+            for i in range(1, n + 1)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).write.parquet(str(tmp_path / str(n) / "documents.parquet"))
+
+        got = {
+            (r.decile, r.n_docs, r.n_pos)
+            for r in all_ops()["gains_chart_langid"]
+            .fn(spark, str(tmp_path / str(n)))
+            .collect()
+        }
+        # reference: Spark's own ntile over the same exact score
+        from my_polars_ai_spark.operators.text import _EN_MARKERS
+        from my_polars_ai_spark.operators.base import exact_floor_div
+
+        d = spark.read.parquet(str(tmp_path / str(n) / "documents.parquet"))
+        ts = F.split("text", " ")
+        hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
+        f = d.select(
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+            exact_floor_div(
+                2 * 1000000 * hits.cast("decimal(38,0)") + F.size(ts),
+                2 * F.size(ts).cast("decimal(38,0)"),
+            ).cast("long").alias("score_micro"),
+            "doc_id",
+        ).filter(F.size(ts) > 0)
+        w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        want = {
+            (r.decile, r.n, r.n_pos)
+            for r in f.select("is_en", F.ntile(10).over(w).alias("decile"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("is_en").alias("n_pos"))
+            .collect()
+        }
+        assert got == want, f"N={n}"
