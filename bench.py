@@ -138,15 +138,20 @@ def main() -> None:
     # own diamond caches, then min-of-5 back-to-back — the
     # steady-state number a dedicated cluster session would see
     # (min-of-3 still showed 20%+ jitter on the LSH pipeline's min).
+    # The isolated measurement REPLACES the shared-loop sample (min-ing
+    # the two would keep a spuriously-fast shared sample that rode a
+    # cache another query filled — the artifact class this pass exists
+    # to remove).
     heavy = sorted(timings, key=timings.get, reverse=True)[:5]
     for name in heavy:
         spark.catalog.clearCache()
         ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        isolated = []
         for _ in range(5):
             t0 = time.perf_counter()
             ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings[name], dt)
+            isolated.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(isolated)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -28,7 +28,9 @@ from my_polars_ai_spark.engine.llm import CallableLLM, FakeLLM, LangChainLLM  # 
 from my_polars_ai_spark.engine.providers import (  # noqa: F401
     AzureOpenAILLM,
     FalconLLM,
+    GooglePalmLLM,
     OpenAILLM,
+    OpenAssistantLLM,
     StarcoderLLM,
     load_llm,
 )

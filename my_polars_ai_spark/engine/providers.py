@@ -244,9 +244,13 @@ class GooglePalmLLM(LLM):
         return "google-palm"
 
     def predict(self, text: str) -> str:
+        # key travels in the x-goog-api-key header (the API's header
+        # auth form), NEVER the URL query string — URLs end up in
+        # proxy/access logs and debug traces; headers match how every
+        # sibling provider carries its secret
         url = (
             f"https://generativelanguage.googleapis.com/v1beta3/{self.model}"
-            f":generateText?key={self.api_token}"
+            ":generateText"
         )
         payload = {
             "prompt": {"text": text},
@@ -255,7 +259,7 @@ class GooglePalmLLM(LLM):
             "topK": self.top_k,
             "maxOutputTokens": self.max_output_tokens,
         }
-        response = self._transport(url, {}, payload)
+        response = self._transport(url, {"x-goog-api-key": self.api_token}, payload)
         candidates = response.get("candidates") or []
         if not candidates:
             raise ValueError("Google PaLM returned no candidates")

@@ -345,7 +345,7 @@ def test_huggingface_providers():
     assert fa.predict("hi") == "from falcon-7b-instruct" and fa.type == "falcon"
 
 
-def test_open_assistant_and_google_palm_providers():
+def test_open_assistant_and_google_palm_providers(monkeypatch):
     from my_polars_ai_spark.engine.exceptions import APIKeyNotFoundError
     from my_polars_ai_spark.engine.providers import GooglePalmLLM, OpenAssistantLLM
 
@@ -363,16 +363,20 @@ def test_open_assistant_and_google_palm_providers():
         seen["url"] = url
         assert payload["prompt"] == {"text": "hi"}
         assert payload["topK"] == 40
+        # the key rides the auth header, and must never leak into the URL
+        assert headers["x-goog-api-key"] == "g-test"
         return {"candidates": [{"output": "palm says hi"}]}
 
     gp = GooglePalmLLM(api_token="g-test", transport=palm_transport)
     assert gp.predict("hi") == "palm says hi" and gp.type == "google-palm"
     assert "models/text-bison-001:generateText" in seen["url"]
+    assert "g-test" not in seen["url"]
     # reference BaseGoogle._validate parameter ranges
     with pytest.raises(ValueError):
         GooglePalmLLM(api_token="g", temperature=1.5)
     with pytest.raises(ValueError):
         GooglePalmLLM(api_token="g", top_k=0)
+    monkeypatch.delenv("GOOGLE_PALM_API_KEY", raising=False)
     with pytest.raises(APIKeyNotFoundError):
         GooglePalmLLM(api_token=None)
 

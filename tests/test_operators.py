@@ -50,6 +50,25 @@ def test_registry_prefix_window_matches_rotation_contract():
     assert not missing, f"family canaries outside driver window: {sorted(missing)}"
 
 
+def test_r7_window_is_staged_and_valid():
+    """The staged next-round window must stay flip-ready: every name
+    registered, no duplicates, exactly 50 entries, and its
+    first-attestation block disjoint from the live r6 window (an
+    overlap would waste an attestation slot) — the r3 postmortem gate
+    applied to the staging tuple, not just the live one."""
+    from my_polars_ai_spark.operators import _PRIORITY_R6, _PRIORITY_R7
+
+    ops = set(all_ops())
+    assert len(_PRIORITY_R7) == 50
+    assert len(set(_PRIORITY_R7)) == 50
+    missing = [n for n in _PRIORITY_R7 if n not in ops]
+    assert not missing, f"staged R7 names not in registry: {missing}"
+    canaries = set(_PRIORITY_R7[:6])
+    fresh = set(_PRIORITY_R7[6:])
+    assert not fresh & set(_PRIORITY_R6), sorted(fresh & set(_PRIORITY_R6))
+    assert canaries <= ops
+
+
 def test_portable_hash60_matches_duckdb(spark):
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
@@ -1415,13 +1434,17 @@ def test_gains_ntile_arithmetic_matches_spark_ntile(spark, tmp_path):
     ntile(10) semantics at awkward corpus sizes: N divisible by 10
     (all tiles equal), N % 10 != 0 (first r tiles one row larger), and
     N < 10 (more tiles than rows — only the first branch of the DIV
-    arithmetic ever fires)."""
+    arithmetic ever fires). Docs mix marker and non-marker tokens so
+    score_micro takes MULTIPLE distinct values — the cross-bucket rank
+    composition (higher-count + in-bucket row_number) is what's under
+    test, and an all-one-bucket corpus would let a broken histogram
+    cumulative pass unnoticed."""
     from pyspark.sql import Window
 
     for n in (20, 23, 7):
         rows = [
-            (i, ("the and is " * (i % 5 + 1)).strip(), "en" if i % 3 else "fr",
-             "s", 10)
+            (i, ("the " * (i % 4 + 1) + "zz " * (i % 3 + 1)).strip(),
+             "en" if i % 3 else "fr", "s", 10)
             for i in range(1, n + 1)
         ]
         spark.createDataFrame(
