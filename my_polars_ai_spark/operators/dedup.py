@@ -1662,3 +1662,156 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_survivors"),
         F.countDistinct("h").cast("long").alias("n_normalized_texts"),
     )
+
+
+_INCR_SPLIT = 5  # doc_id % 5 == 0 plays the incoming batch (~20%)
+
+_INCREMENTAL_MH_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), perms AS (
+        SELECT unnest(range({N_PERMS})) AS i
+    ), hashes AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))::BIGINT AS h
+        FROM toks CROSS JOIN perms
+    ), sig AS (
+        SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // {N_PERMS // N_BANDS} AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_sig
+        FROM sig GROUP BY doc_id, i // {N_PERMS // N_BANDS}
+    ), cand AS (
+        SELECT a.doc_id AS doc_new, b.doc_id AS doc_old
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id % {_INCR_SPLIT} = 0 AND b.doc_id % {_INCR_SPLIT} != 0
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+    ), pre AS (
+        SELECT c.doc_new, c.doc_old, sa.n AS na, sb.n AS nb
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_new
+        JOIN sizes sb ON sb.doc_id = c.doc_old
+        WHERE least(sa.n, sb.n) >= {MINHASH_THRESHOLD} * greatest(sa.n, sb.n)
+    ), inter AS (
+        SELECT p.doc_new, p.doc_old, p.na, p.nb, count(*) AS ni
+        FROM pre p
+        JOIN toks ta ON ta.doc_id = p.doc_new
+        JOIN toks tb ON tb.doc_id = p.doc_old AND tb.tok = ta.tok
+        GROUP BY 1, 2, 3, 4
+    ), scored AS (
+        SELECT doc_new, ni * 1.0 / (na + nb - ni) AS j
+        FROM inter WHERE ni * 1.0 / (na + nb - ni) >= {MINHASH_THRESHOLD}
+    )
+    SELECT doc_new AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_partners,
+           round(max(j), {ROUND_RATIO}) AS best_jaccard
+    FROM scored GROUP BY doc_new
+"""
+
+
+@op(
+    "dedup_incremental_minhash",
+    oracle=_INCREMENTAL_MH_SQL,
+    tags=("dedup", "minhash", "lsh", "incremental", "pipeline"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening — the PRODUCTION dedup shape: an
+    incoming batch (doc_id % 5 == 0 plays the new crawl snapshot) is
+    checked against the already-ingested corpus, and only new-vs-old
+    pairs are ever considered. A pipeline re-running `dedup_minhash_lsh`
+    over old ∪ new pays the full corpus every snapshot; this op pays
+    |new| + the band-bucket lookups.
+
+    Plan: ONE signature pass over all docs (the wide-vocab broadcast
+    minhash, same as dedup_minhash_lsh), band rows split into the two
+    sides, and the candidate join keyed on (band, band_sig) with the
+    incoming side as the SMALL probe — at 100 TB the existing side's
+    band table is a pre-built artifact keyed by signature (here recomputed
+    because parquet is the only persisted state), so each snapshot's cost
+    is proportional to the batch, not the corpus. Size-ratio prefilter
+    and exact-Jaccard verify run on candidates only; output is one row
+    per contaminated incoming doc (partner count + best Jaccard) — the
+    drop-list a curation pass consumes."""
+    toks = _doc_tokens(spark, sf_dir)
+    vocab_wide = toks.select("tok").distinct()
+    for i in range(N_PERMS):
+        vocab_wide = vocab_wide.withColumn(
+            f"h{i}", portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tok")))
+        )
+    rows_per_band = N_PERMS // N_BANDS
+    sig = (
+        toks.join(F.broadcast(vocab_wide), "tok")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_PERMS)])
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_sig").alias("band_sig"),
+        )
+        .cache()
+    )
+    newb = bands.filter(F.col("doc_id") % _INCR_SPLIT == 0).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_sig"
+    )
+    oldb = bands.filter(F.col("doc_id") % _INCR_SPLIT != 0).select(
+        F.col("doc_id").alias("doc_old"), "band", "band_sig"
+    )
+    cand = (
+        newb.join(oldb, ["band", "band_sig"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    tok_arrays = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    ).cache()
+    pre = (
+        cand.join(
+            F.broadcast(
+                tok_arrays.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
+            ),
+            "doc_new",
+        )
+        .join(
+            F.broadcast(
+                tok_arrays.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("nb"))
+            ),
+            "doc_old",
+        )
+        .filter(F.least("na", "nb") >= MINHASH_THRESHOLD * F.greatest("na", "nb"))
+    )
+    arr_a = tok_arrays.select(F.col("doc_id").alias("doc_new"), F.col("toks").alias("toks_a"))
+    arr_b = tok_arrays.select(F.col("doc_id").alias("doc_old"), F.col("toks").alias("toks_b"))
+    paired = pre.join(arr_a, "doc_new").join(arr_b, "doc_old")
+    ni = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = ni / (F.col("na") + F.col("nb") - ni)
+    return (
+        paired.filter(jac >= MINHASH_THRESHOLD)
+        .groupBy(F.col("doc_new").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_partners"),
+            F.round(F.max(jac), ROUND_RATIO).alias("best_jaccard"),
+        )
+    )

@@ -3528,3 +3528,200 @@ def flesch_proxy_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch_proxy"),
     )
+
+
+# Token-budget selection: keep the highest-diversity docs while the
+# running token count stays within 1/BUDGET_DIV of the corpus total.
+BUDGET_DIV = 4
+
+_BUDGET_SEL_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_d
+        FROM documents WHERE len(text) > 0
+    ), q AS (
+        SELECT doc_id, n_tok,
+               (2 * 1000000 * n_d + n_tok) // (2 * n_tok) AS q_micro
+        FROM base
+    ), r AS (
+        SELECT doc_id, n_tok, q_micro,
+               sum(n_tok) OVER (ORDER BY q_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n_tok) OVER () AS total
+        FROM q
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(q_micro AS BIGINT) AS quality_micro
+    FROM r WHERE {BUDGET_DIV} * cum <= total
+"""
+
+
+@op(
+    "token_budget_selection",
+    oracle=_BUDGET_SEL_SQL,
+    tags=("text", "curation", "pipeline"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget — the curation pass that
+    answers 'we can only afford to train on 1/4 of this corpus's
+    tokens; which documents?': rank by quality (lexical diversity as
+    the stand-in scorer, the exact half-up micro ratio), keep docs
+    greedily while the running token count stays within total/4. The
+    greedy-by-density rule is the exact optimum when quality is the
+    objective and tokens the cost (fractional knapsack, whole docs).
+
+    Scale shape: the running token sum over the quality ordering NEVER
+    runs as a corpus-sized global window — the gains_chart_langid
+    two-pass scheme: per-quality-value histogram (bounded at <=1e6+1
+    micro values) carries strictly-higher token cumulatives and the
+    grand total on one bounded pass; each doc adds its in-bucket
+    running sum through a HASH-PARTITIONED window. The budget test
+    4*cum <= total is an exact long comparison on both engines."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ts = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(ts).alias("n_tok"),
+        F.size(F.array_distinct(ts)).alias("n_d"),
+    )
+    q = base.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        exact_floor_div(
+            2 * 1000000 * F.col("n_d").cast("decimal(38,0)") + F.col("n_tok"),
+            2 * F.col("n_tok").cast("decimal(38,0)"),
+        ).cast("long").alias("q_micro"),
+    )
+    hist = q.groupBy("q_micro").agg(F.sum("n_tok").alias("s_b"))
+    w_hi = Window.orderBy(F.desc("q_micro")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.desc("q_micro")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cumh = hist.select(
+        "q_micro",
+        F.coalesce(F.sum("s_b").over(w_hi), F.lit(0)).cast("long").alias("s_higher"),
+        F.sum("s_b").over(w_all).cast("long").alias("total"),
+    )
+    w_in = Window.partitionBy("q_micro").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = q.join(F.broadcast(cumh), "q_micro").select(
+        "doc_id",
+        "n_tok",
+        "q_micro",
+        (F.col("s_higher") + F.sum("n_tok").over(w_in)).alias("cum"),
+        "total",
+    )
+    return r.filter(BUDGET_DIV * F.col("cum") <= F.col("total")).select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.col("q_micro").alias("quality_micro"),
+    )
+
+
+# DSIR hashed-feature dimensionality (buckets) — bounded model state.
+DSIR_BUCKETS = 128
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE len(text) > 0
+    ), bt AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+        FROM toks WHERE tok != ''
+    ), target AS (
+        SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b
+    ), raw AS (
+        SELECT b, count(*) AS cr FROM bt GROUP BY b
+    ), totals AS (
+        SELECT (SELECT count(*) FROM bt WHERE lang = 'en') AS t_n,
+               (SELECT count(*) FROM bt) AS r_n
+    ), lr AS (
+        SELECT r.b,
+               CAST(round(ln(((COALESCE(t.ct, 0) + 1)::DOUBLE * (totals.r_n + {DSIR_BUCKETS}))
+                             / ((r.cr + 1)::DOUBLE * (totals.t_n + {DSIR_BUCKETS}))) * 1000000)
+                    AS BIGINT) AS lr_micro
+        FROM raw r LEFT JOIN target t USING (b) CROSS JOIN totals
+    )
+    SELECT bt.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lr.lr_micro) AS BIGINT) AS dsir_micro
+    FROM bt JOIN lr USING (b)
+    GROUP BY bt.doc_id
+"""
+
+
+@op(
+    "dsir_importance_weights",
+    oracle=_DSIR_SQL,
+    tags=("text", "curation", "sampling", "pipeline"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (hashed n-gram variant,
+    after Xie et al. 2023): score every document by how much more
+    likely its tokens are under a TARGET distribution (here the 'en'
+    slice stands in for the high-quality target corpus) than under the
+    raw pool — the importance weight that drives resampling toward the
+    target domain. Features are hashed unigram buckets
+    (portable md5 hash % {{B}}), so the 'model' is two bounded
+    {{B}}-row count tables, never a vocabulary-sized object.
+
+    Exactness: per-bucket add-1-smoothed log-ratios round ONCE to
+    integer micro-nats from an identical IEEE double expression on
+    both engines; per-doc weights are exact long sums of those
+    integers (the unigram_logprob_score discipline). Plan: token
+    stream -> bucket (narrow md5 map), two map-side-combined bounded
+    aggregations build the ratio table, which BROADCASTS back onto the
+    stream; the only corpus-keyed shuffle is the final doc_id groupBy.
+    At 100 TB the target table would be a pre-fit artifact; here both
+    sides fit in one plan."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    bt = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", "lang", (portable_hash60(F.col("tok")) % DSIR_BUCKETS).alias("b"))
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    target = bt.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = bt.agg(
+        F.count(F.lit(1)).alias("r_n"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("t_n"),
+    )
+    lr = (
+        raw.join(target, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                        * (F.col("r_n") + DSIR_BUCKETS)
+                    )
+                    / (
+                        (F.col("cr") + 1).cast("double")
+                        * (F.col("t_n") + DSIR_BUCKETS)
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        bt.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("dsir_micro"),
+        )
+    )
