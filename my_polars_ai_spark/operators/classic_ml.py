@@ -1588,7 +1588,11 @@ _QTE_SQL = """
             quantile_cont(CASE WHEN treated = 0 THEN CAST(q AS DOUBLE) END, 0.75) AS c2
         FROM r
     )
-    SELECT quantile, q_treated, q_control, q_treated - q_control AS qte
+    -- 0.25 literals are DECIMAL in DuckDB; the driver's value-hash is
+    -- dtype-sensitive, so the quantile column casts to DOUBLE to match
+    -- Spark's float output
+    SELECT CAST(quantile AS DOUBLE) AS quantile,
+           q_treated, q_control, q_treated - q_control AS qte
     FROM (
         SELECT 0.25 AS quantile, t0 AS q_treated, c0 AS q_control FROM qt
         UNION ALL SELECT 0.5, t1, c1 FROM qt

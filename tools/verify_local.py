@@ -40,6 +40,33 @@ def _key(row):
     return tuple((str(type(v)), str(v)) for v in row)
 
 
+def _dtype_kind(values) -> str:
+    """Coarse value-type kind per column, mirroring what the driver's
+    pandas canonicalizer is sensitive to: a DuckDB HUGEINT/DECIMAL
+    column materializes as Python objects while Spark's BIGINT becomes
+    int64, and the value-hash then differs even when the numbers agree
+    (the round-5 tpch_q20 red). Kinds: int/float/bool/str/date/other."""
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, Decimal):
+            return "decimal"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, datetime):
+            return "datetime"
+        if isinstance(v, date):
+            return "date"
+        return type(v).__name__
+    return "all-null"
+
+
 def compare(spark_df, oracle_rows, oracle_cols):
     spark_cols = spark_df.columns
     rows = [tuple(r) for r in spark_df.collect()]
@@ -47,6 +74,20 @@ def compare(spark_df, oracle_rows, oracle_cols):
     if sorted(spark_cols) != sorted(oracle_cols):
         issues.append(f"columns differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
         return issues
+    # dtype-kind parity BEFORE value normalization: the driver hashes
+    # pandas-canonicalized frames, which distinguish int64 from object
+    # columns even when the values are numerically identical
+    for c in sorted(spark_cols):
+        si, oi = spark_cols.index(c), oracle_cols.index(c)
+        sk = _dtype_kind(r[si] for r in rows)
+        ok = _dtype_kind(r[oi] for r in oracle_rows)
+        if "all-null" in (sk, ok):
+            continue
+        if sk != ok:
+            issues.append(
+                f"dtype kind differs on {c!r}: spark={sk} oracle={ok} "
+                "(driver value-hash is dtype-sensitive — CAST the oracle side)"
+            )
     if len(rows) != len(oracle_rows):
         issues.append(f"row count differs: spark={len(rows)} oracle={len(oracle_rows)}")
     # align column order by name
