@@ -3725,3 +3725,90 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr_micro").alias("dsir_micro"),
         )
     )
+
+
+_CASCADE_SQL = """
+    WITH d AS (
+        SELECT len(text) > 0 AS f_nonempty,
+               len(string_split(text, ' ')) >= 5 AS f_min_tokens,
+               2 * len(list_distinct(string_split(text, ' ')))
+                   >= len(string_split(text, ' ')) AS f_diversity,
+               10 * len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   >= 6 * len(replace(text, ' ', '')) AS f_alpha
+        FROM documents
+    ), staged AS (
+        SELECT CASE WHEN NOT f_nonempty   THEN 0
+                    WHEN NOT f_min_tokens THEN 1
+                    WHEN NOT f_diversity  THEN 2
+                    WHEN NOT f_alpha      THEN 3
+                    ELSE 4 END AS first_fail
+        FROM d
+    ), kills AS (
+        SELECT first_fail, count(*) AS n FROM staged GROUP BY first_fail
+    ), f AS (
+        SELECT unnest(['nonempty', 'min_tokens', 'diversity', 'alpha_ratio']) AS filter_name,
+               unnest([0, 1, 2, 3]) AS stage
+    )
+    SELECT f.filter_name,
+           CAST(f.stage AS INT) AS stage,
+           CAST((SELECT sum(n) FROM kills WHERE first_fail >= f.stage) AS BIGINT)
+               AS n_evaluated,
+           CAST(COALESCE((SELECT n FROM kills WHERE first_fail = f.stage), 0) AS BIGINT)
+               AS n_killed,
+           CAST((SELECT sum(n) FROM kills WHERE first_fail > f.stage) AS BIGINT)
+               AS n_survived
+    FROM f
+"""
+
+
+@op(
+    "filter_cascade_report",
+    oracle=_CASCADE_SQL,
+    tags=("text", "curation", "quality", "pipeline"),
+)
+def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-filter attrition funnel for a quality-filter cascade — the
+    observability table every curation pipeline keeps next to its
+    filters (which stage kills what; a filter suddenly killing 40%
+    is the first sign of a crawler or upstream change). Four
+    deterministic stages in fixed order: nonempty -> min 5 tokens ->
+    lexical diversity (distinct*2 >= total) -> alpha ratio (letters
+    >= 60% of non-space chars). Cascade semantics: a doc reaches
+    stage k only if stages 1..k-1 passed, so ONE narrow map computes
+    each doc's first failing stage and ONE tiny aggregation (5 groups)
+    yields evaluated/killed/survived per filter — a single corpus scan
+    regardless of how many filters the cascade grows."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n_tok = F.size(ts)
+    n_d = F.size(F.array_distinct(ts))
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_char = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    first_fail = (
+        F.when(~(F.length("text") > 0), 0)
+        .when(~(n_tok >= 5), 1)
+        .when(~(2 * n_d >= n_tok), 2)
+        .when(~(10 * n_alpha >= 6 * n_char), 3)
+        .otherwise(4)
+    )
+    kills = d.select(first_fail.alias("first_fail")).groupBy("first_fail").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stages = spark.createDataFrame(
+        [("nonempty", 0), ("min_tokens", 1), ("diversity", 2), ("alpha_ratio", 3)],
+        "filter_name string, stage int",
+    )
+    joined = stages.join(
+        F.broadcast(kills), F.col("first_fail") >= F.col("stage"), "left"
+    )
+    return joined.groupBy("filter_name", "stage").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_evaluated"),
+        F.coalesce(
+            F.sum(F.when(F.col("first_fail") == F.col("stage"), F.col("n"))),
+            F.lit(0),
+        ).cast("long").alias("n_killed"),
+        F.coalesce(
+            F.sum(F.when(F.col("first_fail") > F.col("stage"), F.col("n"))),
+            F.lit(0),
+        ).cast("long").alias("n_survived"),
+    )

@@ -567,3 +567,29 @@ def test_session2_join_ops_have_no_cartesian_or_bnlj(spark, sf_dir):
     ):
         s = plan_summary(ops[name].fn(spark, sf_dir))
         assert s["nested_loop_joins"] == 0, name
+
+
+def test_round6_curation_ops_plan_contracts(spark, sf_dir):
+    """The three round-6 curation additions keep their claimed shapes."""
+    ops = all_ops()
+    # incremental dedup: banded equi-joins only — no corpus x corpus
+    # nested loop anywhere, no Python
+    s = plan_summary(ops["dedup_incremental_minhash"].fn(spark, sf_dir))
+    assert s["nested_loop_joins"] == 0, s
+    assert s["python_evals"] == 0
+    # budget selection: quality histogram cumulative is the only
+    # unpartitioned window (bounded); per-doc path rejoins via broadcast
+    df = ops["token_budget_selection"].fn(spark, sf_dir)
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 1, s
+    assert s["python_evals"] == 0
+    from my_polars_ai_spark.plans.inspect import explain_str
+
+    txt = explain_str(df, mode="simple")
+    assert txt.count("Exchange SinglePartition") <= 1, txt
+    # DSIR: the 128-row log-ratio table broadcasts; token stream never
+    # joins itself; everything JVM-side
+    s = plan_summary(ops["dsir_importance_weights"].fn(spark, sf_dir))
+    assert s["broadcast_joins"] + s["nested_loop_joins"] >= 2, s  # lr + totals
+    assert s["sortmerge_joins"] + s["shuffled_hash_joins"] == 0, s
+    assert s["python_evals"] == 0
