@@ -114,3 +114,37 @@ assert n_best == n_canonical  # exactly one survivor per cluster
 assert n_blast >= 10  # the seed set itself is always reached
 assert n_chunks > 0 and psi_hot >= 0 and entropy_low >= 0
 assert n_pos == n_docs  # the shuffle is a total order: one position per doc
+
+# 14. Round-6 curation wave: snapshot-incremental dedup (new batch vs
+# existing corpus only), selection under a token budget, DSIR
+# importance weights toward the target slice, and the per-filter
+# attrition funnel.
+incr = ops["dedup_incremental_minhash"].fn(spark, sf_dir)
+n_incr_dropped = incr.count()
+budget = ops["token_budget_selection"].fn(spark, sf_dir)
+n_budget = budget.count()
+budget_tokens = budget.agg(F.sum("n_tokens")).collect()[0][0]
+dsir = ops["dsir_importance_weights"].fn(spark, sf_dir)
+n_dsir = dsir.count()
+cascade = ops["filter_cascade_report"].fn(spark, sf_dir)
+cascade_rows = {r.filter_name: r for r in cascade.collect()}
+
+print(f"incremental dup drops:  {n_incr_dropped}")
+print(f"budget-selected docs:   {n_budget} ({budget_tokens} tokens)")
+print(f"DSIR-scored docs:       {n_dsir}")
+print(f"cascade stages:         {len(cascade_rows)}")
+
+assert n_incr_dropped >= 0
+assert 0 < n_budget < n_docs          # a real budget keeps a strict subset
+assert n_dsir == n_docs               # every non-empty doc gets a weight
+assert len(cascade_rows) == 4
+# funnel identities: evaluated = killed + survived at every stage, and
+# each stage's survivors are the next stage's evaluated set
+assert all(
+    r.n_evaluated == r.n_killed + r.n_survived for r in cascade_rows.values()
+)
+stages = sorted(cascade_rows.values(), key=lambda r: r.stage)
+assert all(
+    stages[i].n_survived == stages[i + 1].n_evaluated
+    for i in range(len(stages) - 1)
+)
