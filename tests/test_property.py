@@ -369,3 +369,29 @@ def test_business_day_closed_form_matches_brute_loop(e1, delta):
         if (d0 + dt.timedelta(days=e)).weekday() < 5
     )
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    k=st.sampled_from([10]),
+)
+@settings(max_examples=200, deadline=None)
+def test_bucketed_ntile_arithmetic_matches_definition(n, k):
+    """The closed-form tile assignment used by gains_chart_langid's
+    two-pass scheme (first n%k tiles get floor(n/k)+1 rows, the rest
+    floor(n/k)) must equal ntile-by-construction for every rank at any
+    N — pure integer arithmetic, no Spark needed."""
+    base, rem = divmod(n, k)
+    # ntile by construction: deal rows into k tiles left to right
+    sizes = [base + 1 if t < rem else base for t in range(k)]
+    want = []
+    for tile, sz in enumerate(sizes, start=1):
+        want.extend([tile] * sz)
+    safe_base = max(base, 1)
+    for g in range(1, n + 1):  # g = 1-indexed global rank
+        cutoff = rem * (base + 1)
+        if g <= cutoff:
+            got = (g + base) // (base + 1)
+        else:
+            got = rem + (g - cutoff + safe_base - 1) // safe_base
+        assert got == want[g - 1], (n, k, g)
