@@ -616,3 +616,73 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TIES_K)
         .drop("rnk")
     )
+
+
+@op(
+    "sql_udf_declared_function",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), {ROUND_MONEY})
+               AS disc_revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "udf", "spark4"),
+)
+def sql_udf_declared_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`) — reusable business logic WITHOUT a Python boundary:
+    Catalyst inlines the function body into the calling plan, so the
+    aggregation below is whole-stage-codegen JVM work, indistinguishable
+    from writing the expression inline (the oracle states it inline).
+    This is the 100 TB answer to 'we need a shared disc_price()
+    everywhere': a catalog object, not a row-at-a-time callback."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), {ROUND_MONEY})
+                   AS disc_revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem_sqludf_v
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@op(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_urgentish,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    WHERE o_totalprice > 100000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "pipe", "spark4"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `FROM t |> WHERE ... |> AGGREGATE`) —
+    the linear top-to-bottom SQL dialect that reads like a DataFrame
+    chain. Pure parser surface: Catalyst produces the identical
+    filter->aggregate plan the classic formulation gets (the oracle
+    states the classic form), so pushdown and partial aggregation
+    behave exactly the same at any scale."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_totalprice > 100000.0
+        |> AGGREGATE count(*) AS n_urgentish,
+                     count(DISTINCT o_custkey) AS n_custs
+           GROUP BY o_orderpriority
+        """
+    )

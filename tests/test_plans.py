@@ -593,3 +593,14 @@ def test_round6_curation_ops_plan_contracts(spark, sf_dir):
     assert s["broadcast_joins"] + s["nested_loop_joins"] >= 2, s  # lr + totals
     assert s["sortmerge_joins"] + s["shuffled_hash_joins"] == 0, s
     assert s["python_evals"] == 0
+
+
+def test_sql_declared_udf_inlines_with_no_python_boundary(spark, sf_dir):
+    """The Spark-4 SQL UDF must inline into whole-stage codegen — the
+    entire point vs a Python UDF is the absent Arrow/pickle boundary."""
+    s = plan_summary(all_ops()["sql_udf_declared_function"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0, s
+    assert s["wholestage_codegen"] >= 1
+    s = plan_summary(all_ops()["sql_pipe_syntax"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0, s
+    assert s["pushed_filters"] >= 1, s  # the |> WHERE reaches the scan
