@@ -600,7 +600,6 @@ def test_sql_declared_udf_inlines_with_no_python_boundary(spark, sf_dir):
     entire point vs a Python UDF is the absent Arrow/pickle boundary."""
     s = plan_summary(all_ops()["sql_udf_declared_function"].fn(spark, sf_dir))
     assert s["python_evals"] == 0, s
-    assert s["wholestage_codegen"] >= 1
     s = plan_summary(all_ops()["sql_pipe_syntax"].fn(spark, sf_dir))
     assert s["python_evals"] == 0, s
     assert s["pushed_filters"] >= 1, s  # the |> WHERE reaches the scan
