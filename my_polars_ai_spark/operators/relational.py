@@ -2050,3 +2050,69 @@ def rls_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         _balance_band().alias("acctbal_band"),
     )
+
+
+_MEDIAN_2P_SQL = """
+    WITH o AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM lineitem
+    ), r AS (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n
+        FROM o
+    )
+    SELECT CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN c END) AS BIGINT)
+               AS lower_cents,
+           CAST(max(CASE WHEN rn = n // 2 + 1 THEN c END) AS BIGINT)
+               AS upper_cents,
+           CAST(max(n) AS BIGINT) AS n
+    FROM r
+"""
+
+
+@op(
+    "median_two_pass_exact",
+    oracle=_MEDIAN_2P_SQL,
+    tags=("agg", "quantile", "scale"),
+)
+def median_two_pass_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median order statistics with NO global sort and NO
+    per-group percentile buffer — the 100 TB path `median_quantiles`'
+    docstring defers to approx sketches for, made exact: (1) rows hash
+    into $100 price buckets and ONE bounded histogram pass yields each
+    bucket's strictly-below count plus the total N; (2) a
+    HASH-PARTITIONED row_number within buckets composes the global rank
+    (the two-pass bucketed-rank scheme), and only the one or two rows
+    whose global rank hits the median order statistics k1=(N-1)//2+1,
+    k2=N//2+1 survive the filter. The interpolated median is
+    (lower+upper)/2, left to the caller as exact integer cents so no
+    float-division seam enters the compare (the oracle states the same
+    two order statistics via a plain global row_number)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c")
+    ).withColumn("b", F.expr("c DIV 10000"))
+    hist = rows.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    w_lt = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "b",
+        F.coalesce(F.sum("n_b").over(w_lt), F.lit(0)).cast("long").alias("below"),
+        F.sum("n_b").over(w_all).cast("long").alias("n_all"),
+    )
+    w_in = Window.partitionBy("b").orderBy("c")
+    g = (
+        rows.join(F.broadcast(cum), "b")
+        .withColumn("gr", F.col("below") + F.row_number().over(w_in))
+    )
+    k1 = F.expr("(n_all - 1) DIV 2 + 1")
+    k2 = F.expr("n_all DIV 2 + 1")
+    picked = g.filter((F.col("gr") == k1) | (F.col("gr") == k2))
+    return picked.agg(
+        F.max(F.when(F.col("gr") == k1, F.col("c"))).alias("lower_cents"),
+        F.max(F.when(F.col("gr") == k2, F.col("c"))).alias("upper_cents"),
+        F.max("n_all").alias("n"),
+    )
