@@ -603,3 +603,28 @@ def test_sql_declared_udf_inlines_with_no_python_boundary(spark, sf_dir):
     s = plan_summary(all_ops()["sql_pipe_syntax"].fn(spark, sf_dir))
     assert s["python_evals"] == 0, s
     assert s["pushed_filters"] >= 1, s  # the |> WHERE reaches the scan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the join-time sibling of static
+    partition pruning: joining a date-partitioned fact against a
+    selective dim must inject a dynamicpruning subquery into the fact
+    scan's PartitionFilters, so at 100 TB only the dim-matched date
+    directories are ever listed, without the user naming them."""
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    e.write.mode("overwrite").partitionBy("event_date").parquet(str(tmp_path / "ev"))
+    fact = spark.read.parquet(str(tmp_path / "ev"))
+    dim = e.select("event_date").distinct().filter(F.dayofweek("event_date") == 2)
+    j = fact.join(F.broadcast(dim), "event_date").groupBy("event_type").count()
+    txt = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in txt.lower(), txt[:2000]
+    # and the pruned count equals the unpruned equality-join count
+    n_dpp = j.agg(F.sum("count")).collect()[0][0]
+    n_plain = (
+        e.join(dim.hint("broadcast"), "event_date").count()
+    )
+    assert n_dpp == n_plain
