@@ -628,3 +628,48 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_
         e.join(dim.hint("broadcast"), "event_date").count()
     )
     assert n_dpp == n_plain
+
+
+def test_aqe_replans_at_runtime_skew_split_and_bhj_conversion(spark):
+    """The two AQE runtime re-plans PERF.md leans on at 100 TB, proven
+    live: (1) with broadcast disabled, a pathologically skewed key is
+    split — the executed plan carries SortMergeJoin(skew=true); (2)
+    with AQE's own broadcast threshold left on, the same join converts
+    to a runtime BroadcastHashJoin once the tiny build side's true size
+    is known. Both markers come from the EXECUTED adaptive plan (the
+    initial plan never shows them)."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(500000).select(F.lit(0).alias("k"), F.rand(7).alias("v")).union(
+        spark.range(2000).select((F.col("id") % 100).alias("k"), F.rand(8).alias("v"))
+    )
+    right = spark.range(100).select((F.col("id") % 100).alias("k"), F.col("id").alias("w"))
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = left.join(right, "k")
+        j.collect()
+        txt = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in txt, txt[:1500]
+
+        # re-enable AQE's runtime broadcast: same join now converts to BHJ
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+        j2 = left.join(right, "k")
+        j2.collect()
+        txt2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in txt2, txt2[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
