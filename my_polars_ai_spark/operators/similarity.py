@@ -1879,3 +1879,101 @@ def pca_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v1_rel"
         ),
     )
+
+
+# Semantic decontamination: corpus vectors too close to the held-out
+# benchmark slice. vec_id < N_BENCH plays the benchmark embedding set.
+N_BENCH = 50
+EMB_CONTAM_THRESHOLD = 0.3  # like EMB_DEDUP_THRESHOLD: this synthetic
+# corpus has no true near-dups, 0.3 exercises the full pipeline;
+# production decontamination sits at ~0.9+.
+
+_EMB_CONTAM_ORACLE = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), buckets AS (
+    SELECT vec_id, v, t.tbl,
+           CASE t.tbl
+                WHEN 0 THEN {_bucket_expr_sql(0)}
+                WHEN 1 THEN {_bucket_expr_sql(1)}
+                ELSE {_bucket_expr_sql(2)}
+           END AS bucket
+    FROM corpus CROSS JOIN (SELECT unnest(range({N_TABLES})) AS tbl) t
+), cand AS (
+    SELECT DISTINCT c.vec_id AS doc_vec, b.vec_id AS bench_vec
+    FROM buckets c
+    JOIN buckets b ON c.tbl = b.tbl AND c.bucket = b.bucket
+    WHERE c.vec_id >= {N_BENCH} AND b.vec_id < {N_BENCH}
+), scored AS (
+    SELECT doc_vec, list_cosine_similarity(cc.v, cb.v) AS cos
+    FROM cand
+    JOIN corpus cc ON cc.vec_id = doc_vec
+    JOIN corpus cb ON cb.vec_id = bench_vec
+    WHERE list_cosine_similarity(cc.v, cb.v) >= {EMB_CONTAM_THRESHOLD}
+)
+SELECT doc_vec AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_benchmark_hits,
+       round(max(cos), {ROUND_RATIO}) AS best_cos
+FROM scored GROUP BY doc_vec
+"""
+
+
+@op(
+    "benchmark_embedding_contamination",
+    oracle=_EMB_CONTAM_ORACLE,
+    tags=("similarity", "embedding", "contamination", "pipeline"),
+)
+def benchmark_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space twin of
+    the 3-gram `benchmark_contamination` screen: paraphrased or
+    translated eval leakage shares no n-grams but sits next to the
+    benchmark in embedding space. Corpus vectors (vec_id >= N_BENCH)
+    that land in the same hyperplane-LSH bucket as any benchmark
+    vector (vec_id < N_BENCH) are exact-cosine verified; output is the
+    per-document drop-list (hit count + closest benchmark cosine).
+
+    Plan: the SAME multi-table bucket projection as ann_lsh_cosine,
+    split into corpus/benchmark sides, candidate join keyed on
+    (table, bucket) with the BENCHMARK side as the small build — at
+    100 TB the benchmark bucket table is a tiny pre-built broadcast
+    artifact and the screen is one narrow projection + one broadcast
+    join per snapshot, never corpus x benchmark."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v")).cache()
+    tables = []
+    for t in range(N_TABLES):
+        bucket = sum(
+            (
+                _hyperplane_sign(F.col("v"), t * PLANES_PER_TABLE + p) * (1 << p)
+                for p in range(PLANES_PER_TABLE)
+            ),
+            F.lit(0),
+        ).alias("bucket")
+        tables.append(corpus.select("vec_id", F.lit(t).alias("tbl"), bucket))
+    bucketed = tables[0]
+    for t_df in tables[1:]:
+        bucketed = bucketed.unionByName(t_df)
+    docs = bucketed.filter(F.col("vec_id") >= N_BENCH).select(
+        F.col("vec_id").alias("doc_vec"), "tbl", "bucket"
+    )
+    bench = bucketed.filter(F.col("vec_id") < N_BENCH).select(
+        F.col("vec_id").alias("bench_vec"), "tbl", "bucket"
+    )
+    cand = (
+        docs.join(F.broadcast(bench), ["tbl", "bucket"])
+        .select("doc_vec", "bench_vec")
+        .distinct()
+    )
+    cc = corpus.select(F.col("vec_id").alias("doc_vec"), F.col("v").alias("vc"))
+    cb = corpus.select(F.col("vec_id").alias("bench_vec"), F.col("v").alias("vb"))
+    paired = cand.join(cc, "doc_vec").join(F.broadcast(cb), "bench_vec")
+    cos = _dot(F.col("vc"), F.col("vb")) / (_norm(F.col("vc")) * _norm(F.col("vb")))
+    return (
+        paired.withColumn("cos", cos)
+        .filter(F.col("cos") >= EMB_CONTAM_THRESHOLD)
+        .groupBy(F.col("doc_vec").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_benchmark_hits"),
+            F.round(F.max("cos"), ROUND_RATIO).alias("best_cos"),
+        )
+    )
