@@ -1787,17 +1787,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("tok")).alias("toks"),
         F.count(F.lit(1)).alias("n"),
     ).cache()
+    # no broadcast hint on the size tables: they are CORPUS-keyed (one
+    # row per doc), so at scale these are shuffle joins on doc_id; AQE
+    # still converts them to broadcast when the corpus is actually small
     pre = (
         cand.join(
-            F.broadcast(
-                tok_arrays.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
-            ),
+            tok_arrays.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na")),
             "doc_new",
         )
         .join(
-            F.broadcast(
-                tok_arrays.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("nb"))
-            ),
+            tok_arrays.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("nb")),
             "doc_old",
         )
         .filter(F.least("na", "nb") >= MINHASH_THRESHOLD * F.greatest("na", "nb"))

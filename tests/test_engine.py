@@ -432,7 +432,13 @@ def test_enforce_privacy_redacts_conversational_and_retry_prompts(spark, fruits)
     ai.run(fruits, "sum of A?")
     prompts = "\n".join(ai.logs)
     assert "withheld for privacy" in llm.last_prompt  # answer value redacted
-    assert "15" not in llm.last_prompt
+    # the "Today is YYYY-MM-DD" header can legitimately contain any
+    # two-digit substring (e.g. a day-of-month of "15"), so strip it
+    # before asserting the computed answer leaked nowhere else
+    sans_date = "\n".join(
+        ln for ln in llm.last_prompt.splitlines() if not ln.startswith("Today is ")
+    )
+    assert "15" not in sans_date
 
 
 def test_retry_prompt_redacts_error_under_privacy(spark, fruits):
