@@ -284,10 +284,16 @@ def minhash_lsh_pairs(
         vocab_wide = vocab_wide.withColumn(
             f"h{i}", portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tok")))
         )
+    # `n` (distinct-token count) rides the SAME aggregation for free —
+    # toks is one row per (doc, distinct token) — so the size-ratio
+    # prefilter downstream never needs a corpus-keyed sizes join.
     sig = (
         toks.join(F.broadcast(vocab_wide), "tok")
         .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_perms)])
+        .agg(
+            *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_perms)],
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     band_structs = [
         F.struct(
@@ -309,44 +315,51 @@ def minhash_lsh_pairs(
     # re-executes the scan->tokenize->sign subtree once per reference
     # (measured 2.5x slower end-to-end).
     bands = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        sig.select("doc_id", "n", F.explode(F.array(*band_structs)).alias("bs"))
+        .select(
+            "doc_id",
+            "n",
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_sig").alias("band_sig"),
+        )
         .cache()
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    # Each band row carries its doc's size (8 bytes on an already-wide
+    # shuffle row), so the self-join emits (doc_a, doc_b, na, nb)
+    # directly — the size-ratio prefilter costs ZERO extra joins, where
+    # a corpus-keyed sizes join would shuffle the candidate set twice
+    # (and a broadcast of it would not survive a corpus-sized doc count).
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "band", "band_sig"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "band", "band_sig"
+    )
     # Group-by before verify: a pair can collide in up to n_bands bands,
     # and verifying duplicates costs more than this one pair-key shuffle
     # (measured: skipping it and deduping after verify was 3x slower at
     # sf0.1 on this corpus). Counting matches is free here and doubles as
     # the min_band_matches prefilter.
-    cand = (
+    # Lossless size-ratio prefilter, applied IN the candidate
+    # aggregation: ni <= min(na,nb) and union >= max, so j >= t implies
+    # min/max >= t. Filtering here spares the wide token arrays for
+    # ~60% of candidates on this corpus (2.37M -> 0.96M at sf0.1).
+    pre = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_matched"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
         .filter(F.col("n_bands_matched") >= min_band_matches)
-        .select("doc_a", "doc_b")
-    )
-    # Lossless size-ratio prefilter: ni <= min(na,nb) and union >= max, so
-    # j >= t implies min/max >= t. Sizes are a slim broadcastable table;
-    # filtering here spares the wide token arrays for ~60% of candidates
-    # on this corpus (2.37M -> 0.96M at sf0.1).
-    tok_arrays = toks.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("tok")).alias("toks"), F.count(F.lit(1)).alias("n")
-    ).cache()
-    sizes = tok_arrays.select("doc_id", "n")
-    pre = (
-        cand.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-            "doc_b",
-        )
         .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b", "na", "nb")
     )
+    tok_arrays = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("toks")
+    ).cache()
     # Verify stage: exact Jaccard via array_intersect on per-doc token
     # arrays. Joining surviving pairs against the (compact) token-array
     # table twice beats re-exploding to (pair, token) rows — the token

@@ -2242,7 +2242,9 @@ def chunk_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_contained"), F.col("n").alias("na")
     )
     return (
-        shared.join(F.broadcast(sa), "doc_contained")
+        # sa is corpus-keyed (one row per doc) — no broadcast hint; AQE
+        # converts the doc_id shuffle join to broadcast when it is small
+        shared.join(sa, "doc_contained")
         .filter(100 * F.col("n_shared") >= CONTAIN_PCT * F.col("na"))
         .select(
             "doc_contained",
