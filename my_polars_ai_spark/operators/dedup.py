@@ -1756,10 +1756,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"h{i}", portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tok")))
         )
     rows_per_band = N_PERMS // N_BANDS
+    # `n` rides the signature aggregation and the band rows, exactly as
+    # in minhash_lsh_pairs: the size-ratio prefilter falls out of the
+    # candidate join itself, never a corpus-keyed sizes join.
     sig = (
         toks.join(F.broadcast(vocab_wide), "tok")
         .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_PERMS)])
+        .agg(
+            *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_PERMS)],
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     band_structs = [
         F.struct(
@@ -1777,43 +1783,30 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(N_BANDS)
     ]
     bands = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        sig.select("doc_id", "n", F.explode(F.array(*band_structs)).alias("bs"))
         .select(
             "doc_id",
+            "n",
             F.col("bs.band").alias("band"),
             F.col("bs.band_sig").alias("band_sig"),
         )
         .cache()
     )
     newb = bands.filter(F.col("doc_id") % _INCR_SPLIT == 0).select(
-        F.col("doc_id").alias("doc_new"), "band", "band_sig"
+        F.col("doc_id").alias("doc_new"), F.col("n").alias("na"), "band", "band_sig"
     )
     oldb = bands.filter(F.col("doc_id") % _INCR_SPLIT != 0).select(
-        F.col("doc_id").alias("doc_old"), "band", "band_sig"
+        F.col("doc_id").alias("doc_old"), F.col("n").alias("nb"), "band", "band_sig"
     )
-    cand = (
-        newb.join(oldb, ["band", "band_sig"])
-        .select("doc_new", "doc_old")
-        .distinct()
-    )
-    tok_arrays = toks.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("tok")).alias("toks"),
-        F.count(F.lit(1)).alias("n"),
-    ).cache()
-    # no broadcast hint on the size tables: they are CORPUS-keyed (one
-    # row per doc), so at scale these are shuffle joins on doc_id; AQE
-    # still converts them to broadcast when the corpus is actually small
     pre = (
-        cand.join(
-            tok_arrays.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na")),
-            "doc_new",
-        )
-        .join(
-            tok_arrays.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("nb")),
-            "doc_old",
-        )
+        newb.join(oldb, ["band", "band_sig"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"))
         .filter(F.least("na", "nb") >= MINHASH_THRESHOLD * F.greatest("na", "nb"))
     )
+    tok_arrays = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("toks")
+    ).cache()
     arr_a = tok_arrays.select(F.col("doc_id").alias("doc_new"), F.col("toks").alias("toks_a"))
     arr_b = tok_arrays.select(F.col("doc_id").alias("doc_old"), F.col("toks").alias("toks_b"))
     paired = pre.join(arr_a, "doc_new").join(arr_b, "doc_old")
