@@ -422,11 +422,13 @@ _PRIORITY_R7 = (
     "co_supplier_pairs",
 )
 
-# Round-6 session additions (registry 401 -> 406), appended to the
+# Round-6 session additions (registry 401 -> 411), appended to the
 # tail and queued for first attestation in r8+: kmeans_lloyd_step
 # (oracle-checked Lloyd's iteration), dedup_incremental_minhash,
 # token_budget_selection, dsir_importance_weights,
-# filter_cascade_report.
+# filter_cascade_report, median_two_pass_exact,
+# sql_udf_declared_function, sql_pipe_syntax,
+# benchmark_embedding_contamination, bpe_train_merges.
 
 # Round 6: the staged flip, executed (window composition amended — see
 # the _PRIORITY_R6 comment above for the canary/re-attest changes).

@@ -3814,3 +3814,122 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("n_survived"),
     )
+
+
+# BPE training: number of merge rounds learned by bpe_train_merges.
+BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One statically-unrolled BPE round: pair counts over w{k-1}'s
+    symbol sequences, the argmax merge m{k}, and the merged state w{k}."""
+    p = k - 1
+    return f"""
+    e{k} AS (
+        SELECT freq, regexp_extract_all(seq, '\\(([^)]*)\\)', 1) AS l FROM w{p}
+    ), p{k} AS (
+        SELECT a, b, sum(freq) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS a,
+                   unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS b,
+                   freq
+            FROM e{k} WHERE len(l) > 1
+        ) GROUP BY a, b
+    ), m{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+    w{k} AS (
+        SELECT tok, freq,
+               replace(seq, '('||m{k}.a||')('||m{k}.b||')',
+                       '('||m{k}.a||m{k}.b||')') AS seq
+        FROM w{p} CROSS JOIN m{k}
+    )"""
+
+
+_BPE_TRAIN_SQL = (
+    """
+    WITH w0 AS (
+        SELECT tok, count(*) AS freq,
+               regexp_replace(tok, '(.)', '(\\1)', 'g') AS seq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok != ''
+        GROUP BY tok
+    ), """
+    + ", ".join(_bpe_round_sql(k) for k in range(1, BPE_MERGE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_round, a AS sym_a, b AS sym_b,"
+        f" a||b AS merged, CAST(n AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+)
+
+
+@op(
+    "bpe_train_merges",
+    oracle=_BPE_TRAIN_SQL,
+    tags=("text", "tokenizer", "iterative", "pipeline"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, the full iterative loop (extends the
+    single-round `bpe_merge_step` census): learn BPE_MERGE_ROUNDS merge
+    rules by repeatedly (1) counting adjacent symbol pairs, (2) taking
+    the deterministic argmax (count desc, then pair lexicographic), and
+    (3) applying the merge to every word — the algorithm behind every
+    GPT/Llama-family vocabulary.
+
+    THE scale insight real trainers use: BPE state is the DISTINCT-WORD
+    frequency table, never the corpus stream — one corpus-sized shuffle
+    builds (word, freq, symbol-seq), and every round after that touches
+    only vocabulary-sized data (pair partials are map-side combined;
+    the argmax is a 1-row bounded collect, the same driver-scalar
+    discipline as the connected-components convergence checks; the
+    merge application is a narrow literal-replace map). Merge
+    application is encoded as symbols wrapped in parens —
+    '(q)(u)(e)(r)(y)' — so the non-overlapping left-to-right
+    `replace('(a)(b)' -> '(ab)')` is EXACTLY the greedy BPE merge scan
+    on both engines (no shared boundary characters between adjacent
+    matches, unlike space-separated encodings). Output is the learned
+    merge table, one row per round."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("seq", F.regexp_replace("tok", "(.)", r"($1)"))
+        .cache()
+    )
+    merges = []
+    cur = words
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        syms = F.expr(r"split(substring(seq, 2, length(seq) - 2), '\\)\\(')")
+        ex = cur.select("freq", syms.alias("l")).filter(F.size("l") > 1)
+        n1 = F.size("l") - 1
+        pairs = ex.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("l", 1, n1),
+                    F.slice("l", 2, n1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
+        cur = cur.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"({top['a']})({top['b']})"),
+                F.lit(f"({top['a']}{top['b']})"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, sym_a string, sym_b string, merged string, pair_count long",
+    )
