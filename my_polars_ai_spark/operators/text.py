@@ -3933,3 +3933,60 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_round int, sym_a string, sym_b string, merged string, pair_count long",
     )
+
+
+# Phrase search: the static 3-token query phrase (present at every SF).
+PHRASE_QUERY = ("big", "order", "scan")
+
+_PHRASE_SQL = f"""
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_occurrences,
+           CAST(hits[1] AS BIGINT) AS first_pos
+    FROM (
+        SELECT doc_id,
+               list_filter(range(1, len(l) - 1),
+                           i -> l[i] = '{PHRASE_QUERY[0]}'
+                            AND l[i+1] = '{PHRASE_QUERY[1]}'
+                            AND l[i+2] = '{PHRASE_QUERY[2]}') AS hits
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )
+    WHERE len(hits) > 0
+"""
+
+
+@op(
+    "phrase_search_positional",
+    oracle=_PHRASE_SQL,
+    tags=("text", "search", "index"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via POSITIONAL posting-list intersection —
+    the query shape `inverted_index_build`'s docstring points at but no
+    op exercised: a search engine answers "big order scan" by
+    intersecting the three tokens' position lists with offsets 0/+1/+2,
+    never by rescanning text. Here the positional postings table
+    (doc_id, pos, token) is built inline with ONE posexplode; at 100 TB
+    it is the pre-built index artifact and each query touches only the
+    query terms' postings. The three per-term filters are
+    token-selective BEFORE any join, and the adjacency intersection is
+    two hash equi-joins on (doc_id, aligned_pos) — join fan-in is the
+    rare-term posting size, not the corpus. Output: matching docs with
+    occurrence count and first match position (1-based), oracle-checked
+    against a per-doc array-scan formulation."""
+    d = _t(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w0, w1, w2 = PHRASE_QUERY
+    t0 = postings.filter(F.col("tok") == w0).select("doc_id", F.col("pos").alias("p"))
+    t1 = postings.filter(F.col("tok") == w1).select(
+        "doc_id", (F.col("pos") - 1).alias("p")
+    )
+    t2 = postings.filter(F.col("tok") == w2).select(
+        "doc_id", (F.col("pos") - 2).alias("p")
+    )
+    hits = t0.join(t1, ["doc_id", "p"]).join(t2, ["doc_id", "p"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        (F.min("p") + 1).cast("long").alias("first_pos"),
+    )
