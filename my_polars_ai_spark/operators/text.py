@@ -3990,3 +3990,89 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         (F.min("p") + 1).cast("long").alias("first_pos"),
     )
+
+
+# Winnowing (MOSS) parameters: token k-gram size, window width, and the
+# min shared-fingerprint count a pair must reach to be reported.
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 3
+
+_WINNOW_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), kg AS (
+        SELECT doc_id,
+               list_transform(range(1, len(l) - 1), i ->
+                   ('0x' || substr(md5(l[i]||' '||l[i+1]||' '||l[i+2]), 1, 15))::BIGINT
+               ) AS h
+        FROM base WHERE len(l) >= {WINNOW_K + WINNOW_W - 1}
+    ), fp AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(h) - {WINNOW_W - 2}), j ->
+                   list_min(h[j:j+{WINNOW_W - 1}]))) AS fps
+        FROM kg
+    ), e AS (SELECT doc_id, unnest(fps) AS fph FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM e a JOIN e b ON a.fph = b.fph AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@op(
+    "winnowing_fingerprint_overlap",
+    oracle=_WINNOW_SQL,
+    tags=("text", "dedup", "fingerprint", "pipeline"),
+)
+def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection via WINNOWING (the MOSS fingerprint
+    algorithm, Schleimer/Wilkerson/Aiken 2003) — the guarantee-bearing
+    middle ground the dedup family lacked: minhash judges WHOLE-doc
+    similarity and chunk containment needs aligned chunks, while
+    winnowing promises that any shared run of at least W+K-1 tokens
+    yields at least one shared fingerprint (one fingerprint — the min
+    k-gram hash — is selected from every window of W consecutive
+    k-grams), so long verbatim passages cannot hide. The per-doc
+    fingerprint set is a pure JVM higher-order expression chain
+    (k-gram hash array -> windowed min -> distinct): ZERO shuffle until
+    the fingerprint equi-join, whose fan-in is the winnowed ~2/(W+1)
+    density of the corpus, not all k-grams. Pairs sharing >=
+    WINNOW_MIN_SHARED fingerprints are reported with their shared
+    count; hashes are the md5-based 60-bit portable family, so the
+    oracle runs the identical selection."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= WINNOW_K + WINNOW_W - 1
+    )
+    lcol = F.col("l")
+    kgh = F.transform(
+        F.sequence(F.lit(1), F.size(lcol) - (WINNOW_K - 1)),
+        lambda i: portable_hash60(
+            F.concat_ws(
+                " ",
+                F.element_at(lcol, i),
+                F.element_at(lcol, i + 1),
+                F.element_at(lcol, i + 2),
+            )
+        ),
+    )
+    kg = base.select("doc_id", kgh.alias("h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("h")) - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("h"), j, WINNOW_W)),
+        )
+    )
+    e = kg.select("doc_id", F.explode(fps).alias("fph"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "fph")
+    b = e.select(F.col("doc_id").alias("doc_b"), "fph")
+    return (
+        a.join(b, "fph")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
