@@ -4076,3 +4076,114 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+# Repeated-span detection: token k-gram width (the minimum span the
+# detector can certify as duplicated).
+SPAN_K = 8
+
+_SPAN_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+        SELECT doc_id, len(l) AS n_tokens, i AS pos,
+               ('0x' || substr(md5(array_to_string(l[i:i+{SPAN_K - 1}], ' ')), 1, 15))::BIGINT AS gh
+        FROM base, unnest(range(1, len(l) - {SPAN_K - 2})) AS t(i)
+        WHERE len(l) >= {SPAN_K}
+    ), dup AS (
+        SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1
+    ), marked AS (
+        SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (gh)
+    ), isl AS (
+        SELECT doc_id, n_tokens, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos > lag(pos) OVER w + {SPAN_K} THEN 1 ELSE 0 END AS brk
+        FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl2 AS (
+        SELECT doc_id, n_tokens, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, n_tokens, island,
+               max(pos) - min(pos) + {SPAN_K} AS span_tokens
+        FROM isl2 GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           {oracle_ratio_round('sum(span_tokens)', 'max(n_tokens)')} AS dup_frac
+    FROM spans GROUP BY doc_id
+"""
+
+
+@op(
+    "repeated_span_stats",
+    oracle=_SPAN_SQL,
+    tags=("text", "dedup", "pipeline"),
+)
+def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL repeated-span detection — the per-token-resolution core
+    of exact-substring dedup (the suffix-array method of Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally: every overlapping token 8-gram is hashed
+    (the portable 60-bit family), grams occurring more than once
+    ANYWHERE in the corpus mark their positions, and each document's
+    marked positions merge into maximal spans with the classic
+    gaps-and-islands window (new island when the next gram starts
+    beyond the previous gram's covered range). Output per affected doc:
+    span count, duplicated-token total, and duplicated fraction — the
+    excision list an exact-substring dedup pass consumes, where
+    `dup_chunk_fraction` only scores fixed non-overlapping chunks.
+
+    Scale shape: the gram table is corpus-positions-sized — inherent to
+    substring-level dedup (the suffix array touches every position
+    too) — but it is ONE narrow map + one hash aggregation keyed on the
+    gram hash (map-side combinable), one semi-join back, and windows
+    partitioned BY DOCUMENT. No global sort, no suffix array
+    materialization."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= SPAN_K
+    )
+    lcol = F.col("l")
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(lcol) - (SPAN_K - 1)),
+        lambda i: portable_hash60(
+            F.array_join(F.slice(lcol, i, SPAN_K), " ")
+        ),
+    )
+    grams = base.select(
+        "doc_id",
+        F.size(lcol).cast("long").alias("n_tokens"),
+        F.posexplode(gram).alias("pos0", "gh"),
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gh")
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).select("gh")
+    marked = grams.join(dup, "gh", "leftsemi").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    isl = marked.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + SPAN_K),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_run))
+    spans = isl.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("pos") - F.min("pos") + SPAN_K).alias("span_tokens")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        ratio_round(
+            F.sum("span_tokens").cast("decimal(38,0)"),
+            F.max("n_tokens").cast("decimal(38,0)"),
+        ).alias("dup_frac"),
+    )
