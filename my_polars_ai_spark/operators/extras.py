@@ -3506,3 +3506,85 @@ def price_endings_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cents_ending")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
+
+
+# Rendezvous sharding: current shard count and the expanded count whose
+# rebalance delta the plan reports.
+RDZV_SHARDS = 8
+
+_RDZV_SQL = f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(range(0, {RDZV_SHARDS + 1}), s ->
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT
+               ) AS hv
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_indexof(hv[1:{RDZV_SHARDS}], list_max(hv[1:{RDZV_SHARDS}])) - 1 AS shard_cur,
+               list_indexof(hv, list_max(hv)) - 1 AS shard_next
+        FROM h
+    )
+    SELECT shard_cur,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard_cur != shard_next THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+           CAST(sum(CASE WHEN shard_cur != shard_next
+                          AND shard_next != {RDZV_SHARDS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved_elsewhere,
+           {oracle_ratio_round("sum(CASE WHEN shard_cur != shard_next THEN 1 ELSE 0 END)", "count(*)")}
+               AS moved_frac
+    FROM sh GROUP BY shard_cur
+"""
+
+
+@op(
+    "rendezvous_shard_plan",
+    oracle=_RDZV_SQL,
+    tags=("layout", "sharding", "scale"),
+)
+def rendezvous_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding plan WITH its
+    expansion audit — the stable data-layout assignment an incremental
+    100 TB pipeline needs: hash-mod sharding moves ~(N-1)/N of all
+    rows when N grows by one, while rendezvous (each doc goes to the
+    shard whose weight h(doc,shard) is highest) moves EXACTLY the
+    docs the new shard wins, ~1/(N+1) of the corpus, and moves them
+    ONLY to the new shard. The op computes each doc's assignment under
+    {RDZV_SHARDS} and {RDZV_SHARDS}+1 shards in one narrow map (the
+    per-doc weight list is a bounded higher-order transform; argmax by
+    list position of the max) and reports, per current shard: doc
+    count, docs that move on expansion, docs that move ANYWHERE OTHER
+    than the new shard (provably zero — the minimal-disruption
+    guarantee is itself part of the oracle-checked output), and the
+    moved fraction (~1/9). Zero joins, one bounded aggregation; the
+    portable md5 weight family makes both engines assign identically."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.transform(
+        F.sequence(F.lit(0), F.lit(RDZV_SHARDS)),
+        lambda s: portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), s.cast("string"))
+        ),
+    )
+    h = d.select("doc_id", hv.alias("hv"))
+    cur_l = F.slice("hv", 1, RDZV_SHARDS)
+    sh = h.select(
+        (F.array_position(cur_l, F.array_max(cur_l)) - 1).alias("shard_cur"),
+        (F.array_position("hv", F.array_max("hv")) - 1).alias("shard_next"),
+    )
+    moved = (F.col("shard_cur") != F.col("shard_next")).cast("long")
+    moved_elsewhere = (
+        (F.col("shard_cur") != F.col("shard_next"))
+        & (F.col("shard_next") != RDZV_SHARDS)
+    ).cast("long")
+    return sh.groupBy("shard_cur").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(moved).alias("n_moved"),
+        F.sum(moved_elsewhere).alias("n_moved_elsewhere"),
+        ratio_round(
+            F.sum(moved).cast("decimal(38,0)"),
+            F.count(F.lit(1)).cast("decimal(38,0)"),
+        ).alias("moved_frac"),
+    )
