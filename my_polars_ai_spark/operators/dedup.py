@@ -1820,3 +1820,60 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(jac), ROUND_RATIO).alias("best_jaccard"),
         )
     )
+
+
+def _split_case_sql(col: str) -> str:
+    """Inline 80/10/10 split label for a doc-id SQL expression — the
+    SAME content-addressed rule as train_val_test_split (md5 namespace
+    'split:'), restated as a pure expression so no join is needed."""
+    b = f"('0x' || substr(md5('split:' || CAST({col} AS VARCHAR)), 1, 15))::BIGINT % 100"
+    return f"CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+
+
+_SPLIT_LEAK_SQL = f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), lab AS (
+        SELECT least({_split_case_sql('doc_a')}, {_split_case_sql('doc_b')}) AS split_lo,
+               greatest({_split_case_sql('doc_a')}, {_split_case_sql('doc_b')}) AS split_hi
+        FROM pairs
+    )
+    SELECT split_lo, split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN split_lo != split_hi THEN 1 ELSE 0 END AS INT) AS is_leakage
+    FROM lab GROUP BY 1, 2
+"""
+
+
+@op(
+    "split_neardup_leakage",
+    oracle=_SPLIT_LEAK_SQL,
+    tags=("dedup", "split", "eval", "pipeline"),
+)
+def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage ACROSS train/val/test boundaries — the
+    eval-hygiene audit every release needs: a random doc-level split
+    scatters near-dup clusters across splits, so val/test scores are
+    quietly inflated by training twins (the reason modern pipelines
+    split by cluster, not by doc). Sibling of `split_leakage_audit`
+    (stats_tests), which catches EXACT-text leakage only. Reuses the oracle-checked MinHash
+    pair set and the content-addressed 80/10/10 rule from
+    train_val_test_split; because the split is a pure function of
+    doc_id, both pair endpoints label inline — ZERO joins beyond the
+    pair pipeline itself. Output: pair counts per unordered split
+    combination with a leakage flag; the cross-split rows are the
+    argument for cluster-aware splitting."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+
+    def split_of(col):
+        b = portable_hash60(F.concat(F.lit("split:"), col.cast("string"))) % 100
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    sa, sb = split_of(F.col("doc_a")), split_of(F.col("doc_b"))
+    lab = pairs.select(
+        F.least(sa, sb).alias("split_lo"), F.greatest(sa, sb).alias("split_hi")
+    )
+    return lab.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leakage"),
+    )
