@@ -1977,3 +1977,98 @@ def benchmark_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.max("cos"), ROUND_RATIO).alias("best_cos"),
         )
     )
+
+
+# Greedy k-center coreset: number of centers selected.
+KCENTER_K = 5
+
+
+def _kcenter_oracle() -> str:
+    """Statically-unrolled greedy k-center (farthest-point traversal):
+    seed = vec_id 0; each round adds the point with the largest
+    min-squared-distance to the chosen set (ties -> lowest vec_id).
+    list_reduce's left fold matches Spark's aggregate() fold
+    bit-for-bit, so the argmax ranking agrees across engines."""
+    d2 = (
+        "list_reduce(list_transform(range(1, len(a.v) + 1), "
+        "i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i])), (x, y) -> x + y)"
+    )
+    ctes = [
+        "corpus AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "cen1 AS (SELECT 0 AS rnd, vec_id, 0.0 AS radius_sq FROM corpus WHERE vec_id = 0)",
+    ]
+    for k in range(2, KCENTER_K + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM cen{j}" for j in range(1, k))
+        ctes.append(
+            f"""cen{k} AS MATERIALIZED (
+            SELECT {k - 1} AS rnd, a.vec_id, min({d2}) AS radius_sq
+            FROM corpus a
+            JOIN corpus c ON c.vec_id IN ({prev})
+            WHERE a.vec_id NOT IN ({prev})
+            GROUP BY a.vec_id
+            ORDER BY radius_sq DESC, a.vec_id
+            LIMIT 1
+        )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM cen{k}" for k in range(1, KCENTER_K + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    SELECT CAST(rnd AS INT) AS rnd, vec_id,
+           round(radius_sq, {ROUND_RATIO}) AS radius_sq
+    FROM ({union})
+    """
+    )
+
+
+@op(
+    "kcenter_coreset_greedy",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "coreset", "iterative", "pipeline"),
+)
+def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection (farthest-point traversal) —
+    the diversity-maximizing subset picker of active-learning and
+    data-pruning pipelines (Sener & Savarese 2018): seed with vec 0,
+    then repeatedly add the embedding farthest (min squared L2 to the
+    chosen set) from everything chosen so far. The selected radius
+    sequence is the 2-approximation coverage radius — the number every
+    pruning report quotes ('5 centers cover the corpus at r^2 = ...').
+
+    Iterative-loop discipline (the BPE/CC pattern): the chosen set is a
+    BOUNDED broadcast side (<= K vectors), each round is one narrow
+    min-over-centers map + one TakeOrderedAndProject argmax whose
+    result is a 1-row collect; the corpus is never collected, and the
+    distance fold is the same left fold on both engines so even the
+    argmax tie surface is identical."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v")).cache()
+    chosen = [(0, 0, 0.0)]  # (rnd, vec_id, radius_sq)
+    for rnd in range(1, KCENTER_K):
+        ids = [c[1] for c in chosen]
+        cen = corpus.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        )
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        top = (
+            corpus.filter(~F.col("vec_id").isin(ids))
+            .crossJoin(F.broadcast(cen))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("radius_sq"))
+            .orderBy(F.desc("radius_sq"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((rnd, int(top["vec_id"]), float(top["radius_sq"])))
+    out = spark.createDataFrame(
+        chosen, "rnd int, vec_id long, radius_sq double"
+    )
+    return out.select("rnd", "vec_id", F.round("radius_sq", ROUND_RATIO).alias("radius_sq"))
