@@ -4187,3 +4187,112 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("decimal(38,0)"),
         ).alias("dup_frac"),
     )
+
+
+_KN_D = 0.75  # the standard Kneser-Ney absolute discount
+
+_KN_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM t, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2
+    ), c12 AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+    ), n1p AS (
+        SELECT w1, count(*) AS n1p FROM c12 GROUP BY 1
+    ), cont AS (
+        SELECT w2, count(*) AS cont FROM c12 GROUP BY 1
+    ), tt AS (
+        SELECT count(*) AS tt FROM c12
+    ), lp AS (
+        SELECT bg.doc_id,
+               CAST(round(ln(((c12.c12 - {_KN_D}) * tt.tt
+                              + {_KN_D} * (n1p.n1p * cont.cont))
+                             / (c1.c1 * tt.tt)) * 1000000) AS BIGINT) AS lp_micro
+        FROM bg
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN n1p USING (w1)
+        JOIN cont USING (w2)
+        CROSS JOIN tt
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(lp_micro) AS BIGINT) AS kn_nll_micro,
+           {oracle_ratio_round('-sum(lp_micro)', 'count(*)*1000000')} AS avg_kn_nll
+    FROM lp GROUP BY doc_id
+"""
+
+
+@op(
+    "kneser_ney_bigram_score",
+    oracle=_KN_SQL,
+    tags=("text", "quality", "lm", "pipeline"),
+)
+def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL per document — the CANONICAL
+    n-gram smoothing (the one real LM perplexity filters like CCNet
+    ship), next to the Laplace `bigram_logprob_score`: P(w2|w1) =
+    (c12 - D)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/|bigram types|, D=0.75.
+    The continuation probability scores how many CONTEXTS a word
+    follows, not how often it occurs — the 'San Francisco' effect:
+    Laplace overrates 'Francisco' anywhere, KN only after 'San'.
+
+    All five statistics (pair counts, context totals, continuation
+    fan-in/out, type count) are corpus-bounded integer aggregates of
+    the same bigram stream; the transcendental rounds ONCE per distinct
+    bigram to integer micro-nats (identical double expression both
+    engines), then per-doc scores are exact integer sums — the
+    unigram/bigram LM discipline, one smoothing rung up."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    n = F.size("ts")
+    bg = (
+        d.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", F.lit(1), n - 1), F.slice("ts", F.lit(2), n - 1)
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n1p = c12.groupBy("w1").agg(F.count(F.lit(1)).alias("n1p"))
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    tt = c12.agg(F.count(F.lit(1)).alias("tt"))
+    lp_micro = (
+        F.round(
+            F.log(
+                ((F.col("c12") - _KN_D) * F.col("tt")
+                 + _KN_D * (F.col("n1p") * F.col("cont")))
+                / (F.col("c1") * F.col("tt"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lp_micro")
+    )
+    lp = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(n1p, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", lp_micro)
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp_micro")).cast("long").alias("kn_nll_micro"),
+        ratio_round(-F.sum("lp_micro"), F.count(F.lit(1)) * 1000000).alias(
+            "avg_kn_nll"
+        ),
+    )
