@@ -4296,3 +4296,64 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_kn_nll"
         ),
     )
+
+
+# Fertility: token length above which a word likely fragments into
+# many subword pieces.
+FERTILITY_LONG_CHARS = 8
+
+_FERTILITY_SQL = f"""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(replace(text, ' ', '')) AS n_chars,
+               len(list_filter(string_split(text, ' '),
+                               x -> len(x) > {FERTILITY_LONG_CHARS})) AS n_long
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           {oracle_ratio_round('sum(n_chars)', 'sum(n_tok)')} AS chars_per_token,
+           {oracle_ratio_round('sum(n_long)', 'sum(n_tok)')} AS long_token_rate
+    FROM t GROUP BY lang
+"""
+
+
+@op(
+    "tokenizer_fertility_stats",
+    oracle=_FERTILITY_SQL,
+    tags=("text", "tokenizer", "report", "pipeline"),
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility proxies — the table a tokenizer
+    owner checks before training: characters per whitespace token (the
+    upper bound any subword tokenizer must amortize; languages with
+    high chars/token fragment into more pieces and pay more sequence
+    length per word) and the long-token rate (share of words over
+    {FERTILITY_LONG_CHARS} chars — the candidates BPE splits hardest).
+    One zero-shuffle narrow map (split/replace/filter are JVM
+    higher-order) into a language-bounded aggregation; ratios are the
+    exact half-up rationals."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ts = F.split("text", " ")
+    t = d.select(
+        "lang",
+        F.size(ts).cast("long").alias("n_tok"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("n_chars"),
+        F.size(F.filter(ts, lambda x: F.length(x) > FERTILITY_LONG_CHARS))
+        .cast("long")
+        .alias("n_long"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        ratio_round(
+            F.sum("n_chars").cast("decimal(38,0)"), F.sum("n_tok").cast("decimal(38,0)")
+        ).alias("chars_per_token"),
+        ratio_round(
+            F.sum("n_long").cast("decimal(38,0)"), F.sum("n_tok").cast("decimal(38,0)")
+        ).alias("long_token_rate"),
+    )
