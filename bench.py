@@ -87,6 +87,10 @@ HEADLINE = [
     # sweep-line survival counts (no weeks x customers cross join)
     "gains_chart_langid",
     "kaplan_meier_churn",
+    # round-6 continuation: the two new corpus-position-heavy shapes —
+    # winnowed fingerprint self-join and overlapping-gram span merge
+    "winnowing_fingerprint_overlap",
+    "repeated_span_stats",
 ]
 
 
