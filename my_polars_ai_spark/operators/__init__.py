@@ -27,6 +27,7 @@ _MODULES = (
     "tpch_extra",
     "stats_tests",
     "classic_ml",
+    "graph",
 )
 
 
@@ -428,7 +429,10 @@ _PRIORITY_R7 = (
 # token_budget_selection, dsir_importance_weights,
 # filter_cascade_report, median_two_pass_exact,
 # sql_udf_declared_function, sql_pipe_syntax,
-# benchmark_embedding_contamination, bpe_train_merges.
+# benchmark_embedding_contamination, bpe_train_merges. Continuation
+# session 3 adds the graph module (neardup_adamic_adar,
+# contamination_blast_radius, neardup_label_consistency), queued with
+# the rest of the tail for first attestation in r8+.
 
 # Round 6: the staged flip, executed (window composition amended — see
 # the _PRIORITY_R6 comment above for the canary/re-attest changes).
