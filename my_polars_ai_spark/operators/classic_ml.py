@@ -1867,3 +1867,77 @@ def nb_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(2 * F.col("tp"), F.col("n_pred") + F.col("n_act")),
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (the ladder's final rung)
+# ---------------------------------------------------------------------------
+
+# Per-release privacy budget. Count queries have sensitivity 1, so the
+# Laplace scale is b = 1/epsilon = 1.
+_DP_EPSILON = 1.0
+# Clamp keeps ln() off the -inf boundary if a hash lands exactly on the
+# grid edge (u -> 1.0 after double rounding of the 60-bit numerator).
+_DP_LN_FLOOR = "1e-18"
+
+_DP_SQL = f"""
+    WITH cnt AS (
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ), seeded AS (
+        SELECT n_name, n_customers,
+               (CAST(('0x' || substr(md5('dp:' || n_name), 1, 15))::BIGINT
+                     AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+        FROM cnt
+    ), noised AS (
+        SELECT n_name, n_customers,
+               CAST(round((CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                          * -ln(greatest(1.0 - 2 * abs(u - 0.5), {_DP_LN_FLOOR}))
+                          * 1000000) AS BIGINT) AS noise_micro
+        FROM seeded
+    )
+    SELECT n_name, n_customers, noise_micro,
+           n_customers * 1000000 + noise_micro AS noisy_count_micro,
+           CAST(1000000 AS BIGINT) AS epsilon_micro
+    FROM noised
+"""
+
+
+@op("dp_noisy_counts", oracle=_DP_SQL, tags=("privacy", "governance", "dp"))
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-nation customer counts — the Laplace
+    mechanism (epsilon=1, sensitivity 1 for counting queries) closing
+    the governance ladder: k_anonymity_audit finds leaky cells,
+    qi_generalization_ladder coarsens, suppressed_release_histogram
+    pools small cells, and THIS releases counts with a formal privacy
+    guarantee instead of a heuristic one. Noise is the exact inverse
+    Laplace CDF -b*sign(u-1/2)*ln(1-2|u-1/2|) over the seeded portable
+    md5 uniform, rounded ONCE to integer micro-units, so the release is
+    reproducible (auditable seed per cell — swap the seed string per
+    release epoch in production) and hash-identical on both engines.
+    The true count rides along as the audit exhibit; a production
+    release would drop it. Cost: one broadcast-dim aggregation plus a
+    25-row narrow map — noise addition is free at any scale."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cnt = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    u = (
+        portable_hash60(F.concat(F.lit("dp:"), F.col("n_name"))).cast("double") + 0.5
+    ) / float(2**60)
+    sign = F.when(u >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+    arg = F.greatest(F.lit(1.0) - 2 * F.abs(u - 0.5), F.lit(float(_DP_LN_FLOOR)))
+    noise = F.round(sign * -F.log(arg) * 1000000).cast("bigint")
+    return cnt.select(
+        "n_name",
+        "n_customers",
+        noise.alias("noise_micro"),
+        (F.col("n_customers") * 1000000 + noise).alias("noisy_count_micro"),
+        F.lit(1000000).cast("long").alias("epsilon_micro"),
+    )

@@ -1347,3 +1347,133 @@ def wasserstein_1d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("long").alias("n_low"),
         ratio_round(F.col("num"), F.col("n1") * F.col("n2")).alias("w1_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+# Cumulative Poisson(1) CDF, written ONCE as decimal literals shared by
+# the Spark expression and the oracle SQL — both engines parse the same
+# shortest-repr string to the identical IEEE double, so the inverse-CDF
+# draw is bit-portable. Tail capped at 9 (P(X>8) < 1.2e-6).
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.999998874797402",
+)
+_B_REPLICAS = 100
+_CI_LO_RANK = 3  # ceil(0.025 * B)
+_CI_HI_RANK = 98  # ceil(0.975 * B)
+# 2^60 — exact as a double, so u = (hash + 0.5) / 2^60 is one rounding.
+_HASH_DEN = "1152921504606846976.0"
+
+_BOOT_CASES = " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+)
+
+_BOOT_SQL = f"""
+    WITH o AS (
+        SELECT o_orderkey, {_CENTS_SQL} AS cents FROM orders
+    ), draws AS (
+        SELECT r.b, o.cents,
+               (CAST(('0x' || substr(md5('pb' || r.b::VARCHAR || ':'
+                       || o.o_orderkey::VARCHAR), 1, 15))::BIGINT AS DOUBLE)
+                + 0.5) / {_HASH_DEN} AS u
+        FROM o CROSS JOIN (SELECT unnest(range({_B_REPLICAS})) AS b) r
+    ), wdraws AS (
+        SELECT b, cents, CASE {_BOOT_CASES} ELSE 9 END AS w FROM draws
+    ), rep AS (
+        SELECT b, {oracle_ratio_round("sum(w * cents)", "sum(w)")} AS m
+        FROM wdraws GROUP BY b
+    ), ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM rep
+    ), pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               {oracle_ratio_round("sum(cents)", "count(*)")} AS mean_cents
+        FROM o
+    )
+    SELECT pt.n_orders,
+           CAST({_B_REPLICAS} AS BIGINT) AS n_replicas,
+           pt.mean_cents,
+           (SELECT m FROM ranked WHERE rn = {_CI_LO_RANK}) AS ci_lo_cents,
+           (SELECT m FROM ranked WHERE rn = {_CI_HI_RANK}) AS ci_hi_cents
+    FROM pt
+"""
+
+
+@op("poisson_bootstrap_ci", oracle=_BOOT_SQL, tags=("stats", "bootstrap", "resampling"))
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean order total — THE
+    large-scale resampling method (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): classic
+    bootstrap needs n draws per replica from a global index (impossible
+    to distribute), the Poisson approximation gives each ROW an
+    independent Poisson(1) weight per replica, so all B replicas are
+    computed in one scan, map-side combinable, shuffling only B rows
+    per partition. Weights come from the inverse Poisson CDF over the
+    portable md5 uniform (shared literal thresholds, one rounding);
+    replica means are exact integer-cents rationals; the CI is exact
+    order statistics of the bounded B-row replica table (rank window
+    over 100 rows, never data-grain). Deterministic end-to-end — the
+    oracle replays the identical draws."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", _cents().alias("cents"))
+    drawn = o.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPLICAS - 1))).alias("b"),
+        F.col("o_orderkey"),
+    )
+    u = (
+        portable_hash60(
+            F.concat(
+                F.lit("pb"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).cast("double")
+        + 0.5
+    ) / float(2**60)
+    w = F.lit(9)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS1_CDF[k]), k).otherwise(w)
+    rep = (
+        drawn.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast(_D38) * F.col("cents")).alias("num"),
+            F.sum("w").cast(_D38).alias("den"),
+        )
+        .select("b", ratio_round(F.col("num"), F.col("den")).alias("m"))
+    )
+    # bounded grid: exactly B rows rank through this window
+    ranked = rep.withColumn("rn", F.row_number().over(Window.orderBy("m", "b")))
+    lo = ranked.filter(F.col("rn") == _CI_LO_RANK).select(
+        F.col("m").alias("ci_lo_cents")
+    )
+    hi = ranked.filter(F.col("rn") == _CI_HI_RANK).select(
+        F.col("m").alias("ci_hi_cents")
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        ratio_round(F.sum("cents"), F.count(F.lit(1))).alias("mean_cents"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            F.lit(_B_REPLICAS).cast("long").alias("n_replicas"),
+            "mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )

