@@ -568,3 +568,38 @@ def test_dp_noise_matches_pure_python_laplace_inverse_cdf(spark, sf_dir):
         assert r.epsilon_micro == 1000000
     # the mechanism must actually perturb: not every cell at zero noise
     assert any(r.noise_micro != 0 for r in rows)
+
+
+def test_caliper_matching_picks_nearest_and_drops_out_of_caliper(spark, tmp_path):
+    """Hand-built fixture: treated A ($100.00) must match control C
+    ($100.50, |d|=50c) over control B ($99.00, |d|=100c); treated D
+    ($500.00) has no control within $100 and stays unmatched."""
+    t0 = dt.datetime(2024, 1, 1)
+    orders = [
+        (1, 1, "O", 100.00, t0, "1-URGENT"),   # A
+        (2, 1, "O", 99.00, t0, "5-LOW"),       # B  lead 4
+        (3, 1, "O", 100.50, t0, "5-LOW"),      # C  lead 9
+        (4, 1, "O", 500.00, t0, "1-URGENT"),   # D  out of caliper
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    lines = [(1, 2), (2, 4), (3, 9), (4, 30)]
+    spark.createDataFrame(
+        [
+            (k, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t0 + dt.timedelta(days=d))
+            for k, d in lines
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    row = all_ops()["caliper_matching_att"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_treated, row.n_control, row.n_matched) == (2, 2, 1)
+    # A(lead 2) matched to C(lead 9): ATT = 2 - 9 = -7
+    assert row.att_days == -7.0
+    # naive: mean(2, 30) - mean(4, 9) = 16 - 6.5 = 9.5
+    assert row.naive_diff_days == 9.5
