@@ -4357,3 +4357,154 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_long").cast("decimal(38,0)"), F.sum("n_tok").cast("decimal(38,0)")
         ).alias("long_token_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAV) over the bounded reliability grid
+# ---------------------------------------------------------------------------
+
+# Shared bin table: the calibration_curve_langid binning, reduced to
+# (bin, n_docs, n_en) — everything downstream is on this <=10-row grid.
+_CALIB_BINS_SQL = f"""
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_en) AS BIGINT) AS n_en
+        FROM (
+            SELECT least(((2 * 1000000 *
+                       len(list_filter(string_split(text, ' '),
+                                       x -> x IN {_MARKERS_SQL}))
+                       + len(string_split(text, ' ')))
+                      // (2 * len(string_split(text, ' ')))) // 100000,
+                       9) AS bin,
+                   (lang = 'en')::INT AS is_en
+            FROM documents WHERE len(string_split(text, ' ')) > 0
+        ) GROUP BY bin
+"""
+
+_PAV_SQL = f"""
+    WITH b AS ({_CALIB_BINS_SQL}
+    ), p AS (
+        SELECT bin, n_docs, n_en,
+               sum(n_en) OVER (ORDER BY bin) AS cp,
+               sum(n_docs) OVER (ORDER BY bin) AS cn
+        FROM b
+    ), iv AS (
+        SELECT i.bin AS lo, j.bin AS hi,
+               {oracle_ratio_round(
+                   "j.cp - coalesce(ip.cp, 0)", "j.cn - coalesce(ip.cn, 0)"
+               )} AS m
+        FROM p j
+        JOIN p i ON i.bin <= j.bin
+        LEFT JOIN p ip ON ip.bin = (
+            SELECT max(q.bin) FROM p q WHERE q.bin < i.bin)
+    ), inner_min AS (
+        SELECT k.bin, iv.lo, min(iv.m) AS mn
+        FROM b k JOIN iv ON iv.lo <= k.bin AND iv.hi >= k.bin
+        GROUP BY 1, 2
+    ), fit AS (
+        SELECT bin, max(mn) AS iso_frac_en FROM inner_min GROUP BY 1
+    )
+    SELECT b.bin, b.n_docs, b.n_en,
+           {oracle_ratio_round("b.n_en", "b.n_docs")} AS frac_en,
+           fit.iso_frac_en
+    FROM b JOIN fit USING (bin)
+"""
+
+
+@op(
+    "isotonic_calibration_pav",
+    oracle=_PAV_SQL,
+    tags=("text", "ml", "eval", "calibration"),
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) of the langid
+    reliability curve — the calibration FIX next to the diagnosis
+    (calibration_curve_langid shows the curve, ece_langid scores it,
+    this repairs it into the monotone map you'd actually apply to
+    scores). PAV is a sequential pooling algorithm, but its solution
+    has the minimax closed form g(k) = max_{i<=k} min_{j>=k}
+    mean(y[i..j]) — and on the BOUNDED 10-bin grid that is a few
+    hundred interval triples, so the whole fit is declarative: prefix
+    sums over the grid, interval means as once-rounded exact rationals,
+    then min/max aggregations. The corpus-scale work remains the one
+    narrow map + 10-bin aggregation the curve op already does; the
+    O(b^3) fit never touches data-grain rows (the non-equi grid joins
+    are the documented bounded-broadcast class)."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    hits = F.size(F.filter(ts, lambda x: x.isin(*_EN_MARKERS)))
+    s = (
+        d.select(
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+            hits.alias("hits"),
+            F.size(ts).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "is_en",
+            exact_floor_div(
+                2 * 1000000 * F.col("hits").cast("decimal(38,0)") + F.col("n_tok"),
+                2 * F.col("n_tok").cast("decimal(38,0)"),
+            ).cast("long").alias("score_micro"),
+        )
+    )
+    b = (
+        s.select(
+            F.least(
+                exact_floor_div(F.col("score_micro"), F.lit(100000)).cast("long"),
+                F.lit(9),
+            ).cast("int").alias("bin"),
+            "is_en",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_en").cast("long").alias("n_en"),
+        )
+        .cache()
+    )
+    # bounded grid from here down: <=10 rows through every window/join
+    p = b.select(
+        "bin",
+        F.sum("n_en").over(Window.orderBy("bin")).alias("cp"),
+        F.sum("n_docs").over(Window.orderBy("bin")).alias("cn"),
+    )
+    pp = p.select(
+        F.col("bin").alias("pbin"), F.col("cp").alias("pcp"), F.col("cn").alias("pcn")
+    )
+    j = p.select(F.col("bin").alias("hi"), "cp", "cn")
+    i = p.select(F.col("bin").alias("lo"))
+    # prefix strictly before lo: the largest pbin < lo (bins may be sparse)
+    prev = (
+        i.join(pp, pp.pbin < i.lo, "left")
+        .groupBy("lo")
+        .agg(F.max("pbin").alias("pbin"))
+        .join(pp, "pbin", "left")
+        .select("lo", F.coalesce("pcp", F.lit(0)).alias("pcp"),
+                F.coalesce("pcn", F.lit(0)).alias("pcn"))
+    )
+    iv = (
+        j.join(prev, j.hi >= prev.lo)
+        .select(
+            "lo",
+            "hi",
+            ratio_round(F.col("cp") - F.col("pcp"), F.col("cn") - F.col("pcn")).alias("m"),
+        )
+    )
+    k = b.select(F.col("bin"))
+    inner_min = (
+        k.join(iv, (iv.lo <= k.bin) & (iv.hi >= k.bin))
+        .groupBy("bin", "lo")
+        .agg(F.min("m").alias("mn"))
+    )
+    fit = inner_min.groupBy("bin").agg(F.max("mn").alias("iso_frac_en"))
+    return (
+        b.join(fit, "bin")
+        .select(
+            "bin",
+            "n_docs",
+            "n_en",
+            ratio_round(F.col("n_en"), F.col("n_docs")).alias("frac_en"),
+            "iso_frac_en",
+        )
+    )

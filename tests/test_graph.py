@@ -70,3 +70,43 @@ def test_label_vote_is_plurality_with_deterministic_tiebreak(spark, sf_dir):
         assert r.n_agree == votes.get(r.lang, 0)
         best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert r.voted_lang == best
+
+
+def test_isotonic_fit_is_monotone_and_matches_greedy_pav(spark, sf_dir):
+    """The minimax closed form must agree with the classic sequential
+    pool-adjacent-violators algorithm (run here in exact Fractions) up
+    to the op's documented once-rounding of interval means."""
+    from fractions import Fraction
+
+    from my_polars_ai_spark.operators.text import isotonic_calibration_pav
+
+    rows = sorted(
+        isotonic_calibration_pav(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    assert rows
+    # monotone non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_frac_en <= b.iso_frac_en
+    # greedy PAV in exact rationals
+    blocks = [[Fraction(r.n_en), Fraction(r.n_docs)] for r in rows]
+    i = 0
+    while i + 1 < len(blocks):
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    expanded = []
+    bi = 0
+    for num, den in blocks:
+        # how many original bins this block absorbed: walk den
+        acc = Fraction(0)
+        while acc < den:
+            acc += rows[bi].n_docs
+            expanded.append(num / den)
+            bi += 1
+    assert bi == len(rows)
+    for r, ref in zip(rows, expanded):
+        assert abs(r.iso_frac_en - float(ref)) <= 2e-6
