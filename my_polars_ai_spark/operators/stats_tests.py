@@ -1477,3 +1477,98 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: the stratified-sampling DESIGN op
+# ---------------------------------------------------------------------------
+
+_NEYMAN_TOTAL = 1000  # target total sample size the plan allocates
+
+_NEYMAN_SQL = f"""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sm,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ss
+        FROM documents GROUP BY 1
+    ), v AS (
+        SELECT source, n, sm,
+               -- sample variance as one exact rational, rounded once
+               {oracle_ratio_round("n * ss - sm * sm", "n * (n - 1)")} AS var_chars
+        FROM s
+    ), w AS (
+        SELECT source, n, sm, var_chars,
+               CAST(round(sqrt(var_chars) * 1000000) AS HUGEINT) AS sd_micro
+        FROM v
+    ), tot AS (
+        SELECT sum(n * sd_micro) AS denom, sum(n) AS nn FROM w
+    )
+    SELECT w.source,
+           CAST(w.n AS BIGINT) AS n_rows,
+           {oracle_ratio_round("w.sm", "w.n")} AS mean_chars,
+           CAST(w.sd_micro AS BIGINT) AS sd_micro,
+           CAST({oracle_ratio_round(
+               f"{_NEYMAN_TOTAL} * w.n * w.sd_micro", "tot.denom", 0
+           )} AS BIGINT) AS neyman_n,
+           CAST({oracle_ratio_round(
+               f"{_NEYMAN_TOTAL} * w.n", "tot.nn", 0
+           )} AS BIGINT) AS proportional_n
+    FROM w CROSS JOIN tot
+"""
+
+
+@op("neyman_allocation_plan", oracle=_NEYMAN_SQL, tags=("stats", "sampling", "design"))
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) allocation for a stratified sample of 1000 docs
+    by source: n_h proportional to N_h * S_h, next to the proportional
+    allocation it beats — high-variance strata get oversampled, which
+    is why an eval-set budget spent proportionally wastes draws on
+    homogeneous sources. The DESIGN op in front of stratified_sample /
+    kfold_stratified_assign (they execute a split; this says what the
+    split SHOULD be). Per-stratum variance comes from the three integer
+    accumulators (n, sum, sum-of-squares) as ONE exact rational; sd is
+    the IEEE sqrt rounded once to micro-units; both allocations are
+    exact half-up rationals over the bounded stratum grid. One
+    map-side-combined aggregation over the corpus; everything after is
+    5 rows."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum(F.col("n_chars").cast(_D38)).alias("sm"),
+        F.sum(F.col("n_chars").cast(_D38) * F.col("n_chars")).alias("ss"),
+    )
+    v = s.select(
+        "source",
+        "n",
+        "sm",
+        ratio_round(
+            F.col("n") * F.col("ss") - F.col("sm") * F.col("sm"),
+            F.col("n") * (F.col("n") - 1),
+        ).alias("var_chars"),
+    )
+    w = v.select(
+        "source",
+        "n",
+        "sm",
+        "var_chars",
+        F.round(F.sqrt("var_chars") * 1000000).cast(_D38).alias("sd_micro"),
+    )
+    tot = w.agg(
+        F.sum(F.col("n") * F.col("sd_micro")).alias("denom"),
+        F.sum("n").alias("nn"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_rows"),
+        ratio_round(F.col("sm"), F.col("n")).alias("mean_chars"),
+        F.col("sd_micro").cast("long").alias("sd_micro"),
+        ratio_round(
+            F.lit(_NEYMAN_TOTAL) * F.col("n") * F.col("sd_micro"),
+            F.col("denom"),
+            0,
+        ).cast("long").alias("neyman_n"),
+        ratio_round(F.lit(_NEYMAN_TOTAL) * F.col("n"), F.col("nn"), 0)
+        .cast("long")
+        .alias("proportional_n"),
+    )

@@ -386,3 +386,30 @@ def test_poisson_bootstrap_ci_brackets_point_and_replays_draws(spark, sf_dir):
         thresholds[8],
         rel_tol=1e-12,
     )
+
+
+def test_neyman_allocation_recomputes_and_sums_to_target(spark, sf_dir):
+    from fractions import Fraction
+
+    from my_polars_ai_spark.operators.stats_tests import (
+        _NEYMAN_TOTAL,
+        neyman_allocation_plan,
+    )
+
+    rows = neyman_allocation_plan(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    denom = sum(r.n_rows * r.sd_micro for r in rows)
+    nn = sum(r.n_rows for r in rows)
+    for r in rows:
+        assert r.neyman_n >= 0 and r.proportional_n >= 0
+        # exact half-up recomputation of both allocations
+        for got, num in (
+            (r.neyman_n, Fraction(_NEYMAN_TOTAL * r.n_rows * r.sd_micro, denom)),
+            (r.proportional_n, Fraction(_NEYMAN_TOTAL * r.n_rows, nn)),
+        ):
+            frac = num - int(num)
+            expect = int(num) + (1 if 2 * frac >= 1 else 0)
+            assert got == expect
+    # rounding drift is at most half a doc per stratum
+    assert abs(sum(r.neyman_n for r in rows) - _NEYMAN_TOTAL) <= len(rows)
+    assert abs(sum(r.proportional_n for r in rows) - _NEYMAN_TOTAL) <= len(rows)
