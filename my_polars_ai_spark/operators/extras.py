@@ -3588,3 +3588,118 @@ def rendezvous_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("decimal(38,0)"),
         ).alias("moved_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-view delta maintenance: the bilinear identity
+# ---------------------------------------------------------------------------
+
+# Portable row-level delta flags (~10% of each side, independent): an
+# order row and a line row go "newly arrived" by md5 of their own key.
+_DJ_A = "('0x' || substr(md5('dja:' || o_orderkey::VARCHAR), 1, 15))::BIGINT % 10 = 0"
+_DJ_L = (
+    "('0x' || substr(md5('djl:' || l_orderkey::VARCHAR || ':' ||"
+    " l_linenumber::VARCHAR), 1, 15))::BIGINT % 10 = 0"
+)
+
+_DJV_SQL = f"""
+    WITH j AS (
+        SELECT o.o_orderpriority,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(28,6)) * 100 AS HUGEINT)
+                   AS cents,
+               ({_DJ_A}) AS da,
+               ({_DJ_L}) AS dl
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN NOT da AND NOT dl THEN cents ELSE 0 END)
+                AS BIGINT) AS base_cents,
+           CAST(sum(CASE WHEN da OR dl THEN cents ELSE 0 END)
+                AS BIGINT) AS delta_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM j GROUP BY 1
+"""
+
+
+@op(
+    "delta_join_view_maintenance",
+    oracle=_DJV_SQL,
+    tags=("join", "incremental", "scale-pattern"),
+)
+def delta_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view when BOTH inputs receive
+    deltas — the bilinear identity Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    ΔA⋈ΔB that incremental_rollup_maintenance's agg-merge algebra
+    doesn't cover (aggregates merge linearly; joins don't). The
+    revenue-by-priority view over orders⋈lineitem updates by computing
+    exactly the three delta join terms and adding them to the stored
+    base view; the oracle is the full recompute, so the green hash IS
+    the proof the identity holds term-for-term (base/delta columns
+    split the ledger). At 100 TB the payoff is that no delta term ever
+    joins base-to-base: ΔA⋈B and A⋈ΔB are delta-sized probe joins
+    (DPP/bucketing keep the big side's scan pruned), ΔA⋈ΔB is
+    delta x delta. Deterministic ~10% row-level deltas via the
+    portable md5 flag on each side's own key."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            portable_hash60(F.concat(F.lit("dja:"), F.col("o_orderkey").cast("string")))
+            % 10
+            == 0
+        ).alias("da"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(28,6)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+        (
+            portable_hash60(
+                F.concat(
+                    F.lit("djl:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 10
+            == 0
+        ).alias("dl"),
+    )
+    ob, od = o.filter(~F.col("da")), o.filter(F.col("da"))
+    lb, ld = li.filter(~F.col("dl")), li.filter(F.col("dl"))
+
+    def view(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("cents").alias("c"),
+            )
+        )
+
+    # stored base term + the three delta terms of the bilinear identity
+    base = view(ob, lb)
+    deltas = view(od, lb).unionByName(view(ob, ld)).unionByName(view(od, ld))
+    dsum = deltas.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("dn"), F.sum("c").alias("dc")
+    )
+    return (
+        base.join(dsum, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_lines"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("base_cents"),
+            F.coalesce("dc", F.lit(0)).cast("long").alias("delta_cents"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
