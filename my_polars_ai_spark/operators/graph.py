@@ -28,8 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_polars_ai_spark.operators.base import Op, make_registrar
-from my_polars_ai_spark.operators.dedup import _MINHASH_PAIRS_SQL, minhash_lsh_pairs
+from my_polars_ai_spark.operators.base import Op, ROUND_RATIO, make_registrar
+from my_polars_ai_spark.operators.dedup import (
+    _MINHASH_PAIRS_SQL,
+    MINHASH_THRESHOLD,
+    minhash_lsh_pairs,
+)
 from my_polars_ai_spark.operators.text import benchmark_contamination
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -286,5 +290,163 @@ def neardup_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nb_lang").alias("voted_lang"),
             "n_neighbors",
             F.coalesce("n_same", F.lit(0)).cast("bigint").alias("n_agree"),
+        )
+    )
+
+
+# The Adamic-Adar prediction list, as a reusable oracle CTE body (the
+# op's own SELECT, minus the ORDER/LIMIT wrapper it shares).
+_AA_TOPK_SQL = f"""
+    WITH {_GRAPH_CTES}, w AS (
+        SELECT node, CAST(round(1000000 / ln(deg)) AS BIGINT) AS w_micro
+        FROM deg WHERE deg >= 2
+    ), wedge AS (
+        SELECT e1.dst AS doc_a, e2.dst AS doc_b, w.w_micro
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        JOIN w ON w.node = e1.src
+    ), cand AS (
+        SELECT doc_a, doc_b,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(w_micro) AS BIGINT) AS aa_micro
+        FROM wedge GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common, c.aa_micro
+    FROM cand c
+    LEFT JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    WHERE p.doc_a IS NULL
+    ORDER BY c.aa_micro DESC, c.doc_a, c.doc_b
+    LIMIT {ADAMIC_ADAR_TOPK}
+"""
+
+
+@op(
+    "adamic_adar_verified_pairs",
+    oracle=f"""
+    WITH aa AS MATERIALIZED ({_AA_TOPK_SQL}
+    ), toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE doc_id IN (SELECT doc_a FROM aa UNION SELECT doc_b FROM aa)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+    ), inter AS (
+        SELECT aa.doc_a, aa.doc_b, count(tb.tok) AS ni
+        FROM aa
+        LEFT JOIN toks ta ON ta.doc_id = aa.doc_a
+        LEFT JOIN toks tb ON tb.doc_id = aa.doc_b AND tb.tok = ta.tok
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, aa.n_common, aa.aa_micro,
+           round(i.ni * 1.0 / (sa.n + sb.n - i.ni), {ROUND_RATIO}) AS jaccard,
+           CAST((i.ni * 1.0 / (sa.n + sb.n - i.ni) >= {MINHASH_THRESHOLD})::INT
+                AS INT) AS is_near_dup
+    FROM inter i
+    JOIN aa ON aa.doc_a = i.doc_a AND aa.doc_b = i.doc_b
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+    tags=("graph", "dedup", "link-prediction", "verify"),
+)
+def adamic_adar_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage for the link-prediction recall patch: compute
+    the EXACT token Jaccard of the 50 Adamic-Adar-predicted pairs and
+    flag which clear the near-dup threshold — closing the
+    candidates-then-verify loop the LSH family lives by (predictions
+    are hypotheses; only an exact check on the bounded candidate set
+    promotes them to edges). Cost discipline: the token join is
+    restricted to the <=100 docs in the prediction list (semi-join
+    pushdown before the token explode meets anything), so verification
+    is candidate-bounded no matter the corpus size. A pair's endpoints
+    can share zero tokens (they were only ever SECOND-degree related) —
+    LEFT joins keep the row, jaccard 0."""
+    aa = neardup_adamic_adar(spark, sf_dir).cache()
+    docs = aa.select(F.col("doc_a").alias("doc_id")).union(
+        aa.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.join(F.broadcast(docs), "doc_id", "leftsemi")
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .cache()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("tb_doc"), F.col("tok").alias("tok_b"))
+    inter = (
+        aa.join(ta, "doc_a", "left")
+        .join(tb, (F.col("doc_b") == F.col("tb_doc")) & (F.col("tok_a") == F.col("tok_b")), "left")
+        .drop("tb_doc")
+        .groupBy("doc_a", "doc_b", "n_common", "aa_micro")
+        .agg(F.count("tok_b").alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "aa_micro",
+            F.round(jac, ROUND_RATIO).alias("jaccard"),
+            (jac >= MINHASH_THRESHOLD).cast("int").alias("is_near_dup"),
+        )
+    )
+
+
+@op(
+    "decontaminated_manifest",
+    oracle=_blast_oracle().replace(
+        f"""
+    SELECT node AS doc_id, CAST(h AS BIGINT) AS hops
+    FROM r{BLAST_HOPS}""",
+        f""" , reached AS (
+        SELECT node AS doc_id FROM r{BLAST_HOPS}
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((r.doc_id IS NOT NULL)::INT) AS BIGINT) AS n_dropped,
+           CAST(sum((r.doc_id IS NULL)::INT) AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN r.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS retained_chars
+    FROM documents d
+    LEFT JOIN reached r ON r.doc_id = d.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY 1""",
+    ),
+    tags=("graph", "contamination", "pipeline", "manifest"),
+)
+def decontaminated_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACTION: per-source ledger of training docs
+    dropped because they sit within 3 near-dup hops of a
+    benchmark-contaminated doc (contamination_blast_radius's reach
+    set), and what survives — the artifact a data curator actually
+    ships after the detect (benchmark_contamination) and audit
+    (blast radius) stages. Transitive dropping is the point: removing
+    only direct 3-gram hits leaves their near-duplicates in the
+    corpus. One left-anti-shaped join of the corpus against the
+    bounded reach set, aggregated to the source grain; the benchmark
+    slice itself (src0) is excluded from the training ledger by
+    definition."""
+    reached = contamination_blast_radius(spark, sf_dir).select("doc_id", F.lit(1).alias("hit"))
+    d = _t(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    return (
+        d.join(reached, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("hit").isNull(), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("retained_chars"),
         )
     )
