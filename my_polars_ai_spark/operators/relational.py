@@ -932,7 +932,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING sum(CAST(l_quantity AS BIGINT)) > 200
     )
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
-           o.o_totalprice, b.total_qty
+           o.o_totalprice, CAST(b.total_qty AS BIGINT) AS total_qty
     FROM big b
     JOIN orders o   ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey

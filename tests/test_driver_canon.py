@@ -38,3 +38,37 @@ def test_no_oracle_checked_op_emits_unhashable_columns(spark, sf_dir):
         "oracle-checked ops emit list/map/struct columns the driver's "
         f"pandas canonicalizer cannot hash — array_join them: {offenders}"
     )
+
+
+def test_no_oracle_emits_hugeint_or_decimal_columns(sf_dir):
+    """Oracle-side dtype gate (round-6 verdict item 1c).
+
+    The driver materializes the DuckDB oracle via pandas, where a
+    HUGEINT (the type of sum(BIGINT)) becomes float64 and DECIMAL
+    becomes object, while the Spark twin emits int64/double — so the
+    dtype-sensitive value-hash mismatches even when every number agrees
+    (round-5 tpch_q20, round-6 tpch_q18). fetchall()-based local checks
+    cannot see this (HUGEINT arrives as plain int), but DESCRIBE reports
+    the declared output type before any flattening. Every oracle must
+    CAST such columns in its outermost SELECT."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    hazards = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    offenders: dict[str, list[str]] = {}
+    for name, op_ in all_ops().items():
+        if op_.oracle is None:
+            continue
+        desc = con.execute(f"DESCRIBE {op_.oracle}").fetchall()
+        bad = [f"{col}:{typ}" for col, typ, *_ in desc
+               if any(h in typ.upper() for h in hazards)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles emit HUGEINT/DECIMAL output columns that pandas "
+        f"materializes differently from Spark — CAST them: {offenders}"
+    )

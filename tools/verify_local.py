@@ -67,6 +67,27 @@ def _dtype_kind(values) -> str:
     return "all-null"
 
 
+_PANDAS_HAZARD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_type_issues(con, sql: str) -> list[str]:
+    """Columns whose DuckDB declared type pandas won't materialize the
+    way Spark does: HUGEINT/UHUGEINT → float64 (or object), DECIMAL →
+    object — while the Spark twin emits int64/float64, so the driver's
+    dtype-sensitive value-hash mismatches even on identical numbers.
+    DESCRIBE sees the declared type that fetchall() flattens away."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:  # DESCRIBE unsupported for this statement shape
+        return [f"DESCRIBE failed ({type(e).__name__}): {str(e)[:120]}"]
+    return [
+        f"oracle column {col!r} has declared type {typ} — pandas will not "
+        "materialize it as the Spark dtype; CAST it in the outermost SELECT"
+        for col, typ, *_ in desc
+        if any(h in typ.upper() for h in _PANDAS_HAZARD_TYPES)
+    ]
+
+
 def compare(spark_df, oracle_rows, oracle_cols):
     spark_cols = spark_df.columns
     rows = [tuple(r) for r in spark_df.collect()]
@@ -136,6 +157,13 @@ def main():
             o_cols = [d[0] for d in cur.description]
             o_rows = cur.fetchall()
             issues = compare(df, o_rows, o_cols)
+            # Oracle-side declared-type gate: fetchall() flattens DuckDB
+            # HUGEINT to plain Python int (indistinguishable from BIGINT),
+            # but the driver materializes the oracle via pandas where
+            # HUGEINT/DECIMAL become float64/object while Spark emits
+            # int64 — the round-5 q20 / round-6 q18 red. DESCRIBE sees
+            # the declared type before any flattening.
+            issues.extend(oracle_type_issues(con, op_.oracle))
             dt = time.time() - t0
             if issues:
                 n_fail += 1
