@@ -3992,11 +3992,16 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Winnowing (MOSS) parameters: token k-gram size, window width, and the
-# min shared-fingerprint count a pair must reach to be reported.
+# Winnowing (MOSS) parameters: token k-gram size, window width, the
+# min shared-fingerprint count a pair must reach to be reported, and
+# the posting-length cap: a fingerprint shared by more than MAX_POSTING
+# documents is dropped as corpus boilerplate BEFORE the self-join
+# (MOSS itself culls over-frequent fingerprints as noise) — without the
+# cap, one license-header fingerprint in M docs fans out M^2 pairs.
 WINNOW_K = 3
 WINNOW_W = 4
 WINNOW_MIN_SHARED = 3
+WINNOW_MAX_POSTING = 50
 
 _WINNOW_SQL = f"""
     WITH base AS (
@@ -4012,10 +4017,14 @@ _WINNOW_SQL = f"""
                list_distinct(list_transform(range(1, len(h) - {WINNOW_W - 2}), j ->
                    list_min(h[j:j+{WINNOW_W - 1}]))) AS fps
         FROM kg
-    ), e AS (SELECT doc_id, unnest(fps) AS fph FROM fp)
+    ), e AS (SELECT doc_id, unnest(fps) AS fph FROM fp
+    ), keep AS (
+        SELECT fph FROM e GROUP BY fph
+        HAVING count(*) <= {WINNOW_MAX_POSTING}
+    ), e2 AS (SELECT e.* FROM e JOIN keep USING (fph))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared
-    FROM e a JOIN e b ON a.fph = b.fph AND a.doc_id < b.doc_id
+    FROM e2 a JOIN e2 b ON a.fph = b.fph AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
@@ -4040,7 +4049,20 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     density of the corpus, not all k-grams. Pairs sharing >=
     WINNOW_MIN_SHARED fingerprints are reported with their shared
     count; hashes are the md5-based 60-bit portable family, so the
-    oracle runs the identical selection."""
+    oracle runs the identical selection.
+
+    Posting-length cap: fingerprints held by more than
+    WINNOW_MAX_POSTING documents are dropped by a map-side-combinable
+    pre-aggregation BEFORE the self-join (MOSS practice — over-frequent
+    fingerprints are boilerplate noise), so the worst join key fans out
+    at most MAX_POSTING^2 pairs instead of M^2 for an M-doc license
+    header. The winnowing guarantee becomes: any shared run of >=
+    W+K-1 tokens between two documents yields a reported shared
+    fingerprint PROVIDED the passage occurs in <= WINNOW_MAX_POSTING
+    documents — corpus-wide boilerplate is deliberately out of scope
+    (that is `remove_boilerplate_tokens`'s job, not pair detection's).
+    The oracle applies the identical HAVING, so the cap is itself
+    oracle-checked."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
     d = _t(spark, sf_dir, "documents")
@@ -4067,8 +4089,19 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     e = kg.select("doc_id", F.explode(fps).alias("fph"))
-    a = e.select(F.col("doc_id").alias("doc_a"), "fph")
-    b = e.select(F.col("doc_id").alias("doc_b"), "fph")
+    # Hot-key cap: aggregate posting lengths (map-side combinable) and
+    # keep only fingerprints in <= WINNOW_MAX_POSTING docs BEFORE the
+    # self-join — the aggregate must precede the join in the plan
+    # (plan-contract tested) or one boilerplate key fans out M^2 pairs.
+    keep = (
+        e.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("posting_len"))
+        .filter(F.col("posting_len") <= WINNOW_MAX_POSTING)
+        .select("fph")
+    )
+    e2 = e.join(keep, "fph")
+    a = e2.select(F.col("doc_id").alias("doc_a"), "fph")
+    b = e2.select(F.col("doc_id").alias("doc_b"), "fph")
     return (
         a.join(b, "fph")
         .filter(F.col("doc_a") < F.col("doc_b"))
