@@ -359,24 +359,66 @@ _PRIORITY_R6 = (
     "dow_hour_heatmap",
 )
 
-# Round-7 window, staged and test-validated in round 6 (the r7 flip is
-# the one-liner `_PRIORITY = _PRIORITY_R7`). 6 canaries + the NEXT 44
-# never-attested ops in registry order after the r6 window: the
-# scalar/array tail (now string-surfaced for the driver canonicalizer),
-# the time-series/markov/attribution block, and the stats/dedup-
-# diagnostics block through co_supplier_pairs. Cumulative ledger going
-# in: r01+r02+r05 attested 124 rows; r6 should add ~46 (44 first-time +
-# 2 re-attested reds). ~189 remain for r8+ (including the 36 r4-window
-# ops whose CORRECTNESS_r04.json never landed).
+# Round-7 window — staged in round 6, AMENDED at the r7 flip per the
+# round-6 verdict: (a) one re-attest slot for the r6 driver red
+# `tpch_q18_large_volume_customer` (oracle HUGEINT un-recast, fixed
+# this round — driver-red is the hard signal, it must flip green);
+# (b) bias toward the round-6 additions that have never had a driver
+# row (winnowing/repeated-span/phrase-search, BPE/fertility/KN, the
+# graph five, rendezvous/leakage, DP/bootstrap/caliper/isotonic/
+# Neyman/k-center, token-budget/DSIR/Lloyd) plus the new
+# `repeated_span_excision`; (c) the full multimodal family —
+# `multimodal_decode` was round-3's breakage and has never had a
+# driver row (verdict item 6). The originally staged scalar/markov/
+# stats block keeps its first 11 names here; the displaced 33 move to
+# the front of the r8 queue (array_set_ops .. co_supplier_pairs).
+# Ledger going in: 163 distinct ops driver-green (r01+r02+r05+r06);
+# this window adds 44 first-attestations -> cumulative ~207.
 _PRIORITY_R7 = (
     # canaries — one per north-star family
     "flagship_revenue_by_nation",
-    "tpch_q1_pricing_summary",
     "dedup_minhash_lsh",
     "ann_lsh_cosine",
     "tfidf_top_terms",
     "sql_api_revenue",
-    # never-attested, registry order
+    # round-6 driver red, fixed this round — re-attestation slot
+    "tpch_q18_large_volume_customer",
+    # round-6 additions — first driver row
+    "winnowing_fingerprint_overlap",
+    "repeated_span_stats",
+    "repeated_span_excision",
+    "phrase_search_positional",
+    "bpe_train_merges",
+    "bpe_merge_step",
+    "tokenizer_fertility_stats",
+    "kneser_ney_bigram_score",
+    "neardup_adamic_adar",
+    "adamic_adar_verified_pairs",
+    "contamination_blast_radius",
+    "neardup_label_consistency",
+    "decontaminated_manifest",
+    "split_neardup_leakage",
+    "split_leakage_audit",
+    "rendezvous_shard_plan",
+    "dp_noisy_counts",
+    "poisson_bootstrap_ci",
+    "caliper_matching_att",
+    "isotonic_calibration_pav",
+    "neyman_allocation_plan",
+    "kcenter_coreset_greedy",
+    "token_budget_selection",
+    "dsir_importance_weights",
+    "kmeans_lloyd_step",
+    "training_manifest",
+    "neardup_blast_radius",
+    # multimodal family — first driver row (verdict item 6)
+    "multimodal_decode",
+    "image_ahash_pairs",
+    "scene_change_detection",
+    "cross_clip_frame_overlap",
+    "image_resize_stats",
+    "frame_sample_chunks",
+    # head of the originally staged block — first driver row
     "tpch_q17_small_qty_revenue",
     "revenue_share_of_region",
     "rls_masked_view",
@@ -388,39 +430,6 @@ _PRIORITY_R7 = (
     "higher_order_array_funcs",
     "struct_map_access",
     "json_funcs",
-    "array_set_ops",
-    "try_arithmetic_funcs",
-    "collated_group_count",
-    "sliding_window_1h_30m",
-    "daily_rollup",
-    "sequence_islands",
-    "funnel_conversion",
-    "retention_cohorts",
-    "concurrency_duration_profile",
-    "session_window_dynamic_gap",
-    "ts_decompose_daily",
-    "twap_daily_value",
-    "markov_3step_purchase",
-    "markov_conditional_entropy",
-    "theil_sen_daily_slope",
-    "seasonal_strength_daily",
-    "conformal_daily_interval",
-    "attribution_models_compare",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "corr_matrix",
-    "impute_mean",
-    "confusion_matrix",
-    "feature_minmax_scale",
-    "groupwise_ols_slope",
-    "chi_square_lang_source",
-    "gini_per_nation",
-    "spearman_per_nation",
-    "doc_fingerprint",
-    "dedup_cluster_size_hist",
-    "dedup_keep_longest",
-    "source_overlap_matrix",
-    "co_supplier_pairs",
 )
 
 # Round-6 session additions (registry 401 -> 411), appended to the
@@ -434,9 +443,15 @@ _PRIORITY_R7 = (
 # contamination_blast_radius, neardup_label_consistency), queued with
 # the rest of the tail for first attestation in r8+.
 
-# Round 6: the staged flip, executed (window composition amended — see
-# the _PRIORITY_R6 comment above for the canary/re-attest changes).
-_PRIORITY = _PRIORITY_R6
+# Round 7: the staged flip, executed (window composition amended — see
+# the _PRIORITY_R7 comment above). R8 queue front: the 33 displaced
+# staged names (array_set_ops, try_arithmetic_funcs,
+# collated_group_count, the sliding/session/markov/attribution
+# time-series block, asof forward/nearest, corr/impute/confusion/
+# minmax, groupwise_ols/chi2/gini/spearman, doc_fingerprint,
+# dedup diagnostics through co_supplier_pairs), then the rest of the
+# never-attested tail in registry order.
+_PRIORITY = _PRIORITY_R7
 
 
 def all_ops() -> dict[str, Op]:

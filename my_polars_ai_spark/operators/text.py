@@ -4222,6 +4222,124 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXCISE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(array_to_string(l[i:i+{SPAN_K - 1}], ' ')), 1, 15))::BIGINT AS gh
+        FROM base, unnest(range(1, len(l) - {SPAN_K - 2})) AS t(i)
+        WHERE len(l) >= {SPAN_K}
+    ), dup AS (
+        SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1
+    ), marked AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos > lag(pos) OVER w + {SPAN_K} THEN 1 ELSE 0 END AS brk
+        FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, [min(pos), max(pos) + {SPAN_K - 1}] AS sp
+        FROM isl2 GROUP BY doc_id, island
+    ), per_doc AS (
+        SELECT doc_id, list(sp) AS sps FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.l) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           coalesce(array_to_string(list_transform(kept, i -> b.l[i]), ' '), '') AS excised_text
+    FROM (
+        SELECT b.doc_id, b.l,
+               list_filter(range(1, len(b.l) + 1), i ->
+                   p.sps IS NULL OR len(list_filter(p.sps, sp ->
+                       i >= sp[1] AND i <= sp[2])) = 0) AS kept
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ) b
+"""
+
+
+@op(
+    "repeated_span_excision",
+    oracle=_EXCISE_SQL,
+    tags=("text", "dedup", "pipeline"),
+)
+def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCISED corpus — the actual output artifact of exact-substring
+    dedup (Lee et al. 2021 cut every duplicated span out of the training
+    text): `repeated_span_stats` reports the spans, this op consumes
+    them and reconstructs each document's text with every marked span
+    removed. Every doc is returned (unaffected docs pass through
+    verbatim), so the result IS the training corpus for the next stage.
+
+    Scale shape: identical gram pipeline to `repeated_span_stats`
+    (corpus-position gram table -> map-side-combinable dup census ->
+    positions semi-joined back -> DOC-partitioned islands windows), then
+    the per-doc span list — bounded by n_tokens/SPAN_K, and only for
+    AFFECTED docs — is aggregated and LEFT-joined to the base table,
+    where a pure JVM nested higher-order filter drops covered token
+    positions. No re-explode of the corpus for reconstruction: one
+    tokens-array pass per doc inside codegen. Oracle mirrors with
+    DuckDB nested list lambdas over the same gaps-and-islands."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    big = base.filter(F.size("l") >= SPAN_K)
+    lcol = F.col("l")
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(lcol) - (SPAN_K - 1)),
+        lambda i: portable_hash60(F.array_join(F.slice(lcol, i, SPAN_K), " ")),
+    )
+    grams = big.select(
+        "doc_id", F.posexplode(gram).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    dup = (
+        grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1).select("gh")
+    )
+    marked = grams.join(dup, "gh", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (
+        marked.withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + SPAN_K),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + SPAN_K - 1).alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("sps")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size(lcol)),
+        lambda i: F.col("sps").isNull()
+        | ~F.exists(
+            F.col("sps"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(lcol).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(lcol, i)), " "
+        ).alias("excised_text"),
+    )
+
+
 _KN_D = 0.75  # the standard Kneser-Ney absolute discount
 
 _KN_SQL = f"""
