@@ -697,3 +697,15 @@ def test_winnowing_posting_cap_precedes_self_join(spark, sf_dir):
     # Catalyst prunes unused aggregates)
     s = plan_summary(df)
     assert s["python_evals"] == 0
+
+
+def test_lint_allowlist_names_are_registered_ops():
+    """Every (op, kind) pair in the lint allowlist must name a real
+    registry op — a rename would silently orphan its justification and
+    tools/lint_all.py would then fail the renamed op as unattributed."""
+    from my_polars_ai_spark.plans.lint_allowlist import ALLOWLIST
+
+    ops = set(all_ops())
+    kinds = {"bnlj", "global-window", "cartesian", "multi-smj", "python-udf"}
+    bad = [(n, k) for (n, k) in ALLOWLIST if n not in ops or k not in kinds]
+    assert not bad, f"allowlist entries with unknown op or kind: {bad}"

@@ -1,11 +1,15 @@
 """Plan-lint sweep: run the scale-killer linter over every registered
-op's physical plan in one session and summarize.
+op's physical plan in one session, attribute every warning to its op,
+and check each against the documented bounded-input allowlist
+(plans/lint_allowlist.py).
 
 Usage: PYTHONPATH=/root/repo python tools/lint_all.py [sf_dir]
 
-Exit code 0 always (the lint is advisory); the output is the artifact —
-ops with warnings should either lose them or document why the shape is
-intentional (e.g. 1-row broadcast cross joins, dim-table-only exact ops).
+Exit code 1 if any warning has NO allowlist justification — a new op
+may not park a scale-killer shape in the advisory noise; it must either
+lose the warning or document why the flagged input is bounded. Stale
+allowlist entries (documented but no longer firing) are printed as info
+only: warnings are plan-dependent and some fire only at other SFs.
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ def main() -> int:
 
     from my_polars_ai_spark.operators import all_ops
     from my_polars_ai_spark.plans.guardrails import lint_plan
+    from my_polars_ai_spark.plans.lint_allowlist import ALLOWLIST, kind_of
     from my_polars_ai_spark.session import get_spark
 
     spark = get_spark("lint_all", master="local[8]", shuffle_partitions=8)
@@ -35,13 +40,31 @@ def main() -> int:
             warned[name] = warnings
         else:
             clean.append(name)
+
+    fired: set[tuple[str, str]] = set()
+    unattributed: list[tuple[str, str]] = []
     for name, ws in sorted(warned.items()):
         for w in ws:
-            print(f"  ⚠ {name}: {w.split(':')[0]}")
+            kind = kind_of(w)
+            fired.add((name, kind))
+            just = ALLOWLIST.get((name, kind))
+            if just is None:
+                unattributed.append((name, kind))
+                print(f"  ✗ UNATTRIBUTED {name} [{kind}]: {w.split(':')[0]}")
+            else:
+                print(f"  ⚠ {name} [{kind}]: {just}")
     for name, err in sorted(errored.items()):
         print(f"  ✗ {name}: {err}")
-    print(f"\nclean={len(clean)} warned={len(warned)} errored={len(errored)}")
-    return 0
+    stale = sorted(k for k in ALLOWLIST if k not in fired)
+    if stale:
+        print(f"\nallowlist entries not firing at this SF ({len(stale)}):")
+        for name, kind in stale:
+            print(f"  - {name} [{kind}]")
+    print(
+        f"\nclean={len(clean)} warned={len(warned)} "
+        f"unattributed={len(unattributed)} errored={len(errored)}"
+    )
+    return 1 if unattributed or errored else 0
 
 
 if __name__ == "__main__":
