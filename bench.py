@@ -91,6 +91,9 @@ HEADLINE = [
     # winnowed fingerprint self-join and overlapping-gram span merge
     "winnowing_fingerprint_overlap",
     "repeated_span_stats",
+    # round-7: the excised-corpus reconstruction (span-list LEFT join +
+    # nested higher-order position filter, no corpus re-explode)
+    "repeated_span_excision",
 ]
 
 

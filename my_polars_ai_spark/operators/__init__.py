@@ -443,14 +443,74 @@ _PRIORITY_R7 = (
 # contamination_blast_radius, neardup_label_consistency), queued with
 # the rest of the tail for first attestation in r8+.
 
+# Round-8 window, staged and test-validated in round 7 (the r8 flip is
+# the one-liner `_PRIORITY = _PRIORITY_R8`). 6 canaries + 44
+# first-attestation slots: the 33 names displaced when the r7 window
+# was amended, the 3 round-7 additions (semdedup / CCNet split /
+# hashed quality scorer), and the next 8 oracle-checked never-attested
+# ops in registry order (the dedup-diagnostics block). The 3 rows-only
+# ops (approx_distinct/approx_quantiles/kmeans_segments) stay queued
+# behind oracle-checked ops — their driver check is the weaker
+# rows-only kind. ~180 never-attested remain for r9+.
+_PRIORITY_R8 = (
+    # canaries — one per north-star family
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_lsh_cosine",
+    "tfidf_top_terms",
+    "sql_api_revenue",
+    # round-7 additions — first driver row
+    "semdedup_keep_list",
+    "ccnet_perplexity_split",
+    "hashed_linear_quality_score",
+    # displaced from the staged r7 window — first driver row
+    "array_set_ops",
+    "try_arithmetic_funcs",
+    "collated_group_count",
+    "sliding_window_1h_30m",
+    "daily_rollup",
+    "sequence_islands",
+    "funnel_conversion",
+    "retention_cohorts",
+    "concurrency_duration_profile",
+    "session_window_dynamic_gap",
+    "ts_decompose_daily",
+    "twap_daily_value",
+    "markov_3step_purchase",
+    "markov_conditional_entropy",
+    "theil_sen_daily_slope",
+    "seasonal_strength_daily",
+    "conformal_daily_interval",
+    "attribution_models_compare",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "corr_matrix",
+    "impute_mean",
+    "confusion_matrix",
+    "feature_minmax_scale",
+    "groupwise_ols_slope",
+    "chi_square_lang_source",
+    "gini_per_nation",
+    "spearman_per_nation",
+    "doc_fingerprint",
+    "dedup_cluster_size_hist",
+    "dedup_keep_longest",
+    "source_overlap_matrix",
+    "co_supplier_pairs",
+    # next never-attested oracle-checked ops, registry order
+    "median_two_pass_exact",
+    "minhash_banding_curve",
+    "neardup_degree_hist",
+    "dedup_prefix_filter_jaccard",
+    "dedup_cluster_pointer_doubling",
+    "dedup_cluster_best_quality",
+    "cluster_lang_purity",
+    "neardup_pair_explain",
+)
+
 # Round 7: the staged flip, executed (window composition amended — see
-# the _PRIORITY_R7 comment above). R8 queue front: the 33 displaced
-# staged names (array_set_ops, try_arithmetic_funcs,
-# collated_group_count, the sliding/session/markov/attribution
-# time-series block, asof forward/nearest, corr/impute/confusion/
-# minmax, groupwise_ols/chi2/gini/spearman, doc_fingerprint,
-# dedup diagnostics through co_supplier_pairs), then the rest of the
-# never-attested tail in registry order.
+# the _PRIORITY_R7 comment above).
 _PRIORITY = _PRIORITY_R7
 
 

@@ -2072,3 +2072,166 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen, "rnd int, vec_id long, radius_sq double"
     )
     return out.select("rnd", "vec_id", F.round("radius_sq", ROUND_RATIO).alias("radius_sq"))
+
+
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means the embeddings,
+# find within-cluster cosine near-dups, and from each duplicate pair
+# KEEP the example LESS similar to its cluster centroid (preserves the
+# cluster's diversity). EPS is 0.3 on this synthetic corpus (no true
+# near-dups, max pairwise cosine ~0.51 — same rationale as
+# EMB_DEDUP_THRESHOLD); production uses ~0.95+. The within-cluster
+# pair search is prefiltered by a 6-plane sign sketch so the join is
+# (cluster, bucket)-keyed — never the cluster-size^2 cross product.
+SEMDEDUP_EPS = 0.3
+SEMDEDUP_PLANES = 6
+_SD_PLANE0 = 100  # plane-id offset: disjoint from the ANN tables' 0..11
+
+
+def _sd_bucket_sql() -> str:
+    return " + ".join(
+        f"({_sign_expr_sql(_SD_PLANE0 + p)}) * {1 << p}"
+        for p in range(SEMDEDUP_PLANES)
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH corpus AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+           v AS cv
+    FROM corpus QUALIFY cluster < {KM_K}
+), assigned AS MATERIALIZED (
+    SELECT vec_id, v, cluster,
+           round(list_cosine_similarity(v, cv), {ROUND_RATIO}) AS cosc
+    FROM (
+        SELECT c.vec_id, c.v, s.cluster, s.cv,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_distance(c.v, s.cv), {ROUND_RATIO}) ASC,
+                            s.cluster) AS arank
+        FROM corpus c CROSS JOIN seeds s
+    ) WHERE arank = 1
+), sk AS MATERIALIZED (
+    SELECT vec_id, cluster, cosc, v, {_sd_bucket_sql()} AS bucket
+    FROM assigned
+), dup_pairs AS (
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+    FROM sk a JOIN sk b
+      ON a.cluster = b.cluster AND a.bucket = b.bucket
+     AND a.vec_id <> b.vec_id
+     AND round(list_cosine_similarity(a.v, b.v), {ROUND_RATIO}) >= {SEMDEDUP_EPS}
+     AND (a.cosc < b.cosc OR (a.cosc = b.cosc AND a.vec_id < b.vec_id))
+)
+SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster, s.cosc AS cos_centroid,
+       CAST(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM sk s LEFT JOIN (SELECT DISTINCT drop_id FROM dup_pairs) d
+  ON s.vec_id = d.drop_id
+"""
+
+
+@op(
+    "semdedup_keep_list",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("dedup", "similarity", "embedding", "pipeline"),
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — SEMANTIC deduplication over embeddings (Abbas et al.
+    2023), the method LAION/web-scale pipelines use where MinHash sees
+    only lexical overlap: k-means-cluster the embedding space, detect
+    within-cluster cosine near-duplicates, and keep, from each
+    duplicate relation, the example LEAST similar to its cluster
+    centroid (dropping the redundant ones closest to the mode). Output
+    is every vector with its cluster, centroid similarity, and the
+    kept/dropped verdict — the keep-list a curation pass consumes.
+
+    Determinism/portability: the K=4 codebook is the md5-rank seeded
+    bounded artifact of `kmeans_lloyd_step`; assignment argmin runs on
+    ROUNDED distances (ties to the lower cluster id), and all cosine
+    comparisons — the eps test and the who-is-more-central dominance —
+    use values rounded once at ROUND_RATIO, so both engines make
+    identical keep decisions.
+
+    100 TB shape: assignment is a narrow zero-shuffle projection
+    against K literal centroids; the near-dup search joins on
+    (cluster, 6-plane sign-sketch bucket) — candidate fan-in is the
+    bucket population, never cluster_size^2 (the sketch-equality
+    prefilter trades recall exactly like the dedup family's LSH
+    members; production tunes planes per corpus density). The drop
+    set is one distinct + one left join at vector grain."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    seeds = (
+        corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: (r.h, r.vec_id))
+    codebook = [(cl, list(r.v)) for cl, r in enumerate(seeds)]
+
+    def _entry(cl: int, cv: list[float]) -> Column:
+        lv = F.array(*[F.lit(float(x)) for x in cv])
+        d = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), lv, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            ROUND_RATIO,
+        )
+        cosc = F.round(
+            _dot(F.col("v"), lv) / (_norm(F.col("v")) * _norm(lv)),
+            ROUND_RATIO,
+        )
+        return F.struct(d.alias("d"), F.lit(cl).alias("cluster"), cosc.alias("cosc"))
+
+    ranked = F.array_sort(F.array(*[_entry(cl, cv) for cl, cv in codebook]))
+    bucket = sum(
+        (
+            _hyperplane_sign(F.col("v"), _SD_PLANE0 + p) * (1 << p)
+            for p in range(SEMDEDUP_PLANES)
+        ),
+        F.lit(0),
+    )
+    sk = corpus.select(
+        "vec_id",
+        "v",
+        ranked[0]["cluster"].alias("cluster"),
+        ranked[0]["cosc"].alias("cosc"),
+        bucket.alias("bucket"),
+    ).cache()
+    a = sk.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        F.col("cosc").alias("a_cosc"), "cluster", "bucket",
+    )
+    b = sk.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        F.col("cosc").alias("b_cosc"), "cluster", "bucket",
+    )
+    pair_cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        ROUND_RATIO,
+    )
+    dropped = (
+        a.join(b, ["cluster", "bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(pair_cos >= SEMDEDUP_EPS)
+        .filter(
+            (F.col("a_cosc") < F.col("b_cosc"))
+            | ((F.col("a_cosc") == F.col("b_cosc")) & (F.col("a_id") < F.col("b_id")))
+        )
+        .select(F.col("b_id").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        sk.join(dropped, sk.vec_id == dropped.drop_id, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("cosc").alias("cos_centroid"),
+            F.when(F.col("drop_id").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

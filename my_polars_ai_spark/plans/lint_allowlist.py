@@ -81,6 +81,7 @@ _BNLJ_SCALAR_OPS = (
     "token_coverage_curve", "tpch_q11_important_parts",
     "tpch_q22_idle_rich_customers", "ucb1_variant_scores",
     "unigram_logprob_score", "wasserstein_1d_priority", "woe_iv_encoding",
+    "ccnet_perplexity_split",
 )
 _BNLJ_PROBE_OPS = (
     "cosine_topk_brute", "binary_hamming_topk", "hard_negatives_topk",

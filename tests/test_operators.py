@@ -29,33 +29,33 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R6
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R7
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R6  # round-6 rotation is live
+    assert _PRIORITY == _PRIORITY_R7  # round-7 rotation is live
     window = set(ordered[:50])
-    # R6 canaries (one per north-star family; TPC-H/SQL covered by the
-    # window's own 8 TPC-H-tail rows) plus the two round-5 driver reds
-    # whose fixes MUST re-attest this round.
+    # R7 canaries (one per north-star family) plus the round-6 driver
+    # red whose fix MUST re-attest this round.
     canaries = {
-        "flagship_revenue_by_nation",   # joins / flagship
-        "dedup_minhash_lsh",            # dedup family
-        "ann_lsh_cosine",               # similarity / ANN
-        "tfidf_top_terms",              # text analysis
-        "tpch_q20_top_shippers",        # r5 red: oracle HUGEINT cast
-        "misc_scalar_funcs",            # r5 red: unhashable array column
+        "flagship_revenue_by_nation",       # joins / flagship
+        "dedup_minhash_lsh",                # dedup family
+        "ann_lsh_cosine",                   # similarity / ANN
+        "tfidf_top_terms",                  # text analysis
+        "sql_api_revenue",                  # SQL entry
+        "tpch_q18_large_volume_customer",   # r6 red: oracle HUGEINT cast
     }
     missing = canaries - window
     assert not missing, f"family canaries outside driver window: {sorted(missing)}"
 
 
 def test_r7_window_is_staged_and_valid():
-    """The staged next-round window must stay flip-ready: every name
+    """The live r7 window keeps the staging discipline: every name
     registered, no duplicates, exactly 50 entries, and its
-    first-attestation block disjoint from the live r6 window (an
-    overlap would waste an attestation slot) — the r3 postmortem gate
-    applied to the staging tuple, not just the live one."""
+    first-attestation block disjoint from the r6 window (an overlap
+    would waste an attestation slot) — the r3 postmortem gate. The
+    q18 re-attest slot is the deliberate exception (driver-red in r6,
+    must flip green)."""
     from my_polars_ai_spark.operators import _PRIORITY_R6, _PRIORITY_R7
 
     ops = set(all_ops())
@@ -65,7 +65,8 @@ def test_r7_window_is_staged_and_valid():
     assert not missing, f"staged R7 names not in registry: {missing}"
     canaries = set(_PRIORITY_R7[:6])
     fresh = set(_PRIORITY_R7[6:])
-    assert not fresh & set(_PRIORITY_R6), sorted(fresh & set(_PRIORITY_R6))
+    overlap = fresh & set(_PRIORITY_R6)
+    assert not overlap, sorted(overlap)
     assert canaries <= ops
 
 
@@ -1481,3 +1482,19 @@ def test_gains_ntile_arithmetic_matches_spark_ntile(spark, tmp_path):
             .collect()
         }
         assert got == want, f"N={n}"
+
+
+def test_r8_window_is_staged_and_valid():
+    """Staging discipline for the round-8 rotation (the r3 postmortem
+    gate): 50 real registered ops, no duplicates, and every non-canary
+    entry genuinely first-time — disjoint from the live r7 window."""
+    from my_polars_ai_spark.operators import _PRIORITY_R7, _PRIORITY_R8
+
+    ops = all_ops()
+    assert len(_PRIORITY_R8) == 50
+    assert len(set(_PRIORITY_R8)) == 50
+    missing = [n for n in _PRIORITY_R8 if n not in ops]
+    assert not missing, missing
+    fresh = set(_PRIORITY_R8[6:])
+    overlap = fresh & set(_PRIORITY_R7)
+    assert not overlap, sorted(overlap)
