@@ -1498,3 +1498,63 @@ def test_r8_window_is_staged_and_valid():
     fresh = set(_PRIORITY_R8[6:])
     overlap = fresh & set(_PRIORITY_R7)
     assert not overlap, sorted(overlap)
+
+
+def test_semdedup_drops_the_more_central_duplicate(spark, tmp_path):
+    """Hand-built geometry pinned to the md5 seed ranking: among ids
+    {1,2,6,7,9,11} the K=4 seeds are 6,9,11,7 (md5 order), so vectors
+    1 and 2 are NON-seed members. 6/2/1 share one direction (same
+    cluster, same sign-sketch bucket, pairwise cos ~1); SemDeDup must
+    keep only the least-central member (vec 1, cos-to-centroid
+    0.9998 < 1.0) and drop the two centroid-identical ones. The three
+    orthogonal seeds are singletons and stay kept."""
+    rows = [
+        (1, [1.00, 0.02, 0.0, 0.0], 0),   # near-dup, slightly off-centroid
+        (2, [1.00, 0.00, 0.0, 0.0], 0),   # near-dup, exactly on centroid
+        (6, [1.00, 0.00, 0.0, 0.0], 0),   # seed of the dup cluster
+        (9, [0.00, 1.00, 0.0, 0.0], 0),   # orthogonal singleton seed
+        (11, [0.00, 0.00, 1.0, 0.0], 0),  # orthogonal singleton seed
+        (7, [0.00, 0.00, 0.0, 1.0], 0),   # orthogonal singleton seed
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: r for r in
+           all_ops()["semdedup_keep_list"].fn(spark, str(tmp_path)).collect()}
+    assert len(out) == 6                      # every vector reported
+    assert out[1].cluster == out[2].cluster == out[6].cluster
+    # least-central survives; the two centroid-identical members drop
+    assert out[1].kept == 1
+    assert out[2].kept == 0 and out[6].kept == 0
+    assert out[1].cos_centroid < out[2].cos_centroid == out[6].cos_centroid
+    for singleton in (9, 11, 7):
+        assert out[singleton].kept == 1
+
+
+def test_repeated_span_excision_cuts_exact_duplicated_run(spark, tmp_path):
+    """Two docs share one verbatim 10-token run; a third is unique.
+    The shared run must be excised from both carriers (plus any grams
+    it overlaps), the unique doc must pass through verbatim, and
+    kept_tokens must equal the surviving token count."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    d1 = "alpha beta gamma delta epsilon zeta eta theta " + shared
+    d2 = shared + " one two three four five six seven eight"
+    d3 = "lone wolf text with no duplicate spans at all here now"
+    rows = [(1, d1, "en", "a", len(d1)), (2, d2, "en", "a", len(d2)),
+            (3, d3, "en", "b", len(d3))]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in
+           all_ops()["repeated_span_excision"].fn(spark, str(tmp_path)).collect()}
+    assert out[3].excised_text == d3 and out[3].kept_tokens == out[3].n_tokens
+    # the shared tokens are gone from both carriers
+    for doc in (1, 2):
+        for i in range(10):
+            assert f"s{i}" not in out[doc].excised_text.split()
+        assert out[doc].kept_tokens == out[doc].n_tokens - 10
+    # doc 1 keeps its unique prefix; doc 2 its unique suffix
+    assert out[1].excised_text.startswith("alpha beta")
+    assert out[2].excised_text.endswith("seven eight")
