@@ -620,3 +620,150 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_ev").cast("long").alias("n_events"),
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (production: Kafka
+    topic of crawled docs with identical downstream code)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.dedup.dedup_incremental_minhash — the
+    PRODUCTION shape of incremental corpus dedup: newly crawled
+    documents arrive as a stream, each micro-batch is near-dup-screened
+    against the STATIC already-ingested corpus (its band table and
+    token arrays are the pre-built index artifacts; here cached batch
+    DataFrames), and only new-vs-old pairs are ever generated.
+
+    The multi-stage candidate/verify pipeline (band equi-join ->
+    size-ratio prefilter -> exact-Jaccard verify -> per-doc aggregate)
+    chains two aggregations, which Structured Streaming forbids in a
+    single query — so the job uses foreachBatch, the documented pattern
+    for complex per-batch logic against static state (the same pattern
+    as stream_foreachbatch_upsert's MERGE). Stream-side minhash
+    signatures are pure per-row JVM expressions (array_min over hashed
+    distinct tokens — no vocab join needed on the hot path), so the
+    stream side shuffles nothing until the candidate join.
+
+    Batch-equality contract (tested): output rows equal
+    dedup_incremental_minhash's exactly."""
+    from my_polars_ai_spark.operators.base import ROUND_RATIO
+    from my_polars_ai_spark.operators.dedup import (
+        _INCR_SPLIT,
+        MINHASH_THRESHOLD,
+        N_BANDS,
+        N_PERMS,
+        _doc_tokens,
+        portable_hash60,
+    )
+
+    rows_per_band = N_PERMS // N_BANDS
+
+    # ---- static corpus index (at 100 TB: a maintained table, not a
+    # recompute; parquet is the only persisted state in this harness) --
+    toks = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") % _INCR_SPLIT != 0)
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+            for i in range(N_PERMS)
+        ],
+        F.count(F.lit(1)).alias("nb"),
+        F.array_sort(F.collect_set("tok")).alias("toks_b"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    corpus_index = (
+        sig.select(
+            F.col("doc_id").alias("doc_old"),
+            "nb",
+            "toks_b",
+            F.explode(F.array(*band_structs)).alias("bs"),
+        )
+        .select("doc_old", "nb", "toks_b", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        .cache()
+    )
+    corpus_index.count()  # materialize the index once, before the stream
+
+    # ---- streaming side: per-row JVM signatures, zero shuffle ----
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % _INCR_SPLIT == 0
+    )
+    toks_arr = F.array_sort(
+        F.array_remove(F.array_distinct(F.split("text", " ")), "")
+    )
+    def _mh_expr(perm: int):
+        # factory keeps the lambda single-arg: a two-arg lambda (even
+        # via a default) makes F.transform bind the second parameter to
+        # the ELEMENT INDEX, silently shadowing the permutation id
+        return F.array_min(
+            F.transform(
+                F.col("toks_a"),
+                lambda tok: portable_hash60(F.concat(F.lit(f"{perm}:"), tok)),
+            )
+        )
+
+    mh = [_mh_expr(i).alias(f"mh{i}") for i in range(N_PERMS)]
+    enriched = stream.select(
+        F.col("doc_id").alias("doc_new"), toks_arr.alias("toks_a")
+    ).select("doc_new", "toks_a", F.size("toks_a").alias("na"), *mh)
+    new_bands = enriched.select(
+        "doc_new", "na", "toks_a", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_new", "na", "toks_a", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+
+    results: list = []
+
+    def _screen(batch_df: DataFrame, _batch_id: int) -> None:
+        pre = (
+            batch_df.join(corpus_index, ["band", "band_sig"])
+            .groupBy("doc_new", "doc_old")
+            .agg(
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+                F.first("toks_a").alias("toks_a"),
+                F.first("toks_b").alias("toks_b"),
+            )
+            .filter(F.least("na", "nb") >= MINHASH_THRESHOLD * F.greatest("na", "nb"))
+        )
+        ni = F.size(F.array_intersect("toks_a", "toks_b"))
+        jac = ni / (F.col("na") + F.col("nb") - ni)
+        out = (
+            pre.filter(jac >= MINHASH_THRESHOLD)
+            .groupBy(F.col("doc_new").alias("doc_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_dup_partners"),
+                F.round(F.max(jac), ROUND_RATIO).alias("best_jaccard"),
+            )
+        )
+        results.extend(out.collect())
+
+    q = (
+        new_bands.writeStream.foreachBatch(_screen)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        results, "doc_id bigint, n_dup_partners bigint, best_jaccard double"
+    )

@@ -353,3 +353,22 @@ def test_stream_dynamic_gap_sessions_match_batch(spark, sf_dir):
         for r in all_ops()["session_window_dynamic_gap"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_stream_neardup_vs_corpus_matches_batch(spark, sf_dir):
+    """The streaming incremental dedup (foreachBatch screen of the new-doc
+    stream against the static corpus index) must produce exactly the
+    batch op's drop-list: same contaminated doc ids, same partner
+    counts, same best Jaccard."""
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.streaming.jobs import stream_neardup_vs_corpus
+
+    want = {
+        r.doc_id: (r.n_dup_partners, r.best_jaccard)
+        for r in all_ops()["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        r.doc_id: (r.n_dup_partners, r.best_jaccard)
+        for r in stream_neardup_vs_corpus(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
