@@ -4,7 +4,12 @@ Runs every registered op's Spark query and DuckDB oracle at a small SF and
 compares row-count + column names + sorted row values. Use while
 iterating; the driver does the authoritative run at sf0.01.
 
-Usage: python tools/verify_local.py [sf_dir] [op_name ...]
+Usage: python tools/verify_local.py [--vanilla] [sf_dir] [op_name ...]
+
+``--vanilla`` runs under a bare ``SparkSession.builder`` session — the
+driver harness supplies its own vanilla session, so correctness must
+not depend on get_spark's confs (UTC timezone and the events-nanos
+handling live inside load_table; this flag proves it per-op).
 """
 
 from __future__ import annotations
@@ -127,13 +132,24 @@ def compare(spark_df, oracle_rows, oracle_cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = False
+    if args and args[0] == "--vanilla":
+        vanilla = True
+        args = args[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from my_polars_ai_spark.operators import all_ops
-    from my_polars_ai_spark.session import get_spark
 
-    spark = get_spark("verify_local", shuffle_partitions=8)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from my_polars_ai_spark.session import get_spark
+
+        spark = get_spark("verify_local", shuffle_partitions=8)
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
