@@ -92,8 +92,12 @@ HEADLINE = [
     "winnowing_fingerprint_overlap",
     "repeated_span_stats",
     # round-7: the excised-corpus reconstruction (span-list LEFT join +
-    # nested higher-order position filter, no corpus re-explode)
+    # nested higher-order position filter, no corpus re-explode), the
+    # SemDeDup (cluster, sign-sketch)-bucketed pair screen, and the
+    # zero-shuffle hashed linear scorer (the repo's plan floor)
     "repeated_span_excision",
+    "semdedup_keep_list",
+    "hashed_linear_quality_score",
 ]
 
 
