@@ -148,3 +148,28 @@ assert all(
     stages[i].n_survived == stages[i + 1].n_evaluated
     for i in range(len(stages) - 1)
 )
+
+# 15. Round-7 curation wave: exact-substring EXCISION (the Lee-et-al.
+# output corpus, not just the span report), SemDeDup semantic
+# keep-list over embeddings, CCNet head/middle/tail perplexity split,
+# and the hashed linear quality classifier.
+excised = ops["repeated_span_excision"].fn(spark, sf_dir)
+cut_tokens = excised.agg(F.sum(F.col("n_tokens") - F.col("kept_tokens"))).collect()[0][0]
+sem = ops["semdedup_keep_list"].fn(spark, sf_dir)
+n_sem_dropped = sem.filter(F.col("kept") == 0).count()
+ccnet = ops["ccnet_perplexity_split"].fn(spark, sf_dir)
+tail_docs = ccnet.filter(F.col("bucket") == 3).count()
+clf = ops["hashed_linear_quality_score"].fn(spark, sf_dir)
+n_clf_keep = clf.filter(F.col("quality_label") == 1).count()
+
+print(f"excised dup tokens:     {cut_tokens}")
+print(f"SemDeDup drops:         {n_sem_dropped}")
+print(f"perplexity-tail docs:   {tail_docs}")
+print(f"classifier keeps:       {n_clf_keep}")
+
+assert excised.count() == n_docs      # every doc survives with text
+assert cut_tokens > 0                 # this corpus has repeated spans
+assert n_sem_dropped >= 0
+# terciles partition each language: tail is roughly a third
+assert 0 < tail_docs < n_docs
+assert 0 < n_clf_keep <= n_docs
