@@ -395,3 +395,37 @@ def test_bucketed_ntile_arithmetic_matches_definition(n, k):
         else:
             got = rem + (g - cutoff + safe_base - 1) // safe_base
         assert got == want[g - 1], (n, k, g)
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                max_codepoint=0x10FFF,
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_portable_hash60_matches_duckdb_on_arbitrary_unicode(spark, words):
+    """portable_hash60 is the keystone every banded/bucketed oracle
+    comparison stands on: Spark's conv(substr(md5)) and DuckDB's
+    ('0x'||substr(md5))::BIGINT must agree on ARBITRARY unicode, not
+    just the five hand-picked words of the unit test (md5 operates on
+    UTF-8 bytes in both engines; this pins the encoding seam)."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.h for r in df.select("w", portable_hash60(F.col("w")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        (want,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [w]
+        ).fetchone()
+        assert got[w] == want, f"hash mismatch on {w!r}"
