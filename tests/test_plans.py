@@ -709,3 +709,25 @@ def test_lint_allowlist_names_are_registered_ops():
     kinds = {"bnlj", "global-window", "cartesian", "multi-smj", "python-udf"}
     bad = [(n, k) for (n, k) in ALLOWLIST if n not in ops or k not in kinds]
     assert not bad, f"allowlist entries with unknown op or kind: {bad}"
+
+
+def test_round7_curation_ops_plan_contracts(spark, sf_dir):
+    """Scale-gate for the round-7 additions: SemDeDup's assignment is a
+    narrow projection (no cartesian anywhere; pair search is a keyed
+    equi-join), the hashed quality scorer is the plan floor (zero
+    joins, zero exchanges beyond the scan), and the excision op keeps
+    everything JVM-side."""
+    ops = all_ops()
+    sem = plan_summary(ops["semdedup_keep_list"].fn(spark, sf_dir))
+    assert sem["python_evals"] == 0
+    assert sem["nested_loop_joins"] == 0  # no cartesian/BNLJ: keyed joins only
+    clf = plan_summary(ops["hashed_linear_quality_score"].fn(spark, sf_dir))
+    assert clf["python_evals"] == 0
+    assert clf["exchanges"] == 0  # zero-shuffle narrow map
+    assert (
+        clf["broadcast_joins"] + clf["sortmerge_joins"]
+        + clf["shuffled_hash_joins"] + clf["nested_loop_joins"] == 0
+    )
+    exc = plan_summary(ops["repeated_span_excision"].fn(spark, sf_dir))
+    assert exc["python_evals"] == 0
+    assert exc["nested_loop_joins"] == 0
