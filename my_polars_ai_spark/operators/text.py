@@ -3889,6 +3889,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines (no shared boundary characters between adjacent
     matches, unlike space-separated encodings). Output is the learned
     merge table, one row per round."""
+    merges, _ = _bpe_train_state(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, sym_a string, sym_b string, merged string, pair_count long",
+    )
+
+
+def _bpe_train_state(spark: SparkSession, sf_dir: str):
+    """Run the BPE training loop and return (merge rows, final
+    distinct-word state). The final state's ``seq`` column holds each
+    word's segmentation under the learned merges — which is ALSO the
+    production encoder artifact: encoding a corpus is a word -> pieces
+    lookup against this table (`bpe_encode_corpus`)."""
     d = _t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -3930,9 +3943,88 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"({top['a']}{top['b']})"),
             ),
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, sym_a string, sym_b string, merged string, pair_count long",
+    return merges, cur
+
+
+_BPE_ENCODE_SQL = (
+    """
+    WITH w0 AS (
+        SELECT tok, count(*) AS freq,
+               regexp_replace(tok, '(.)', '(\\1)', 'g') AS seq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok != ''
+        GROUP BY tok
+    ), """
+    + ", ".join(_bpe_round_sql(k) for k in range(1, BPE_MERGE_ROUNDS + 1))
+    + f""", pieces AS (
+        SELECT tok,
+               len(regexp_extract_all(seq, '\\(([^)]*)\\)', 1)) AS np
+        FROM w{BPE_MERGE_ROUNDS}
+    ), toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), f AS (
+        SELECT doc_id, lang, tok FROM toks WHERE tok != ''
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS ws_tokens,
+           CAST(sum(np) AS BIGINT) AS bpe_tokens,
+           CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+           {oracle_ratio_round('sum(np)', 'count(*)')} AS pieces_per_word,
+           {oracle_ratio_round('sum(length(tok))', 'sum(np)')} AS chars_per_piece
+    FROM f JOIN pieces USING (tok)
+    GROUP BY lang
+"""
+)
+
+
+@op(
+    "bpe_encode_corpus",
+    oracle=_BPE_ENCODE_SQL,
+    tags=("text", "tokenizer", "pipeline"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the inference side of `bpe_train_merges` and the
+    measurement `tokenizer_fertility_stats` can only proxy: apply the
+    learned merge rules to the corpus and report TRUE subword fertility
+    per language (pieces per whitespace word, chars per piece — the
+    numbers that set sequence-length cost per language in a training
+    run).
+
+    THE production encode shape: a trained tokenizer's segmentation is
+    a pure function of the WORD, so the corpus is never re-scanned per
+    merge — the training loop's final distinct-word state (word ->
+    pieces, vocabulary-sized) joins back to the corpus token stream
+    once. At 100 TB that table is the persisted tokenizer artifact and
+    this op is one equi-join + one language-bounded aggregation; here
+    the artifact is recomputed because parquet is the only persisted
+    state. Oracle unrolls the identical statically-bounded rounds."""
+    _, words = _bpe_train_state(spark, sf_dir)
+    pieces = words.select(
+        "tok",
+        (
+            F.length(F.regexp_replace("seq", r"[^(]", ""))
+        ).cast("long").alias("np"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    joined = f.join(pieces, "tok")
+    return joined.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("ws_tokens"),
+        F.sum("np").alias("bpe_tokens"),
+        F.sum(F.length("tok")).alias("n_chars"),
+        ratio_round(
+            F.sum("np").cast("decimal(38,0)"),
+            F.count(F.lit(1)).cast("decimal(38,0)"),
+        ).alias("pieces_per_word"),
+        ratio_round(
+            F.sum(F.length("tok")).cast("decimal(38,0)"),
+            F.sum("np").cast("decimal(38,0)"),
+        ).alias("chars_per_piece"),
     )
 
 
