@@ -4,12 +4,17 @@ Runs every registered op's Spark query and DuckDB oracle at a small SF and
 compares row-count + column names + sorted row values. Use while
 iterating; the driver does the authoritative run at sf0.01.
 
-Usage: python tools/verify_local.py [--vanilla] [sf_dir] [op_name ...]
+Usage: python tools/verify_local.py [--vanilla] [--window] [sf_dir] [op_name ...]
 
 ``--vanilla`` runs under a bare ``SparkSession.builder`` session — the
 driver harness supplies its own vanilla session, so correctness must
 not depend on get_spark's confs (UTC timezone and the events-nanos
 handling live inside load_table; this flag proves it per-op).
+
+``--window`` restricts the run to the driver's 50-op CORRECTNESS
+prefix (the live _PRIORITY window). Combine both before a round ends:
+``--vanilla --window /root/testdata/sf0.01`` is the closest local
+mirror of what the driver will actually execute.
 """
 
 from __future__ import annotations
@@ -133,14 +138,20 @@ def compare(spark_df, oracle_rows, oracle_cols):
 
 def main():
     args = sys.argv[1:]
-    vanilla = False
-    if args and args[0] == "--vanilla":
-        vanilla = True
+    vanilla = window = False
+    while args and args[0] in ("--vanilla", "--window"):
+        if args[0] == "--vanilla":
+            vanilla = True
+        else:
+            window = True
         args = args[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
     from my_polars_ai_spark.operators import all_ops
+
+    if window:
+        only |= set(list(all_ops())[:50])
 
     if vanilla:
         from pyspark.sql import SparkSession
