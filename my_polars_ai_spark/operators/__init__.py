@@ -509,6 +509,72 @@ _PRIORITY_R8 = (
     "neardup_pair_explain",
 )
 
+# Round-9 window, staged in round 7 so the next TWO flips are both
+# one-liners. 6 canaries + 44 first-attestation slots: the round-7
+# `bpe_encode_corpus`, the three rows-only ops (approx sketches +
+# kmeans_segments — their driver check is the weaker rows-only kind,
+# deferred behind oracle-checked ops until now), the graph-metrics
+# pair, and the embedding/similarity + text-pipeline blocks in
+# registry order. ~139 never-attested remain for r10+.
+_PRIORITY_R9 = (
+    # canaries — one per north-star family
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_lsh_cosine",
+    "tfidf_top_terms",
+    "sql_api_revenue",
+    # round-7 addition — first driver row
+    "bpe_encode_corpus",
+    # rows-only trio — first (weak) driver row
+    "approx_distinct",
+    "approx_quantiles",
+    "kmeans_segments",
+    # graph metrics + dedup tail — first driver row
+    "local_clustering_coefficient",
+    "degree_assortativity",
+    "dedup_normalized_text",
+    "dedup_incremental_minhash",
+    # embedding / similarity block — first driver row
+    "ivf_cosine_topk",
+    "embedding_dim_stats",
+    "int8_quantize_embeddings",
+    "density_core_points",
+    "embedding_dbscan_clusters",
+    "hard_negatives_topk",
+    "centroid_outlier_scores",
+    "label_centroid_similarity",
+    "embedding_covariance",
+    "pq_distortion_report",
+    "ann_recall_report",
+    "matryoshka_prefix_recall",
+    "retrieval_metrics_at_k",
+    "nearest_centroid_confusion",
+    "pca_power_iteration_step",
+    "benchmark_embedding_contamination",
+    # text-pipeline block — first driver row
+    "top_tokens",
+    "bm25_scores",
+    "token_cooccurrence_pmi",
+    "source_quality_report",
+    "dup_chunk_fraction",
+    "unigram_logprob_score",
+    "padding_waste_stats",
+    "vocab_growth_curve",
+    "rebalance_sample_plan",
+    "lang_id_confusion",
+    "inverted_index_build",
+    "source_mixing_weights",
+    "zipf_fit",
+    "top_tokens_by_lang",
+    "heavy_hitters_tokens",
+    "global_shuffle_row_number",
+    "token_entropy_per_doc",
+    "chunk_sliding_windows",
+    "psi_source_drift",
+    "bigram_logprob_score",
+)
+
 # Round 7: the staged flip, executed (window composition amended — see
 # the _PRIORITY_R7 comment above).
 _PRIORITY = _PRIORITY_R7

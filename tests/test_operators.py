@@ -1558,3 +1558,23 @@ def test_repeated_span_excision_cuts_exact_duplicated_run(spark, tmp_path):
     # doc 1 keeps its unique prefix; doc 2 its unique suffix
     assert out[1].excised_text.startswith("alpha beta")
     assert out[2].excised_text.endswith("seven eight")
+
+
+def test_r9_window_is_staged_and_valid():
+    """Staging discipline for round 9 (staged in round 7 so two flips
+    stay one-liners): 50 real ops, no duplicates, fresh block disjoint
+    from BOTH the live r7 window and the staged r8 window."""
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R7,
+        _PRIORITY_R8,
+        _PRIORITY_R9,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R9) == 50
+    assert len(set(_PRIORITY_R9)) == 50
+    missing = [n for n in _PRIORITY_R9 if n not in ops]
+    assert not missing, missing
+    fresh = set(_PRIORITY_R9[6:])
+    overlap = fresh & (set(_PRIORITY_R7) | set(_PRIORITY_R8))
+    assert not overlap, sorted(overlap)
