@@ -3703,3 +3703,55 @@ def delta_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+_OBSERVED_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+               AS n_returned,
+           CAST(max(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem
+    WHERE l_discount > 0.02
+"""
+
+
+@op(
+    "observed_scan_metrics",
+    oracle=_OBSERVED_SQL,
+    tags=("scale-pattern", "monitoring", "agg"),
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline metrics via ``df.observe`` (the Observation API) — the
+    100 TB monitoring pattern this repo's other ops don't exhibit: a
+    production job must report row counts / revenue totals / data-quality
+    tallies, and a SEPARATE metrics query would re-scan the input. With
+    an Observation attached, the metrics accumulate ON the main job's
+    single pass (named accumulators merged task-side, zero extra scans,
+    zero extra shuffles) and are read on the driver after the action.
+
+    Here the 'main job' is a noop-sink write of the filtered scan; the
+    observed metrics then surface as a 1-row DataFrame so the same
+    numbers are oracle-checked like every other op. Money is observed
+    in exact integer cents (per-row round BEFORE the sum — the
+    repo-wide float discipline)."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.02)
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.max("l_quantity").cast("bigint").alias("max_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["revenue_cents"], m["n_returned"], m["max_qty"])],
+        "n_rows bigint, revenue_cents bigint, n_returned bigint, max_qty bigint",
+    )
