@@ -575,9 +575,9 @@ _PRIORITY_R9 = (
     "bigram_logprob_score",
 )
 
-# Round 7: the staged flip, executed (window composition amended — see
-# the _PRIORITY_R7 comment above).
-_PRIORITY = _PRIORITY_R7
+# Round 8: the staged flip, executed (round-9 window already staged
+# above so next round is a one-liner too).
+_PRIORITY = _PRIORITY_R8
 
 
 def all_ops() -> dict[str, Op]:
