@@ -29,21 +29,21 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R7
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R8
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R7  # round-7 rotation is live
+    assert _PRIORITY == _PRIORITY_R8  # round-8 rotation is live
     window = set(ordered[:50])
-    # R7 canaries (one per north-star family) plus the round-6 driver
-    # red whose fix MUST re-attest this round.
+    # R8 canaries: one green canary per north-star family (no carried
+    # re-attest slot this round — the r7 window went 50/50 green).
     canaries = {
         "flagship_revenue_by_nation",       # joins / flagship
+        "tpch_q1_pricing_summary",          # TPC-H family
         "dedup_minhash_lsh",                # dedup family
         "ann_lsh_cosine",                   # similarity / ANN
         "tfidf_top_terms",                  # text analysis
         "sql_api_revenue",                  # SQL entry
-        "tpch_q18_large_volume_customer",   # r6 red: oracle HUGEINT cast
     }
     missing = canaries - window
     assert not missing, f"family canaries outside driver window: {sorted(missing)}"
