@@ -569,10 +569,75 @@ _PRIORITY_R9 = (
     "top_tokens_by_lang",
     "heavy_hitters_tokens",
     "global_shuffle_row_number",
+    # round-8 additions — first driver row (amended into the staged r9
+    # window at round-8 time; the four text-pipeline entries they
+    # displaced moved to the r10 staging below)
+    "gopher_quality_flags",
+    "epoch_allocation_plan",
+    "ngram_novelty_score",
+    "quality_classifier_gd_step",
+)
+
+# Round-10 window, staged in round 8 so the next TWO flips stay
+# one-liners. 6 canaries + 44 first-attestation slots: the four
+# text-pipeline ops displaced when r9 was amended with the round-8
+# curation wave, then the next never-attested oracle-checked ops in
+# registry order (the langid-eval / retrieval / Arrow-UDF / SQL-surface
+# blocks). ~99 never-attested remain for r11+.
+_PRIORITY_R10 = (
+    # canaries — one per north-star family
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_lsh_cosine",
+    "tfidf_top_terms",
+    "sql_api_revenue",
+    # displaced from the amended r9 window — first driver row
     "token_entropy_per_doc",
     "chunk_sliding_windows",
     "psi_source_drift",
     "bigram_logprob_score",
+    # next never-attested oracle-checked ops, registry order
+    "calibration_curve_langid",
+    "count_min_estimates",
+    "mutual_info_lang_source",
+    "token_coverage_curve",
+    "sentiment_lexicon_score",
+    "chunk_containment_pairs",
+    "gains_chart_langid",
+    "distinctive_tokens_per_source",
+    "pack_windows_concat",
+    "lang_sampling_temperature",
+    "token_frequency_spectrum",
+    "js_divergence_sources",
+    "intra_doc_halves_divergence",
+    "rrf_fusion_topk",
+    "mmr_diversified_topk",
+    "ece_langid",
+    "hits_containment_step",
+    "rbo_rankings",
+    "flesch_proxy_readability",
+    "filter_cascade_report",
+    "arrow_doc_meta",
+    "udtf_ngrams_polymorphic",
+    "arrow_scalar_udf_margin",
+    "apply_in_arrow_center",
+    "grouping_sets",
+    "salted_group_agg",
+    "join_salted_skew",
+    "recursive_cte_hierarchy",
+    "sql_scripting_above_avg",
+    "sql_parameterized_query",
+    "sql_lateral_topk",
+    "sql_pipe_syntax_agg",
+    "sql_execute_immediate",
+    "sql_group_by_all",
+    "sql_identifier_clause",
+    "keyset_pagination_page",
+    "sql_unpivot_syntax",
+    "sql_offset_pagination",
+    "topk_with_ties",
+    "sql_udf_declared_function",
 )
 
 # Round 8: the staged flip, executed (round-9 window already staged

@@ -2061,3 +2061,178 @@ def caliper_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_treated").cast(_D38) * F.col("n_control"),
         ).alias("naive_diff_days"),
     )
+
+
+# Hashed-feature logistic trainer (one full-batch GD step): feature
+# dimension, seeded init-weight span (micro-units in [-0.1, 0.1]), and
+# the hard-sigmoid activation sigma_h(z) = clamp(1/2 + z/4, 0, 1) --
+# the logistic's tangent at 0, chosen because it keeps the ENTIRE
+# update integer-exact across engines (no exp() for two libms to
+# disagree on); quantized/fixed-point trainers make the same trade.
+QGD_DIM = 32
+QGD_W0_SPAN = 200_001
+QGD_MICRO = 1_000_000
+
+_QGD_BUCKET = f"(('0x' || substr(md5('f:' || tok), 1, 15))::BIGINT % {QGD_DIM})"
+_QGD_W0 = (
+    f"(('0x' || substr(md5('w8:' || CAST(spine.b AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {QGD_W0_SPAN} - 100000)"
+)
+
+_QGD_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ), docs AS (
+        SELECT doc_id, ts,
+               list_sum(list_transform(ts, tok ->
+                   ('0x' || substr(md5('w8:' || CAST(
+                       ('0x' || substr(md5('f:' || tok), 1, 15))::BIGINT
+                           % {QGD_DIM} AS VARCHAR)), 1, 15))::BIGINT
+                       % {QGD_W0_SPAN} - 100000
+               )) AS z_micro,
+               CASE WHEN len(list_filter(ts,
+                        x -> x IN {_MARKERS_SQL})) >= 2
+                    THEN {QGD_MICRO} ELSE 0 END AS y_micro
+        FROM t WHERE len(ts) > 0
+    ), resid AS (
+        SELECT doc_id,
+               least({QGD_MICRO}, greatest(0,
+                   500000 + (z_micro - ((z_micro % 4) + 4) % 4) // 4))
+                   - y_micro AS r_micro
+        FROM docs
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM resid
+    ), x AS (
+        SELECT doc_id, {_QGD_BUCKET.replace("tok", "u.tok")} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM t, LATERAL (SELECT unnest(ts) AS tok) u
+        GROUP BY 1, 2
+    ), grad AS (
+        SELECT x.b,
+               CAST(sum(x.cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(x.cnt * r.r_micro) AS BIGINT) AS grad_micro
+        FROM x JOIN resid r USING (doc_id)
+        GROUP BY x.b
+    )
+    SELECT CAST(spine.b AS INT) AS bucket,
+           CAST(coalesce(grad.n_tokens, 0) AS BIGINT) AS n_tokens,
+           n.n_docs,
+           CAST({_QGD_W0} AS BIGINT) AS w0_micro,
+           CAST(coalesce(grad.grad_micro, 0) AS BIGINT) AS grad_micro,
+           CAST({oracle_signed_ratio_round(
+               "coalesce(grad.grad_micro, 0)", "2 * n.n_docs", 0)}
+               AS BIGINT) AS delta_micro,
+           CAST({_QGD_W0} - CAST({oracle_signed_ratio_round(
+               "coalesce(grad.grad_micro, 0)", "2 * n.n_docs", 0)}
+               AS BIGINT) AS BIGINT) AS w1_micro
+    FROM (SELECT unnest(range({QGD_DIM})) AS b) spine
+    LEFT JOIN grad ON grad.b = spine.b
+    CROSS JOIN n
+"""
+
+
+@op(
+    "quality_classifier_gd_step",
+    oracle=_QGD_SQL,
+    tags=("ml", "text", "quality", "pipeline"),
+)
+def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full-batch gradient-descent step of a fastText-shape quality
+    classifier over hashed bag-of-words features — the TRAINING
+    counterpart of `hashed_linear_quality_score`'s inference pass.
+    Labels are weak supervision (>=2 stopword markers, the CCNet-style
+    'looks like running prose' proxy); features hash into QGD_DIM
+    buckets; the activation is the hard sigmoid clamp(1/2 + z/4, 0, 1)
+    so every quantity — scores, residuals, gradients, the lr=1/2
+    weight update — is integer micro-unit arithmetic, bit-identical
+    across engines (exp() never enters; fixed-point trainers do the
+    same). Output is the full updated weight vector with its gradient
+    provenance: w1 = w0 - round_half_away(grad / 2N).
+
+    Scale shape: the residual pass is a ZERO-join narrow projection
+    (z via one higher-order fold per doc); the gradient is explode ->
+    map-side-combined (doc, bucket) counts -> co-partitioned join to
+    doc residuals -> QGD_DIM-row aggregate; the bucket spine and doc
+    count are broadcast 1-row/32-row sides. One linear token pass, no
+    driver loop — chain k steps as k such jobs, each reading the
+    previous weight table instead of the md5 init."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+
+    def _bucket(tok):
+        return portable_hash60(F.concat(F.lit("f:"), tok)) % QGD_DIM
+
+    def _w0(b):
+        return (
+            portable_hash60(F.concat(F.lit("w8:"), b.cast("string")))
+            % QGD_W0_SPAN
+            - 100000
+        )
+
+    z = F.aggregate(
+        "ts", F.lit(0).cast("bigint"), lambda acc, tok: acc + _w0(_bucket(tok))
+    )
+    y = F.when(
+        F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS))) >= 2,
+        QGD_MICRO,
+    ).otherwise(0)
+    p = F.least(
+        F.lit(QGD_MICRO).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (
+                500000
+                + exact_floor_div(F.col("z_micro"), F.lit(4)).cast("bigint")
+            ).cast("bigint"),
+        ),
+    )
+    resid = base.select(
+        "doc_id", z.alias("z_micro"), y.alias("y_micro")
+    ).select("doc_id", (p - F.col("y_micro")).cast("bigint").alias("r_micro"))
+
+    x = (
+        base.select("doc_id", F.explode("ts").alias("tok"))
+        .select("doc_id", _bucket(F.col("tok")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    grad = (
+        x.join(resid, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("r_micro")).cast("bigint").alias("grad_micro"),
+        )
+    )
+    n = resid.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    spine = spark.range(QGD_DIM).select(F.col("id").cast("bigint").alias("b"))
+    j = (
+        spine.join(F.broadcast(grad), "b", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("b"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            "n_docs",
+            F.coalesce(F.col("grad_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("grad_micro"),
+        )
+    )
+    w0 = _w0(F.col("b"))
+    delta = signed_ratio_round(
+        F.col("grad_micro"), 2 * F.col("n_docs"), 0
+    ).cast("bigint")
+    return j.select(
+        F.col("b").cast("int").alias("bucket"),
+        "n_tokens",
+        "n_docs",
+        w0.cast("bigint").alias("w0_micro"),
+        "grad_micro",
+        delta.alias("delta_micro"),
+        (w0 - delta).cast("bigint").alias("w1_micro"),
+    )

@@ -4925,3 +4925,308 @@ def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_score"),
         F.when(score >= 0, 1).otherwise(0).cast("int").alias("quality_label"),
     )
+
+
+# Gopher/MassiveText document-quality rule thresholds (Rae et al. 2021
+# §A1.1, adapted to this corpus's whitespace-token text): word-count
+# band, mean-word-length band, minimum stopword evidence, minimum
+# lexical diversity, and a most-common-word frequency cap. Every rule
+# is an INTEGER comparison (mean-word-length bounds are cross-
+# multiplied, fractions are scaled by 5) so the decision table is
+# bit-identical across engines with no rounding step at all.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3   # 3 <= sum_len / n  <=>  3*n <= sum_len
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOPWORDS = 2
+# distinct fraction >= 1/5 and top-token fraction <= 1/5, as x5 integers
+GOPHER_FRAC_DEN = 5
+
+_GOPHER_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(ts) AS n,
+               list_sum(list_transform(ts, x -> len(x))) AS sum_len,
+               len(list_filter(ts, x -> x IN {_MARKERS_SQL})) AS n_stop,
+               len(list_distinct(ts)) AS n_distinct,
+               list_max(list_transform(list_distinct(ts),
+                        t2 -> len(list_filter(ts, x -> x = t2)))) AS top_cnt
+        FROM t WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                THEN 1 ELSE 0 END AS INT) AS flag_word_count,
+           CAST(CASE WHEN {GOPHER_MIN_MEAN_LEN} * n <= sum_len
+                      AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n
+                THEN 1 ELSE 0 END AS INT) AS flag_mean_word_len,
+           CAST(CASE WHEN n_stop >= {GOPHER_MIN_STOPWORDS}
+                THEN 1 ELSE 0 END AS INT) AS flag_stopwords,
+           CAST(CASE WHEN {GOPHER_FRAC_DEN} * n_distinct >= n
+                THEN 1 ELSE 0 END AS INT) AS flag_distinct_frac,
+           CAST(CASE WHEN {GOPHER_FRAC_DEN} * top_cnt <= n
+                THEN 1 ELSE 0 END AS INT) AS flag_top_token,
+           CAST(CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                      AND {GOPHER_MIN_MEAN_LEN} * n <= sum_len
+                      AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n
+                      AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                      AND {GOPHER_FRAC_DEN} * n_distinct >= n
+                      AND {GOPHER_FRAC_DEN} * top_cnt <= n
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+"""
+
+
+@op(
+    "gopher_quality_flags",
+    oracle=_GOPHER_SQL,
+    tags=("text", "quality", "curation", "pipeline"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-based document filter (Rae et al. 2021)
+    as a DECISION TABLE: the five classic pre-training heuristics —
+    word-count band, mean-word-length band, >=2 stopwords, >=20%
+    distinct tokens, most-common-token <=20% — each surfaced as its own
+    flag plus the conjunctive keep bit, so downstream reporting can
+    attribute every drop to the rule that fired (the thing a bare
+    boolean filter can't do). The existing `quality_score` is the
+    continuous-score companion; this is the hard gate real corpora are
+    cut with.
+
+    Scale shape: ZERO shuffle — one narrow JVM projection per document;
+    every statistic (token count, summed lengths, stopword hits,
+    distinct count, top-token count) comes from higher-order array
+    expressions over the split text, and every rule is a pure integer
+    comparison (bounds cross-multiplied), so there is no rounding
+    boundary for engines to disagree on. The top-token count is
+    O(distinct x n) per doc — bounded by the document's own vocabulary,
+    never corpus-global state."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    n = F.size("ts")
+    sum_len = F.aggregate(
+        "ts", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS)))
+    n_distinct = F.size(F.array_distinct("ts"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("ts"),
+            lambda t2: F.size(F.filter("ts", lambda x: x == t2)),
+        )
+    )
+    stats = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        sum_len.alias("sum_len"),
+        n_stop.alias("n_stop"),
+        n_distinct.alias("n_distinct"),
+        top_cnt.alias("top_cnt"),
+    )
+    nn = F.col("n_tokens")
+    f_wc = nn.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_len = (GOPHER_MIN_MEAN_LEN * nn <= F.col("sum_len")) & (
+        F.col("sum_len") <= GOPHER_MAX_MEAN_LEN * nn
+    )
+    f_stop = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    f_dist = GOPHER_FRAC_DEN * F.col("n_distinct") >= nn
+    f_top = GOPHER_FRAC_DEN * F.col("top_cnt") <= nn
+
+    def _b(c, name):
+        return F.when(c, 1).otherwise(0).cast("int").alias(name)
+
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        _b(f_wc, "flag_word_count"),
+        _b(f_len, "flag_mean_word_len"),
+        _b(f_stop, "flag_stopwords"),
+        _b(f_dist, "flag_distinct_frac"),
+        _b(f_top, "flag_top_token"),
+        _b(f_wc & f_len & f_stop & f_dist & f_top, "keep"),
+    )
+
+
+# Token-budget epoch planner: total training budget as a multiple of
+# the corpus, the per-source epoch cap from Muennighoff et al. 2023
+# ("Scaling Data-Constrained Language Models": ~4 epochs of repeated
+# data is the point of sharply diminishing returns).
+EPOCH_BUDGET_X = 3   # train-token budget = 3x total corpus tokens
+EPOCH_CAP = 4        # max useful epochs per source
+
+_EPOCH_PLAN_SQL = f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        x -> x != ''))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM src
+    )
+    SELECT source,
+           src_tokens,
+           CAST(({EPOCH_BUDGET_X} * total_tokens) // n_sources AS BIGINT)
+               AS target_tokens,
+           {oracle_ratio_round(
+               f"({EPOCH_BUDGET_X} * total_tokens) // n_sources",
+               "src_tokens")} AS epochs_raw,
+           CAST(least(({EPOCH_BUDGET_X} * total_tokens) // n_sources,
+                      {EPOCH_CAP} * src_tokens) AS BIGINT) AS alloc_tokens,
+           {oracle_ratio_round(
+               f"least(({EPOCH_BUDGET_X} * total_tokens) // n_sources, "
+               f"{EPOCH_CAP} * src_tokens)",
+               "src_tokens")} AS epochs_eff,
+           CAST(({EPOCH_BUDGET_X} * total_tokens) // n_sources
+                - least(({EPOCH_BUDGET_X} * total_tokens) // n_sources,
+                        {EPOCH_CAP} * src_tokens) AS BIGINT)
+               AS unallocated_tokens,
+           CAST(CASE WHEN ({EPOCH_BUDGET_X} * total_tokens) // n_sources
+                          > {EPOCH_CAP} * src_tokens
+                THEN 1 ELSE 0 END AS INT) AS capped
+    FROM src CROSS JOIN tot
+"""
+
+
+@op(
+    "epoch_allocation_plan",
+    oracle=_EPOCH_PLAN_SQL,
+    tags=("text", "curation", "mixing", "pipeline"),
+)
+def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training budget planner (Muennighoff et al.
+    2023): given a train-token budget of EPOCH_BUDGET_X x the corpus
+    and an equal per-source target, report for every source how many
+    epochs of it the target implies, the effective allocation under
+    the EPOCH_CAP-epoch repetition ceiling, and the budget stranded by
+    the cap — the table a mixture scheduler reads before writing the
+    sampling manifest. Complements `source_mixing_weights` (which sets
+    proportions) by converting a proportion into epochs-and-shortfall.
+
+    Scale shape: one map-side-combined per-source token count (the
+    only shuffle, K=|sources| rows out), a 1-row broadcast total
+    cross-joined back, then pure integer arithmetic — integer floor
+    division for token targets and the exact half-up `ratio_round`
+    for the two epoch ratios, so both engines agree bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    src = d.groupBy("source").agg(
+        F.sum(F.size(ts)).cast("bigint").alias("src_tokens")
+    )
+    tot = src.agg(
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    j = src.crossJoin(F.broadcast(tot))
+    target = exact_floor_div(
+        EPOCH_BUDGET_X * F.col("total_tokens"), F.col("n_sources")
+    ).cast("bigint")
+    alloc = F.least(target, EPOCH_CAP * F.col("src_tokens")).cast("bigint")
+    return j.select(
+        "source",
+        "src_tokens",
+        target.alias("target_tokens"),
+        ratio_round(target, F.col("src_tokens")).alias("epochs_raw"),
+        alloc.alias("alloc_tokens"),
+        ratio_round(alloc, F.col("src_tokens")).alias("epochs_eff"),
+        (target - alloc).cast("bigint").alias("unallocated_tokens"),
+        F.when(target > EPOCH_CAP * F.col("src_tokens"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("capped"),
+    )
+
+
+# Novelty n-gram width: long enough that shared grams mean real reuse
+# (the repeated-span W), short enough that ordinary docs carry many.
+NOVELTY_W = 8
+
+_NOVELTY_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('nov:' ||
+                   array_to_string(ts[i.i:i.i + {NOVELTY_W - 1}], ' ')),
+                   1, 15))::BIGINT AS gh
+        FROM t,
+             LATERAL (SELECT unnest(range(1, len(ts) - {NOVELTY_W} + 2)) AS i) i
+        WHERE len(ts) >= {NOVELTY_W}
+    ), c AS (
+        SELECT gh, count(*) AS cnt FROM g GROUP BY gh
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           {oracle_ratio_round(
+               "sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END)", "count(*)")}
+               AS novelty_frac
+    FROM g JOIN c USING (gh)
+    GROUP BY g.doc_id
+"""
+
+
+@op(
+    "ngram_novelty_score",
+    oracle=_NOVELTY_SQL,
+    tags=("text", "dedup", "quality", "pipeline"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the WIMBD/"how much of this doc is
+    new text" audit): the fraction of a document's NOVELTY_W-token
+    gram occurrences whose gram appears nowhere else in the corpus —
+    the complement of `dup_chunk_fraction`'s fixed-chunk duplication
+    and the per-doc rollup of `repeated_span_stats`' span view.
+    Low-novelty docs are template instantiations / near-copies that
+    survive exact dedup; curation pipelines downweight them.
+
+    Scale shape: grams travel as 60-bit md5 hashes, never strings;
+    one map-side-combinable count per distinct gram (heavy-hitter
+    grams combine before the shuffle), then a co-partitioned join of
+    the gram stream back to its count and a per-doc aggregate.
+    No self-join, no pair generation — the cost is linear in corpus
+    tokens at any scale. Exact integer counts + half-up ratio."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= NOVELTY_W)
+    idx = F.sequence(F.lit(1), F.size("ts") - NOVELTY_W + 1)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: portable_hash60(
+                    F.concat(
+                        F.lit("nov:"),
+                        F.array_join(F.slice("ts", i, NOVELTY_W), " "),
+                    )
+                ),
+            )
+        ).alias("gh"),
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grams.join(counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            ratio_round(
+                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ).alias("novelty_frac"),
+        )
+    )

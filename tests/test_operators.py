@@ -1578,3 +1578,23 @@ def test_r9_window_is_staged_and_valid():
     fresh = set(_PRIORITY_R9[6:])
     overlap = fresh & (set(_PRIORITY_R7) | set(_PRIORITY_R8))
     assert not overlap, sorted(overlap)
+
+
+def test_r10_window_is_staged_and_valid():
+    """Staging discipline for round 10 (staged in round 8 after the r9
+    amendment): 50 real ops, no duplicates, fresh block disjoint from
+    the live r8 window and the amended r9 staging."""
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R8,
+        _PRIORITY_R9,
+        _PRIORITY_R10,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R10) == 50
+    assert len(set(_PRIORITY_R10)) == 50
+    missing = [n for n in _PRIORITY_R10 if n not in ops]
+    assert not missing, missing
+    fresh = set(_PRIORITY_R10[6:])
+    overlap = fresh & (set(_PRIORITY_R8) | set(_PRIORITY_R9))
+    assert not overlap, sorted(overlap)

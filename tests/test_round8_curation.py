@@ -1,0 +1,126 @@
+"""Hand-built geometry tests for the round-8 curation wave:
+gopher_quality_flags (rule-attributed keep/drop), epoch_allocation_plan
+(budget -> epochs under the repetition cap), ngram_novelty_score
+(per-doc unique-gram fraction), quality_classifier_gd_step (integer
+full-batch GD update invariants)."""
+
+from __future__ import annotations
+
+from my_polars_ai_spark.operators import all_ops
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_gopher_flags_attribute_each_rule(spark, tmp_path):
+    """Four docs, each failing exactly the rule it was built to fail
+    (plus one passing all five), so the decision table's attribution is
+    pinned rule by rule."""
+    # 52 varied tokens incl. 2 stopwords, mean len ~4 -> passes all.
+    good = " ".join(["the", "a"] + [f"tok{i % 25}" for i in range(50)])
+    short = "the a word list far too small"                 # n=7 < 50
+    # 50 x the same token: distinct 1/50 < 20%, top 50/50 > 20%,
+    # 0 stopwords -> fails three rules at once, word count passes.
+    degenerate = " ".join(["batch"] * 50)
+    # 52 tokens of length 12 -> mean word len 12 > 10.
+    longwords = " ".join(["the", "a"] + ["verylongtoken"] * 50)
+    rows = [
+        (1, good, "en", "a", len(good)),
+        (2, short, "en", "a", len(short)),
+        (3, degenerate, "en", "a", len(degenerate)),
+        (4, longwords, "en", "a", len(longwords)),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r.doc_id: r
+        for r in all_ops()["gopher_quality_flags"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1].keep == 1 and all(
+        getattr(out[1], f) == 1
+        for f in (
+            "flag_word_count",
+            "flag_mean_word_len",
+            "flag_stopwords",
+            "flag_distinct_frac",
+            "flag_top_token",
+        )
+    )
+    assert out[2].flag_word_count == 0 and out[2].keep == 0
+    assert out[3].flag_word_count == 1
+    assert out[3].flag_distinct_frac == 0
+    assert out[3].flag_top_token == 0
+    assert out[3].flag_stopwords == 0
+    assert out[3].keep == 0
+    assert out[4].flag_mean_word_len == 0 and out[4].keep == 0
+
+
+def test_epoch_allocation_caps_small_sources(spark, tmp_path):
+    """Two sources, 10 vs 100 tokens. Budget = 3x110 = 330, equal
+    target 165 each. The small source caps at 4 epochs (alloc 40,
+    125 stranded); the big one takes its full target at 1.65 epochs."""
+    small = " ".join(f"s{i}" for i in range(10))
+    big = " ".join(f"b{i}" for i in range(100))
+    rows = [(1, small, "en", "tiny", len(small)), (2, big, "en", "huge", len(big))]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r.source: r
+        for r in all_ops()["epoch_allocation_plan"].fn(spark, str(tmp_path)).collect()
+    }
+    t = out["tiny"]
+    assert (t.src_tokens, t.target_tokens, t.alloc_tokens) == (10, 165, 40)
+    assert (t.epochs_raw, t.epochs_eff) == (16.5, 4.0)
+    assert (t.unallocated_tokens, t.capped) == (125, 1)
+    h = out["huge"]
+    assert (h.src_tokens, h.target_tokens, h.alloc_tokens) == (100, 165, 165)
+    assert (h.epochs_raw, h.epochs_eff) == (1.65, 1.65)
+    assert (h.unallocated_tokens, h.capped) == (0, 0)
+
+
+def test_ngram_novelty_counts_shared_run_once_per_doc(spark, tmp_path):
+    """Docs 1 and 2 share exactly one verbatim 8-token window (their
+    only common gram); doc 3 is entirely unique. 16-token docs carry 9
+    grams -> novelty 8/9; the 12-token unique doc is 5/5 = 1.0."""
+    shared = " ".join(f"s{i}" for i in range(8))
+    d1 = " ".join(f"a{i}" for i in range(8)) + " " + shared
+    d2 = shared + " " + " ".join(f"b{i}" for i in range(8))
+    d3 = " ".join(f"c{i}" for i in range(12))
+    rows = [(1, d1, "en", "x", len(d1)), (2, d2, "en", "x", len(d2)),
+            (3, d3, "en", "x", len(d3))]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r.doc_id: r
+        for r in all_ops()["ngram_novelty_score"].fn(spark, str(tmp_path)).collect()
+    }
+    for doc in (1, 2):
+        assert (out[doc].n_grams, out[doc].n_novel) == (9, 8)
+        assert out[doc].novelty_frac == 0.888889  # round_half_up(8/9 @ 6)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty_frac) == (5, 5, 1.0)
+
+
+def test_gd_step_update_is_exact_and_directed(spark, tmp_path):
+    """All-stopword docs are labeled y=1 with scores near 1/2, so every
+    populated bucket's residual sum is negative and the update can only
+    move weights UP; empty buckets must ship unchanged with a zero
+    gradient, and the full 32-bucket weight vector must be emitted."""
+    text = " ".join(["the", "a", "of", "and"] * 5)  # y=1, 20 tokens
+    rows = [(i, text, "en", "x", len(text)) for i in range(1, 4)]
+    _write_docs(spark, tmp_path, rows)
+    out = all_ops()["quality_classifier_gd_step"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 32
+    assert {r.bucket for r in out} == set(range(32))
+    total_tokens = sum(r.n_tokens for r in out)
+    assert total_tokens == 60  # 3 docs x 20 tokens, spine loses nothing
+    for r in out:
+        assert r.n_docs == 3
+        assert r.w1_micro == r.w0_micro - r.delta_micro
+        if r.n_tokens == 0:
+            assert r.grad_micro == 0 and r.delta_micro == 0
+        else:
+            # y=1e6, p <= 1e6 and strictly < 1e6 here (|z| < 2e6/4
+            # given 20 init weights in [-1e5, 1e5]) -> negative grad.
+            assert r.grad_micro < 0
+            assert r.delta_micro <= 0
+            assert r.w1_micro >= r.w0_micro
