@@ -98,6 +98,11 @@ HEADLINE = [
     "repeated_span_excision",
     "semdedup_keep_list",
     "hashed_linear_quality_score",
+    # round-8: the rule-attributed decision table (second zero-shuffle
+    # floor entry, all-integer comparisons) and the hashed-gram novelty
+    # rollup (gram-count join with map-side combine, no pair join)
+    "gopher_quality_flags",
+    "ngram_novelty_score",
 ]
 
 

@@ -636,8 +636,10 @@ _PRIORITY_R10 = (
     "keyset_pagination_page",
     "sql_unpivot_syntax",
     "sql_offset_pagination",
-    "topk_with_ties",
-    "sql_udf_declared_function",
+    # round-8 session-2 additions — first driver row (displacing
+    # topk_with_ties / sql_udf_declared_function to the r11 pool)
+    "curation_funnel_report",
+    "minhash_jaccard_calibration",
 )
 
 # Round 8: the staged flip, executed (round-9 window already staged

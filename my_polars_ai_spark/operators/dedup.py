@@ -24,7 +24,9 @@ from my_polars_ai_spark.operators.base import (
     exact_floor_div,
     make_registrar,
     oracle_ratio_round,
+    oracle_signed_ratio_round,
     ratio_round,
+    signed_ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
 
@@ -1876,4 +1878,192 @@ def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy("split_lo", "split_hi").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leakage"),
+    )
+
+
+# Calibration audit sampling: 1-in-CAL_SAMPLE_MOD of the RAW banded
+# candidate pairs (pre size-filter, pre threshold) by pair hash — the
+# production pattern for auditing an LSH deployment without paying the
+# full verify fan-in. Estimated Jaccard resolution is 1/N_PERMS, so
+# est_micro steps are exactly MICRO/N_PERMS.
+CAL_SAMPLE_MOD = 16
+_CAL_MICRO = 1_000_000
+
+_CALIBRATION_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), perms AS (
+        SELECT unnest(range({N_PERMS})) AS i
+    ), hashes AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))::BIGINT AS h
+        FROM toks CROSS JOIN perms
+    ), sig AS (
+        SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // {N_PERMS // N_BANDS} AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_sig
+        FROM sig GROUP BY doc_id, i // {N_PERMS // N_BANDS}
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sampled AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE ('0x' || substr(md5('cal:' || CAST(doc_a AS VARCHAR) || ':'
+                  || CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT
+              % {CAL_SAMPLE_MOD} = 0
+    ), matches AS (
+        SELECT s.doc_a, s.doc_b,
+               CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match
+        FROM sampled s
+        JOIN sig sa ON sa.doc_id = s.doc_a
+        JOIN sig sb ON sb.doc_id = s.doc_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+    ), exact AS (
+        SELECT m.doc_a, m.doc_b, m.n_match,
+               (2 * {_CAL_MICRO} * CAST(count(*) AS HUGEINT)
+                + (za.n + zb.n - count(*)))
+               // (2 * CAST(za.n + zb.n - count(*) AS HUGEINT)) AS j_micro
+        FROM matches m
+        JOIN sizes za ON za.doc_id = m.doc_a
+        JOIN sizes zb ON zb.doc_id = m.doc_b
+        JOIN toks ta ON ta.doc_id = m.doc_a
+        JOIN toks tb ON tb.doc_id = m.doc_b AND tb.tok = ta.tok
+        GROUP BY m.doc_a, m.doc_b, m.n_match, za.n, zb.n
+    )
+    SELECT CAST(n_match AS INT) AS n_matching_perms,
+           {oracle_ratio_round("n_match", str(N_PERMS))} AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {oracle_ratio_round("sum(j_micro)", f"count(*) * {_CAL_MICRO}")}
+               AS avg_exact_jaccard,
+           {oracle_signed_ratio_round(
+               f"sum(n_match * ({_CAL_MICRO} // {N_PERMS}) - j_micro)",
+               f"count(*) * {_CAL_MICRO}")} AS avg_err
+    FROM exact
+    GROUP BY n_match
+"""
+
+
+@op(
+    "minhash_jaccard_calibration",
+    oracle=_CALIBRATION_SQL,
+    tags=("dedup", "minhash", "eval", "pipeline"),
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical MinHash calibration audit: on a deterministic 1/16
+    hash-sample of the RAW banded candidate pairs (no size prefilter,
+    no threshold — the estimator must be audited where it is USED),
+    compare the signature-agreement estimate (#matching perms / 16)
+    against exact Jaccard, grouped by match count: pair volume, mean
+    exact similarity, and the estimator's mean signed error per
+    estimate level. The empirical companion to the analytic
+    `minhash_banding_curve` — run it after retuning perms/bands to see
+    whether the deployed estimator is biased on YOUR corpus.
+
+    Scale shape: the candidate set is band-bounded (never all-pairs)
+    and the verify fan-in is cut {CAL_SAMPLE_MOD}x by the pair-hash
+    sample BEFORE token arrays are touched; signatures ride the same
+    one-shuffle wide-vocab broadcast trick as `dedup_minhash_lsh`, and
+    exact Jaccard joins compact per-doc token arrays, not exploded
+    (pair, token) rows. Jaccard rounds ONCE per pair to integer
+    micro-units; every aggregate after is exact integer arithmetic."""
+    toks = _doc_tokens(spark, sf_dir)
+    rows_per_band = N_PERMS // N_BANDS
+    vocab_wide = toks.select("tok").distinct()
+    for i in range(N_PERMS):
+        vocab_wide = vocab_wide.withColumn(
+            f"h{i}", portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tok")))
+        )
+    sig = (
+        toks.join(F.broadcast(vocab_wide), "tok")
+        .groupBy("doc_id")
+        .agg(
+            *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_PERMS)],
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_set("tok")).alias("toks"),
+        )
+        .cache()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_sig"])
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    sampled = cand.filter(
+        portable_hash60(
+            F.concat(
+                F.lit("cal:"),
+                F.col("doc_a").cast("string"),
+                F.lit(":"),
+                F.col("doc_b").cast("string"),
+            )
+        )
+        % CAL_SAMPLE_MOD
+        == 0
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("toks").alias("toks_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERMS)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("toks").alias("toks_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERMS)],
+    )
+    paired = sampled.join(sig_a, "doc_a").join(sig_b, "doc_b")
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERMS)
+    ).cast("bigint")
+    ni = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    union = (F.col("na") + F.col("nb") - ni).cast("bigint")
+    j_micro = exact_floor_div(
+        2 * _CAL_MICRO * ni.cast("decimal(38,0)") + union.cast("decimal(38,0)"),
+        2 * union.cast("decimal(38,0)"),
+    ).cast("bigint")
+    per_pair = paired.select(
+        n_match.alias("n_match"), j_micro.alias("j_micro")
+    )
+    est_micro_step = _CAL_MICRO // N_PERMS
+    return per_pair.groupBy("n_match").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("j_micro").alias("_sj"),
+        F.sum(F.col("n_match") * est_micro_step - F.col("j_micro")).alias("_se"),
+    ).select(
+        F.col("n_match").cast("int").alias("n_matching_perms"),
+        ratio_round(F.col("n_match"), F.lit(N_PERMS)).alias("est_jaccard"),
+        F.col("_n").cast("bigint").alias("n_pairs"),
+        ratio_round(F.col("_sj"), F.col("_n") * _CAL_MICRO).alias("avg_exact_jaccard"),
+        signed_ratio_round(F.col("_se"), F.col("_n") * _CAL_MICRO).alias("avg_err"),
     )

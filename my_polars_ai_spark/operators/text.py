@@ -5230,3 +5230,258 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+# Funnel repetition gate: most-common-2-gram share <= 1/10 (x10 integer
+# comparison, same cross-multiplied style as the Gopher rules). 1/10 is
+# deliberately TIGHTER than the Gopher top-token cap of 1/5: a 2-gram's
+# count is bounded by its constituent tokens' counts, so a 2-gram gate
+# at 1/5 could never fire after the 1-gram gate at 1/5 — the stage
+# would be provably vacuous.
+FUNNEL_REP_DEN = 10
+
+_FUNNEL_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source, text, ts,
+               len(ts) AS n,
+               list_sum(list_transform(ts, x -> len(x))) AS sum_len,
+               len(list_filter(ts, x -> x IN {_MARKERS_SQL})) AS n_stop,
+               len(list_distinct(ts)) AS n_distinct,
+               list_max(list_transform(list_distinct(ts),
+                        t2 -> len(list_filter(ts, x -> x = t2)))) AS top_cnt
+        FROM t WHERE len(ts) > 0
+    ), flags AS (
+        SELECT doc_id, source, text, ts, n,
+               CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                     AND {GOPHER_MIN_MEAN_LEN} * n <= sum_len
+                     AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n
+                     AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                     AND {GOPHER_FRAC_DEN} * n_distinct >= n
+                     AND {GOPHER_FRAC_DEN} * top_cnt <= n
+                THEN 1 ELSE 0 END AS s_quality
+        FROM m
+    ), rep AS (
+        SELECT doc_id,
+               CASE WHEN len(g) = 0 OR {FUNNEL_REP_DEN} * list_max(
+                        list_transform(list_distinct(g),
+                                       x -> len(list_filter(g, y -> y = x))))
+                        <= len(g)
+                    THEN 1 ELSE 0 END AS rep_ok
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(ts) >= 2
+                        THEN list_transform(range(1, len(ts)),
+                                            i -> array_to_string(ts[i:i+1], ' '))
+                        ELSE [] END AS g
+            FROM t
+        )
+    ), dedup AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+                    THEN 1 ELSE 0 END AS keep_first
+        FROM flags WHERE s_quality = 1
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - 1, 1)),
+                   i -> array_to_string(ts[i:i+2], ' ')))) AS gram
+        FROM t
+    ), bench AS (
+        SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ), contam AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN bench b USING (gram)
+        WHERE g.source <> 'src0'
+    ), doc AS (
+        SELECT f.doc_id, f.n,
+               CASE WHEN f.s_quality = 0 THEN 0
+                    WHEN coalesce(d.keep_first, 0) = 0 THEN 1
+                    WHEN r.rep_ok = 0 THEN 2
+                    WHEN f.source = 'src0'
+                         OR c.doc_id IS NOT NULL THEN 3
+                    ELSE 4 END AS sr
+        FROM flags f
+        JOIN rep r USING (doc_id)
+        LEFT JOIN dedup d USING (doc_id)
+        LEFT JOIN contam c ON c.doc_id = f.doc_id
+    ), tot AS (
+        SELECT
+            sum(CASE WHEN sr >= 0 THEN 1 ELSE 0 END) AS d0,
+            sum(CASE WHEN sr >= 1 THEN 1 ELSE 0 END) AS d1,
+            sum(CASE WHEN sr >= 2 THEN 1 ELSE 0 END) AS d2,
+            sum(CASE WHEN sr >= 3 THEN 1 ELSE 0 END) AS d3,
+            sum(CASE WHEN sr >= 4 THEN 1 ELSE 0 END) AS d4,
+            sum(CASE WHEN sr >= 0 THEN n ELSE 0 END) AS t0,
+            sum(CASE WHEN sr >= 1 THEN n ELSE 0 END) AS t1,
+            sum(CASE WHEN sr >= 2 THEN n ELSE 0 END) AS t2,
+            sum(CASE WHEN sr >= 3 THEN n ELSE 0 END) AS t3,
+            sum(CASE WHEN sr >= 4 THEN n ELSE 0 END) AS t4
+        FROM doc
+    )
+    SELECT CAST(s.i AS INT) AS stage_idx, s.stage,
+           CAST(CASE s.i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+                WHEN 3 THEN d3 ELSE d4 END AS BIGINT) AS n_docs,
+           CAST(CASE s.i WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2
+                WHEN 3 THEN t3 ELSE t4 END AS BIGINT) AS n_tokens,
+           {oracle_ratio_round(
+               "CASE s.i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 "
+               "WHEN 3 THEN d3 ELSE d4 END", "d0")} AS pct_docs,
+           {oracle_ratio_round(
+               "CASE s.i WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2 "
+               "WHEN 3 THEN t3 ELSE t4 END", "t0")} AS pct_tokens
+    FROM tot CROSS JOIN (
+        VALUES (0, 'raw'), (1, 'quality_rules'), (2, 'exact_dedup'),
+               (3, 'repetition'), (4, 'decontaminated')
+    ) AS s(i, stage)
+"""
+
+
+@op(
+    "curation_funnel_report",
+    oracle=_FUNNEL_SQL,
+    tags=("text", "quality", "curation", "pipeline"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-funnel table every pre-training corpus card publishes:
+    docs and tokens surviving each sequential curation stage — raw ->
+    Gopher rule gate -> exact dedup (keep lowest id per identical
+    text) -> repetition gate (top-2-gram share <= 10%) -> benchmark
+    decontamination (drop the src0 benchmark slice itself plus any
+    training doc sharing a 3-gram with it) — with doc/token retention
+    percentages against raw. Composes the SAME definitions as
+    `gopher_quality_flags`, `dedup_exact_text`,
+    `repetition_2gram_ratio` and `benchmark_contamination`, so the
+    funnel cannot drift from the individual gates it summarizes.
+
+    Scale shape: rule and repetition stats are zero-shuffle per-doc
+    higher-order expressions; exact dedup is one hash shuffle on text
+    among quality survivors; decontamination is the shingle equi-join
+    (never doc x doc); the funnel itself is ONE conditional-sum global
+    aggregate emitting a literal 5-stage array — no per-stage rescan
+    of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    ts_e = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", "source", "text", ts_e.alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    n = F.size("ts")
+    sum_len = F.aggregate(
+        "ts", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS)))
+    n_distinct = F.size(F.array_distinct("ts"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("ts"),
+            lambda t2: F.size(F.filter("ts", lambda x: x == t2)),
+        )
+    )
+    g2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice("ts", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flags = base.select(
+        "doc_id",
+        "source",
+        "text",
+        n.cast("bigint").alias("n"),
+        (
+            n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & (GOPHER_MIN_MEAN_LEN * n <= sum_len)
+            & (sum_len <= GOPHER_MAX_MEAN_LEN * n)
+            & (n_stop >= GOPHER_MIN_STOPWORDS)
+            & (GOPHER_FRAC_DEN * n_distinct >= n)
+            & (GOPHER_FRAC_DEN * top_cnt <= n)
+        )
+        .cast("int")
+        .alias("s_quality"),
+        g2.alias("g2"),
+    )
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct("g2"),
+            lambda x: F.size(F.filter("g2", lambda y: y == x)),
+        )
+    )
+    rep_ok = (
+        F.when(F.size("g2") == 0, 1)
+        .when(FUNNEL_REP_DEN * top2 <= F.size("g2"), 1)
+        .otherwise(0)
+    )
+    flags = flags.withColumn("rep_ok", rep_ok).drop("g2")
+
+    keep = (
+        flags.filter(F.col("s_quality") == 1)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc"))
+    )
+    # 3-gram shingles against the benchmark slice (same definitions as
+    # benchmark_contamination).
+    n3 = F.size("ts") - 2
+    idx3 = F.when(n3 >= 1, F.sequence(F.lit(1), n3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.array_distinct(
+        F.transform(idx3, lambda i: F.array_join(F.slice("ts", i, 3), " "))
+    )
+    grams = base.select("doc_id", "source", F.explode(shingles).alias("gram"))
+    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    contam = (
+        grams.filter(F.col("source") != "src0")
+        .join(bench, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    doc = (
+        flags.join(keep, "text", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            F.when(F.col("s_quality") == 0, 0)
+            .when(F.col("keep_doc") != F.col("doc_id"), 1)
+            .when(F.col("rep_ok") == 0, 2)
+            .when(
+                (F.col("source") == "src0")
+                | F.col("contaminated").isNotNull(),
+                3,
+            )
+            .otherwise(4)
+            .alias("sr"),
+        )
+    )
+    tot = doc.agg(
+        *[
+            F.sum(F.when(F.col("sr") >= k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{k}")
+            for k in range(5)
+        ],
+        *[
+            F.sum(F.when(F.col("sr") >= k, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{k}")
+            for k in range(5)
+        ],
+    )
+    names = ["raw", "quality_rules", "exact_dedup", "repetition", "decontaminated"]
+    stage_structs = [
+        F.struct(
+            F.lit(k).cast("int").alias("stage_idx"),
+            F.lit(names[k]).alias("stage"),
+            F.col(f"d{k}").alias("n_docs"),
+            F.col(f"t{k}").alias("n_tokens"),
+            ratio_round(F.col(f"d{k}"), F.col("d0")).alias("pct_docs"),
+            ratio_round(F.col(f"t{k}"), F.col("t0")).alias("pct_tokens"),
+        )
+        for k in range(5)
+    ]
+    return tot.select(F.explode(F.array(*stage_structs)).alias("s")).select("s.*")

@@ -82,6 +82,9 @@ _BNLJ_SCALAR_OPS = (
     "tpch_q22_idle_rich_customers", "ucb1_variant_scores",
     "unigram_logprob_score", "wasserstein_1d_priority", "woe_iv_encoding",
     "ccnet_perplexity_split",
+    # r8: 1-row broadcast corpus-total cross-joined onto the K-source
+    # aggregate / the 32-bucket weight spine
+    "epoch_allocation_plan", "quality_classifier_gd_step",
 )
 _BNLJ_PROBE_OPS = (
     "cosine_topk_brute", "binary_hamming_topk", "hard_negatives_topk",

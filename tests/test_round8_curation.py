@@ -124,3 +124,68 @@ def test_gd_step_update_is_exact_and_directed(spark, tmp_path):
             assert r.grad_micro < 0
             assert r.delta_micro <= 0
             assert r.w1_micro >= r.w0_micro
+
+
+def test_curation_funnel_stages_drop_the_engineered_docs(spark, tmp_path):
+    """Seven docs, one engineered casualty per funnel stage: a
+    quality reject, an exact-dup loser, a 2-gram-repetitive doc, the
+    src0 benchmark doc itself plus a training doc sharing a trigram
+    with it, and two clean survivors. Doc counts per stage are then
+    fully determined: [7, 6, 5, 4, 2]."""
+    def prose(prefix, k=50):
+        # 50 distinct prefixed tokens + terminal "the a" stopword pair
+        return " ".join([f"{prefix}{i}" for i in range(k)] + ["the", "a"])
+
+    d1 = prose("gram")                                # survives all
+    d2 = "way too short"                              # fails word count
+    dup = prose("dupe")                               # d3 keeps, d4 drops
+    # repetition: 46 fillers + "pp qq" x10 + stopwords -> n=68,
+    # top1=10 <= 13.6 (passes Gopher) but top2 10/67 > 1/10 (fails rep)
+    d5 = " ".join([f"fill{i}" for i in range(46)] + ["pp", "qq"] * 10 + ["the", "a"])
+    bench = prose("bench") + " sha1 sha2 sha3"        # src0 slice itself
+    d7 = prose("uniq") + " sha1 sha2 sha3"            # contaminated
+    rows = [
+        (1, d1, "en", "srcA", len(d1)),
+        (2, d2, "en", "srcA", len(d2)),
+        (3, dup, "en", "srcA", len(dup)),
+        (4, dup, "en", "srcB", len(dup)),
+        (5, d5, "en", "srcA", len(d5)),
+        (6, bench, "en", "src0", len(bench)),
+        (7, d7, "en", "srcA", len(d7)),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r.stage_idx: r
+        for r in all_ops()["curation_funnel_report"].fn(spark, str(tmp_path)).collect()
+    }
+    assert [out[k].stage for k in range(5)] == [
+        "raw", "quality_rules", "exact_dedup", "repetition", "decontaminated"
+    ]
+    assert [out[k].n_docs for k in range(5)] == [7, 6, 5, 4, 2]
+    assert out[0].pct_docs == 1.0 and out[0].pct_tokens == 1.0
+    # token accounting: stage-4 tokens = the two 52-token survivors
+    assert out[4].n_tokens == 104
+    # monotone, never increasing
+    for k in range(1, 5):
+        assert out[k].n_docs <= out[k - 1].n_docs
+        assert out[k].n_tokens <= out[k - 1].n_tokens
+
+
+def test_minhash_calibration_identical_pair_lands_at_16_matches(spark, tmp_path):
+    """Docs 4 and 12 are verbatim copies (the pair hash 'cal:4:12' is
+    in the 1/16 audit sample); every other doc is token-disjoint so no
+    other band collision exists. The calibration table must be exactly
+    one row: 16/16 matching perms, est 1.0, exact Jaccard 1.0, zero
+    error."""
+    twin = " ".join(f"t{i}" for i in range(20))
+    rows = [(4, twin, "en", "x", len(twin)), (12, twin, "en", "x", len(twin))]
+    # band-disjoint fillers (unique vocabularies)
+    for i in (30, 40):
+        filler = " ".join(f"z{i}_{j}" for j in range(20))
+        rows.append((i, filler, "en", "x", len(filler)))
+    _write_docs(spark, tmp_path, rows)
+    out = all_ops()["minhash_jaccard_calibration"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_matching_perms, r.n_pairs) == (16, 1)
+    assert (r.est_jaccard, r.avg_exact_jaccard, r.avg_err) == (1.0, 1.0, 0.0)
