@@ -5004,8 +5004,16 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison (bounds cross-multiplied), so there is no rounding
     boundary for engines to disagree on. The top-token count is
     O(distinct x n) per doc — bounded by the document's own vocabulary,
-    never corpus-global state."""
-    d = _t(spark, sf_dir, "documents")
+    never corpus-global state. The rule projection itself is the
+    shared ``gopher_flags_frame`` — a stateless narrow map, so the
+    streaming twin (streaming/jobs.py stream_quality_gate) applies it
+    to a documents file stream UNCHANGED."""
+    return gopher_flags_frame(_t(spark, sf_dir, "documents"))
+
+
+def gopher_flags_frame(d: DataFrame) -> DataFrame:
+    """The Gopher decision-table projection over a documents frame —
+    batch and streaming share this single definition."""
     ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
     n = F.size("ts")

@@ -767,3 +767,28 @@ def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         results, "doc_id bigint, n_dup_partners bigint, best_jaccard double"
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents corpus as a file stream (the ingest-time shape: new
+    crawl shards landing in a directory)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher quality gate: the EXACT rule projection of the
+    batch `gopher_quality_flags` op (one shared definition —
+    operators/text.py gopher_flags_frame) applied to the documents file
+    stream. The decision table is a stateless narrow map, so it
+    streams with no watermark, no state store, and no output-mode
+    caveats — the filter belongs at INGEST time, before a byte of junk
+    is ever committed to the curated corpus."""
+    from my_polars_ai_spark.operators.text import gopher_flags_frame
+
+    docs = read_documents_stream(spark, sf_dir)
+    return _drain_to_memory(gopher_flags_frame(docs), "append")

@@ -429,3 +429,72 @@ def test_portable_hash60_matches_duckdb_on_arbitrary_unicode(spark, words):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [w]
         ).fetchone()
         assert got[w] == want, f"hash mismatch on {w!r}"
+
+
+# ---------------------------------------------------------------------------
+# Round-8 Gopher decision table: random token documents -> the Spark
+# rule projection must equal a direct pure-Python evaluation of the
+# same integer rules (catches any drift between the cross-multiplied
+# column expressions and the intended rule semantics).
+
+_GOPHER_TOKENS = st.sampled_from(
+    ["the", "a", "of", "spark", "batch", "merge", "xx", "verylongtokenword",
+     "q", "table", "window", "join"]
+)
+_GOPHER_DOCS = st.lists(
+    st.lists(_GOPHER_TOKENS, min_size=1, max_size=120), min_size=1, max_size=8
+)
+
+
+def _gopher_ref(tokens):
+    from my_polars_ai_spark.operators.text import (
+        _EN_MARKERS,
+        GOPHER_FRAC_DEN,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    n = len(tokens)
+    sum_len = sum(len(t) for t in tokens)
+    n_stop = sum(t in _EN_MARKERS for t in tokens)
+    n_distinct = len(set(tokens))
+    top_cnt = max(tokens.count(t) for t in set(tokens))
+    f = (
+        int(GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS),
+        int(GOPHER_MIN_MEAN_LEN * n <= sum_len <= GOPHER_MAX_MEAN_LEN * n),
+        int(n_stop >= GOPHER_MIN_STOPWORDS),
+        int(GOPHER_FRAC_DEN * n_distinct >= n),
+        int(GOPHER_FRAC_DEN * top_cnt <= n),
+    )
+    return (n, *f, int(all(f)))
+
+
+@given(docs=_GOPHER_DOCS)
+@_SETTINGS
+def test_gopher_flags_match_pure_python_reference(spark, docs):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(toks) for toks in docs],
+            "lang": "en",
+            "source": "srcX",
+            "n_chars": [len(" ".join(toks)) for toks in docs],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    from my_polars_ai_spark.operators.text import gopher_flags_frame
+
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.flag_word_count, r.flag_mean_word_len,
+            r.flag_stopwords, r.flag_distinct_frac, r.flag_top_token, r.keep,
+        )
+        for r in gopher_flags_frame(sdf).collect()
+    }
+    want = {i: _gopher_ref(toks) for i, toks in enumerate(docs)}
+    assert got == want

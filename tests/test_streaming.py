@@ -372,3 +372,25 @@ def test_stream_neardup_vs_corpus_matches_batch(spark, sf_dir):
         for r in stream_neardup_vs_corpus(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir):
+    """The ingest-time streaming Gopher gate must emit exactly the
+    batch decision table: same flags, same keep bit, every doc."""
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.streaming.jobs import stream_quality_gate
+
+    cols = (
+        "n_tokens", "flag_word_count", "flag_mean_word_len",
+        "flag_stopwords", "flag_distinct_frac", "flag_top_token", "keep",
+    )
+    want = {
+        r.doc_id: tuple(getattr(r, c) for c in cols)
+        for r in all_ops()["gopher_quality_flags"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        r.doc_id: tuple(getattr(r, c) for c in cols)
+        for r in stream_quality_gate(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) == 500
+    assert any(v[-1] == 0 for v in got.values())  # the gate actually drops
