@@ -635,9 +635,13 @@ _PRIORITY_R10 = (
     "sql_identifier_clause",
     "keyset_pagination_page",
     "sql_unpivot_syntax",
-    "sql_offset_pagination",
+    # re-attest: rows-only 'no_oracle' row from r02 predates its oracle
+    # (tools/attestation_status.py flags it; ivf/approx/kmeans twins
+    # already hold r9 slots)
+    "ema_per_user",
     # round-8 session-2 additions — first driver row (displacing
-    # topk_with_ties / sql_udf_declared_function to the r11 pool)
+    # topk_with_ties / sql_udf_declared_function / sql_offset_pagination
+    # to the r11 pool)
     "curation_funnel_report",
     "minhash_jaccard_calibration",
 )

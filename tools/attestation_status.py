@@ -1,0 +1,72 @@
+"""Attestation ledger: which registry ops have a driver CORRECTNESS row.
+
+Reads every CORRECTNESS_r*.json in the repo root plus the staged
+_PRIORITY_R* windows and prints:
+
+- cumulative driver-attested ops (and how many of those are currently
+  green vs ever-red),
+- ops staged in a not-yet-run window,
+- the never-attested remainder in registry order (the candidate pool
+  for the next staging pass).
+
+Usage: PYTHONPATH=/root/repo python tools/attestation_status.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import my_polars_ai_spark.operators as reg
+    from my_polars_ai_spark.operators import all_ops
+
+    ops = list(all_ops())
+    attested: dict[str, bool] = {}  # name -> last driver row green?
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(f)).items():
+            ok = all(
+                row.get(k) in (True, None)
+                for k in ("rows_match", "schema_match", "hash_match")
+            ) and row.get("err") in (None, "")
+            attested[name] = ok
+    # Pending = the LIVE window (the driver runs it this round) plus the
+    # two highest-numbered stagings; historical windows already have
+    # their rows in CORRECTNESS files and must not count as pending.
+    wins = sorted(
+        (int(m.group(1)), attr)
+        for attr in dir(reg)
+        if (m := re.fullmatch(r"_PRIORITY_R(\d+)", attr))
+    )
+    staged: set[str] = set(reg._PRIORITY)
+    for _, attr in wins[-2:]:
+        staged |= set(getattr(reg, attr))
+    staged -= set(attested)
+    never = [o for o in ops if o not in attested and o not in staged]
+    greens = sum(attested.values())
+    print(f"registry ops:            {len(ops)}")
+    print(f"driver-attested (cum.):  {len(attested)}  ({greens} green on last row)")
+    renamed = sorted(set(attested) - set(ops))
+    if renamed:
+        print(f"  attested under since-renamed/retired names: {renamed}")
+    reds = sorted(n for n, ok in attested.items() if not ok and n in ops)
+    if reds:
+        # NOTE: rows-only sketches attested before they gained oracles
+        # keep their old red row until their next window slot — check
+        # the op's tags before treating a red as a live defect.
+        print(f"  last-row RED (want a re-attest slot): {reds}")
+    print(f"staged, not yet run:     {len(staged)}")
+    print(f"never attested/staged:   {len(never)}")
+    for n in never:
+        print(f"  - {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
