@@ -173,3 +173,32 @@ assert n_sem_dropped >= 0
 # terciles partition each language: tail is roughly a third
 assert 0 < tail_docs < n_docs
 assert 0 < n_clf_keep <= n_docs
+
+# 16. Round-8 curation wave: the Gopher rule decision table, the
+# corpus-card funnel that composes every gate, the data-constrained
+# epoch planner, per-doc n-gram novelty, one GD step of the trainable
+# quality classifier, and the MinHash estimator calibration audit.
+gates = ops["gopher_quality_flags"].fn(spark, sf_dir)
+n_rule_keep = gates.filter(F.col("keep") == 1).count()
+funnel = {r.stage: r for r in ops["curation_funnel_report"].fn(spark, sf_dir).collect()}
+plan = ops["epoch_allocation_plan"].fn(spark, sf_dir)
+n_capped_sources = plan.filter(F.col("capped") == 1).count()
+novelty = ops["ngram_novelty_score"].fn(spark, sf_dir)
+low_novelty = novelty.filter(F.col("novelty_frac") < 0.5).count()
+step = {r.bucket: r for r in ops["quality_classifier_gd_step"].fn(spark, sf_dir).collect()}
+calib = ops["minhash_jaccard_calibration"].fn(spark, sf_dir)
+
+print(f"rule-gate keeps:        {n_rule_keep}")
+print(f"funnel final docs:      {funnel['decontaminated'].n_docs}"
+      f" ({funnel['decontaminated'].pct_docs:.1%} of raw)")
+print(f"epoch-capped sources:   {n_capped_sources}")
+print(f"low-novelty docs:       {low_novelty}")
+
+assert 0 < n_rule_keep < n_docs                       # the gate discriminates
+assert funnel["raw"].n_docs == n_docs
+assert funnel["quality_rules"].n_docs == n_rule_keep  # funnel == gate, stage 1
+# monotone funnel, and decontamination drops at least the src0 slice
+assert funnel["decontaminated"].n_docs < funnel["repetition"].n_docs
+assert all(r.w1_micro == r.w0_micro - r.delta_micro for r in step.values())
+assert len(step) == 32                                # full weight vector ships
+assert calib.count() > 0                              # audit sample is non-empty
