@@ -5011,6 +5011,29 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags_frame(_t(spark, sf_dir, "documents"))
 
 
+
+def _max_run_count(arr):
+    """Most-frequent-element count via a single fold over the SORTED
+    array: state (prev, run, best), O(n log n) per doc. The naive
+    transform-over-distinct formulation is O(distinct x n) per doc —
+    fine on this 31-token synthetic vocabulary, quadratic on real text
+    where most tokens are unique; the oracle keeps the naive spelling
+    (correctness only needs equal VALUES, not equal algorithms)."""
+    state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), state, step, lambda acc: acc["best"])
+
+
 def gopher_flags_frame(d: DataFrame) -> DataFrame:
     """The Gopher decision-table projection over a documents frame —
     batch and streaming share this single definition."""
@@ -5022,12 +5045,7 @@ def gopher_flags_frame(d: DataFrame) -> DataFrame:
     )
     n_stop = F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS)))
     n_distinct = F.size(F.array_distinct("ts"))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("ts"),
-            lambda t2: F.size(F.filter("ts", lambda x: x == t2)),
-        )
-    )
+    top_cnt = _max_run_count(F.col("ts"))
     stats = base.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
@@ -5382,12 +5400,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_stop = F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS)))
     n_distinct = F.size(F.array_distinct("ts"))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("ts"),
-            lambda t2: F.size(F.filter("ts", lambda x: x == t2)),
-        )
-    )
+    top_cnt = _max_run_count(F.col("ts"))
     g2 = F.when(
         n >= 2,
         F.transform(
@@ -5412,12 +5425,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_quality"),
         g2.alias("g2"),
     )
-    top2 = F.array_max(
-        F.transform(
-            F.array_distinct("g2"),
-            lambda x: F.size(F.filter("g2", lambda y: y == x)),
-        )
-    )
+    top2 = _max_run_count(F.col("g2"))
     rep_ok = (
         F.when(F.size("g2") == 0, 1)
         .when(FUNNEL_REP_DEN * top2 <= F.size("g2"), 1)
