@@ -5501,3 +5501,100 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(5)
     ]
     return tot.select(F.explode(F.array(*stage_structs)).alias("s")).select("s.*")
+
+
+# Context-length grid for the packing planner: the candidate training
+# sequence lengths a pipeline chooses between.
+CTX_GRID = (128, 256, 512, 1024, 2048)
+_CTX_GRID_SQL = ", ".join(str(c) for c in CTX_GRID)
+
+_CTX_WASTE_SQL = f"""
+    WITH t AS (
+        SELECT len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS n_tok
+        FROM documents
+    ), base AS (
+        SELECT n_tok FROM t WHERE n_tok > 0
+    ), g AS (
+        SELECT ctx, n_tok,
+               ((n_tok + ctx - 1) // ctx) * ctx - n_tok AS pad,
+               CASE WHEN n_tok > ctx THEN 1 ELSE 0 END AS split_doc,
+               (n_tok + ctx - 1) // ctx AS n_windows
+        FROM base CROSS JOIN (SELECT unnest([{_CTX_GRID_SQL}]) AS ctx) c
+    )
+    SELECT CAST(ctx AS INT) AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_windows) AS BIGINT) AS n_windows,
+           CAST(sum(pad) AS BIGINT) AS padded_tokens,
+           CAST(sum(split_doc) AS BIGINT) AS n_split_docs,
+           {oracle_ratio_round("sum(pad)", "sum(n_tok) + sum(pad)")}
+               AS waste_ratio,
+           {oracle_ratio_round("sum(split_doc)", "count(*)")}
+               AS split_frac
+    FROM g GROUP BY ctx
+"""
+
+
+@op(
+    "context_length_waste_curve",
+    oracle=_CTX_WASTE_SQL,
+    tags=("text", "pipeline", "report", "curation"),
+)
+def context_length_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-length planning table: for each candidate training
+    sequence length, the padding waste of one-document-per-window
+    batching AND the fraction of documents that would be split across
+    windows — the two opposing costs (short ctx wastes nothing but
+    fragments documents; long ctx keeps documents whole but pads).
+    `padding_waste_stats` is this table's single-length per-source
+    slice; `pack_windows_concat` is the packed alternative whose gain
+    this curve quantifies.
+
+    Scale shape: ONE corpus scan projecting a single integer per doc,
+    fanned across the bounded literal CTX_GRID (|grid| rows per doc,
+    a constant), then a map-side-combined |grid|-row aggregate. All
+    integer ceil-div arithmetic; ratios use the shared half-up
+    rounding."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias(
+            "n_tok"
+        )
+    ).filter(F.col("n_tok") > 0)
+    g = t.select(
+        "n_tok", F.explode(F.array(*[F.lit(c) for c in CTX_GRID])).alias("ctx")
+    )
+    n_windows = exact_floor_div(
+        F.col("n_tok") + F.col("ctx") - 1, F.col("ctx")
+    ).cast("bigint")
+    pad = (n_windows * F.col("ctx") - F.col("n_tok")).cast("bigint")
+    split_doc = F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0)
+    return (
+        g.select(
+            "ctx",
+            "n_tok",
+            n_windows.alias("n_windows"),
+            pad.alias("pad"),
+            split_doc.alias("split_doc"),
+        )
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_windows").cast("bigint").alias("n_windows"),
+            F.sum("pad").cast("bigint").alias("padded_tokens"),
+            F.sum("split_doc").cast("bigint").alias("n_split_docs"),
+            ratio_round(F.sum("pad"), F.sum("n_tok") + F.sum("pad")).alias(
+                "waste_ratio"
+            ),
+            ratio_round(F.sum("split_doc"), F.count(F.lit(1))).alias("split_frac"),
+        )
+        .select(
+            F.col("ctx").cast("int").alias("ctx_len"),
+            "n_docs",
+            "n_windows",
+            "padded_tokens",
+            "n_split_docs",
+            "waste_ratio",
+            "split_frac",
+        )
+    )

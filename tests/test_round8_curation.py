@@ -189,3 +189,31 @@ def test_minhash_calibration_identical_pair_lands_at_16_matches(spark, tmp_path)
     r = out[0]
     assert (r.n_matching_perms, r.n_pairs) == (16, 1)
     assert (r.est_jaccard, r.avg_exact_jaccard, r.avg_err) == (1.0, 1.0, 0.0)
+
+
+def test_context_waste_curve_exact_small_geometry(spark, tmp_path):
+    """Three docs of 10/100/300 tokens against the 128..2048 grid:
+    every cell is hand-checkable integer arithmetic. At ctx=128 the
+    300-token doc splits into 3 windows (84 pad) and the others pad to
+    one window each (the 100-token doc FITS in 128); at ctx>=512
+    nothing splits and waste is 3*ctx - 410."""
+    rows = []
+    for i, k in ((1, 10), (2, 100), (3, 300)):
+        text = " ".join(f"t{j}" for j in range(k))
+        rows.append((i, text, "en", "x", len(text)))
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r.ctx_len: r
+        for r in all_ops()["context_length_waste_curve"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {128, 256, 512, 1024, 2048}
+    r128 = out[128]
+    assert (r128.n_windows, r128.padded_tokens, r128.n_split_docs) == (
+        5, 5 * 128 - 410, 1,  # 1 + 1 + 3 windows; only the 300-token doc splits
+    )
+    for ctx in (512, 1024, 2048):
+        r = out[ctx]
+        assert (r.n_windows, r.padded_tokens, r.n_split_docs) == (3, 3 * ctx - 410, 0)
+        assert r.split_frac == 0.0
+    # waste grows monotonically with ctx once nothing splits
+    assert out[512].waste_ratio < out[1024].waste_ratio < out[2048].waste_ratio
