@@ -2159,6 +2159,28 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter trades recall exactly like the dedup family's LSH
     members; production tunes planes per corpus density). The drop
     set is one distinct + one left join at vector grain."""
+    sk = _semdedup_sketch(spark, sf_dir)
+    dropped = (
+        _semdedup_dominating(sk)
+        .filter(F.col("pair_cos") >= SEMDEDUP_EPS)
+        .select(F.col("b_id").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        sk.join(dropped, sk.vec_id == dropped.drop_id, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("cosc").alias("cos_centroid"),
+            F.when(F.col("drop_id").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )
+
+
+def _semdedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup front end: md5-seeded K-cluster assignment plus
+    the 6-plane sign-sketch bucket, cached (it feeds both sides of the
+    candidate self-join)."""
     e = _t(spark, sf_dir, "embeddings")
     corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     seeds = (
@@ -2203,6 +2225,14 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked[0]["cosc"].alias("cosc"),
         bucket.alias("bucket"),
     ).cache()
+    return sk
+
+
+def _semdedup_dominating(sk: DataFrame) -> DataFrame:
+    """Dominating candidate pairs (a more central than b, same cluster
+    and sketch bucket) with their rounded pair cosine — the eps-FREE
+    relation both the keep-list (fixed eps) and the threshold sweep
+    (eps grid) filter."""
     a = sk.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
         F.col("cosc").alias("a_cosc"), "cluster", "bucket",
@@ -2215,23 +2245,113 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
         ROUND_RATIO,
     )
-    dropped = (
+    return (
         a.join(b, ["cluster", "bucket"])
         .filter(F.col("a_id") != F.col("b_id"))
-        .filter(pair_cos >= SEMDEDUP_EPS)
         .filter(
             (F.col("a_cosc") < F.col("b_cosc"))
             | ((F.col("a_cosc") == F.col("b_cosc")) & (F.col("a_id") < F.col("b_id")))
         )
-        .select(F.col("b_id").alias("drop_id"))
-        .distinct()
+        .select("b_id", pair_cos.alias("pair_cos"))
     )
-    return (
-        sk.join(dropped, sk.vec_id == dropped.drop_id, "left")
-        .select(
-            "vec_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("cosc").alias("cos_centroid"),
-            F.when(F.col("drop_id").isNull(), 1).otherwise(0).cast("int").alias("kept"),
-        )
+
+
+# SemDeDup tuning grid: candidate eps operating points (the deployed
+# keep-list runs at SEMDEDUP_EPS).
+SEMDEDUP_EPS_GRID = (0.1, 0.2, 0.3, 0.5, 0.8)
+_SD_GRID_SQL = ", ".join(f"({e})" for e in SEMDEDUP_EPS_GRID)
+
+_SD_SWEEP_ORACLE = f"""
+WITH corpus AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+           v AS cv
+    FROM corpus QUALIFY cluster < {KM_K}
+), assigned AS MATERIALIZED (
+    SELECT vec_id, v, cluster,
+           round(list_cosine_similarity(v, cv), {ROUND_RATIO}) AS cosc
+    FROM (
+        SELECT c.vec_id, c.v, s.cluster, s.cv,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_distance(c.v, s.cv), {ROUND_RATIO}) ASC,
+                            s.cluster) AS arank
+        FROM corpus c CROSS JOIN seeds s
+    ) WHERE arank = 1
+), sk AS MATERIALIZED (
+    SELECT vec_id, cluster, cosc, v, {_sd_bucket_sql()} AS bucket
+    FROM assigned
+), best AS (
+    SELECT b.vec_id AS drop_id,
+           max(round(list_cosine_similarity(a.v, b.v), {ROUND_RATIO})) AS best_cos
+    FROM sk a JOIN sk b
+      ON a.cluster = b.cluster AND a.bucket = b.bucket
+     AND a.vec_id <> b.vec_id
+     AND (a.cosc < b.cosc OR (a.cosc = b.cosc AND a.vec_id < b.vec_id))
+    GROUP BY b.vec_id
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_vec FROM sk
+)
+SELECT CAST(g.eps AS DOUBLE) AS eps,
+       CAST(coalesce(sum(CASE WHEN best.best_cos >= g.eps THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_dropped,
+       CAST(any_value(tot.n_vec)
+            - coalesce(sum(CASE WHEN best.best_cos >= g.eps THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_kept,
+       {oracle_ratio_round(
+           "any_value(tot.n_vec) - coalesce(sum(CASE WHEN best.best_cos >= g.eps "
+           "THEN 1 ELSE 0 END), 0)", "any_value(tot.n_vec)")} AS keep_rate
+FROM (VALUES {_SD_GRID_SQL}) AS g(eps)
+CROSS JOIN tot
+LEFT JOIN best ON 1 = 1
+GROUP BY g.eps
+"""
+
+
+@op(
+    "semdedup_threshold_sweep",
+    oracle=_SD_SWEEP_ORACLE,
+    tags=("dedup", "similarity", "embedding", "eval", "pipeline"),
+)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup operating-point tuner: keep-rate as a function of the
+    cosine threshold over the SEMDEDUP_EPS_GRID — the curve the Abbas
+    et al. paper sweeps (their Fig. 2) before fixing eps, produced
+    from ONE pass over the candidate pairs. `semdedup_keep_list` is
+    the single-eps deployment of the same dominance relation, so the
+    sweep's row at eps = SEMDEDUP_EPS reproduces its drop count
+    exactly (pytest-pinned).
+
+    Scale shape: the (cluster, sign-sketch)-bucketed dominating-pair
+    relation is built once (never cluster_size^2), reduced to ONE row
+    per candidate drop target (max dominating cosine) BEFORE the grid
+    touches it, then the bounded literal eps grid cross-joins onto the
+    per-target maxima — |grid| x |candidates| bounded rows, one
+    |grid|-row aggregate out. Cosines round once at ROUND_RATIO; all
+    threshold comparisons happen on those once-rounded values on both
+    engines."""
+    sk = _semdedup_sketch(spark, sf_dir)
+    best = (
+        _semdedup_dominating(sk)
+        .groupBy("b_id")
+        .agg(F.max("pair_cos").alias("best_cos"))
+    )
+    tot = sk.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(e)) for e in SEMDEDUP_EPS_GRID])
+        ).alias("eps")
+    )
+    g = grid.crossJoin(F.broadcast(tot)).join(F.broadcast(best), F.lit(True), "left")
+    dropped = F.sum(
+        F.when(F.col("best_cos") >= F.col("eps"), 1).otherwise(0)
+    )
+    return g.groupBy("eps").agg(
+        F.coalesce(dropped, F.lit(0)).cast("bigint").alias("n_dropped"),
+        (F.first("n_vec") - F.coalesce(dropped, F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+        ratio_round(
+            F.first("n_vec") - F.coalesce(dropped, F.lit(0)), F.first("n_vec")
+        ).alias("keep_rate"),
     )

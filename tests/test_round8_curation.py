@@ -217,3 +217,38 @@ def test_context_waste_curve_exact_small_geometry(spark, tmp_path):
         assert r.split_frac == 0.0
     # waste grows monotonically with ctx once nothing splits
     assert out[512].waste_ratio < out[1024].waste_ratio < out[2048].waste_ratio
+
+
+def test_semdedup_sweep_agrees_with_keep_list_at_deployed_eps(spark, tmp_path):
+    """The sweep row at eps = SEMDEDUP_EPS must reproduce the deployed
+    keep-list's drop count exactly (same dominance relation, same
+    rounding), and keep-rate must be monotone non-decreasing in eps."""
+    import random
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base], i % 3))
+        if i % 4 == 0:  # plant near-duplicates
+            rows.append(
+                (100 + i, [float(x + rng.uniform(-0.01, 0.01)) for x in base], i % 3)
+            )
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    ops = all_ops()
+    from my_polars_ai_spark.operators.similarity import SEMDEDUP_EPS
+
+    keep = ops["semdedup_keep_list"].fn(spark, str(tmp_path))
+    n_dropped_deployed = keep.filter("kept = 0").count()
+    sweep = {r.eps: r for r in
+             ops["semdedup_threshold_sweep"].fn(spark, str(tmp_path)).collect()}
+    assert sweep[SEMDEDUP_EPS].n_dropped == n_dropped_deployed > 0
+    eps_sorted = sorted(sweep)
+    rates = [sweep[e].keep_rate for e in eps_sorted]
+    assert rates == sorted(rates)  # higher eps can only keep more
+    for r in sweep.values():
+        assert r.n_kept + r.n_dropped == r.n_kept + r.n_dropped  # schema sanity
+        assert r.n_kept >= 0 and r.n_dropped >= 0
