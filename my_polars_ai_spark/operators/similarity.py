@@ -2336,22 +2336,32 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b_id")
         .agg(F.max("pair_cos").alias("best_cos"))
     )
+    # One conditional-sum aggregate over the per-target maxima — the eps
+    # grid never joins against the (corpus-scale) candidate table; it
+    # lives as literal thresholds inside the aggregate and a 5-struct
+    # explode of the single result row.
+    sums = best.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("best_cos") >= float(e), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"d{i}")
+            for i, e in enumerate(SEMDEDUP_EPS_GRID)
+        ]
+    )
     tot = sk.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
-    grid = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(float(e)) for e in SEMDEDUP_EPS_GRID])
-        ).alias("eps")
-    )
-    g = grid.crossJoin(F.broadcast(tot)).join(F.broadcast(best), F.lit(True), "left")
-    dropped = F.sum(
-        F.when(F.col("best_cos") >= F.col("eps"), 1).otherwise(0)
-    )
-    return g.groupBy("eps").agg(
-        F.coalesce(dropped, F.lit(0)).cast("bigint").alias("n_dropped"),
-        (F.first("n_vec") - F.coalesce(dropped, F.lit(0)))
-        .cast("bigint")
-        .alias("n_kept"),
-        ratio_round(
-            F.first("n_vec") - F.coalesce(dropped, F.lit(0)), F.first("n_vec")
-        ).alias("keep_rate"),
-    )
+    row = sums.crossJoin(F.broadcast(tot))
+    stage_structs = [
+        F.struct(
+            F.lit(float(e)).alias("eps"),
+            F.col(f"d{i}").alias("n_dropped"),
+            (F.col("n_vec") - F.col(f"d{i}")).cast("bigint").alias("n_kept"),
+            ratio_round(F.col("n_vec") - F.col(f"d{i}"), F.col("n_vec")).alias(
+                "keep_rate"
+            ),
+        )
+        for i, e in enumerate(SEMDEDUP_EPS_GRID)
+    ]
+    return row.select(F.explode(F.array(*stage_structs)).alias("s")).select("s.*")
