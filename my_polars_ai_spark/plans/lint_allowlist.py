@@ -83,8 +83,9 @@ _BNLJ_SCALAR_OPS = (
     "unigram_logprob_score", "wasserstein_1d_priority", "woe_iv_encoding",
     "ccnet_perplexity_split",
     # r8: 1-row broadcast corpus-total cross-joined onto the K-source
-    # aggregate / the 32-bucket weight spine
+    # aggregate / the 32-bucket weight spine / the 1-row sweep sums
     "epoch_allocation_plan", "quality_classifier_gd_step",
+    "semdedup_threshold_sweep",
 )
 _BNLJ_PROBE_OPS = (
     "cosine_topk_brute", "binary_hamming_topk", "hard_negatives_topk",
