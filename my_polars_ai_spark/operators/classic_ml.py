@@ -2072,6 +2072,10 @@ def caliper_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 QGD_DIM = 32
 QGD_W0_SPAN = 200_001
 QGD_MICRO = 1_000_000
+# lr = 1 / (2 * QGD_LR_DEN): without the damping, a single update moves
+# weights by ~0.5 in a [-0.1, 0.1] weight space and the hard sigmoid
+# saturates for every document (measured: MSE 0.205 -> 0.218 -> flat).
+QGD_LR_DEN = 64
 
 _QGD_BUCKET = f"(('0x' || substr(md5('f:' || tok), 1, 15))::BIGINT % {QGD_DIM})"
 _QGD_W0 = (
@@ -2098,10 +2102,18 @@ _QGD_SQL = f"""
         FROM t WHERE len(ts) > 0
     ), resid AS (
         SELECT doc_id,
-               least({QGD_MICRO}, greatest(0,
-                   500000 + (z_micro - ((z_micro % 4) + 4) % 4) // 4))
-                   - y_micro AS r_micro
-        FROM docs
+               p_micro - y_micro AS r_micro,
+               -- exact MSE subgradient mask: d(hard sigmoid)/dz = 0
+               -- wherever the clamp is active
+               CASE WHEN p_micro > 0 AND p_micro < {QGD_MICRO}
+                    THEN p_micro - y_micro ELSE 0 END AS g_micro
+        FROM (
+            SELECT doc_id, y_micro,
+                   least({QGD_MICRO}, greatest(0,
+                       500000 + (z_micro - ((z_micro % 4) + 4) % 4) // 4))
+                       AS p_micro
+            FROM docs
+        )
     ), n AS (
         SELECT CAST(count(*) AS BIGINT) AS n_docs FROM resid
     ), x AS (
@@ -2112,7 +2124,7 @@ _QGD_SQL = f"""
     ), grad AS (
         SELECT x.b,
                CAST(sum(x.cnt) AS BIGINT) AS n_tokens,
-               CAST(sum(x.cnt * r.r_micro) AS BIGINT) AS grad_micro
+               CAST(sum(x.cnt * r.g_micro) AS BIGINT) AS grad_micro
         FROM x JOIN resid r USING (doc_id)
         GROUP BY x.b
     )
@@ -2122,10 +2134,12 @@ _QGD_SQL = f"""
            CAST({_QGD_W0} AS BIGINT) AS w0_micro,
            CAST(coalesce(grad.grad_micro, 0) AS BIGINT) AS grad_micro,
            CAST({oracle_signed_ratio_round(
-               "coalesce(grad.grad_micro, 0)", "2 * n.n_docs", 0)}
+               "coalesce(grad.grad_micro, 0)",
+               f"2 * {QGD_LR_DEN} * n.n_docs", 0)}
                AS BIGINT) AS delta_micro,
            CAST({_QGD_W0} - CAST({oracle_signed_ratio_round(
-               "coalesce(grad.grad_micro, 0)", "2 * n.n_docs", 0)}
+               "coalesce(grad.grad_micro, 0)",
+               f"2 * {QGD_LR_DEN} * n.n_docs", 0)}
                AS BIGINT) AS BIGINT) AS w1_micro
     FROM (SELECT unnest(range({QGD_DIM})) AS b) spine
     LEFT JOIN grad ON grad.b = spine.b
@@ -2149,7 +2163,9 @@ def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight update — is integer micro-unit arithmetic, bit-identical
     across engines (exp() never enters; fixed-point trainers do the
     same). Output is the full updated weight vector with its gradient
-    provenance: w1 = w0 - round_half_away(grad / 2N).
+    provenance: w1 = w0 - round_half_away(grad / (2*QGD_LR_DEN*N)); the gradient is
+    the exact MSE subgradient (residuals masked where the hard
+    sigmoid's clamp is active).
 
     Scale shape: the residual pass is a ZERO-join narrow projection
     (z via one higher-order fold per doc); the gradient is explode ->
@@ -2191,9 +2207,23 @@ def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ),
     )
-    resid = base.select(
-        "doc_id", z.alias("z_micro"), y.alias("y_micro")
-    ).select("doc_id", (p - F.col("y_micro")).cast("bigint").alias("r_micro"))
+    resid = (
+        base.select("doc_id", z.alias("z_micro"), y.alias("y_micro"))
+        .select("doc_id", p.alias("p_micro"), "y_micro")
+        .select(
+            "doc_id",
+            (F.col("p_micro") - F.col("y_micro")).cast("bigint").alias("r_micro"),
+            # exact MSE subgradient mask: the hard sigmoid's derivative
+            # is zero wherever the clamp is active
+            F.when(
+                (F.col("p_micro") > 0) & (F.col("p_micro") < QGD_MICRO),
+                F.col("p_micro") - F.col("y_micro"),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("g_micro"),
+        )
+    )
 
     x = (
         base.select("doc_id", F.explode("ts").alias("tok"))
@@ -2206,7 +2236,7 @@ def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("r_micro")).cast("bigint").alias("grad_micro"),
+            F.sum(F.col("cnt") * F.col("g_micro")).cast("bigint").alias("grad_micro"),
         )
     )
     n = resid.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -2225,7 +2255,7 @@ def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w0 = _w0(F.col("b"))
     delta = signed_ratio_round(
-        F.col("grad_micro"), 2 * F.col("n_docs"), 0
+        F.col("grad_micro"), 2 * QGD_LR_DEN * F.col("n_docs"), 0
     ).cast("bigint")
     return j.select(
         F.col("b").cast("int").alias("bucket"),
@@ -2235,4 +2265,224 @@ def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grad_micro",
         delta.alias("delta_micro"),
         (w0 - delta).cast("bigint").alias("w1_micro"),
+    )
+
+
+# Unrolled GD steps for the convergence report.
+QGD_STEPS = 3
+
+
+def _qgd_sql_steps() -> str:
+    """Generate the step-k CTE chain (w0 is the md5 spine expression;
+    each later wk is the previous minus the half-away-rounded
+    grad/(2N) update; each step contributes one loss row)."""
+    w0 = (
+        f"SELECT CAST(b AS BIGINT) AS b, "
+        f"('0x' || substr(md5('w8:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {QGD_W0_SPAN} - 100000 AS w"
+        f" FROM (SELECT unnest(range({QGD_DIM})) AS b)"
+    )
+    parts = [f"w0 AS ({w0})"]
+    for k in range(QGD_STEPS):
+        parts.append(
+            f"""z{k} AS (
+        SELECT x.doc_id, sum(x.cnt * w{k}.w) AS z_micro
+        FROM x JOIN w{k} ON w{k}.b = x.b GROUP BY x.doc_id
+    ), r{k} AS (
+        SELECT doc_id, p_micro - y_micro AS r_micro,
+               CASE WHEN p_micro > 0 AND p_micro < {QGD_MICRO}
+                    THEN p_micro - y_micro ELSE 0 END AS g_micro
+        FROM (
+            SELECT z{k}.doc_id, y.y_micro,
+                   least({QGD_MICRO}, greatest(0,
+                       500000 + (z_micro - ((z_micro % 4) + 4) % 4) // 4))
+                       AS p_micro
+            FROM z{k} JOIN y ON y.doc_id = z{k}.doc_id
+        )
+    ), loss{k} AS (
+        SELECT {k} AS step,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               sum(CAST(r_micro AS HUGEINT) * r_micro) AS sse
+        FROM r{k}
+    )"""
+        )
+        if k + 1 < QGD_STEPS:
+            parts.append(
+                f"""g{k} AS (
+        SELECT x.b, CAST(sum(x.cnt * r.g_micro) AS HUGEINT) AS grad
+        FROM x JOIN r{k} r ON r.doc_id = x.doc_id GROUP BY x.b
+    ), w{k + 1} AS (
+        SELECT w{k}.b,
+               w{k}.w - CAST({oracle_signed_ratio_round(
+                   f"coalesce(g{k}.grad, 0)",
+                   f"2 * {QGD_LR_DEN} * (SELECT n_docs FROM loss{k})",
+                   0)} AS BIGINT) AS w
+        FROM w{k} LEFT JOIN g{k} ON g{k}.b = w{k}.b
+    )"""
+            )
+    return ",\n    ".join(parts)
+
+
+_QGD_CONV_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ), y AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(ts, x -> x IN {_MARKERS_SQL})) >= 2
+                    THEN {QGD_MICRO} ELSE 0 END AS y_micro
+        FROM t WHERE len(ts) > 0
+    ), x AS (
+        SELECT doc_id, {_QGD_BUCKET.replace("tok", "u.tok")} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM t, LATERAL (SELECT unnest(ts) AS tok) u
+        WHERE len(ts) > 0
+        GROUP BY 1, 2
+    ),
+    {_qgd_sql_steps()}
+    SELECT CAST(step AS INT) AS step, n_docs,
+           {oracle_ratio_round("sse", f"n_docs * CAST({QGD_MICRO} AS HUGEINT) * {QGD_MICRO}")}
+               AS mse
+    FROM ({" UNION ALL ".join(f"SELECT * FROM loss{k}" for k in range(QGD_STEPS))})
+"""
+
+
+@op(
+    "quality_classifier_gd_convergence",
+    oracle=_QGD_CONV_SQL,
+    tags=("ml", "text", "quality", "pipeline"),
+)
+def quality_classifier_gd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE unrolled full-batch GD steps of the hashed quality
+    classifier with the per-step mean-squared error — the convergence
+    report that proves `quality_classifier_gd_step`'s chaining story
+    end to end inside one plan (step k+1's weights are step k's output
+    table, exactly how a production trainer would chain k jobs).
+    Everything stays integer micro-units (hard sigmoid, half-away
+    weight updates); the loss accumulates r^2 in DECIMAL(38,0) so the
+    sum cannot overflow at any corpus size, and only the final MSE
+    rounds (half-up at 1e-6).
+
+    Scale shape per step: one broadcast of the 32-row weight table
+    onto the (doc, bucket) counts, one doc-grain aggregate, one
+    32-row gradient aggregate — the corpus is scanned ONCE (the
+    (doc,bucket,cnt) table feeds every step); no driver loop, no
+    collect; 3 rows out."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    y = base.select(
+        "doc_id",
+        F.when(
+            F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS))) >= 2,
+            QGD_MICRO,
+        )
+        .otherwise(0)
+        .alias("y_micro"),
+    )
+    x = (
+        base.select("doc_id", F.explode("ts").alias("tok"))
+        .select(
+            "doc_id",
+            (portable_hash60(F.concat(F.lit("f:"), F.col("tok"))) % QGD_DIM).alias(
+                "b"
+            ),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .cache()
+    )
+    spine = spark.range(QGD_DIM).select(F.col("id").cast("bigint").alias("b"))
+    w = spine.select(
+        "b",
+        (
+            portable_hash60(F.concat(F.lit("w8:"), F.col("b").cast("string")))
+            % QGD_W0_SPAN
+            - 100000
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    loss_frames = []
+    for k in range(QGD_STEPS):
+        z = (
+            x.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("z_micro"))
+        )
+        p = F.least(
+            F.lit(QGD_MICRO).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (
+                    500000
+                    + exact_floor_div(F.col("z_micro"), F.lit(4)).cast("bigint")
+                ).cast("bigint"),
+            ),
+        )
+        r = (
+            z.join(y, "doc_id")
+            .select("doc_id", p.alias("p_micro"), "y_micro")
+            .select(
+                "doc_id",
+                (F.col("p_micro") - F.col("y_micro"))
+                .cast("bigint")
+                .alias("r_micro"),
+                F.when(
+                    (F.col("p_micro") > 0) & (F.col("p_micro") < QGD_MICRO),
+                    F.col("p_micro") - F.col("y_micro"),
+                )
+                .otherwise(0)
+                .cast("bigint")
+                .alias("g_micro"),
+            )
+        )
+        loss_frames.append(
+            r.agg(
+                F.lit(k).cast("int").alias("step"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(
+                    F.col("r_micro").cast(_D38) * F.col("r_micro").cast(_D38)
+                ).alias("sse"),
+            )
+        )
+        if k + 1 < QGD_STEPS:
+            n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            g = (
+                x.join(r, "doc_id")
+                .groupBy("b")
+                .agg(
+                    F.sum(F.col("cnt") * F.col("g_micro"))
+                    .cast("bigint")
+                    .alias("grad")
+                )
+            )
+            w = (
+                w.join(g, "b", "left")
+                .crossJoin(F.broadcast(n))
+                .select(
+                    "b",
+                    (
+                        F.col("w")
+                        - signed_ratio_round(
+                            F.coalesce(F.col("grad"), F.lit(0)),
+                            2 * QGD_LR_DEN * F.col("n_docs"),
+                            0,
+                        ).cast("bigint")
+                    ).alias("w"),
+                )
+            )
+    out = loss_frames[0]
+    for lf in loss_frames[1:]:
+        out = out.unionByName(lf)
+    return out.select(
+        "step",
+        "n_docs",
+        ratio_round(
+            F.col("sse"),
+            F.col("n_docs").cast(_D38) * QGD_MICRO * QGD_MICRO,
+        ).alias("mse"),
     )

@@ -252,3 +252,23 @@ def test_semdedup_sweep_agrees_with_keep_list_at_deployed_eps(spark, tmp_path):
     for r in sweep.values():
         assert r.n_kept + r.n_dropped == r.n_kept + r.n_dropped  # schema sanity
         assert r.n_kept >= 0 and r.n_dropped >= 0
+
+
+def test_gd_convergence_loss_decreases_on_separable_labels(spark, tmp_path):
+    """Half the docs are all-stopword (y=1), half all-rare-token (y=0),
+    in disjoint hash buckets — a separable problem where damped
+    masked-subgradient descent must strictly reduce MSE each step."""
+    pos = " ".join(["the", "a", "of", "and"] * 6)
+    neg = " ".join([f"rare{i}" for i in range(24)])
+    rows = []
+    for i in range(6):
+        rows.append((i, pos, "en", "x", len(pos)))
+        rows.append((100 + i, neg, "en", "x", len(neg)))
+    _write_docs(spark, tmp_path, rows)
+    out = sorted(
+        all_ops()["quality_classifier_gd_convergence"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in out] == [0, 1, 2]
+    assert all(r.n_docs == 12 for r in out)
+    assert out[0].mse > out[1].mse > out[2].mse
