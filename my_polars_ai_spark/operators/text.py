@@ -5266,7 +5266,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would be provably vacuous.
 FUNNEL_REP_DEN = 10
 
-_FUNNEL_SQL = f"""
+_FUNNEL_DOC_CTES = f"""
     WITH t AS (
         SELECT doc_id, source, text,
                list_filter(string_split(text, ' '), x -> x != '') AS ts
@@ -5334,7 +5334,11 @@ _FUNNEL_SQL = f"""
         JOIN rep r USING (doc_id)
         LEFT JOIN dedup d USING (doc_id)
         LEFT JOIN contam c ON c.doc_id = f.doc_id
-    ), tot AS (
+    )"""
+
+
+_FUNNEL_SQL = f"""
+    {_FUNNEL_DOC_CTES}, tot AS (
         SELECT
             sum(CASE WHEN sr >= 0 THEN 1 ELSE 0 END) AS d0,
             sum(CASE WHEN sr >= 1 THEN 1 ELSE 0 END) AS d1,
