@@ -28,6 +28,7 @@ _MODULES = (
     "stats_tests",
     "classic_ml",
     "graph",
+    "streaming_live",
 )
 
 
@@ -578,19 +579,18 @@ _PRIORITY_R9 = (
     "quality_classifier_gd_step",
 )
 
-# Round-10 window, staged in round 8 so the next TWO flips stay
-# one-liners. 6 canaries + 44 first-attestation slots: the four
-# text-pipeline ops displaced when r9 was amended with the round-8
-# curation wave, then the next never-attested oracle-checked ops in
-# registry order (the langid-eval / retrieval / Arrow-UDF / SQL-surface
-# blocks). ~99 never-attested remain for r11+.
+# Round-10 window, staged in round 8, amended in round 9 per the r8
+# verdict: canaries trimmed 6 -> 3 (flagship + dedup + SQL; the other
+# three families have 2 consecutive green rows and 187 ops still lack
+# any driver row), freeing slots for the round-8 stragglers
+# (semdedup_threshold_sweep / context_length_waste_curve /
+# quality_classifier_gd_convergence), the round-9 additions
+# (quality_classifier_trained_scores + the four LIVE streaming ops),
+# with the tail SQL-surface block displaced to the r11 staging below.
 _PRIORITY_R10 = (
-    # canaries — one per north-star family
+    # canaries — flagship + dedup + SQL only while the backlog clears
     "flagship_revenue_by_nation",
-    "tpch_q1_pricing_summary",
     "dedup_minhash_lsh",
-    "ann_lsh_cosine",
-    "tfidf_top_terms",
     "sql_api_revenue",
     # displaced from the amended r9 window — first driver row
     "token_entropy_per_doc",
@@ -630,25 +630,92 @@ _PRIORITY_R10 = (
     "sql_parameterized_query",
     "sql_lateral_topk",
     "sql_pipe_syntax_agg",
+    # re-attest: rows-only 'no_oracle' row from r02 predates its oracle
+    # (tools/attestation_status.py flags it; ivf/approx/kmeans twins
+    # already hold r9 slots)
+    "ema_per_user",
+    # round-8 additions without a driver row yet
+    "curation_funnel_report",
+    "minhash_jaccard_calibration",
+    "semdedup_threshold_sweep",
+    "context_length_waste_curve",
+    "quality_classifier_gd_convergence",
+    # round-9 additions — the trained-classifier consumer and the LIVE
+    # Structured-Streaming family (real readStream pipelines drained to
+    # a memory sink, oracle-checked against the batch twins' SQL)
+    "quality_classifier_trained_scores",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_gopher_gate",
+)
+
+# Round-11 window, staged in round 9 so the next TWO flips stay
+# one-liners. 3 canaries + 47 first-attestation slots: the SQL-surface
+# block displaced from the amended r10 window, then the next
+# never-attested oracle-checked ops in registry order (the
+# timeseries-maintenance / table-ops / stats-tests blocks).
+# ~60 never-attested remain for r12+.
+_PRIORITY_R11 = (
+    # canaries — flagship + dedup + SQL only while the backlog clears
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # displaced from the amended r10 window — first driver row
     "sql_execute_immediate",
     "sql_group_by_all",
     "sql_identifier_clause",
     "keyset_pagination_page",
     "sql_unpivot_syntax",
-    # re-attest: rows-only 'no_oracle' row from r02 predates its oracle
-    # (tools/attestation_status.py flags it; ivf/approx/kmeans twins
-    # already hold r9 slots)
-    "ema_per_user",
-    # round-8 session-2 additions — first driver row (displacing
-    # topk_with_ties / sql_udf_declared_function / sql_offset_pagination
-    # to the r11 pool)
-    "curation_funnel_report",
-    "minhash_jaccard_calibration",
+    # displaced from the r10 staging back in round 8 — first driver row
+    "topk_with_ties",
+    "sql_udf_declared_function",
+    "sql_offset_pagination",
+    "sql_pipe_syntax",
+    # next never-attested oracle-checked ops, registry order
+    "diff_pct_change",
+    "forward_fill",
+    "time_gapfill",
+    "interpolate_linear",
+    "stats_extended",
+    "datetime_convert",
+    "describe_stats",
+    "anomaly_mad",
+    "merge_upsert",
+    "merge_partial_aggs",
+    "scd2_history",
+    "dq_audit",
+    "pareto_frontier_suppliers",
+    "snapshot_diff",
+    "zorder_key",
+    "array_agg_topk",
+    "compaction_plan",
+    "interevent_time_hist",
+    "benford_first_digit",
+    "wow_revenue_change",
+    "hierarchy_rollup",
+    "sketch_merge_running_distinct",
+    "cascade_delete_audit",
+    "dow_seasonality",
+    "zscore_outlier_exact",
+    "late_arrival_fraction",
+    "incremental_rollup_maintenance",
+    "join_cardinality_estimate",
+    "corpus_table_profile",
+    "activity_entropy",
+    "decay_weighted_revenue",
+    "ab_test_two_proportion",
+    "winsorized_mean_by_type",
+    "rfm_segments",
+    "k_anonymity_audit",
+    "scd2_point_in_time_join",
+    "cross_table_daily_correlation",
+    "ar_aging_buckets",
 )
 
-# Round 8: the staged flip, executed (round-9 window already staged
+# Round 9: the staged flip, executed (round-10 window already staged
 # above so next round is a one-liner too).
-_PRIORITY = _PRIORITY_R8
+_PRIORITY = _PRIORITY_R9
 
 
 def all_ops() -> dict[str, Op]:

@@ -2159,8 +2159,8 @@ def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labels are weak supervision (>=2 stopword markers, the CCNet-style
     'looks like running prose' proxy); features hash into QGD_DIM
     buckets; the activation is the hard sigmoid clamp(1/2 + z/4, 0, 1)
-    so every quantity — scores, residuals, gradients, the lr=1/2
-    weight update — is integer micro-unit arithmetic, bit-identical
+    so every quantity — scores, residuals, gradients, the damped
+    lr=1/(2*QGD_LR_DEN) weight update — is integer micro-unit arithmetic, bit-identical
     across engines (exp() never enters; fixed-point trainers do the
     same). Output is the full updated weight vector with its gradient
     provenance: w1 = w0 - round_half_away(grad / (2*QGD_LR_DEN*N)); the gradient is
@@ -2272,10 +2272,13 @@ def quality_classifier_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 QGD_STEPS = 3
 
 
-def _qgd_sql_steps() -> str:
+def _qgd_sql_steps(final_update: bool = False) -> str:
     """Generate the step-k CTE chain (w0 is the md5 spine expression;
     each later wk is the previous minus the half-away-rounded
-    grad/(2N) update; each step contributes one loss row)."""
+    grad/(2N) update; each step contributes one loss row). With
+    ``final_update`` the chain also emits g{K-1}/w{K} so a consumer
+    can score with the fully-trained weights (the convergence report
+    itself only needs w0..w{K-1})."""
     w0 = (
         f"SELECT CAST(b AS BIGINT) AS b, "
         f"('0x' || substr(md5('w8:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT"
@@ -2306,7 +2309,7 @@ def _qgd_sql_steps() -> str:
         FROM r{k}
     )"""
         )
-        if k + 1 < QGD_STEPS:
+        if k + 1 < QGD_STEPS or final_update:
             parts.append(
                 f"""g{k} AS (
         SELECT x.b, CAST(sum(x.cnt * r.g_micro) AS HUGEINT) AS grad
@@ -2485,4 +2488,167 @@ def quality_classifier_gd_convergence(spark: SparkSession, sf_dir: str) -> DataF
             F.col("sse"),
             F.col("n_docs").cast(_D38) * QGD_MICRO * QGD_MICRO,
         ).alias("mse"),
+    )
+
+
+# Keep/drop decision boundary for the trained classifier: hard-sigmoid
+# score >= 0.5 (the activation's own midpoint — z >= 0).
+QGD_KEEP_MICRO = 500_000
+
+_QGD_TRAINED_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ), y AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(ts, x -> x IN {_MARKERS_SQL})) >= 2
+                    THEN {QGD_MICRO} ELSE 0 END AS y_micro
+        FROM t WHERE len(ts) > 0
+    ), x AS (
+        SELECT doc_id, {_QGD_BUCKET.replace("tok", "u.tok")} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM t, LATERAL (SELECT unnest(ts) AS tok) u
+        WHERE len(ts) > 0
+        GROUP BY 1, 2
+    ),
+    {_qgd_sql_steps(final_update=True)},
+    zf AS (
+        SELECT x.doc_id, sum(x.cnt * w{QGD_STEPS}.w) AS z_micro
+        FROM x JOIN w{QGD_STEPS} ON w{QGD_STEPS}.b = x.b GROUP BY x.doc_id
+    ), scored AS (
+        SELECT zf.doc_id, y.y_micro,
+               least({QGD_MICRO}, greatest(0,
+                   500000 + (z_micro - ((z_micro % 4) + 4) % 4) // 4))
+                   AS p_micro
+        FROM zf JOIN y ON y.doc_id = zf.doc_id
+    )
+    SELECT doc_id,
+           CAST(p_micro AS BIGINT) AS p_micro,
+           CAST(y_micro AS BIGINT) AS y_micro,
+           CAST(CASE WHEN p_micro >= {QGD_KEEP_MICRO} THEN 1 ELSE 0 END AS INT)
+               AS keep
+    FROM scored
+"""
+
+
+@op(
+    "quality_classifier_trained_scores",
+    oracle=_QGD_TRAINED_SQL,
+    tags=("ml", "text", "quality", "curation", "pipeline"),
+)
+def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the FULLY-TRAINED hashed quality
+    classifier (QGD_STEPS=3 full-batch GD updates, the chain
+    `quality_classifier_gd_convergence` proves descends) and emit the
+    keep/drop decision at the hard-sigmoid midpoint — the CCNet/DoReMi
+    shape where a trained quality model becomes a corpus filter. This
+    is the consumer that closes the training story: init -> k steps ->
+    per-doc scores -> keep bits a curation funnel can apply.
+    Everything stays integer micro-units (hard sigmoid, half-away
+    updates), so both engines agree bit-for-bit.
+
+    Scale shape: the (doc,bucket) count table is built ONCE (one
+    explode + map-side-combined aggregate) and feeds all 3 unrolled
+    steps plus the final scoring pass; each step is a 32-row broadcast
+    join + doc-grain aggregate + 32-row gradient aggregate. No driver
+    loop, no collect; output is one row per non-empty doc."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    y = base.select(
+        "doc_id",
+        F.when(
+            F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS))) >= 2,
+            QGD_MICRO,
+        )
+        .otherwise(0)
+        .alias("y_micro"),
+    )
+    x = (
+        base.select("doc_id", F.explode("ts").alias("tok"))
+        .select(
+            "doc_id",
+            (portable_hash60(F.concat(F.lit("f:"), F.col("tok"))) % QGD_DIM).alias(
+                "b"
+            ),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .cache()
+    )
+    spine = spark.range(QGD_DIM).select(F.col("id").cast("bigint").alias("b"))
+    w = spine.select(
+        "b",
+        (
+            portable_hash60(F.concat(F.lit("w8:"), F.col("b").cast("string")))
+            % QGD_W0_SPAN
+            - 100000
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+
+    def _p(z):
+        return F.least(
+            F.lit(QGD_MICRO).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (500000 + exact_floor_div(z, F.lit(4)).cast("bigint")).cast(
+                    "bigint"
+                ),
+            ),
+        )
+
+    for _k in range(QGD_STEPS):
+        z = (
+            x.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("z_micro"))
+        )
+        p = _p(F.col("z_micro"))
+        r = z.join(y, "doc_id").select(
+            "doc_id",
+            F.when(
+                (p > 0) & (p < QGD_MICRO),
+                p - F.col("y_micro"),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("g_micro"),
+        )
+        n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        g = (
+            x.join(r, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("cnt") * F.col("g_micro")).cast("bigint").alias("grad"))
+        )
+        w = (
+            w.join(g, "b", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "b",
+                (
+                    F.col("w")
+                    - signed_ratio_round(
+                        F.coalesce(F.col("grad"), F.lit(0)),
+                        2 * QGD_LR_DEN * F.col("n_docs"),
+                        0,
+                    ).cast("bigint")
+                ).alias("w"),
+            )
+        )
+    zf = (
+        x.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("z_micro"))
+    )
+    pf = _p(F.col("z_micro"))
+    return zf.join(y, "doc_id").select(
+        "doc_id",
+        pf.alias("p_micro"),
+        F.col("y_micro").cast("bigint").alias("y_micro"),
+        F.when(pf >= QGD_KEEP_MICRO, 1).otherwise(0).cast("int").alias("keep"),
     )

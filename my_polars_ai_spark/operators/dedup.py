@@ -194,8 +194,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embeds the whole pair query as a derived table inside a recursive CTE).
 _MINHASH_PAIRS_SQL = f"""
     WITH toks AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
     ), perms AS (
         SELECT unnest(range({N_PERMS})) AS i
     ), hashes AS (
@@ -380,8 +382,10 @@ def minhash_lsh_pairs(
 
 _SIMHASH_SQL = """
     WITH toks AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
     ), tok_vals AS (
         SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS v FROM toks
     ), bits AS (
@@ -1683,8 +1687,10 @@ _INCR_SPLIT = 5  # doc_id % 5 == 0 plays the incoming batch (~20%)
 
 _INCREMENTAL_MH_SQL = f"""
     WITH toks AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
     ), perms AS (
         SELECT unnest(range({N_PERMS})) AS i
     ), hashes AS (
@@ -1891,8 +1897,10 @@ _CAL_MICRO = 1_000_000
 
 _CALIBRATION_SQL = f"""
     WITH toks AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
     ), perms AS (
         SELECT unnest(range({N_PERMS})) AS i
     ), hashes AS (

@@ -5100,15 +5100,15 @@ _EPOCH_PLAN_SQL = f"""
            src_tokens,
            CAST(({EPOCH_BUDGET_X} * total_tokens) // n_sources AS BIGINT)
                AS target_tokens,
-           {oracle_ratio_round(
+           CASE WHEN src_tokens = 0 THEN NULL ELSE {oracle_ratio_round(
                f"({EPOCH_BUDGET_X} * total_tokens) // n_sources",
-               "src_tokens")} AS epochs_raw,
+               "src_tokens")} END AS epochs_raw,
            CAST(least(({EPOCH_BUDGET_X} * total_tokens) // n_sources,
                       {EPOCH_CAP} * src_tokens) AS BIGINT) AS alloc_tokens,
-           {oracle_ratio_round(
+           CASE WHEN src_tokens = 0 THEN NULL ELSE {oracle_ratio_round(
                f"least(({EPOCH_BUDGET_X} * total_tokens) // n_sources, "
                f"{EPOCH_CAP} * src_tokens)",
-               "src_tokens")} AS epochs_eff,
+               "src_tokens")} END AS epochs_eff,
            CAST(({EPOCH_BUDGET_X} * total_tokens) // n_sources
                 - least(({EPOCH_BUDGET_X} * total_tokens) // n_sources,
                         {EPOCH_CAP} * src_tokens) AS BIGINT)
@@ -5154,13 +5154,23 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         EPOCH_BUDGET_X * F.col("total_tokens"), F.col("n_sources")
     ).cast("bigint")
     alloc = F.least(target, EPOCH_CAP * F.col("src_tokens")).cast("bigint")
+
+    # A source whose docs are all empty/whitespace has src_tokens=0:
+    # the two epoch ratios are undefined (ANSI div-by-zero) — emit NULL
+    # on both engines rather than erroring the whole plan.
+    def _epochs(num):
+        return (
+            F.when(F.col("src_tokens") == 0, F.lit(None).cast("double"))
+            .otherwise(ratio_round(num, F.col("src_tokens")))
+        )
+
     return j.select(
         "source",
         "src_tokens",
         target.alias("target_tokens"),
-        ratio_round(target, F.col("src_tokens")).alias("epochs_raw"),
+        _epochs(target).alias("epochs_raw"),
         alloc.alias("alloc_tokens"),
-        ratio_round(alloc, F.col("src_tokens")).alias("epochs_eff"),
+        _epochs(alloc).alias("epochs_eff"),
         (target - alloc).cast("bigint").alias("unallocated_tokens"),
         F.when(target > EPOCH_CAP * F.col("src_tokens"), 1)
         .otherwise(0)

@@ -86,6 +86,13 @@ _BNLJ_SCALAR_OPS = (
     # aggregate / the 32-bucket weight spine / the 1-row sweep sums
     "epoch_allocation_plan", "quality_classifier_gd_step",
     "semdedup_threshold_sweep",
+    # r9: the convergence twin of quality_classifier_gd_step — same
+    # 1-row crossJoin(F.broadcast(n)) doc-count total
+    # (classic_ml.py, quality_classifier_gd_convergence), unrolled 3x
+    "quality_classifier_gd_convergence",
+    # r9: the trained-scorer consumer unrolls the same 3 steps (3x the
+    # 1-row doc-count broadcast) before the final scoring pass
+    "quality_classifier_trained_scores",
 )
 _BNLJ_PROBE_OPS = (
     "cosine_topk_brute", "binary_hamming_topk", "hard_negatives_topk",
@@ -120,6 +127,19 @@ _WIN_DIM_OPS = ("abc_part_classification", "pareto_frontier_suppliers")
 _SMJ_OPS = (
     "adamic_adar_verified_pairs", "hits_containment_step",
     "js_divergence_sources", "nb_macro_f1", "neardup_adamic_adar",
+    # r9: unrolling 3 GD steps in one plan yields 2 doc-grain equi-joins
+    # per step (score join z⋈y, gradient join x⋈r) — the SMJ count is
+    # steps*2, bounded by the fixed step count, each keyed on doc_id
+    "quality_classifier_gd_convergence",
+    # r9: triangle counting joins the LSH-candidate edge list to itself
+    # twice (wedge close) — both sides are the banded candidate set,
+    # never doc x doc; fires or not depending on which upstream frames
+    # are already cached when the plan is built (window-rotation order)
+    "local_clustering_coefficient",
+    # r9: 3 unrolled GD steps (2 doc-grain equi-joins each) + the final
+    # trained-score join — SMJ count = steps*2 + 1, bounded by the
+    # fixed step count, each keyed on doc_id
+    "quality_classifier_trained_scores",
 )
 
 ALLOWLIST: dict[tuple[str, str], str] = {}

@@ -1,0 +1,34 @@
+"""The plan-lint attribution gate, INSIDE pytest.
+
+Round-8 postmortem: tools/lint_all.py lived outside the test suite, so
+the round's final commit shipped with two unattributed scale-killer
+warnings and a red gate at HEAD. This test makes that failure mode
+structurally impossible — every lint_plan warning over the full
+registry must carry an (op, kind) justification in
+plans/lint_allowlist.py, and a plan that fails to BUILD is a failure
+too. Runs the same sweep as tools/lint_all.py (one shared session,
+sf0.001 plans).
+
+Warnings themselves are allowed (they are the documented bounded-input
+shapes); only UNATTRIBUTED warnings and plan-build errors fail.
+"""
+
+from __future__ import annotations
+
+
+def test_every_lint_warning_is_attributed(spark, sf_dir):
+    from tools.lint_all import sweep
+
+    clean, warned, errored, unattributed = sweep(spark, sf_dir)
+    assert not errored, f"plan build failures: {errored}"
+    detail = {
+        (name, kind): warned[name]
+        for name, kind in unattributed
+    }
+    assert not unattributed, (
+        "lint warnings with no allowlist justification "
+        f"(add to plans/lint_allowlist.py): {detail}"
+    )
+    # the sweep actually covered the registry (sanity against an
+    # accidentally-empty ops dict making the gate vacuous)
+    assert len(clean) + len(warned) > 400

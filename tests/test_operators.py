@@ -29,14 +29,14 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R8
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R9
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R8  # round-8 rotation is live
+    assert _PRIORITY == _PRIORITY_R9  # round-9 rotation is live
     window = set(ordered[:50])
-    # R8 canaries: one green canary per north-star family (no carried
-    # re-attest slot this round — the r7 window went 50/50 green).
+    # R9 canaries: one green canary per north-star family (no carried
+    # re-attest slot this round — the r8 window went 50/50 green).
     canaries = {
         "flagship_revenue_by_nation",       # joins / flagship
         "tpch_q1_pricing_summary",          # TPC-H family
@@ -1581,9 +1581,12 @@ def test_r9_window_is_staged_and_valid():
 
 
 def test_r10_window_is_staged_and_valid():
-    """Staging discipline for round 10 (staged in round 8 after the r9
-    amendment): 50 real ops, no duplicates, fresh block disjoint from
-    the live r8 window and the amended r9 staging."""
+    """Staging discipline for round 10 (staged in round 8, amended in
+    round 9: canaries trimmed to 3 per the r8 verdict, round-8/9
+    additions slotted in): 50 real ops, no duplicates, fresh block
+    disjoint from the live r9 window and the r8 window — except the
+    ema_per_user re-attest slot (rows-only r02 row predating its
+    oracle)."""
     from my_polars_ai_spark.operators import (
         _PRIORITY_R8,
         _PRIORITY_R9,
@@ -1595,6 +1598,26 @@ def test_r10_window_is_staged_and_valid():
     assert len(set(_PRIORITY_R10)) == 50
     missing = [n for n in _PRIORITY_R10 if n not in ops]
     assert not missing, missing
-    fresh = set(_PRIORITY_R10[6:])
+    fresh = set(_PRIORITY_R10[3:])
     overlap = fresh & (set(_PRIORITY_R8) | set(_PRIORITY_R9))
+    assert not overlap, sorted(overlap)
+
+
+def test_r11_window_is_staged_and_valid():
+    """Staging discipline for round 11 (staged in round 9): 50 real
+    ops, no duplicates, fresh block disjoint from the live r9 window
+    and the amended r10 staging."""
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R9,
+        _PRIORITY_R10,
+        _PRIORITY_R11,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R11) == 50
+    assert len(set(_PRIORITY_R11)) == 50
+    missing = [n for n in _PRIORITY_R11 if n not in ops]
+    assert not missing, missing
+    fresh = set(_PRIORITY_R11[3:])
+    overlap = fresh & (set(_PRIORITY_R9) | set(_PRIORITY_R10))
     assert not overlap, sorted(overlap)

@@ -10,6 +10,11 @@ may not park a scale-killer shape in the advisory noise; it must either
 lose the warning or document why the flagged input is bounded. Stale
 allowlist entries (documented but no longer firing) are printed as info
 only: warnings are plan-dependent and some fire only at other SFs.
+
+The same sweep runs inside pytest (tests/test_lint_gate.py) so an
+unattributed warning can never ship on a green test suite — the
+round-8 postmortem (a red lint gate at HEAD because the script lived
+outside pytest) made this structural.
 """
 
 from __future__ import annotations
@@ -20,17 +25,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-
+def sweep(spark, sf_dir: str, ops: dict | None = None):
+    """Lint every op's plan and attribute warnings against the
+    allowlist. Returns (clean, warned, errored, unattributed) where
+    warned maps name -> warning list and unattributed is a list of
+    (name, kind) pairs with no documented justification."""
     from my_polars_ai_spark.operators import all_ops
     from my_polars_ai_spark.plans.guardrails import lint_plan
     from my_polars_ai_spark.plans.lint_allowlist import ALLOWLIST, kind_of
-    from my_polars_ai_spark.session import get_spark
 
-    spark = get_spark("lint_all", master="local[8]", shuffle_partitions=8)
     clean, warned, errored = [], {}, {}
-    for name, op_ in all_ops().items():
+    for name, op_ in (ops or all_ops()).items():
         try:
             warnings = lint_plan(op_.fn(spark, sf_dir))
         except Exception as exc:  # plan build failure is a real finding
@@ -41,18 +46,34 @@ def main() -> int:
         else:
             clean.append(name)
 
-    fired: set[tuple[str, str]] = set()
     unattributed: list[tuple[str, str]] = []
     for name, ws in sorted(warned.items()):
         for w in ws:
             kind = kind_of(w)
-            fired.add((name, kind))
-            just = ALLOWLIST.get((name, kind))
-            if just is None:
+            if ALLOWLIST.get((name, kind)) is None:
                 unattributed.append((name, kind))
+    return clean, warned, errored, unattributed
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from my_polars_ai_spark.plans.lint_allowlist import ALLOWLIST, kind_of
+    from my_polars_ai_spark.session import get_spark
+
+    spark = get_spark("lint_all", master="local[8]", shuffle_partitions=8)
+    clean, warned, errored, unattributed = sweep(spark, sf_dir)
+
+    fired: set[tuple[str, str]] = set()
+    bad = set(unattributed)
+    for name, ws in sorted(warned.items()):
+        for w in ws:
+            kind = kind_of(w)
+            fired.add((name, kind))
+            if (name, kind) in bad:
                 print(f"  ✗ UNATTRIBUTED {name} [{kind}]: {w.split(':')[0]}")
             else:
-                print(f"  ⚠ {name} [{kind}]: {just}")
+                print(f"  ⚠ {name} [{kind}]: {ALLOWLIST[(name, kind)]}")
     for name, err in sorted(errored.items()):
         print(f"  ✗ {name}: {err}")
     stale = sorted(k for k in ALLOWLIST if k not in fired)
