@@ -103,6 +103,10 @@ HEADLINE = [
     # rollup (gram-count join with map-side combine, no pair join)
     "gopher_quality_flags",
     "ngram_novelty_score",
+    # round-9: the unrolled-iteration shape — 3 chained GD steps plus
+    # the trained-score pass in ONE plan (the corpus (doc,bucket) table
+    # cached once, 32-row weight broadcasts per step)
+    "quality_classifier_trained_scores",
 ]
 
 

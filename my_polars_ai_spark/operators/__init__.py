@@ -628,8 +628,6 @@ _PRIORITY_R10 = (
     "recursive_cte_hierarchy",
     "sql_scripting_above_avg",
     "sql_parameterized_query",
-    "sql_lateral_topk",
-    "sql_pipe_syntax_agg",
     # re-attest: rows-only 'no_oracle' row from r02 predates its oracle
     # (tools/attestation_status.py flags it; ivf/approx/kmeans twins
     # already hold r9 slots)
@@ -648,6 +646,8 @@ _PRIORITY_R10 = (
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_gopher_gate",
+    "stream_neardup_screen",
+    "quality_filter_agreement",
 )
 
 # Round-11 window, staged in round 9 so the next TWO flips stay
@@ -662,6 +662,8 @@ _PRIORITY_R11 = (
     "dedup_minhash_lsh",
     "sql_api_revenue",
     # displaced from the amended r10 window — first driver row
+    "sql_lateral_topk",
+    "sql_pipe_syntax_agg",
     "sql_execute_immediate",
     "sql_group_by_all",
     "sql_identifier_clause",
@@ -709,8 +711,6 @@ _PRIORITY_R11 = (
     "rfm_segments",
     "k_anonymity_audit",
     "scd2_point_in_time_join",
-    "cross_table_daily_correlation",
-    "ar_aging_buckets",
 )
 
 # Round 9: the staged flip, executed (round-10 window already staged

@@ -2652,3 +2652,157 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
         F.col("y_micro").cast("bigint").alias("y_micro"),
         F.when(pf >= QGD_KEEP_MICRO, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ensemble agreement (FineWeb-ablation shape): how often
+# do independent quality filters agree, and is the agreement more than
+# chance? Pipelines that stack filters need this table before deciding
+# whether a second filter adds signal or just correlated noise.
+
+
+def _qfa_pair_sql(a_lbl: str, b_lbl: str, sa: str, sb: str, agr: str) -> str:
+    """One UNION branch of the agreement oracle: exact integer Cohen's
+    kappa over the shared 1-row sums CTE (NULL when both filters are
+    constant and chance agreement is 1)."""
+    pe = f"({sa}*{sb} + (n-{sa})*(n-{sb}))"
+    num = f"(n*{agr} - {pe})"
+    den = f"(n*n - {pe})"
+    return f"""
+    SELECT '{a_lbl}' AS filter_a, '{b_lbl}' AS filter_b,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST({agr} AS BIGINT) AS n_agree,
+           {oracle_ratio_round(agr, "n")} AS agree_rate,
+           CASE WHEN {den} = 0 THEN NULL
+                ELSE {oracle_signed_ratio_round(num, den)} END AS kappa
+    FROM s"""
+
+
+def _qfa_sql() -> str:
+    from my_polars_ai_spark.operators.text import _CCNET_SPLIT_SQL, _GOPHER_SQL
+
+    return f"""
+    WITH gq AS (
+        SELECT doc_id, keep AS kg FROM ({_GOPHER_SQL})
+    ), qq AS (
+        SELECT doc_id, keep AS kq FROM ({_QGD_TRAINED_SQL})
+    ), cq AS (
+        SELECT doc_id, CASE WHEN bucket <= 2 THEN 1 ELSE 0 END AS kc
+        FROM ({_CCNET_SPLIT_SQL})
+    ), j AS (
+        SELECT gq.doc_id, kg, kq, kc
+        FROM gq JOIN qq USING (doc_id) JOIN cq USING (doc_id)
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(kg) AS HUGEINT) AS sg,
+               CAST(sum(kq) AS HUGEINT) AS sq,
+               CAST(sum(kc) AS HUGEINT) AS sc,
+               CAST(sum(CASE WHEN kg = kq THEN 1 ELSE 0 END) AS HUGEINT) AS agq,
+               CAST(sum(CASE WHEN kg = kc THEN 1 ELSE 0 END) AS HUGEINT) AS agc,
+               CAST(sum(CASE WHEN kq = kc THEN 1 ELSE 0 END) AS HUGEINT) AS aqc
+        FROM j
+    )
+    {_qfa_pair_sql("gopher", "classifier", "sg", "sq", "agq")}
+    UNION ALL
+    {_qfa_pair_sql("gopher", "ccnet", "sg", "sc", "agc")}
+    UNION ALL
+    {_qfa_pair_sql("classifier", "ccnet", "sq", "sc", "aqc")}
+"""
+
+
+@op(
+    "quality_filter_agreement",
+    oracle=_qfa_sql(),
+    tags=("ml", "text", "quality", "curation", "pipeline"),
+)
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement + exact integer Cohen's kappa between the
+    three independent quality filters this engine ships — the Gopher
+    rule gate (`gopher_quality_flags`), the trained hashed linear
+    classifier at its decision threshold
+    (`quality_classifier_trained_scores`), and the CCNet perplexity
+    split with tail dropped (`ccnet_perplexity_split`, keep = bucket
+    1-2). The FineWeb-style ensembling question: a kappa near 0 says
+    the filters kill DIFFERENT documents (stacking them compounds
+    attrition), near 1 says they are redundant. Composes the SAME op
+    definitions, so the report cannot drift from the deployed gates.
+    kappa = (n*agree - pe_num) / (n^2 - pe_num) with pe_num =
+    sa*sb + (n-sa)*(n-sb), all DECIMAL(38,0) integer arithmetic,
+    half-away rounding once at 1e-6; NULL when a degenerate corpus
+    makes both filters constant (chance agreement = 1).
+
+    Scale shape: each filter keeps its own documented plan (Gopher is
+    zero-shuffle; the classifier is the 3-step chain over the cached
+    (doc,bucket) table; CCNet is the lang-partitioned tercile); the
+    ensemble adds two doc-grain equi-joins and ONE 1-row global
+    aggregate, then a 3-row literal fan-out — nothing new scales with
+    the corpus."""
+    from my_polars_ai_spark.operators.text import (
+        ccnet_perplexity_split,
+        gopher_flags_frame,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_flags_frame(d).select(
+        "doc_id", F.col("keep").cast("bigint").alias("kg")
+    )
+    q = quality_classifier_trained_scores(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("bigint").alias("kq")
+    )
+    c = ccnet_perplexity_split(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("bucket") <= 2, 1).otherwise(0).cast("bigint").alias("kc"),
+    )
+    j = g.join(q, "doc_id").join(c, "doc_id")
+    s = j.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("kg").cast(_D38).alias("sg"),
+        F.sum("kq").cast(_D38).alias("sq"),
+        F.sum("kc").cast(_D38).alias("sc"),
+        F.sum(F.when(F.col("kg") == F.col("kq"), 1).otherwise(0))
+        .cast(_D38)
+        .alias("agq"),
+        F.sum(F.when(F.col("kg") == F.col("kc"), 1).otherwise(0))
+        .cast(_D38)
+        .alias("agc"),
+        F.sum(F.when(F.col("kq") == F.col("kc"), 1).otherwise(0))
+        .cast(_D38)
+        .alias("aqc"),
+    )
+    # One broadcast cross-join of the 1-row sums against the 3-row pair
+    # spine — a union of three per-pair selects would re-plan (and at
+    # scale re-execute) the whole filter pipeline three times.
+    pairs = spark.createDataFrame(
+        [("gopher", "classifier"), ("gopher", "ccnet"), ("classifier", "ccnet")],
+        "filter_a string, filter_b string",
+    )
+
+    sa = F.when(F.col("filter_a") == "gopher", F.col("sg")).otherwise(F.col("sq"))
+    sb = F.when(F.col("filter_b") == "classifier", F.col("sq")).otherwise(
+        F.col("sc")
+    )
+    agr = (
+        F.when(
+            (F.col("filter_a") == "gopher") & (F.col("filter_b") == "classifier"),
+            F.col("agq"),
+        )
+        .when(
+            (F.col("filter_a") == "gopher") & (F.col("filter_b") == "ccnet"),
+            F.col("agc"),
+        )
+        .otherwise(F.col("aqc"))
+    )
+    n = F.col("n")
+    pe = sa * sb + (n - sa) * (n - sb)
+    num = n * agr - pe
+    den = n * n - pe
+    return pairs.crossJoin(F.broadcast(s)).select(
+        "filter_a",
+        "filter_b",
+        n.cast("bigint").alias("n_docs"),
+        agr.cast("bigint").alias("n_agree"),
+        ratio_round(agr, n).alias("agree_rate"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(signed_ratio_round(num, den))
+        .alias("kappa"),
+    )

@@ -145,15 +145,46 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job(spark, sf_dir)
 
 
-# Resolve the shared Gopher decision-table SQL once at import: the op
-# dataclass is frozen, so rebuild the entry rather than mutating it.
-def _wire_gopher_oracle() -> None:
+@op(
+    "stream_neardup_screen",
+    oracle=None,
+    tags=("streaming", "dedup", "minhash", "lsh", "incremental", "pipeline"),
+)
+def stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming incremental near-dup screen: newly crawled docs
+    arrive as a stream and each micro-batch is LSH-screened against the
+    STATIC already-ingested corpus index via foreachBatch
+    (streaming/jobs.stream_neardup_vs_corpus) — the production
+    ingest-time dedup shape. Checked against the SAME oracle as its
+    batch twin `dedup_incremental_minhash`, so a green row attests the
+    stream-vs-static candidate/verify pipeline end to end.
+
+    Scale shape: stream side shuffles nothing until the (band,
+    band_sig) candidate equi-join against the pre-built corpus band
+    table; only new-vs-old pairs are ever generated. The memory-side
+    result accumulation is harness plumbing — production writes each
+    batch's screen verdicts straight to a sink table."""
+    from my_polars_ai_spark.streaming.jobs import stream_neardup_vs_corpus as job
+
+    return job(spark, sf_dir)
+
+
+# Resolve the shared oracle SQL once at import: the op dataclass is
+# frozen, so rebuild the entries rather than mutating them. ONE
+# definition of each decision table / pipeline oracle — the streaming
+# ops may not drift from their batch twins.
+def _wire_shared_oracles() -> None:
+    from my_polars_ai_spark.operators.dedup import _INCREMENTAL_MH_SQL
     from my_polars_ai_spark.operators.text import _GOPHER_SQL
 
-    base = OPS["stream_gopher_gate"]
-    OPS["stream_gopher_gate"] = Op(
-        name=base.name, fn=base.fn, oracle=_GOPHER_SQL, tags=base.tags, doc=base.doc
-    )
+    for name, oracle in (
+        ("stream_gopher_gate", _GOPHER_SQL),
+        ("stream_neardup_screen", _INCREMENTAL_MH_SQL),
+    ):
+        base = OPS[name]
+        OPS[name] = Op(
+            name=base.name, fn=base.fn, oracle=oracle, tags=base.tags, doc=base.doc
+        )
 
 
-_wire_gopher_oracle()
+_wire_shared_oracles()

@@ -93,6 +93,10 @@ _BNLJ_SCALAR_OPS = (
     # r9: the trained-scorer consumer unrolls the same 3 steps (3x the
     # 1-row doc-count broadcast) before the final scoring pass
     "quality_classifier_trained_scores",
+    # r9: the ensemble report cross-joins the 1-row sums aggregate onto
+    # the 3-row literal pair spine (plus the trained chain's own 1-row
+    # doc-count broadcasts upstream)
+    "quality_filter_agreement",
 )
 _BNLJ_PROBE_OPS = (
     "cosine_topk_brute", "binary_hamming_topk", "hard_negatives_topk",
@@ -140,6 +144,10 @@ _SMJ_OPS = (
     # trained-score join — SMJ count = steps*2 + 1, bounded by the
     # fixed step count, each keyed on doc_id
     "quality_classifier_trained_scores",
+    # r9: the trained chain's intrinsic step joins plus TWO doc-grain
+    # ensemble equi-joins (gopher keep ⋈ classifier keep ⋈ ccnet keep)
+    # — join count fixed by the filter count, each keyed on doc_id
+    "quality_filter_agreement",
 )
 
 ALLOWLIST: dict[tuple[str, str], str] = {}

@@ -70,6 +70,7 @@ def test_live_stream_ops_registered_with_oracles():
         "stream_sliding_counts",
         "stream_session_windows",
         "stream_gopher_gate",
+        "stream_neardup_screen",
     ):
         assert name in ops
         assert ops[name].oracle, f"{name} must carry its batch twin's oracle"
@@ -89,3 +90,60 @@ def test_live_stream_gopher_op_equals_batch_twin(spark, sf_dir):
     batch = ops["gopher_quality_flags"].fn(spark, sf_dir)
     assert live.exceptAll(batch).count() == 0
     assert batch.exceptAll(live).count() == 0
+
+
+def test_quality_filter_agreement_kappa_geometry(spark, tmp_path):
+    """Hand-built corpus where the three filters' verdicts are known:
+    agreement counts and the exact-integer kappa must follow. Also pins
+    the output contract (3 pairs, rates in [0,1], kappa <= 1)."""
+    # Mix of clean prose-like docs (pass gopher + classifier) and
+    # degenerate docs; exact per-filter verdicts are engine-computed —
+    # the test asserts the CONSISTENCY contract: n_agree counts match a
+    # direct recomputation from the three component ops.
+    pos = " ".join(["the", "a", "of", "and"] + [f"w{i}" for i in range(60)])
+    neg = " ".join([f"junk{i % 3}" for i in range(60)])
+    rows = []
+    for i in range(5):
+        rows.append((i, pos, "en", "x", len(pos)))
+        rows.append((100 + i, neg, "en", "x", len(neg)))
+    _write_docs(spark, tmp_path, rows)
+    ops = all_ops()
+    out = {
+        (r.filter_a, r.filter_b): r
+        for r in ops["quality_filter_agreement"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {
+        ("gopher", "classifier"),
+        ("gopher", "ccnet"),
+        ("classifier", "ccnet"),
+    }
+    # recompute verdicts straight from the component ops
+    from my_polars_ai_spark.operators.text import gopher_flags_frame
+    from my_polars_ai_spark.sources.tables import load_table
+
+    g = {
+        r.doc_id: r.keep
+        for r in gopher_flags_frame(
+            load_table(spark, str(tmp_path), "documents")
+        ).collect()
+    }
+    q = {
+        r.doc_id: r.keep
+        for r in ops["quality_classifier_trained_scores"].fn(spark, str(tmp_path)).collect()
+    }
+    c = {
+        r.doc_id: (1 if r.bucket <= 2 else 0)
+        for r in ops["ccnet_perplexity_split"].fn(spark, str(tmp_path)).collect()
+    }
+    common = sorted(set(g) & set(q) & set(c))
+    for (fa, fb), da, db in (
+        (("gopher", "classifier"), g, q),
+        (("gopher", "ccnet"), g, c),
+        (("classifier", "ccnet"), q, c),
+    ):
+        r = out[(fa, fb)]
+        assert r.n_docs == len(common)
+        assert r.n_agree == sum(1 for d in common if da[d] == db[d])
+        assert 0.0 <= r.agree_rate <= 1.0
+        if r.kappa is not None:
+            assert r.kappa <= 1.0
