@@ -713,9 +713,9 @@ _PRIORITY_R11 = (
     "scd2_point_in_time_join",
 )
 
-# Round 9: the staged flip, executed (round-10 window already staged
+# Round 10: the staged flip, executed (round-11 window already staged
 # above so next round is a one-liner too).
-_PRIORITY = _PRIORITY_R9
+_PRIORITY = _PRIORITY_R10
 
 
 def all_ops() -> dict[str, Op]:

@@ -29,20 +29,18 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R9
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R10
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R9  # round-9 rotation is live
+    assert _PRIORITY == _PRIORITY_R10  # round-10 rotation is live
     window = set(ordered[:50])
-    # R9 canaries: one green canary per north-star family (no carried
-    # re-attest slot this round — the r8 window went 50/50 green).
+    # R10 canaries: trimmed to 3 per the r8 verdict (flagship + dedup
+    # + SQL) while the first-attestation backlog clears; the other
+    # families have >=2 consecutive driver-green rows.
     canaries = {
         "flagship_revenue_by_nation",       # joins / flagship
-        "tpch_q1_pricing_summary",          # TPC-H family
         "dedup_minhash_lsh",                # dedup family
-        "ann_lsh_cosine",                   # similarity / ANN
-        "tfidf_top_terms",                  # text analysis
         "sql_api_revenue",                  # SQL entry
     }
     missing = canaries - window
