@@ -713,6 +713,66 @@ _PRIORITY_R11 = (
     "scd2_point_in_time_join",
 )
 
+# Round-12 window, staged in round 10 so the next TWO flips stay
+# one-liners. 3 canaries + the next 47 never-attested oracle-checked
+# ops in attestation-ledger order (the stats-tests / classic-ml /
+# privacy blocks). 15 never-attested stragglers + the rows-only trio
+# re-attests + this round's additions queue for r13.
+_PRIORITY_R12 = (
+    # canaries — flagship + dedup + SQL only while the backlog clears
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # next never-attested oracle-checked ops, ledger order
+    "cross_table_daily_correlation",
+    "ar_aging_buckets",
+    "segment_migration_matrix",
+    "cuped_adjusted_ab",
+    "did_estimate",
+    "theil_decomposition",
+    "wilson_intervals_conversion",
+    "fano_burstiness_per_user",
+    "l_diversity_audit",
+    "cohort_payback_month",
+    "loo_nation_mean_influence",
+    "snapshot_diff_columns",
+    "revenue_concentration_topn",
+    "price_endings_hist",
+    "delta_join_view_maintenance",
+    "observed_scan_metrics",
+    "train_val_test_split",
+    "record_linkage_parts",
+    "weighted_sample_topk",
+    "basket_lift_brand_pairs",
+    "price_index_laspeyres",
+    "ks_test_priority_totals",
+    "mannwhitney_priority_totals",
+    "anova_f_priority_totals",
+    "brown_forsythe_priority",
+    "acf_daily_revenue",
+    "one_hot_segment_matrix",
+    "target_encode_brand",
+    "feature_hash_buckets",
+    "kfold_stratified_assign",
+    "welch_t_priority_totals",
+    "robust_scale_acctbal",
+    "pairwise_proportion_tests",
+    "cochran_armitage_trend",
+    "kendall_tau_nation_metrics",
+    "bh_fdr_pairwise",
+    "sprt_boundary_crossing",
+    "mde_power_analysis",
+    "wasserstein_1d_priority",
+    "auc_langid_score",
+    "ols_price_on_qty_discount",
+    "naive_bayes_langid",
+    "decision_stump_train",
+    "item_item_cf_topk",
+    "basket_triple_support",
+    "business_days_lead_time",
+    "cohens_kappa_langid",
+)
+
 # Round 10: the staged flip, executed (round-11 window already staged
 # above so next round is a one-liner too).
 _PRIORITY = _PRIORITY_R10

@@ -2377,6 +2377,8 @@ def quality_classifier_gd_convergence(spark: SparkSession, sf_dir: str) -> DataF
     d = _t(spark, sf_dir, "documents")
     ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    # cache y: each unrolled step's broadcast job re-resolves this
+    # lineage — uncached it re-splits the full corpus text per step
     y = base.select(
         "doc_id",
         F.when(
@@ -2385,7 +2387,7 @@ def quality_classifier_gd_convergence(spark: SparkSession, sf_dir: str) -> DataF
         )
         .otherwise(0)
         .alias("y_micro"),
-    )
+    ).cache()
     x = (
         base.select("doc_id", F.explode("ts").alias("tok"))
         .select(
@@ -2409,6 +2411,10 @@ def quality_classifier_gd_convergence(spark: SparkSession, sf_dir: str) -> DataF
         .cast("bigint")
         .alias("w"),
     )
+    # n_docs is step-invariant (z inner-join y covers exactly the
+    # non-empty docs every step) — the weight update uses this hoisted
+    # 1-row aggregate; the per-step loss row still counts r itself
+    n = y.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     loss_frames = []
     for k in range(QGD_STEPS):
         z = (
@@ -2453,7 +2459,6 @@ def quality_classifier_gd_convergence(spark: SparkSession, sf_dir: str) -> DataF
             )
         )
         if k + 1 < QGD_STEPS:
-            n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
             g = (
                 x.join(r, "doc_id")
                 .groupBy("b")
@@ -2558,6 +2563,8 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
     d = _t(spark, sf_dir, "documents")
     ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    # cache y: every unrolled step's broadcast job re-resolves this
+    # lineage — uncached it re-splits the full corpus text per step
     y = base.select(
         "doc_id",
         F.when(
@@ -2566,7 +2573,7 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
         )
         .otherwise(0)
         .alias("y_micro"),
-    )
+    ).cache()
     x = (
         base.select("doc_id", F.explode("ts").alias("tok"))
         .select(
@@ -2590,6 +2597,10 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
         .cast("bigint")
         .alias("w"),
     )
+    # n_docs is step-invariant (z inner-join y covers exactly the
+    # non-empty docs every step) — hoist it out of the unrolled loop
+    # so no step pays a second doc-grain aggregate just for the count
+    n = y.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
 
     def _p(z):
         return F.least(
@@ -2619,7 +2630,6 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
             .cast("bigint")
             .alias("g_micro"),
         )
-        n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         g = (
             x.join(r, "doc_id")
             .groupBy("b")

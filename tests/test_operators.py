@@ -1619,3 +1619,23 @@ def test_r11_window_is_staged_and_valid():
     fresh = set(_PRIORITY_R11[3:])
     overlap = fresh & (set(_PRIORITY_R9) | set(_PRIORITY_R10))
     assert not overlap, sorted(overlap)
+
+
+def test_r12_window_is_staged_and_valid():
+    """Staging discipline for round 12 (staged in round 10): 50 real
+    ops, no duplicates, fresh block disjoint from the live r10 window
+    and the r11 staging."""
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R10,
+        _PRIORITY_R11,
+        _PRIORITY_R12,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R12) == 50
+    assert len(set(_PRIORITY_R12)) == 50
+    missing = [n for n in _PRIORITY_R12 if n not in ops]
+    assert not missing, missing
+    fresh = set(_PRIORITY_R12[3:])
+    overlap = fresh & (set(_PRIORITY_R10) | set(_PRIORITY_R11))
+    assert not overlap, sorted(overlap)
