@@ -2537,27 +2537,17 @@ _QGD_TRAINED_SQL = f"""
 """
 
 
-@op(
-    "quality_classifier_trained_scores",
-    oracle=_QGD_TRAINED_SQL,
-    tags=("ml", "text", "quality", "curation", "pipeline"),
-)
-def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score every document with the FULLY-TRAINED hashed quality
-    classifier (QGD_STEPS=3 full-batch GD updates, the chain
-    `quality_classifier_gd_convergence` proves descends) and emit the
-    keep/drop decision at the hard-sigmoid midpoint — the CCNet/DoReMi
-    shape where a trained quality model becomes a corpus filter. This
-    is the consumer that closes the training story: init -> k steps ->
-    per-doc scores -> keep bits a curation funnel can apply.
-    Everything stays integer micro-units (hard sigmoid, half-away
-    updates), so both engines agree bit-for-bit.
-
-    Scale shape: the (doc,bucket) count table is built ONCE (one
-    explode + map-side-combined aggregate) and feeds all 3 unrolled
-    steps plus the final scoring pass; each step is a 32-row broadcast
-    join + doc-grain aggregate + 32-row gradient aggregate. No driver
-    loop, no collect; output is one row per non-empty doc."""
+def qgd_train_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Train the hashed quality classifier (QGD_STEPS unrolled
+    full-batch GD updates) and return the three artifacts a consumer
+    needs: the cached (doc, bucket, cnt) feature table ``x``, the
+    cached weak-label table ``y``, and the QGD_DIM-row trained weight
+    table ``w``. Shared by the batch scoring consumer
+    (`quality_classifier_trained_scores`) and the streaming deploy
+    twin (`stream_trained_classifier`) so the trainer has exactly ONE
+    definition."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
     d = _t(spark, sf_dir, "documents")
@@ -2602,24 +2592,13 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
     # so no step pays a second doc-grain aggregate just for the count
     n = y.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
 
-    def _p(z):
-        return F.least(
-            F.lit(QGD_MICRO).cast("bigint"),
-            F.greatest(
-                F.lit(0).cast("bigint"),
-                (500000 + exact_floor_div(z, F.lit(4)).cast("bigint")).cast(
-                    "bigint"
-                ),
-            ),
-        )
-
     for _k in range(QGD_STEPS):
         z = (
             x.join(F.broadcast(w), "b")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("z_micro"))
         )
-        p = _p(F.col("z_micro"))
+        p = _qgd_p(F.col("z_micro"))
         r = z.join(y, "doc_id").select(
             "doc_id",
             F.when(
@@ -2650,12 +2629,49 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
                 ).alias("w"),
             )
         )
+    return x, y, w
+
+
+def _qgd_p(z):
+    """The hard-sigmoid activation in integer micro-units:
+    clamp(500000 + z//4, 0, 1e6) with exact floor division."""
+    return F.least(
+        F.lit(QGD_MICRO).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (500000 + exact_floor_div(z, F.lit(4)).cast("bigint")).cast("bigint"),
+        ),
+    )
+
+
+@op(
+    "quality_classifier_trained_scores",
+    oracle=_QGD_TRAINED_SQL,
+    tags=("ml", "text", "quality", "curation", "pipeline"),
+)
+def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the FULLY-TRAINED hashed quality
+    classifier (QGD_STEPS=3 full-batch GD updates, the chain
+    `quality_classifier_gd_convergence` proves descends) and emit the
+    keep/drop decision at the hard-sigmoid midpoint — the CCNet/DoReMi
+    shape where a trained quality model becomes a corpus filter. This
+    is the consumer that closes the training story: init -> k steps ->
+    per-doc scores -> keep bits a curation funnel can apply.
+    Everything stays integer micro-units (hard sigmoid, half-away
+    updates), so both engines agree bit-for-bit.
+
+    Scale shape: the (doc,bucket) count table is built ONCE (one
+    explode + map-side-combined aggregate) and feeds all 3 unrolled
+    steps plus the final scoring pass; each step is a 32-row broadcast
+    join + doc-grain aggregate + 32-row gradient aggregate. No driver
+    loop, no collect; output is one row per non-empty doc."""
+    x, y, w = qgd_train_artifacts(spark, sf_dir)
     zf = (
         x.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("z_micro"))
     )
-    pf = _p(F.col("z_micro"))
+    pf = _qgd_p(F.col("z_micro"))
     return zf.join(y, "doc_id").select(
         "doc_id",
         pf.alias("p_micro"),

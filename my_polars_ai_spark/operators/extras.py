@@ -3180,6 +3180,110 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t-closeness threshold: a QI class violates when the EMD between its
+# sensitive-attribute distribution and the global one exceeds 1/5.
+T_CLOSENESS_NUM, T_CLOSENESS_DEN = 1, 5
+
+_T_CLOSE_SQL = f"""
+    WITH tagged AS (
+        SELECT c_nationkey, c_mktsegment,
+               {_BAND_SQL} AS balance_band
+        FROM customer
+    ), g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS HUGEINT) AS n_g,
+               CAST(sum(CASE WHEN balance_band = 'negative' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS b0,
+               CAST(sum(CASE WHEN balance_band = 'low' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS b1
+        FROM tagged GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CASE WHEN balance_band = 'negative' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS g0,
+               CAST(sum(CASE WHEN balance_band = 'low' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS g1
+        FROM tagged
+    ), emd AS (
+        SELECT c_nationkey, c_mktsegment, n_g, n,
+               abs(b0*n - g0*n_g) + abs((b0+b1)*n - (g0+g1)*n_g) AS emd_num
+        FROM g CROSS JOIN tot
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n_g AS BIGINT) AS group_size,
+           {oracle_ratio_round("emd_num", "2*n_g*n")} AS emd,
+           CAST({T_CLOSENESS_DEN}*emd_num > {T_CLOSENESS_NUM}*2*n_g*n AS INT)
+               AS violates_t
+    FROM emd
+"""
+
+
+@op(
+    "t_closeness_audit",
+    oracle=_T_CLOSE_SQL,
+    tags=("governance", "privacy", "agg"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the strongest rung of the release-audit
+    ladder (k_anonymity_audit bounds group SIZE, l_diversity_audit
+    bounds distinct sensitive VALUES; both pass a group whose band mix
+    is wildly skewed vs the population, which still leaks). Per
+    (nation, segment) QI class: the exact Earth Mover's Distance
+    between the class's ordered balance-band distribution
+    (negative < low < high) and the global one — for an ordered
+    attribute with unit ground distances, EMD = sum of |cumulative
+    differences| / (m-1) — and a violates flag at t = 1/5. The EMD is
+    an exact integer rational (|cum_g*N - cum_G*n_g| sums over the
+    m-1 = 2 interior prefixes, halved and rounded once at emission;
+    the flag compares the rational against t cross-multiplied, no
+    rounding at all).
+
+    Scale shape: identical to the k/l audits — one pass over customer
+    into the bounded QI grid (25 nations x 5 segments), a 1-row global
+    distribution broadcast onto it, and per-row integer arithmetic in
+    DECIMAL(38,0) so the count products cannot overflow at any
+    population size."""
+    c = _t(spark, sf_dir, "customer")
+    tagged = c.select(
+        "c_nationkey", "c_mktsegment", _balance_band().alias("balance_band")
+    )
+    d38 = "decimal(38,0)"
+    is0 = F.when(F.col("balance_band") == "negative", 1).otherwise(0)
+    is1 = F.when(F.col("balance_band") == "low", 1).otherwise(0)
+    g = tagged.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast(d38).alias("n_g"),
+        F.sum(is0).cast(d38).alias("b0"),
+        F.sum(is1).cast(d38).alias("b1"),
+    )
+    tot = tagged.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(is0).cast(d38).alias("g0"),
+        F.sum(is1).cast(d38).alias("g1"),
+    )
+    emd_num = (
+        F.abs(F.col("b0") * F.col("n") - F.col("g0") * F.col("n_g"))
+        + F.abs(
+            (F.col("b0") + F.col("b1")) * F.col("n")
+            - (F.col("g0") + F.col("g1")) * F.col("n_g")
+        )
+    ).cast(d38)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_g").cast("long").alias("group_size"),
+            ratio_round(emd_num, 2 * F.col("n_g") * F.col("n")).alias("emd"),
+            (
+                T_CLOSENESS_DEN * emd_num
+                > T_CLOSENESS_NUM * 2 * F.col("n_g") * F.col("n")
+            )
+            .cast("int")
+            .alias("violates_t"),
+        )
+    )
+
+
 PAYBACK_CENTS = 5000_00  # $5k cumulative per-user revenue = "paid back"
 
 _PAYBACK_SQL = f"""

@@ -169,17 +169,44 @@ def stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job(spark, sf_dir)
 
 
+@op(
+    "stream_trained_classifier",
+    oracle=None,
+    tags=("streaming", "ml", "text", "quality", "curation", "pipeline"),
+)
+def stream_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming deployment of the TRAINED quality classifier:
+    batch-train with the ONE shared trainer (classic_ml.
+    qgd_train_artifacts — the same QGD_STEPS=3 chain
+    `quality_classifier_trained_scores` scores with), freeze the
+    32-bucket weight table into a literal array, and score the
+    document file stream with a stateless per-row JVM fold
+    (streaming/jobs.stream_trained_classifier). Checked against the
+    SAME oracle as the batch consumer, so a green row attests the full
+    train-offline/serve-online loop: the stream's keep bits equal the
+    batch scorer's bit-for-bit.
+
+    Scale shape: serving is a narrow stateless map (no join, no
+    state store — the weight artifact rides the closure); training
+    cost is the batch trainer's, paid once before the stream starts."""
+    from my_polars_ai_spark.streaming.jobs import stream_trained_classifier as job
+
+    return job(spark, sf_dir)
+
+
 # Resolve the shared oracle SQL once at import: the op dataclass is
 # frozen, so rebuild the entries rather than mutating them. ONE
 # definition of each decision table / pipeline oracle — the streaming
 # ops may not drift from their batch twins.
 def _wire_shared_oracles() -> None:
+    from my_polars_ai_spark.operators.classic_ml import _QGD_TRAINED_SQL
     from my_polars_ai_spark.operators.dedup import _INCREMENTAL_MH_SQL
     from my_polars_ai_spark.operators.text import _GOPHER_SQL
 
     for name, oracle in (
         ("stream_gopher_gate", _GOPHER_SQL),
         ("stream_neardup_screen", _INCREMENTAL_MH_SQL),
+        ("stream_trained_classifier", _QGD_TRAINED_SQL),
     ):
         base = OPS[name]
         OPS[name] = Op(

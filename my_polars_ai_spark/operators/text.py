@@ -5612,3 +5612,285 @@ def context_length_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split_frac",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary concentration: exact Gini coefficient of the token-frequency
+# distribution — the one-scalar Zipf check a corpus health report leads
+# with (near 1 = a few tokens dominate; a sudden drop between crawls
+# flags a boilerplate flood or tokenizer regression).
+
+_TOKEN_GINI_SQL = f"""
+    WITH f AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok != ''
+        GROUP BY tok
+    ), r AS (
+        SELECT c, row_number() OVER (ORDER BY c, tok) AS i FROM f
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS v,
+               CAST(sum(c) AS HUGEINT) AS n,
+               CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS ic
+        FROM r
+    )
+    SELECT CAST(v AS BIGINT) AS n_vocab,
+           CAST(n AS BIGINT) AS n_tokens,
+           {oracle_ratio_round("2*ic - (v + 1)*n", "v*n")} AS gini
+    FROM s
+"""
+
+
+@op(
+    "token_gini_concentration",
+    oracle=_TOKEN_GINI_SQL,
+    tags=("text", "report", "pipeline"),
+)
+def token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of the corpus token-frequency
+    distribution via the rank identity G = (2*sum(i*f_i) - (V+1)*N) /
+    (V*N) over frequencies sorted ascending — integer end to end (ties
+    in f contribute the same sum under any tie order, so the
+    (freq, token) tiebreak is for determinism of the plan, not the
+    value). Complements `token_frequency_spectrum` (the full
+    freq-of-freq histogram) with the single comparable scalar.
+
+    Scale shape: one map-side-combined token count (linear in corpus),
+    then the rank window runs over the VOCABULARY table only —
+    corpus-independent and orders of magnitude smaller than the input;
+    the final fold is a 1-row aggregate."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    f = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    d38 = "decimal(38,0)"
+    r = f.select(
+        F.col("c"),
+        F.row_number().over(Window.orderBy("c", "tok")).cast("long").alias("i"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast(d38).alias("v"),
+        F.sum("c").cast(d38).alias("n"),
+        F.sum(F.col("i").cast(d38) * F.col("c")).cast(d38).alias("ic"),
+    )
+    return s.select(
+        F.col("v").cast("long").alias("n_vocab"),
+        F.col("n").cast("long").alias("n_tokens"),
+        ratio_round(
+            2 * F.col("ic") - (F.col("v") + 1) * F.col("n"),
+            F.col("v") * F.col("n"),
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-shape domain reweighting: per-source excess proxy loss under the
+# corpus-global unigram LM -> normalized mixture weights. The real DoReMi
+# trains a proxy and a reference model; the unigram NLL stands in for the
+# proxy loss here, and the pipeline shape (bounded per-domain aggregate ->
+# excess over the best domain -> one normalization pass) is exactly what a
+# production reweighting job runs between corpus scoring and manifest
+# emission.
+
+_DOMAIN_EXCESS_SQL = f"""
+    WITH toks AS (
+        SELECT source, tok
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok != ''
+    ), c AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_total FROM toks
+    ), lp AS (
+        SELECT toks.source,
+               CAST(round(ln(c.c * 1.0 / n.n_total) * 1000000) AS BIGINT)
+                   AS lp_micro
+        FROM toks JOIN c USING (tok) CROSS JOIN n
+    ), per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST({oracle_ratio_round("-sum(lp_micro)", "count(*)", 0)} AS BIGINT)
+                   AS avg_nll_micro
+        FROM lp GROUP BY source
+    ), m AS (
+        SELECT min(avg_nll_micro) AS min_nll FROM per_src
+    ), e AS (
+        SELECT source, n_tokens, avg_nll_micro,
+               CAST(avg_nll_micro - min_nll AS BIGINT) AS excess_micro
+        FROM per_src CROSS JOIN m
+    ), t AS (
+        SELECT sum(excess_micro) AS tot FROM e
+    )
+    SELECT source, n_tokens, avg_nll_micro, excess_micro,
+           CASE WHEN tot = 0 THEN NULL
+                ELSE {oracle_ratio_round("excess_micro", "tot")} END AS weight
+    FROM e CROSS JOIN t
+"""
+
+
+@op(
+    "domain_excess_loss_weights",
+    oracle=_DOMAIN_EXCESS_SQL,
+    tags=("text", "curation", "pipeline", "report"),
+)
+def domain_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shape domain mixture weights: each source's average
+    per-token NLL under the corpus-global unigram LM (micro-nats,
+    rounded ONCE per token then exact integer aggregation — the
+    `unigram_logprob_score` discipline), its EXCESS over the
+    best-scoring source, and the excess normalized into mixture
+    weights (NULL when every domain ties and there is no signal).
+    Downweights-nothing/upweights-hard-domains is the DoReMi
+    reweighting story a multi-source pretraining mix runs before
+    `mixing_weighted_manifest`-style emission.
+
+    Scale shape: one linear token pass joined against the broadcast
+    unigram table, then everything is per-SOURCE (bounded domain
+    count): a bounded aggregate, two 1-row broadcast totals, zero
+    corpus re-scans."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp_micro = (
+        F.round(F.log(F.col("c") * 1.0 / F.col("n_total")) * 1000000)
+        .cast("long")
+        .alias("lp_micro")
+    )
+    per_src = (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(n))
+        .select("source", lp_micro)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            ratio_round(-F.sum("lp_micro"), F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("avg_nll_micro"),
+        )
+    )
+    m = per_src.agg(F.min("avg_nll_micro").alias("min_nll"))
+    e = per_src.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_tokens",
+        "avg_nll_micro",
+        (F.col("avg_nll_micro") - F.col("min_nll")).cast("long").alias("excess_micro"),
+    )
+    t = e.agg(F.sum("excess_micro").alias("tot"))
+    return e.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        "avg_nll_micro",
+        "excess_micro",
+        F.when(
+            F.col("tot") != 0, ratio_round(F.col("excess_micro"), F.col("tot"))
+        ).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source gram-overlap matrix: which pairs of sources share 3-gram
+# content, and how much. The source-grain companion to the doc-grain
+# `chunk_containment_pairs` and the finer-grained sibling of
+# `source_overlap_matrix` (which counts shared PREFIX-fingerprinted docs;
+# this measures gram-SET Jaccard, catching partial mirroring that doc
+# fingerprints miss).
+
+_SOURCE_OVERLAP_SQL = f"""
+    WITH sh AS (
+        SELECT DISTINCT source, s
+        FROM (
+            SELECT source,
+                   ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS s
+            FROM (SELECT source, string_split(text, ' ') AS ts FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+            WHERE len(ts) >= 3
+        )
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS shared_grams
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_grams,
+           sa.n AS grams_a, sb.n AS grams_b,
+           {oracle_ratio_round("shared_grams", "sa.n + sb.n - shared_grams")}
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.source_a
+    JOIN sizes sb ON sb.source = inter.source_b
+"""
+
+
+@op(
+    "source_gram_jaccard_matrix",
+    oracle=_SOURCE_OVERLAP_SQL,
+    tags=("text", "dedup", "report", "pipeline"),
+)
+def source_gram_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram containment between SOURCES: distinct word
+    shingles per source, the shared-gram count for every source pair,
+    and the gram-set Jaccard — the mirror-feed detector run at the
+    domain grain rather than the document grain.
+
+    Scale shape: the (source, gram) table is distinct-reduced FIRST
+    (map-side combine; linear in corpus, bounded by vocab^3 but in
+    practice ~corpus-sized), and the pair join fans out each gram by
+    at most the number of sources carrying it — bounded by the DOMAIN
+    count (single digits to hundreds), never by document frequency;
+    the aggregate lands on a source x source grid. No per-doc pair is
+    ever generated, so no posting cap is needed: the hot-key fanout
+    ceiling is S^2 rows per gram with S = #sources."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    shingles = F.when(
+        F.size(ts) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 2),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(ts, i),
+                F.element_at(ts, i + 1),
+                F.element_at(ts, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select("source", F.explode(shingles).alias("s"))
+        .distinct()
+        .cache()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("grams_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("grams_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            ratio_round(
+                F.col("shared_grams"),
+                F.col("grams_a") + F.col("grams_b") - F.col("shared_grams"),
+            ).alias("jaccard"),
+        )
+    )

@@ -63,6 +63,9 @@ _BNLJ_SCALAR_OPS = (
     "dow_adjusted_spike_days", "dow_seasonality", "dsir_importance_weights",
     "ess_after_raking", "feature_minmax_scale", "filter_cascade_report",
     "heavy_hitters_tokens", "impute_mean", "ipf_raking_step",
+    # r10: 1-row corpus-total / global-distribution / min-and-sum
+    # broadcasts rejoined onto bounded domain/QI grids
+    "domain_excess_loss_weights", "t_closeness_audit",
     "isotonic_calibration_pav", "js_divergence_sources", "key_skew_profile",
     "kneser_ney_bigram_score", "ks_test_priority_totals",
     "lang_sampling_temperature", "loo_nation_mean_influence",
@@ -109,6 +112,8 @@ _WIN_HIST_OPS = (
     "percent_rank_cume_dist", "roc_points", "roc_points_bucketed",
     "wasserstein_1d_priority", "decision_stump_train", "bh_fdr_pairwise",
     "zipf_fit", "token_coverage_curve", "vocab_growth_curve",
+    # r10: rank window over the vocabulary census (corpus-independent)
+    "token_gini_concentration",
     "poisson_bootstrap_ci", "conformal_daily_interval",
 )
 _WIN_CAL_OPS = (

@@ -792,3 +792,61 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents_stream(spark, sf_dir)
     return _drain_to_memory(gopher_flags_frame(docs), "append")
+
+
+def stream_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deployment of the TRAINED hashed quality classifier:
+    the batch trainer (operators/classic_ml.qgd_train_artifacts, the
+    single definition `quality_classifier_trained_scores` also uses)
+    produces the QGD_DIM-row weight table; the weights are frozen into
+    a literal array (the bounded artifact-collect every train->deploy
+    boundary has) and the document stream is scored with a pure
+    per-row JVM fold — hash each token into its bucket, sum the
+    bucket weights, clamp through the integer hard sigmoid, emit the
+    keep/drop bit. Train offline, serve as a stateless narrow map: no
+    join, no watermark, no state store on the serving path."""
+    from my_polars_ai_spark.operators.classic_ml import (
+        QGD_DIM,
+        QGD_KEEP_MICRO,
+        QGD_MICRO,
+        _qgd_p,
+        qgd_train_artifacts,
+    )
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+    from my_polars_ai_spark.operators.text import _EN_MARKERS
+
+    _, _, w = qgd_train_artifacts(spark, sf_dir)
+    # bounded artifact collect: QGD_DIM (=32) weight rows, the
+    # train->deploy hand-off every production scorer does
+    weights = {int(r["b"]): int(r["w"]) for r in w.collect()}
+    w_arr = F.array(*[F.lit(weights[b]).cast("bigint") for b in range(QGD_DIM)])
+
+    docs = read_documents_stream(spark, sf_dir)
+    ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    scored = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    z = F.aggregate(
+        "ts",
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: acc
+        + F.element_at(
+            w_arr,
+            (
+                portable_hash60(F.concat(F.lit("f:"), tok)) % QGD_DIM
+            ).cast("int")
+            + 1,
+        ),
+    )
+    y = F.when(
+        F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS))) >= 2, QGD_MICRO
+    ).otherwise(0)
+    p = _qgd_p(F.col("z_micro"))
+    out = (
+        scored.select("doc_id", z.alias("z_micro"), y.alias("y_micro"))
+        .select(
+            "doc_id",
+            p.alias("p_micro"),
+            F.col("y_micro").cast("bigint").alias("y_micro"),
+            F.when(p >= QGD_KEEP_MICRO, 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )
+    return _drain_to_memory(out, "append")

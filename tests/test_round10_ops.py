@@ -1,0 +1,159 @@
+"""Round-10 additions: t-closeness audit (the EMD rung of the privacy
+ladder), token-frequency Gini, DoReMi-shape domain excess-loss weights,
+cross-source gram Jaccard, and the live streaming deployment of the
+trained quality classifier."""
+
+from __future__ import annotations
+
+from my_polars_ai_spark.operators import all_ops
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def _write_customers(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+
+def test_t_closeness_exact_emd_on_constructed_classes(spark, tmp_path):
+    """Three QI classes with hand-computable EMDs: an all-negative
+    class and an all-high class each sit at EMD 0.5 from the 50/50
+    global distribution (and violate t=0.2); a class that mirrors the
+    global mix exactly sits at EMD 0 (and does not)."""
+    rows = []
+    k = 0
+    for _ in range(4):  # class A: all negative
+        rows.append((k, 1, "AUTO", -50.0)); k += 1
+    for _ in range(4):  # class B: all high
+        rows.append((k, 2, "BLDG", 9000.0)); k += 1
+    # class C: one negative + one high = the global 50/50 mix
+    rows.append((k, 3, "MACH", -50.0)); k += 1
+    rows.append((k, 3, "MACH", 9000.0)); k += 1
+    _write_customers(spark, tmp_path, rows)
+    out = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in all_ops()["t_closeness_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 3
+    a, b, c = out[(1, "AUTO")], out[(2, "BLDG")], out[(3, "MACH")]
+    assert (a.emd, a.violates_t, a.group_size) == (0.5, 1, 4)
+    assert (b.emd, b.violates_t, b.group_size) == (0.5, 1, 4)
+    assert (c.emd, c.violates_t, c.group_size) == (0.0, 0, 2)
+
+
+def test_t_closeness_is_strictly_stronger_than_l_diversity(spark, tmp_path):
+    """The motivating counterexample: a class with 2 distinct bands
+    (passes l-diversity at l=2) whose mix is still far from the global
+    distribution must be flagged by t-closeness."""
+    rows = []
+    k = 0
+    # skewed class: 9 negative + 1 low -> 2 distinct bands, l-diverse
+    for _ in range(9):
+        rows.append((k, 1, "AUTO", -50.0)); k += 1
+    rows.append((k, 1, "AUTO", 100.0)); k += 1
+    # the rest of the population is all high
+    for _ in range(90):
+        rows.append((k, 2, "BLDG", 9000.0)); k += 1
+    _write_customers(spark, tmp_path, rows)
+    ld = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in all_ops()["l_diversity_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    tc = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in all_ops()["t_closeness_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert ld[(1, "AUTO")].violates_l == 0  # l-diversity passes it
+    assert tc[(1, "AUTO")].violates_t == 1  # t-closeness catches it
+
+
+def test_token_gini_uniform_zero_and_skew_exact(spark, tmp_path):
+    """Uniform token frequencies give Gini exactly 0; the 4-token
+    corpus 'a a a b' gives the hand-computed 0.25."""
+    _write_docs(spark, tmp_path, [(1, "t1 t2 t3 t4", "en", "x", 11)])
+    g0 = all_ops()["token_gini_concentration"].fn(spark, str(tmp_path)).collect()[0]
+    assert (g0.n_vocab, g0.n_tokens, g0.gini) == (4, 4, 0.0)
+    _write_docs(spark, tmp_path / "s2", [(1, "a a a b", "en", "x", 7)])
+    g1 = (
+        all_ops()["token_gini_concentration"]
+        .fn(spark, str(tmp_path / "s2"))
+        .collect()[0]
+    )
+    # freqs asc: b=1 (rank 1), a=3 (rank 2); G = (2*7 - 3*4) / (2*4)
+    assert (g1.n_vocab, g1.n_tokens, g1.gini) == (2, 4, 0.25)
+
+
+def test_domain_excess_weights_order_and_normalization(spark, tmp_path):
+    """A source made of corpus-common tokens is the min-NLL domain
+    (excess 0, weight 0); a source of rare tokens carries all the
+    excess (weight 1). Weights sum to 1 whenever any excess exists."""
+    common = " ".join(["the"] * 20)
+    rare = " ".join(f"rare{i}" for i in range(20))
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, common, "en", "easy", 10), (2, rare, "en", "hard", 10)],
+    )
+    out = {
+        r.source: r
+        for r in all_ops()["domain_excess_loss_weights"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["easy"].excess_micro == 0 and out["easy"].weight == 0.0
+    assert out["hard"].excess_micro > 0 and out["hard"].weight == 1.0
+    assert out["easy"].avg_nll_micro < out["hard"].avg_nll_micro
+
+
+def test_domain_excess_weights_degenerate_single_source_is_null(spark, tmp_path):
+    """With one domain there is no excess signal: weight must be NULL,
+    not 0/0 or 1."""
+    _write_docs(spark, tmp_path, [(1, "a b c", "en", "only", 5)])
+    out = all_ops()["domain_excess_loss_weights"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].excess_micro == 0 and out[0].weight is None
+
+
+def test_source_gram_jaccard_mirror_and_disjoint(spark, tmp_path):
+    """Two sources sharing their full gram set score Jaccard 1.0; a
+    disjoint third source produces no pair rows at all (the join is
+    shared-gram-driven, not a cross product)."""
+    text = "t1 t2 t3 t4"  # grams: t1_t2_t3, t2_t3_t4
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, text, "en", "a", 11),
+            (2, text, "en", "b", 11),
+            (3, "z1 z2 z3", "en", "c", 8),
+        ],
+    )
+    out = all_ops()["source_gram_jaccard_matrix"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert (r.shared_grams, r.grams_a, r.grams_b, r.jaccard) == (2, 2, 2, 1.0)
+
+
+def test_stream_trained_classifier_registered_with_batch_oracle():
+    ops = all_ops()
+    assert "stream_trained_classifier" in ops
+    assert ops["stream_trained_classifier"].oracle, (
+        "the live deploy twin must carry the batch consumer's oracle"
+    )
+
+
+def test_stream_trained_classifier_equals_batch_twin(spark, sf_dir):
+    """Train offline, serve online: the streaming scorer's output must
+    equal the batch `quality_classifier_trained_scores` bit-for-bit —
+    same weights, same hard-sigmoid fold, different execution engine."""
+    ops = all_ops()
+    live = ops["stream_trained_classifier"].fn(spark, sf_dir)
+    batch = ops["quality_classifier_trained_scores"].fn(spark, sf_dir)
+    assert live.exceptAll(batch).count() == 0
+    assert batch.exceptAll(live).count() == 0
