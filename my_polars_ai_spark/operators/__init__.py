@@ -773,6 +773,70 @@ _PRIORITY_R12 = (
     "cohens_kappa_langid",
 )
 
+# Round-13 window, staged in round 10: after R11+R12 run, every
+# remaining never-attested op (15 stragglers + the 5 round-10
+# additions) fits in one window, the rows-only sketch trio gets its
+# planned one-shot re-attest (last), and the balance re-attests the
+# 24 OLDEST driver rows (r1 greens untouched since round 1).
+_PRIORITY_R13 = (
+    # canaries — flagship + dedup + SQL only while the backlog clears
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-10 additions — first driver row
+    "t_closeness_audit",
+    "token_gini_concentration",
+    "domain_excess_loss_weights",
+    "source_gram_jaccard_matrix",
+    "stream_trained_classifier",
+    # the last never-attested stragglers, ledger order
+    "feature_information_gain",
+    "ipf_raking_step",
+    "binary_hamming_topk",
+    "qi_generalization_ladder",
+    "hypothetical_rank_of_value",
+    "ucb1_variant_scores",
+    "kfold_slope_stability",
+    "woe_iv_encoding",
+    "stratified_ate_discount",
+    "suppressed_release_histogram",
+    "ess_after_raking",
+    "qte_discount_quantiles",
+    "propensity_overlap_report",
+    "corpus_health_scorecard",
+    "nb_macro_f1",
+    # rows-only sketch trio: the planned one-shot re-attest (their
+    # r2-era rows predate the rows-only-by-design classification)
+    "approx_distinct",
+    "approx_quantiles",
+    "kmeans_segments",
+    # oldest driver rows (r1) — freshness re-attest to close the round
+    "agg_scalar_global",
+    "argmax_top1",
+    "cast_rename_drop",
+    "cube_flag_status",
+    "date_funcs",
+    "distinct_counts",
+    "distinct_projection",
+    "except_keys",
+    "filter_between_isnull",
+    "filter_compound_predicates",
+    "filtered_count",
+    "histogram_bins",
+    "intersect_keys",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_right_outer",
+    "math_funcs",
+    "median_quantiles",
+    "null_handling_fill",
+    "percent_rank_cume_dist",
+    "regex_funcs",
+    "rolling_median",
+)
+
 # Round 10: the staged flip, executed (round-11 window already staged
 # above so next round is a one-liner too).
 _PRIORITY = _PRIORITY_R10

@@ -1639,3 +1639,26 @@ def test_r12_window_is_staged_and_valid():
     fresh = set(_PRIORITY_R12[3:])
     overlap = fresh & (set(_PRIORITY_R10) | set(_PRIORITY_R11))
     assert not overlap, sorted(overlap)
+
+
+def test_r13_window_is_staged_and_valid():
+    """Staging discipline for round 13 (staged in round 10): 50 real
+    ops, no duplicates, and the FIRST-ATTESTATION block (the round-10
+    additions + ledger stragglers, slots 3..23) disjoint from the
+    r11/r12 stagings. The tail is deliberate re-attestation — the
+    rows-only sketch trio's planned one-shot plus the 24 oldest
+    (round-1) driver rows — so no disjointness is asserted there."""
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R11,
+        _PRIORITY_R12,
+        _PRIORITY_R13,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R13) == 50
+    assert len(set(_PRIORITY_R13)) == 50
+    missing = [n for n in _PRIORITY_R13 if n not in ops]
+    assert not missing, missing
+    fresh = set(_PRIORITY_R13[3:23])
+    overlap = fresh & (set(_PRIORITY_R11) | set(_PRIORITY_R12))
+    assert not overlap, sorted(overlap)

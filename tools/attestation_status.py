@@ -36,17 +36,25 @@ def main() -> int:
                 for k in ("rows_match", "schema_match", "hash_match")
             ) and row.get("err") in (None, "")
             attested[name] = ok
-    # Pending = the LIVE window (the driver runs it this round) plus the
-    # two highest-numbered stagings; historical windows already have
-    # their rows in CORRECTNESS files and must not count as pending.
-    wins = sorted(
-        (int(m.group(1)), attr)
-        for attr in dir(reg)
-        if (m := re.fullmatch(r"_PRIORITY_R(\d+)", attr))
+    # Pending = the LIVE window (the driver runs it this round) plus
+    # every staged window numbered past the last CORRECTNESS round;
+    # historical windows already have their rows in CORRECTNESS files
+    # and must not count as pending.
+    last_run = max(
+        (
+            int(m.group(1))
+            for f in glob.glob(
+                os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+            )
+            if (m := re.search(r"r(\d+)", os.path.basename(f)))
+        ),
+        default=0,
     )
     staged: set[str] = set(reg._PRIORITY)
-    for _, attr in wins[-2:]:
-        staged |= set(getattr(reg, attr))
+    for attr in dir(reg):
+        m = re.fullmatch(r"_PRIORITY_R(\d+)", attr)
+        if m and int(m.group(1)) > last_run:
+            staged |= set(getattr(reg, attr))
     staged -= set(attested)
     never = [o for o in ops if o not in attested and o not in staged]
     greens = sum(attested.values())
