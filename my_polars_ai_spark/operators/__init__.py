@@ -834,7 +834,8 @@ _PRIORITY_R13 = (
     "null_handling_fill",
     "percent_rank_cume_dist",
     "regex_funcs",
-    "rolling_median",
+    # round-10 addition (landed after the window was first staged)
+    "audio_vad_segments",
 )
 
 # Round 10: the staged flip, executed (round-11 window already staged

@@ -326,6 +326,88 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_pcm_frame_features_batches, schema=AUDIO_SCHEMA)
 
 
+# Voice-activity threshold on per-frame energy: uniform int16 noise has
+# E[s^2] ~ 2^32/12 ~ 3.58e8 per sample, so a 64-sample frame averages
+# ~2.29e10 — thresholding AT the mean marks roughly half the frames
+# voiced and exercises both island formation and island splitting.
+VAD_SUMSQ = 22_900_000_000
+
+
+@op(
+    "audio_vad_segments",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id, i.i,
+               (('0x' || substr(md5('pcm:' || CAST(d.doc_id AS VARCHAR) || ':' || i.i), 1, 15))::BIGINT
+                % 65536) - 32768 AS smp
+        FROM documents d CROSS JOIN (SELECT unnest(range({PCM_SAMPLES})) AS i) i
+    ), f AS (
+        SELECT doc_id,
+               CAST(i // {PCM_FRAME} AS INTEGER) AS frame_idx,
+               CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+        FROM s GROUP BY 1, 2
+    ), v AS (
+        SELECT doc_id, frame_idx, sum_sq,
+               frame_idx - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY frame_idx) AS grp
+        FROM f WHERE sum_sq >= {VAD_SUMSQ}
+    ), seg AS (
+        SELECT doc_id, grp,
+               min(frame_idx) AS start_frame,
+               max(frame_idx) AS end_frame,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(sum_sq) AS BIGINT) AS energy
+        FROM v GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+                AS INTEGER) AS seg_idx,
+           CAST(start_frame AS INTEGER) AS start_frame,
+           CAST(end_frame AS INTEGER) AS end_frame,
+           n_frames, energy
+    FROM seg
+    """,
+    tags=("multimodal", "udf", "audio", "window"),
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segments over the PCM16 clips — the
+    consumer that turns `audio_frame_features`'s per-frame energies
+    into the (start, end) voiced spans an ASR/caption pipeline
+    actually feeds downstream. Energy thresholding + gaps-and-islands
+    (frame_idx minus per-doc row_number) merges consecutive voiced
+    frames into segments; swapping the threshold rule for a real VAD
+    model changes one predicate, not the plan. Composes the SAME
+    mapInPandas decode stages as the frame-features op (one
+    definition), and every output is an exact integer.
+
+    Scale shape: both windows are per-doc ordered over FRAMES — state
+    bounded by clip length, never corpus size; the segment aggregate
+    is keyed on (doc, island)."""
+    feats = audio_frame_features(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    v = feats.filter(F.col("sum_sq") >= VAD_SUMSQ).select(
+        "doc_id",
+        "frame_idx",
+        "sum_sq",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("grp"),
+    )
+    seg = v.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("sum_sq").cast("long").alias("energy"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(ws).cast("int").alias("seg_idx"),
+        F.col("start_frame").cast("int").alias("start_frame"),
+        F.col("end_frame").cast("int").alias("end_frame"),
+        "n_frames",
+        "energy",
+    )
+
+
 @op(
     "scene_change_detection",
     oracle=f"""

@@ -140,6 +140,43 @@ def test_source_gram_jaccard_mirror_and_disjoint(spark, tmp_path):
     assert (r.shared_grams, r.grams_a, r.grams_b, r.jaccard) == (2, 2, 2, 1.0)
 
 
+def test_audio_vad_segments_geometry(spark, sf_dir):
+    """VAD islands must be well-formed: per-doc segment indices dense
+    from 1, frames within the clip's 4-frame range, non-overlapping
+    and ordered, each segment's energy at least n_frames * threshold,
+    and every segment consistent with the frame-features table it is
+    derived from (voiced frames exactly partition into segments)."""
+    from my_polars_ai_spark.operators.multimodal import (
+        PCM_FRAME,
+        PCM_SAMPLES,
+        VAD_SUMSQ,
+    )
+
+    ops = all_ops()
+    segs = ops["audio_vad_segments"].fn(spark, sf_dir).collect()
+    feats = ops["audio_frame_features"].fn(spark, sf_dir).collect()
+    n_frames_per_clip = PCM_SAMPLES // PCM_FRAME
+    voiced = {
+        (r.doc_id, r.frame_idx) for r in feats if r.sum_sq >= VAD_SUMSQ
+    }
+    by_doc: dict[int, list] = {}
+    covered = set()
+    for s in segs:
+        assert 0 <= s.start_frame <= s.end_frame < n_frames_per_clip
+        assert s.n_frames == s.end_frame - s.start_frame + 1
+        assert s.energy >= s.n_frames * VAD_SUMSQ
+        for f in range(s.start_frame, s.end_frame + 1):
+            assert (s.doc_id, f) in voiced
+            covered.add((s.doc_id, f))
+        by_doc.setdefault(s.doc_id, []).append(s)
+    assert covered == voiced  # segments exactly partition voiced frames
+    for doc_segs in by_doc.values():
+        doc_segs.sort(key=lambda s: s.seg_idx)
+        assert [s.seg_idx for s in doc_segs] == list(range(1, len(doc_segs) + 1))
+        for a, b in zip(doc_segs, doc_segs[1:]):
+            assert a.end_frame + 1 < b.start_frame  # maximal islands
+
+
 def test_stream_trained_classifier_registered_with_batch_oracle():
     ops = all_ops()
     assert "stream_trained_classifier" in ops
