@@ -267,6 +267,7 @@ def minhash_lsh_pairs(
     n_bands: int = N_BANDS,
     threshold: float = MINHASH_THRESHOLD,
     min_band_matches: int = 1,
+    with_verdict: bool = False,
 ) -> DataFrame:
     """Parameterized MinHash+LSH pipeline behind dedup_minhash_lsh.
 
@@ -374,6 +375,15 @@ def minhash_lsh_pairs(
     paired = pre.join(arr_a, "doc_a").join(arr_b, "doc_b")
     ni = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = ni / (F.col("na") + F.col("nb") - ni)
+    if with_verdict:
+        # every size-prefiltered candidate, with the verify verdict
+        # instead of the filter — the hard-negative miner's input
+        return paired.select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, ROUND_RATIO).alias("jaccard"),
+            (jac >= threshold).cast("int").alias("is_dup"),
+        )
     return (
         paired.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, ROUND_RATIO).alias("jaccard"))
@@ -2074,4 +2084,149 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n").cast("bigint").alias("n_pairs"),
         ratio_round(F.col("_sj"), F.col("_n") * _CAL_MICRO).alias("avg_exact_jaccard"),
         signed_ratio_round(F.col("_se"), F.col("_n") * _CAL_MICRO).alias("avg_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining: the training-data artifact an embedding
+# model needs, mined straight from the LSH candidate structure. Verified
+# near-dups are the positives; candidates that COLLIDED in a band and
+# survived the size prefilter but FAILED exact-Jaccard verification are
+# exactly the hard negatives contrastive training wants — close in hash
+# space, provably not duplicates. One positive + up to TRIPLET_NEG_K
+# hardest negatives per anchor.
+
+TRIPLET_NEG_K = 3
+
+_TRIPLET_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), perms AS (
+        SELECT unnest(range({N_PERMS})) AS i
+    ), hashes AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))::BIGINT AS h
+        FROM toks CROSS JOIN perms
+    ), sig AS (
+        SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // {N_PERMS // N_BANDS} AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_sig
+        FROM sig GROUP BY doc_id, i // {N_PERMS // N_BANDS}
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+    ), pre AS (
+        SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE least(sa.n, sb.n) >= {MINHASH_THRESHOLD} * greatest(sa.n, sb.n)
+    ), inter AS (
+        SELECT p.doc_a, p.doc_b, p.na, p.nb, count(*) AS ni
+        FROM pre p
+        JOIN toks ta ON ta.doc_id = p.doc_a
+        JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+        GROUP BY 1, 2, 3, 4
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               round(ni * 1.0 / (na + nb - ni), {ROUND_RATIO}) AS jaccard,
+               CASE WHEN ni * 1.0 / (na + nb - ni) >= {MINHASH_THRESHOLD}
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM inter
+    ), sym AS (
+        SELECT doc_a AS anchor_id, doc_b AS partner, jaccard, is_dup FROM scored
+        UNION ALL
+        SELECT doc_b, doc_a, jaccard, is_dup FROM scored
+    ), pos AS (
+        SELECT anchor_id, partner AS pos_id, jaccard AS pos_jaccard,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY jaccard DESC, partner) AS rn
+        FROM sym WHERE is_dup = 1
+    ), neg AS (
+        SELECT anchor_id, partner AS neg_id, jaccard AS neg_jaccard,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY jaccard DESC, partner) AS neg_rank
+        FROM sym WHERE is_dup = 0
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_jaccard,
+           n.neg_id, n.neg_jaccard, CAST(n.neg_rank AS INTEGER) AS neg_rank
+    FROM pos p JOIN neg n USING (anchor_id)
+    WHERE p.rn = 1 AND n.neg_rank <= {TRIPLET_NEG_K}
+"""
+
+
+@op(
+    "contrastive_triplet_mining",
+    oracle=_TRIPLET_SQL,
+    tags=("dedup", "minhash", "lsh", "similarity", "pipeline", "curation"),
+)
+def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) triplets for contrastive
+    embedding training from the LSH candidate structure itself:
+    verified near-dup pairs are positives, and candidates that collided
+    in a band + passed the size prefilter but FAILED exact-Jaccard
+    verification are the hard negatives (hash-space-close non-dups —
+    the pairs a random negative sampler almost never finds). Each
+    anchor keeps its best positive (highest Jaccard, id tiebreak) and
+    its TRIPLET_NEG_K hardest negatives, ranked on the once-rounded
+    Jaccard so both engines order identically.
+
+    Scale shape: reuses minhash_lsh_pairs' banded candidate generation
+    verbatim (never all-pairs; the negatives are a byproduct of the
+    verify stage, costing ZERO extra joins over running dedup itself);
+    the ranking windows are per-anchor over candidate-bounded rows."""
+    cands = minhash_lsh_pairs(spark, sf_dir, with_verdict=True)
+    sym = (
+        cands.select(
+            F.col("doc_a").alias("anchor_id"),
+            F.col("doc_b").alias("partner"),
+            "jaccard",
+            "is_dup",
+        )
+        .unionByName(
+            cands.select(
+                F.col("doc_b").alias("anchor_id"),
+                F.col("doc_a").alias("partner"),
+                "jaccard",
+                "is_dup",
+            )
+        )
+        .cache()
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("jaccard").desc(), F.col("partner")
+    )
+    pos = (
+        sym.filter(F.col("is_dup") == 1)
+        .select(
+            "anchor_id",
+            F.col("partner").alias("pos_id"),
+            F.col("jaccard").alias("pos_jaccard"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    neg = sym.filter(F.col("is_dup") == 0).select(
+        "anchor_id",
+        F.col("partner").alias("neg_id"),
+        F.col("jaccard").alias("neg_jaccard"),
+        F.row_number().over(w).alias("neg_rank"),
+    ).filter(F.col("neg_rank") <= TRIPLET_NEG_K)
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_jaccard",
+        "neg_id",
+        "neg_jaccard",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
     )

@@ -177,6 +177,49 @@ def test_audio_vad_segments_geometry(spark, sf_dir):
             assert a.end_frame + 1 < b.start_frame  # maximal islands
 
 
+def test_contrastive_triplets_consistent_with_dedup_pairs(spark, sf_dir):
+    """Triplet geometry: every positive is a verified near-dup pair
+    from `dedup_minhash_lsh` (and the anchor's BEST one), every hard
+    negative scores strictly below the dedup threshold, neg ranks are
+    dense from 1, and no anchor pairs itself."""
+    from my_polars_ai_spark.operators.dedup import (
+        MINHASH_THRESHOLD,
+        TRIPLET_NEG_K,
+    )
+
+    ops = all_ops()
+    trips = ops["contrastive_triplet_mining"].fn(spark, sf_dir).collect()
+    assert trips, "sf0.001 corpus must yield at least one triplet"
+    dup_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ops["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    by_anchor: dict[int, list] = {}
+    for t in trips:
+        assert t.anchor_id not in (t.pos_id, t.neg_id) and t.pos_id != t.neg_id
+        pair = (min(t.anchor_id, t.pos_id), max(t.anchor_id, t.pos_id))
+        assert pair in dup_pairs and dup_pairs[pair] == t.pos_jaccard
+        assert t.neg_jaccard < MINHASH_THRESHOLD
+        by_anchor.setdefault(t.anchor_id, []).append(t)
+    for anchor, ts in by_anchor.items():
+        ts.sort(key=lambda t: t.neg_rank)
+        assert [t.neg_rank for t in ts] == list(range(1, len(ts) + 1))
+        assert len(ts) <= TRIPLET_NEG_K
+        # one positive per anchor, and it is the anchor's best
+        assert len({t.pos_id for t in ts}) == 1
+        anchor_dups = [
+            (j, a if b == anchor else b)
+            for (a, b), j in dup_pairs.items()
+            if anchor in (a, b)
+        ]
+        best = max(anchor_dups, key=lambda t: (t[0], -t[1]))
+        assert ts[0].pos_jaccard == best[0]
+        # negatives ordered hardest-first
+        assert all(
+            x.neg_jaccard >= y.neg_jaccard for x, y in zip(ts, ts[1:])
+        )
+
+
 def test_stream_trained_classifier_registered_with_batch_oracle():
     ops = all_ops()
     assert "stream_trained_classifier" in ops
