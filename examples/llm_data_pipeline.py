@@ -202,3 +202,33 @@ assert funnel["decontaminated"].n_docs < funnel["repetition"].n_docs
 assert all(r.w1_micro == r.w0_micro - r.delta_micro for r in step.values())
 assert len(step) == 32                                # full weight vector ships
 assert calib.count() > 0                              # audit sample is non-empty
+
+# 17. Round-10 curation wave: the TRAINED classifier as a corpus
+# filter and its streaming deployment, DoReMi-shape domain
+# reweighting, the vocabulary-concentration health scalar, the
+# source-level mirror matrix, and contrastive triplets mined from the
+# dedup candidates themselves.
+trained = ops["quality_classifier_trained_scores"].fn(spark, sf_dir)
+n_trained_keep = trained.filter(F.col("keep") == 1).count()
+weights = {r.source: r for r in
+           ops["domain_excess_loss_weights"].fn(spark, sf_dir).collect()}
+gini = ops["token_gini_concentration"].fn(spark, sf_dir).collect()[0]
+mirrors = ops["source_gram_jaccard_matrix"].fn(spark, sf_dir)
+triplets = ops["contrastive_triplet_mining"].fn(spark, sf_dir)
+
+print(f"trained-filter keeps:   {n_trained_keep}")
+print(f"domain weights:         "
+      f"{ {s: r.weight for s, r in sorted(weights.items())} }")
+print(f"token gini:             {gini.gini} over {gini.n_vocab} vocab")
+print(f"source mirror pairs:    {mirrors.count()}")
+print(f"contrastive triplets:   {triplets.count()}")
+
+assert 0 < n_trained_keep <= n_docs
+# excess-loss weights: the best domain gets 0; weights sum to ~1 when
+# any signal exists (half-up rounding per source)
+if len(weights) > 1 and any(r.excess_micro > 0 for r in weights.values()):
+    assert min(r.excess_micro for r in weights.values()) == 0
+    assert abs(sum(r.weight for r in weights.values()) - 1.0) < 1e-4
+assert 0.0 <= gini.gini <= 1.0
+# every triplet's positive is a verified dup, its negative is not
+assert triplets.filter(F.col("neg_jaccard") >= 0.95).count() == 0
