@@ -107,6 +107,11 @@ HEADLINE = [
     # the trained-score pass in ONE plan (the corpus (doc,bucket) table
     # cached once, 32-row weight broadcasts per step)
     "quality_classifier_trained_scores",
+    # round-10: the candidate-reusing triplet miner (LSH verify rejects
+    # as hard negatives, per-anchor ranking windows) and the DoReMi
+    # domain-weight shape (token pass + bounded source-grain tail)
+    "contrastive_triplet_mining",
+    "domain_excess_loss_weights",
 ]
 
 
