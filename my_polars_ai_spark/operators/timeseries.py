@@ -1505,6 +1505,46 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def churn_week_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival scaffold: per distinct churn week, the churned
+    count ``d`` and at-risk count ``r`` via the sweep-line identity
+    r(w) = cum(entries <= w) - cum(exits < w) over the calendar-bounded
+    weekly grid — |weeks| rows, never weeks x customers. ONE definition
+    feeds Kaplan-Meier and Nelson-Aalen so the risk sets cannot
+    drift."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.date_trunc("week", F.min(F.to_date("o_orderdate"))).cast("date")
+        .alias("first_w"),
+        F.date_trunc("week", F.max(F.to_date("o_orderdate"))).cast("date")
+        .alias("last_w"),
+    )
+    entries = cust.groupBy(F.col("first_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_enter")
+    )
+    exits = cust.groupBy(F.col("last_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_exit")
+    )
+    grid = entries.join(exits, "w", "full_outer")
+    w_le = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    w_lt = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        grid.select(
+            "w",
+            F.coalesce("n_exit", F.lit(0)).alias("d"),
+            (
+                F.sum(F.coalesce("n_enter", F.lit(0))).over(w_le)
+                - F.coalesce(
+                    F.sum(F.coalesce("n_exit", F.lit(0))).over(w_lt), F.lit(0)
+                )
+            ).alias("r"),
+        )
+        # the event grid is the distinct churn weeks only (a week that
+        # only ever saw entries contributes no survival factor)
+        .filter(F.col("d") > 0)
+    )
+
+
 _KM_SQL = """
     WITH cust AS (
         SELECT o_custkey,
@@ -1561,37 +1601,7 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative windows over the calendar-bounded weekly grid — the
     sweep-line identity that replaces the cross join (at 100x, weeks x
     customers is billions of scaffold rows; this is |weeks| rows)."""
-    o = _t(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.date_trunc("week", F.min(F.to_date("o_orderdate"))).cast("date")
-        .alias("first_w"),
-        F.date_trunc("week", F.max(F.to_date("o_orderdate"))).cast("date")
-        .alias("last_w"),
-    )
-    entries = cust.groupBy(F.col("first_w").alias("w")).agg(
-        F.count(F.lit(1)).alias("n_enter")
-    )
-    exits = cust.groupBy(F.col("last_w").alias("w")).agg(
-        F.count(F.lit(1)).alias("n_exit")
-    )
-    grid = entries.join(exits, "w", "full_outer")
-    w_le = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
-    w_lt = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
-    counts = (
-        grid.select(
-            "w",
-            F.coalesce("n_exit", F.lit(0)).alias("d"),
-            (
-                F.sum(F.coalesce("n_enter", F.lit(0))).over(w_le)
-                - F.coalesce(
-                    F.sum(F.coalesce("n_exit", F.lit(0))).over(w_lt), F.lit(0)
-                )
-            ).alias("r"),
-        )
-        # the event grid is the distinct churn weeks only (a week that
-        # only ever saw entries contributes no KM factor)
-        .filter(F.col("d") > 0)
-    )
+    counts = churn_week_counts(spark, sf_dir)
     factor = F.when(
         F.col("r") > F.col("d"),
         F.round(
@@ -1608,6 +1618,82 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("r") == F.col("d")).cast("int")).over(win).alias(
             "survival_is_zero"
         ),
+    )
+
+
+_NA_SQL = """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_trunc('week', min(CAST(o_orderdate AS DATE))) AS DATE)
+                   AS first_w,
+               CAST(date_trunc('week', max(CAST(o_orderdate AS DATE))) AS DATE)
+                   AS last_w
+        FROM orders GROUP BY 1
+    ), weeks AS (
+        SELECT DISTINCT last_w AS w FROM cust
+    ), counts AS (
+        SELECT w.w,
+               sum(CASE WHEN c.last_w = w.w THEN 1 ELSE 0 END) AS d,
+               sum(CASE WHEN c.first_w <= w.w AND c.last_w >= w.w
+                        THEN 1 ELSE 0 END) AS r
+        FROM weeks w CROSS JOIN cust c
+        GROUP BY w.w
+    ), f AS (
+        SELECT w, d, r,
+               (2*1000000*CAST(d AS HUGEINT) + r) // (2*CAST(r AS HUGEINT))
+                   AS hz_micro,
+               (2*1000000*CAST(d AS HUGEINT)*(r - d) + CAST(r AS HUGEINT)*r*r)
+                   // (2*CAST(r AS HUGEINT)*r*r) AS var_micro
+        FROM counts
+    )
+    SELECT w AS week, CAST(d AS BIGINT) AS n_churned,
+           CAST(r AS BIGINT) AS n_at_risk,
+           CAST(sum(hz_micro) OVER (ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_hazard_micro,
+           CAST(sum(var_micro) OVER (ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_var_micro
+    FROM f
+"""
+
+
+@op(
+    "nelson_aalen_hazard",
+    oracle=_NA_SQL,
+    tags=("timeseries", "survival", "ml"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the SAME churn risk sets as
+    `kaplan_meier_churn` (one shared churn_week_counts definition):
+    H(t) = sum d/r and its Poisson-type variance sum d(r-d)/r^3, both
+    EXACT integer rationals — unlike KM's log-space product no
+    transcendental ever enters, so each term is one half-up micro
+    rounding and the cumulative sums are exact. KM answers "what
+    fraction survives"; the hazard increments answer "how hard does
+    week w churn", which is the quantity churn interventions A/B
+    against. The final all-churn week, where KM's S(t) hits 0, is an
+    ordinary d/r = 1 increment here — the estimator NA exists for.
+
+    Scale shape: identical to KM — the sweep-line weekly grid, two
+    cumulative windows over calendar-bounded rows, zero weeks x
+    customers scaffolding."""
+    counts = churn_week_counts(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    p = 1_000_000
+    d_, r_ = F.col("d").cast(d38), F.col("r").cast(d38)
+    hz = exact_floor_div(2 * p * d_ + r_, 2 * r_)
+    var = exact_floor_div(
+        2 * p * d_ * (r_ - d_) + r_ * r_ * r_, 2 * r_ * r_ * r_
+    )
+    f = counts.select("w", "d", "r", hz.alias("hz_micro"), var.alias("var_micro"))
+    win = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    return f.select(
+        F.col("w").alias("week"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("r").cast("long").alias("n_at_risk"),
+        F.sum("hz_micro").over(win).cast("long").alias("cum_hazard_micro"),
+        F.sum("var_micro").over(win).cast("long").alias("cum_var_micro"),
     )
 
 

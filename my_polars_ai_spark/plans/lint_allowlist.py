@@ -122,6 +122,8 @@ _WIN_CAL_OPS = (
     "revenue_max_drawdown", "seasonal_strength_daily",
     "sketch_merge_running_distinct", "ts_decompose_daily",
     "volume_spike_days",
+    # r10: cumulative hazard over the calendar-bounded weekly churn grid
+    "nelson_aalen_hazard",
 )
 _WIN_TOPK_OPS = (
     "rbo_rankings", "rrf_fusion_topk", "revenue_concentration_topn",

@@ -220,6 +220,32 @@ def test_contrastive_triplets_consistent_with_dedup_pairs(spark, sf_dir):
         )
 
 
+def test_nelson_aalen_shares_km_risk_sets(spark, sf_dir):
+    """NA and KM must agree on the event grid exactly (shared
+    churn_week_counts definition), the cumulative hazard and variance
+    must be nondecreasing, and the final all-churn week — where KM's
+    survival hits 0 — must appear in NA as an ordinary d/r = 1
+    increment (+1e6 micro)."""
+    ops = all_ops()
+    na = sorted(
+        ops["nelson_aalen_hazard"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.week,
+    )
+    km = sorted(
+        ops["kaplan_meier_churn"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.week,
+    )
+    assert [(r.week, r.n_churned, r.n_at_risk) for r in na] == [
+        (r.week, r.n_churned, r.n_at_risk) for r in km
+    ]
+    for a, b in zip(na, na[1:]):
+        assert b.cum_hazard_micro >= a.cum_hazard_micro
+        assert b.cum_var_micro >= a.cum_var_micro
+    last, prev = na[-1], na[-2]
+    assert km[-1].survival_is_zero == 1 and last.n_churned == last.n_at_risk
+    assert last.cum_hazard_micro - prev.cum_hazard_micro == 1_000_000
+
+
 def test_stream_trained_classifier_registered_with_batch_oracle():
     ops = all_ops()
     assert "stream_trained_classifier" in ops
