@@ -832,9 +832,9 @@ _PRIORITY_R13 = (
     "math_funcs",
     "median_quantiles",
     "null_handling_fill",
-    "percent_rank_cume_dist",
-    "regex_funcs",
-    # round-10 addition (landed after the window was first staged)
+    # round-10 additions (landed after the window was first staged)
+    "contrastive_triplet_mining",
+    "nelson_aalen_hazard",
     "audio_vad_segments",
 )
 
