@@ -831,8 +831,8 @@ _PRIORITY_R13 = (
     "join_right_outer",
     "math_funcs",
     "median_quantiles",
-    "null_handling_fill",
     # round-10 additions (landed after the window was first staged)
+    "cross_shard_dup_rate",
     "contrastive_triplet_mining",
     "nelson_aalen_hazard",
     "audio_vad_segments",

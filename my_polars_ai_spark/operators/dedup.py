@@ -2230,3 +2230,84 @@ def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_jaccard",
         F.col("neg_rank").cast("int").alias("neg_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-shard duplicate rate: CAN corpus dedup run shard-locally? Under
+# content-blind (rendezvous-by-doc-id) sharding the answer is provably
+# no — a near-dup pair lands in the same shard with probability ~1/S —
+# and this op measures it on the actual verified pair set, which is the
+# number a 100 TB pipeline needs before deciding between global dedup
+# and content-keyed placement.
+
+_XSHARD_SQL = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ), sh AS (
+        SELECT doc_id,
+               list_indexof(hv, list_max(hv)) - 1 AS shard
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(0, 8), s ->
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT
+                   ) AS hv
+            FROM documents
+        )
+    ), j AS (
+        SELECT CASE WHEN sa.shard = sb.shard THEN 1 ELSE 0 END AS same
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(same) AS BIGINT) AS n_same_shard,
+           {oracle_ratio_round("sum(same)", "count(*)")} AS same_shard_frac,
+           {oracle_ratio_round("1", "8")} AS expected_same_frac
+    FROM j
+"""
+
+
+@op(
+    "cross_shard_dup_rate",
+    oracle=_XSHARD_SQL,
+    tags=("dedup", "sharding", "layout", "scale", "report"),
+)
+def cross_shard_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of verified near-dup pairs land in the SAME
+    rendezvous shard — the one-row feasibility answer for shard-local
+    dedup. Content-blind placement (`rendezvous_shard_plan`'s
+    doc-id-keyed highest-random-weight assignment, S=8) gives a pair
+    the same shard with probability ~1/S, so shard-local dedup would
+    miss ~(S-1)/S of all duplicates; the measured rate sits next to
+    the analytic 1/S so the report carries its own null hypothesis.
+    Content-keyed placement (minhash band as the shard key) is what
+    makes the rate ~1 — that IS `dedup_minhash_lsh`'s band shuffle.
+
+    Scale shape: reuses the banded pair pipeline verbatim, adds one
+    per-doc bounded-array shard assignment (zero shuffle) and two
+    doc-keyed joins from the pair set, then a 1-row aggregate."""
+    from my_polars_ai_spark.operators.extras import RDZV_SHARDS
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    hv = F.transform(
+        F.sequence(F.lit(0), F.lit(RDZV_SHARDS - 1)),
+        lambda s: portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), s.cast("string"))
+        ),
+    )
+    sh = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.array_position(hv, F.array_max(hv)) - 1).alias("shard")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shard").alias("shard_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shard").alias("shard_b"))
+    same = (F.col("shard_a") == F.col("shard_b")).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(same).cast("long").alias("n_same_shard"),
+            ratio_round(F.sum(same), F.count(F.lit(1))).alias("same_shard_frac"),
+            ratio_round(F.lit(1), F.lit(RDZV_SHARDS)).alias("expected_same_frac"),
+        )
+    )

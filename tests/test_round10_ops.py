@@ -220,6 +220,19 @@ def test_contrastive_triplets_consistent_with_dedup_pairs(spark, sf_dir):
         )
 
 
+def test_cross_shard_dup_rate_counts_the_dedup_pair_set(spark, sf_dir):
+    """The feasibility report must audit exactly the verified pair set
+    (n_pairs == dedup_minhash_lsh's row count), bound n_same_shard by
+    it, and carry the analytic 1/S null as its comparison column."""
+    ops = all_ops()
+    r = ops["cross_shard_dup_rate"].fn(spark, sf_dir).collect()[0]
+    n_pairs = ops["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+    assert r.n_pairs == n_pairs
+    assert 0 <= r.n_same_shard <= r.n_pairs
+    assert r.expected_same_frac == 0.125
+    assert abs(r.same_shard_frac - r.n_same_shard / r.n_pairs) < 1e-6
+
+
 def test_nelson_aalen_shares_km_risk_sets(spark, sf_dir):
     """NA and KM must agree on the event grid exactly (shared
     churn_week_counts definition), the cumulative hazard and variance
