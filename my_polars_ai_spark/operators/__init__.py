@@ -830,8 +830,8 @@ _PRIORITY_R13 = (
     "join_left_outer",
     "join_right_outer",
     "math_funcs",
-    "median_quantiles",
     # round-10 additions (landed after the window was first staged)
+    "zonemap_prune_stats",
     "cross_shard_dup_rate",
     "contrastive_triplet_mining",
     "nelson_aalen_hazard",

@@ -3859,3 +3859,76 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["revenue_cents"], m["n_returned"], m["max_qty"])],
         "n_rows bigint, revenue_cents bigint, n_returned bigint, max_qty bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map prune effectiveness: at 100 TB the fastest scan is the one
+# that never happens — data-skipping via per-file min/max statistics
+# (parquet row-group stats, Delta/Iceberg file stats) is the mechanism.
+# This op materializes the zone maps at a month-partition "file" grain
+# and evaluates a concrete range predicate against them, so the pruned
+# fraction (and the soundness of skipping) is itself oracle-checked.
+
+PRUNE_LO, PRUNE_HI = 100_000, 150_000
+
+_ZONEMAP_SQL = f"""
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS file_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(max(o_totalprice) < {PRUNE_LO}
+                OR min(o_totalprice) > {PRUNE_HI} AS INT) AS can_skip,
+           CAST(sum(CASE WHEN o_totalprice BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@op(
+    "zonemap_prune_stats",
+    oracle=_ZONEMAP_SQL,
+    tags=("layout", "scale", "scan", "report"),
+)
+def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-statistics) prune report: per month-partition
+    "file" of orders, the min/max/count statistics a lakehouse format
+    keeps per file, the can-skip verdict for the literal range
+    predicate o_totalprice in [PRUNE_LO, PRUNE_HI], and the actual
+    match count — so the report both PLANS the scan (which files are
+    skipped) and PROVES the skipping sound (a skippable file must have
+    zero matches; the test checks that identity on every row). min/max
+    pass input values through untouched — no arithmetic, no rounding
+    boundary.
+
+    Scale shape: ONE map-side-combined aggregate at the file grain
+    (calendar-bounded output); this is the stats-collection pass a
+    table format runs at write time, and the skip evaluation is
+    per-file constant work. The same predicate pushed to the parquet
+    scan is what `.explain`'s PushedFilters shows — this op makes the
+    effectiveness measurable instead of assumed."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.to_date("o_orderdate"))
+            .cast("date")
+            .alias("file_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (
+                (F.max("o_totalprice") < PRUNE_LO)
+                | (F.min("o_totalprice") > PRUNE_HI)
+            )
+            .cast("int")
+            .alias("can_skip"),
+            F.sum(
+                F.col("o_totalprice").between(PRUNE_LO, PRUNE_HI).cast("long")
+            )
+            .cast("long")
+            .alias("n_match"),
+        )
+    )

@@ -220,6 +220,24 @@ def test_contrastive_triplets_consistent_with_dedup_pairs(spark, sf_dir):
         )
 
 
+def test_zonemap_prune_soundness(spark, sf_dir):
+    """Zone-map identity: a file flagged can_skip has ZERO matches for
+    the range predicate (skipping is sound), match counts are bounded
+    by row counts, min <= max, and the flag is exactly the min/max
+    comparison it claims to be."""
+    from my_polars_ai_spark.operators.extras import PRUNE_HI, PRUNE_LO
+
+    rows = all_ops()["zonemap_prune_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_price <= r.max_price
+        assert 0 <= r.n_match <= r.n_rows
+        expected_skip = int(r.max_price < PRUNE_LO or r.min_price > PRUNE_HI)
+        assert r.can_skip == expected_skip
+        if r.can_skip:
+            assert r.n_match == 0
+
+
 def test_cross_shard_dup_rate_counts_the_dedup_pair_set(spark, sf_dir):
     """The feasibility report must audit exactly the verified pair set
     (n_pairs == dedup_minhash_lsh's row count), bound n_same_shard by
