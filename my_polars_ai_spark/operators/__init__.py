@@ -829,8 +829,8 @@ _PRIORITY_R13 = (
     "join_full_outer",
     "join_left_outer",
     "join_right_outer",
-    "math_funcs",
     # round-10 additions (landed after the window was first staged)
+    "salting_plan",
     "zonemap_prune_stats",
     "cross_shard_dup_rate",
     "contrastive_triplet_mining",

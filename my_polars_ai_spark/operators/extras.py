@@ -3932,3 +3932,69 @@ def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Auto-salting plan: the treatment step between key_skew_profile (the
+# diagnosis) and join_salted_skew (the mechanism). TARGET is the
+# rows-per-key budget a single shuffle task should carry.
+
+SALT_TARGET_ROWS = 256
+
+_SALT_PLAN_SQL = f"""
+    WITH counts AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ), plan AS (
+        SELECT l_suppkey, n,
+               (n + {SALT_TARGET_ROWS} - 1) // {SALT_TARGET_ROWS} AS salt_factor
+        FROM counts
+    )
+    SELECT l_suppkey, n,
+           CAST(salt_factor AS BIGINT) AS salt_factor,
+           CAST((n + salt_factor - 1) // salt_factor AS BIGINT) AS rows_per_salt,
+           CAST(salt_factor > 1 AS INT) AS needs_salt
+    FROM plan
+"""
+
+
+@op(
+    "salting_plan",
+    oracle=_SALT_PLAN_SQL,
+    tags=("profiling", "skew", "scale", "layout"),
+)
+def salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key auto-salting plan: for every join/agg key, the salt
+    factor ceil(n / SALT_TARGET_ROWS) that caps any single salted
+    partition at the per-task row budget, the resulting worst-case
+    rows-per-salt, and the needs-salt bit. This is the table an
+    auto-skew-handling layer computes before rewriting a join as
+    `join_salted_skew` does by hand (and what AQE's runtime skew split
+    derives from shuffle statistics after the fact — planning it from
+    the key histogram moves the decision before the shuffle).
+    ceil-division via exact integer (n + f - 1) // f on both engines —
+    no rounding boundary.
+
+    Scale shape: one map-side-combined count at the KEY grain, then
+    per-row integer arithmetic; output is key-cardinality-sized, and
+    the plan joins back to the fact table by key (broadcast when the
+    hot-key set is small, which is the point of skew)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    f_ = exact_floor_div(
+        F.col("n") + (SALT_TARGET_ROWS - 1), F.lit(SALT_TARGET_ROWS)
+    )
+    plan = counts.select("l_suppkey", "n", f_.cast("long").alias("salt_factor"))
+    return plan.select(
+        "l_suppkey",
+        "n",
+        "salt_factor",
+        exact_floor_div(
+            F.col("n") + F.col("salt_factor") - 1, F.col("salt_factor")
+        )
+        .cast("long")
+        .alias("rows_per_salt"),
+        (F.col("salt_factor") > 1).cast("int").alias("needs_salt"),
+    )

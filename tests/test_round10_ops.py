@@ -220,6 +220,24 @@ def test_contrastive_triplets_consistent_with_dedup_pairs(spark, sf_dir):
         )
 
 
+def test_salting_plan_caps_rows_per_salt(spark, sf_dir):
+    """The plan's whole point: after salting, no partition of any key
+    exceeds the per-task budget; factors are minimal (factor-1 keys
+    are exactly those within budget) and the needs-salt bit matches."""
+    from my_polars_ai_spark.operators.extras import SALT_TARGET_ROWS
+
+    rows = all_ops()["salting_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rows_per_salt <= SALT_TARGET_ROWS
+        assert r.needs_salt == (1 if r.n > SALT_TARGET_ROWS else 0)
+        assert r.salt_factor >= 1
+        if r.salt_factor > 1:
+            # minimality: one fewer salt would blow the budget
+            assert (r.n + r.salt_factor - 2) // (r.salt_factor - 1) \
+                > SALT_TARGET_ROWS
+
+
 def test_zonemap_prune_soundness(spark, sf_dir):
     """Zone-map identity: a file flagged can_skip has ZERO matches for
     the range predicate (skipping is sound), match counts are bounded
