@@ -19,6 +19,13 @@ from __future__ import annotations
 def test_every_lint_warning_is_attributed(spark, sf_dir):
     from tools.lint_all import sweep
 
+    # Lint from a COLD cache, exactly like the tools/lint_all.py CLI:
+    # cache entries left by earlier tests in the shared session replace
+    # plan subtrees with InMemoryTableScan whose size statistics are
+    # unknown, flipping auto-broadcast joins to sort-merge and tripping
+    # warning kinds that never occur in the op's real cold plan (seen
+    # as a suite-order-dependent flake in rounds 9-10).
+    spark.catalog.clearCache()
     clean, warned, errored, unattributed = sweep(spark, sf_dir)
     assert not errored, f"plan build failures: {errored}"
     detail = {
