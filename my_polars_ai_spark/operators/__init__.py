@@ -828,8 +828,8 @@ _PRIORITY_R13 = (
     "join_cross",
     "join_full_outer",
     "join_left_outer",
-    "join_right_outer",
     # round-10 additions (landed after the window was first staged)
+    "holt_linear_daily_revenue",
     "salting_plan",
     "zonemap_prune_stats",
     "cross_shard_dup_rate",

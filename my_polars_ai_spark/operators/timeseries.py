@@ -2795,3 +2795,134 @@ def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "linear_credit_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (alpha = beta = 1/2) over daily revenue,
+# entirely JVM-side: the recursive level/trend recurrence runs as ONE
+# higher-order fold over the calendar-bounded daily array — the
+# all-built-in counterpart of ema_per_user's applyInPandas recursion.
+# Integer cents end to end; each step's level and trend round half-away
+# ONCE, so both engines walk the identical integer sequence.
+
+_HOLT_SQL = """
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT day, cents,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM (
+            SELECT CAST(date_trunc('day', CAST(o_orderdate AS DATE)) AS DATE)
+                       AS day,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                                 AS HUGEINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        )
+    ), walk AS (
+        SELECT day, rn, cents, cents AS level, CAST(0 AS BIGINT) AS trend
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.day, d.rn, d.cents,
+               lv.l AS level,
+               CASE WHEN (lv.l - w.level + w.trend) < 0
+                    THEN -((-(lv.l - w.level + w.trend) + 1) // 2)
+                    ELSE ((lv.l - w.level + w.trend) + 1) // 2 END AS trend
+        FROM walk w
+        JOIN daily d ON d.rn = w.rn + 1,
+        LATERAL (SELECT CASE WHEN (d.cents + w.level + w.trend) < 0
+                      THEN -((-(d.cents + w.level + w.trend) + 1) // 2)
+                      ELSE ((d.cents + w.level + w.trend) + 1) // 2 END AS l) lv
+    )
+    SELECT day, cents, CAST(level AS BIGINT) AS level,
+           CAST(trend AS BIGINT) AS trend,
+           CAST(level + trend AS BIGINT) AS forecast_next
+    FROM walk
+"""
+
+
+def _half_away2(v):
+    """round-half-away-from-zero of v/2 on integer-valued DECIMAL(38,0)
+    columns (exact_floor_div floors correctly for negatives via pmod)."""
+    d38 = "decimal(38,0)"
+    vv = v.cast(d38)
+    return F.when(
+        vv < 0, -exact_floor_div(-vv + 1, F.lit(2))
+    ).otherwise(exact_floor_div(vv + 1, F.lit(2)))
+
+
+@op(
+    "holt_linear_daily_revenue",
+    oracle=_HOLT_SQL,
+    tags=("timeseries", "forecast", "stateful", "fold"),
+)
+def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over daily revenue
+    (alpha = beta = 1/2): per day the smoothed level, trend, and the
+    one-step-ahead forecast level+trend — the classic stateful
+    recurrence l_t = (x_t + l_{t-1} + b_{t-1})/2,
+    b_t = (l_t - l_{t-1} + b_{t-1})/2, every step rounded half-away
+    ONCE to integer cents so the walk is bit-identical across engines
+    (the oracle replays it as a recursive CTE). Unlike `ema_per_user`
+    (applyInPandas recursion through Arrow), this is a pure JVM
+    higher-order fold — F.aggregate over the day-ordered array — so
+    the sequential dependency never leaves Tungsten.
+
+    Scale shape: the fact table reduces map-side to the DAILY grain
+    first; only the calendar-bounded series (thousands of rows at ANY
+    corpus size) is folded, in one bounded single-row aggregate. The
+    same fold per key (partitioned groupBy before collect) is how
+    per-entity smoothing scales out."""
+    o = _t(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = o.groupBy(
+        F.date_trunc("day", F.to_date("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        (
+            F.sum((F.col("o_totalprice").cast("decimal(28,6)") * 100).cast(d38))
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    xs = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("l"),
+        zero.alias("b"),
+        F.lit(0).alias("n"),
+        F.array()
+        .cast(
+            "array<struct<day:date,cents:bigint,level:bigint,trend:bigint>>"
+        )
+        .alias("out"),
+    )
+
+    def step(acc, x):
+        first = acc["n"] == 0
+        l_new = F.when(first, x["cents"]).otherwise(
+            _half_away2(x["cents"] + acc["l"] + acc["b"]).cast("long")
+        )
+        b_new = F.when(first, zero).otherwise(
+            _half_away2(l_new - acc["l"] + acc["b"]).cast("long")
+        )
+        entry = F.struct(
+            x["day"].alias("day"),
+            x["cents"].alias("cents"),
+            l_new.alias("level"),
+            b_new.alias("trend"),
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            (acc["n"] + 1).alias("n"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    folded = xs.select(F.aggregate("xs", init, step).alias("acc"))
+    row = folded.select(F.explode(F.col("acc.out")).alias("r"))
+    return row.select(
+        F.col("r.day").alias("day"),
+        F.col("r.cents").alias("cents"),
+        F.col("r.level").alias("level"),
+        F.col("r.trend").alias("trend"),
+        (F.col("r.level") + F.col("r.trend")).cast("long").alias("forecast_next"),
+    )

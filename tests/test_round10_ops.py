@@ -220,6 +220,32 @@ def test_contrastive_triplets_consistent_with_dedup_pairs(spark, sf_dir):
         )
 
 
+def test_holt_fold_replays_the_recurrence(spark, sf_dir):
+    """The JVM fold must walk exactly the integer Holt recurrence:
+    replay l_t = half_away((x_t + l + b)/2), b_t = half_away((l_t - l
+    + b)/2) in Python over the op's own daily inputs and require
+    bit-identical levels/trends, plus forecast_next == level + trend."""
+
+    def half_away2(v: int) -> int:
+        return -((-v + 1) // 2) if v < 0 else (v + 1) // 2
+
+    rows = sorted(
+        all_ops()["holt_linear_daily_revenue"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) > 100
+    lvl = trd = None
+    for r in rows:
+        if lvl is None:
+            lvl, trd = r.cents, 0
+        else:
+            new_l = half_away2(r.cents + lvl + trd)
+            trd = half_away2(new_l - lvl + trd)
+            lvl = new_l
+        assert (r.level, r.trend) == (lvl, trd), r.day
+        assert r.forecast_next == r.level + r.trend
+
+
 def test_salting_plan_caps_rows_per_salt(spark, sf_dir):
     """The plan's whole point: after salting, no partition of any key
     exceeds the per-task budget; factors are minimal (factor-1 keys
