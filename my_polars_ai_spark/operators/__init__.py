@@ -827,8 +827,8 @@ _PRIORITY_R13 = (
     "join_anti",
     "join_cross",
     "join_full_outer",
-    "join_left_outer",
     # round-10 additions (landed after the window was first staged)
+    "quantile_normalize_lengths",
     "holt_linear_daily_revenue",
     "salting_plan",
     "zonemap_prune_stats",

@@ -5894,3 +5894,114 @@ def source_gram_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization: before mixing corpora, map each
+# source's doc-length distribution onto the POOLED distribution (the
+# batch-effect correction bioinformatics calls quantile normalization).
+# Everything runs on value HISTOGRAMS — the doc-length domain is
+# bounded, so no corpus-sized sort or window ever happens — and the
+# quantile match is an exact integer cross-multiplication.
+
+_QNORM_SQL = """
+    WITH src AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), src_cdf AS (
+        SELECT source, v, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS n_s
+        FROM src
+    ), pool AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT n_chars AS v FROM documents
+        ) GROUP BY 1
+    ), pool_cdf AS (
+        SELECT v AS pv,
+               sum(cnt) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pcum,
+               sum(cnt) OVER () AS n
+        FROM pool
+    )
+    SELECT s.source, CAST(s.v AS BIGINT) AS n_chars,
+           CAST(s.cnt AS BIGINT) AS n_docs,
+           CAST((2*1000000*CAST(s.cum AS HUGEINT) + s.n_s)
+                // (2*CAST(s.n_s AS HUGEINT)) AS DOUBLE) / 1000000 AS cdf,
+           CAST(min(p.pv) AS BIGINT) AS normalized_chars
+    FROM src_cdf s
+    JOIN pool_cdf p
+      ON CAST(p.pcum AS HUGEINT) * s.n_s >= CAST(s.cum AS HUGEINT) * p.n
+    GROUP BY s.source, s.v, s.cnt, s.cum, s.n_s
+"""
+
+
+@op(
+    "quantile_normalize_lengths",
+    oracle=_QNORM_SQL,
+    tags=("text", "curation", "stats", "pipeline"),
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize each source's doc-length distribution onto
+    the pooled corpus distribution: for every (source, n_chars) value,
+    its within-source CDF and the smallest pooled value whose pooled
+    CDF reaches it — the exact integer quantile match
+    pool_cum * n_s >= src_cum * N (cross-multiplied, no division, no
+    rounding boundary; the reported cdf column rounds once at 1e-6 for
+    display). Mixing pipelines apply this before length-balanced
+    sampling so one verbose domain doesn't drag the mixture's length
+    profile.
+
+    Scale shape: both CDFs live on the VALUE-DOMAIN histograms
+    (bounded distinct lengths, corpus-independent) built by one
+    map-side-combined count each; the quantile match is a non-equi
+    join between the two bounded histograms, never touching doc rows;
+    windows run per-source over the bounded value grid."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    src_cdf = src.select(
+        "source",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_s"),
+    )
+    pool = d.groupBy(F.col("n_chars").alias("pv")).agg(
+        F.count(F.lit(1)).cast("long").alias("pcnt")
+    )
+    pw_cum = Window.orderBy("pv").rowsBetween(Window.unboundedPreceding, 0)
+    pool_cdf = pool.select(
+        "pv",
+        F.sum("pcnt").over(pw_cum).alias("pcum"),
+        F.sum("pcnt").over(
+            Window.orderBy("pv").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    joined = src_cdf.join(
+        F.broadcast(pool_cdf),
+        pool_cdf["pcum"].cast(d38) * src_cdf["n_s"]
+        >= src_cdf["cum"].cast(d38) * pool_cdf["n"],
+    )
+    return joined.groupBy("source", "v", "cnt", "cum", "n_s").agg(
+        F.min("pv").cast("long").alias("normalized_chars")
+    ).select(
+        "source",
+        F.col("v").cast("long").alias("n_chars"),
+        F.col("cnt").alias("n_docs"),
+        ratio_round(F.col("cum"), F.col("n_s")).alias("cdf"),
+        "normalized_chars",
+    )

@@ -66,6 +66,9 @@ _BNLJ_SCALAR_OPS = (
     # r10: 1-row corpus-total / global-distribution / min-and-sum
     # broadcasts rejoined onto bounded domain/QI grids
     "domain_excess_loss_weights", "t_closeness_audit",
+    # r10: the non-equi quantile match joins the two VALUE-DOMAIN
+    # histograms (bounded distinct lengths), never doc rows
+    "quantile_normalize_lengths",
     "isotonic_calibration_pav", "js_divergence_sources", "key_skew_profile",
     "kneser_ney_bigram_score", "ks_test_priority_totals",
     "lang_sampling_temperature", "loo_nation_mean_influence",
@@ -114,6 +117,9 @@ _WIN_HIST_OPS = (
     "zipf_fit", "token_coverage_curve", "vocab_growth_curve",
     # r10: rank window over the vocabulary census (corpus-independent)
     "token_gini_concentration",
+    # r10: pooled-CDF window over the value-domain histogram (bounded
+    # distinct lengths)
+    "quantile_normalize_lengths",
     "poisson_bootstrap_ci", "conformal_daily_interval",
 )
 _WIN_CAL_OPS = (

@@ -220,6 +220,29 @@ def test_contrastive_triplets_consistent_with_dedup_pairs(spark, sf_dir):
         )
 
 
+def test_quantile_normalize_is_monotone_and_idempotent_on_pool(spark, sf_dir):
+    """Quantile-map geometry: within a source the mapping is monotone
+    nondecreasing in the input value, CDFs are in (0, 1], every
+    normalized value exists in the pooled value domain, and the
+    TOP value of each source maps to the pooled maximum (cdf 1 matches
+    the pooled total exactly)."""
+    rows = all_ops()["quantile_normalize_lengths"].fn(spark, sf_dir).collect()
+    assert rows
+    pool_values = {r.n_chars for r in rows}
+    pool_max = max(pool_values)
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert 0 < r.cdf <= 1
+        assert r.normalized_chars in pool_values
+        by_src.setdefault(r.source, []).append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.n_chars)
+        for a, b in zip(rs, rs[1:]):
+            assert a.normalized_chars <= b.normalized_chars
+        assert rs[-1].cdf == 1.0
+        assert rs[-1].normalized_chars == pool_max
+
+
 def test_holt_fold_replays_the_recurrence(spark, sf_dir):
     """The JVM fold must walk exactly the integer Holt recurrence:
     replay l_t = half_away((x_t + l + b)/2), b_t = half_away((l_t - l
