@@ -838,9 +838,9 @@ _PRIORITY_R13 = (
     "audio_vad_segments",
 )
 
-# Round 10: the staged flip, executed (round-11 window already staged
-# above so next round is a one-liner too).
-_PRIORITY = _PRIORITY_R10
+# Round 11: the staged flip, executed (round-12/13 windows already
+# staged above so the next two rounds are one-liners too).
+_PRIORITY = _PRIORITY_R11
 
 
 def all_ops() -> dict[str, Op]:
