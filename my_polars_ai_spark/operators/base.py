@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 ROUND_MONEY = 2  # currency-scale sums (values up to ~1e10)
 ROUND_RATIO = 6  # averages, ratios, correlations, cosines
 
+# Rendezvous (highest-random-weight) shard count, shared by
+# extras.rendezvous_shard_plan and dedup.cross_shard_dup_rate. Lives
+# here (not in extras) so dedup can interpolate it into its oracle SQL
+# at module scope without an extras->dedup import cycle — the Spark
+# plan and the DuckDB oracle must derive from the SAME constant or a
+# change would silently diverge the two.
+RDZV_SHARDS = 8
+
 
 def exact_floor_div(num, den):
     """Exact integer floor-division of two non-negative integer-valued

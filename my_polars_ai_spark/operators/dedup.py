@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
+    RDZV_SHARDS,
     ROUND_RATIO,
     Op,
     exact_floor_div,
@@ -190,9 +191,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared by the dedup_minhash_lsh oracle and the clustering oracle (which
-# embeds the whole pair query as a derived table inside a recursive CTE).
-_MINHASH_PAIRS_SQL = f"""
+# The common MinHash/LSH candidate pipeline (tokens -> permutation
+# minima -> band signatures -> band-collision candidates -> size-ratio
+# prefilter -> exact-intersection counts), shared as ONE fragment so
+# every oracle that consumes the candidate structure
+# (_MINHASH_PAIRS_SQL below and _TRIPLET_SQL, which also needs the
+# verify stage's REJECTS) stays in lockstep with any future change to
+# the pipeline — they differ only in their final SELECTs.
+_MINHASH_CAND_CTES = f"""
     WITH toks AS (
         SELECT DISTINCT doc_id, tok FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -232,7 +238,12 @@ _MINHASH_PAIRS_SQL = f"""
         JOIN toks ta ON ta.doc_id = p.doc_a
         JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
         GROUP BY 1, 2, 3, 4
-    )
+    )"""
+
+# Shared by the dedup_minhash_lsh oracle and the clustering oracle (which
+# embeds the whole pair query as a derived table inside a recursive CTE).
+_MINHASH_PAIRS_SQL = f"""
+    {_MINHASH_CAND_CTES}
     SELECT doc_a, doc_b,
            round(ni * 1.0 / (na + nb - ni), {ROUND_RATIO}) AS jaccard
     FROM inter
@@ -2099,44 +2110,7 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIPLET_NEG_K = 3
 
 _TRIPLET_SQL = f"""
-    WITH toks AS (
-        SELECT DISTINCT doc_id, tok FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents
-        ) WHERE tok <> ''
-    ), perms AS (
-        SELECT unnest(range({N_PERMS})) AS i
-    ), hashes AS (
-        SELECT doc_id, i,
-               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))::BIGINT AS h
-        FROM toks CROSS JOIN perms
-    ), sig AS (
-        SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i
-    ), bands AS (
-        SELECT doc_id, i // {N_PERMS // N_BANDS} AS band,
-               md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_sig
-        FROM sig GROUP BY doc_id, i // {N_PERMS // N_BANDS}
-    ), cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-                     AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ), sizes AS (
-        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
-    ), pre AS (
-        SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
-        FROM cand c
-        JOIN sizes sa ON sa.doc_id = c.doc_a
-        JOIN sizes sb ON sb.doc_id = c.doc_b
-        WHERE least(sa.n, sb.n) >= {MINHASH_THRESHOLD} * greatest(sa.n, sb.n)
-    ), inter AS (
-        SELECT p.doc_a, p.doc_b, p.na, p.nb, count(*) AS ni
-        FROM pre p
-        JOIN toks ta ON ta.doc_id = p.doc_a
-        JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
-        GROUP BY 1, 2, 3, 4
-    ), scored AS (
+    {_MINHASH_CAND_CTES}, scored AS (
         SELECT doc_a, doc_b,
                round(ni * 1.0 / (na + nb - ni), {ROUND_RATIO}) AS jaccard,
                CASE WHEN ni * 1.0 / (na + nb - ni) >= {MINHASH_THRESHOLD}
@@ -2248,7 +2222,7 @@ _XSHARD_SQL = f"""
                list_indexof(hv, list_max(hv)) - 1 AS shard
         FROM (
             SELECT doc_id,
-                   list_transform(range(0, 8), s ->
+                   list_transform(range(0, {RDZV_SHARDS}), s ->
                        ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT
                    ) AS hv
             FROM documents
@@ -2262,7 +2236,7 @@ _XSHARD_SQL = f"""
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(same) AS BIGINT) AS n_same_shard,
            {oracle_ratio_round("sum(same)", "count(*)")} AS same_shard_frac,
-           {oracle_ratio_round("1", "8")} AS expected_same_frac
+           {oracle_ratio_round("1", str(RDZV_SHARDS))} AS expected_same_frac
     FROM j
 """
 
@@ -2286,8 +2260,6 @@ def cross_shard_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: reuses the banded pair pipeline verbatim, adds one
     per-doc bounded-array shard assignment (zero shuffle) and two
     doc-keyed joins from the pair set, then a 1-row aggregate."""
-    from my_polars_ai_spark.operators.extras import RDZV_SHARDS
-
     pairs = minhash_lsh_pairs(spark, sf_dir)
     hv = F.transform(
         F.sequence(F.lit(0), F.lit(RDZV_SHARDS - 1)),

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
+    RDZV_SHARDS,
     ROUND_RATIO,
     Op,
     exact_floor_div,
@@ -3612,9 +3613,9 @@ def price_endings_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rendezvous sharding: current shard count and the expanded count whose
-# rebalance delta the plan reports.
-RDZV_SHARDS = 8
+# Rendezvous sharding: RDZV_SHARDS (defined in base.py, shared with
+# dedup.cross_shard_dup_rate) is the current shard count; the plan
+# reports the rebalance delta to RDZV_SHARDS + 1.
 
 _RDZV_SQL = f"""
     WITH h AS (
