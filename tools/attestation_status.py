@@ -23,6 +23,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Ledger rows whose op name no longer exists in the registry, with the
+# reason. These are EXPLAINED residue — the driver row happened, the op
+# was renamed/superseded afterwards — not defects; the ledger counts
+# them but never flags them, so audits stop re-deriving why the
+# cumulative attested count exceeds the green-name count.
+RETIRED: dict[str, str] = {
+    "multimodal_decode_stub": (
+        "r2 placeholder superseded by multimodal_decode; name retired"
+    ),
+}
+
+
 def main() -> int:
     import my_polars_ai_spark.operators as reg
     from my_polars_ai_spark.operators import all_ops
@@ -61,8 +73,12 @@ def main() -> int:
     print(f"registry ops:            {len(ops)}")
     print(f"driver-attested (cum.):  {len(attested)}  ({greens} green on last row)")
     renamed = sorted(set(attested) - set(ops))
-    if renamed:
-        print(f"  attested under since-renamed/retired names: {renamed}")
+    for n in renamed:
+        if n in RETIRED:
+            print(f"  retired name (explained): {n} — {RETIRED[n]}")
+    unexplained = [n for n in renamed if n not in RETIRED]
+    if unexplained:
+        print(f"  UNEXPLAINED attested-but-unregistered names: {unexplained}")
     reds = sorted(n for n, ok in attested.items() if not ok and n in ops)
     if reds:
         # NOTE: rows-only sketches attested before they gained oracles
