@@ -2206,6 +2206,86 @@ def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIPLET_MANIFEST_SQL = f"""
+    WITH trip AS (
+        SELECT * FROM ({_TRIPLET_SQL})
+    ), packed AS (
+        SELECT anchor_id, pos_id, pos_jaccard,
+               CAST(count(*) AS INTEGER) AS n_negs,
+               string_agg(neg_id::VARCHAR, ',' ORDER BY neg_rank) AS neg_ids,
+               max(neg_jaccard) AS max_neg_jaccard
+        FROM trip
+        GROUP BY 1, 2, 3
+    )
+    SELECT anchor_id, pos_id, pos_jaccard, n_negs, neg_ids,
+           round(pos_jaccard - max_neg_jaccard, {ROUND_RATIO}) AS margin,
+           CAST(('0x' || substr(md5('trip:' || anchor_id::VARCHAR), 1, 15))::BIGINT
+                % {RDZV_SHARDS} AS INTEGER) AS shard,
+           md5(anchor_id::VARCHAR || '|' || pos_id::VARCHAR || '|' || neg_ids)
+               AS record_md5
+    FROM packed
+"""
+
+
+@op(
+    "triplet_export_manifest",
+    oracle=_TRIPLET_MANIFEST_SQL,
+    tags=("dedup", "similarity", "pipeline", "curation", "manifest"),
+)
+def triplet_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export ACTION for `contrastive_triplet_mining` — the packed
+    one-row-per-anchor training record a contrastive-training loader
+    actually reads (the same detect -> audit -> ship ladder
+    `decontaminated_manifest` closes for decontamination): the anchor,
+    its positive, the rank-ordered hard-negative id list, the
+    contrastive margin (pos Jaccard minus the hardest negative's —
+    the per-record difficulty a curriculum sampler keys on), a
+    deterministic export shard so a 1000-executor writer knows which
+    output file owns the record, and an md5 record checksum the
+    loader can verify after transport.
+
+    Scale shape: one group-by over the triplet table (per-anchor rows
+    bounded by TRIPLET_NEG_K, so collect_list is bounded); the shard
+    and checksum are narrow per-row expressions. Nothing new shuffles
+    beyond the miner's own cost."""
+    trips = contrastive_triplet_mining(spark, sf_dir)
+    packed = trips.groupBy("anchor_id", "pos_id", "pos_jaccard").agg(
+        F.count(F.lit(1)).cast("int").alias("n_negs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("neg_rank", "neg_id"))),
+                lambda s: s.getField("neg_id").cast("string"),
+            ),
+            ",",
+        ).alias("neg_ids"),
+        F.max("neg_jaccard").alias("max_neg_jaccard"),
+    )
+    return packed.select(
+        "anchor_id",
+        "pos_id",
+        "pos_jaccard",
+        "n_negs",
+        "neg_ids",
+        F.round(F.col("pos_jaccard") - F.col("max_neg_jaccard"), ROUND_RATIO).alias(
+            "margin"
+        ),
+        (
+            portable_hash60(F.concat(F.lit("trip:"), F.col("anchor_id").cast("string")))
+            % RDZV_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("anchor_id").cast("string"),
+                F.col("pos_id").cast("string"),
+                F.col("neg_ids"),
+            )
+        ).alias("record_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-shard duplicate rate: CAN corpus dedup run shard-locally? Under
 # content-blind (rendezvous-by-doc-id) sharding the answer is provably

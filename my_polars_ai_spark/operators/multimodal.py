@@ -333,9 +333,11 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 VAD_SUMSQ = 22_900_000_000
 
 
-@op(
-    "audio_vad_segments",
-    oracle=f"""
+# The VAD segmentation CTE prefix (md5-derived PCM samples -> per-frame
+# energies -> voiced-frame islands -> per-island segment aggregates),
+# shared by the segments oracle and the chunker oracle below so the two
+# can't drift — they differ only past `seg`.
+_VAD_SEG_CTES = f"""
     WITH s AS (
         SELECT d.doc_id, i.i,
                (('0x' || substr(md5('pcm:' || CAST(d.doc_id AS VARCHAR) || ':' || i.i), 1, 15))::BIGINT
@@ -358,7 +360,13 @@ VAD_SUMSQ = 22_900_000_000
                CAST(count(*) AS BIGINT) AS n_frames,
                CAST(sum(sum_sq) AS BIGINT) AS energy
         FROM v GROUP BY 1, 2
-    )
+    )"""
+
+
+@op(
+    "audio_vad_segments",
+    oracle=f"""
+    {_VAD_SEG_CTES}
     SELECT doc_id,
            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
                 AS INTEGER) AS seg_idx,
@@ -405,6 +413,92 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_frame").cast("int").alias("end_frame"),
         "n_frames",
         "energy",
+    )
+
+
+# ASR-style chunking budget: voiced segments longer than this many
+# frames are split so no chunk exceeds the model's context window.
+VAD_CHUNK_FRAMES = 2
+
+
+@op(
+    "audio_vad_chunks",
+    oracle=f"""
+    {_VAD_SEG_CTES}, segn AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+                    AS INTEGER) AS seg_idx,
+               start_frame, end_frame, n_frames
+        FROM seg
+    ), ch AS (
+        SELECT doc_id, seg_idx, start_frame, end_frame,
+               CAST(unnest(range(0, CAST(ceil(n_frames / {VAD_CHUNK_FRAMES}.0)
+                                         AS BIGINT))) AS INTEGER) AS chunk_idx
+        FROM segn
+    ), cb AS (
+        SELECT doc_id, seg_idx, chunk_idx,
+               CAST(start_frame + chunk_idx * {VAD_CHUNK_FRAMES} AS INTEGER)
+                   AS chunk_start,
+               CAST(least(end_frame,
+                          start_frame + chunk_idx * {VAD_CHUNK_FRAMES}
+                              + {VAD_CHUNK_FRAMES - 1}) AS INTEGER) AS chunk_end
+        FROM ch
+    )
+    SELECT c.doc_id, c.seg_idx, c.chunk_idx, c.chunk_start, c.chunk_end,
+           CAST(count(*) AS INTEGER) AS n_frames,
+           CAST(sum(f.sum_sq) AS BIGINT) AS energy
+    FROM cb c
+    JOIN f ON f.doc_id = c.doc_id
+          AND f.frame_idx BETWEEN c.chunk_start AND c.chunk_end
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    tags=("multimodal", "udf", "audio", "window", "pipeline"),
+)
+def audio_vad_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split `audio_vad_segments`'s voiced spans into fixed-budget
+    chunks of at most VAD_CHUNK_FRAMES frames — the consumer that turns
+    VAD segments into the bounded windows an ASR/caption model actually
+    ingests (the audio analog of `pack_windows_concat`'s token
+    packing): every chunk carries its frame bounds and EXACT energy
+    (re-joined from the per-frame features, not prorated), so a
+    downstream batcher can pack chunks by energy or length without
+    re-decoding.
+
+    Scale shape: the chunk explode fans out per SEGMENT (bounded by
+    clip length over the chunk budget, never corpus size); the energy
+    re-join is doc-keyed with per-doc frame counts bounded by clip
+    length, and the final aggregate is keyed on (doc, seg, chunk).
+    Composes the same memoized decode stages as the segment op."""
+    segs = audio_vad_segments(spark, sf_dir)
+    n_chunks = F.ceil(F.col("n_frames") / F.lit(float(VAD_CHUNK_FRAMES))).cast("int")
+    chunks = segs.select(
+        "doc_id",
+        "seg_idx",
+        "start_frame",
+        "end_frame",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    c_start = F.col("start_frame") + F.col("chunk_idx") * VAD_CHUNK_FRAMES
+    c_end = F.least(F.col("end_frame"), c_start + VAD_CHUNK_FRAMES - 1)
+    bounds = chunks.select(
+        "doc_id",
+        "seg_idx",
+        "chunk_idx",
+        c_start.cast("int").alias("chunk_start"),
+        c_end.cast("int").alias("chunk_end"),
+    )
+    feats = audio_frame_features(spark, sf_dir).select("doc_id", "frame_idx", "sum_sq")
+    return (
+        bounds.join(feats, "doc_id")
+        .filter(
+            (F.col("frame_idx") >= F.col("chunk_start"))
+            & (F.col("frame_idx") <= F.col("chunk_end"))
+        )
+        .groupBy("doc_id", "seg_idx", "chunk_idx", "chunk_start", "chunk_end")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("sum_sq").cast("long").alias("energy"),
+        )
     )
 
 

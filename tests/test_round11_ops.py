@@ -1,0 +1,77 @@
+"""Round-11 additions: the triplet export manifest (the packed
+training record a contrastive loader reads) and the VAD chunker (the
+bounded ASR windows cut from voiced segments)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from my_polars_ai_spark.operators import all_ops
+
+
+def test_triplet_export_manifest_packs_the_miner_output(spark, sf_dir):
+    """Manifest geometry: exactly one record per anchor; the negative
+    id list is the miner's negatives comma-joined in rank order;
+    n_negs, the margin (pos Jaccard minus the hardest negative's), the
+    shard range, and the md5 record checksum are all consistent with
+    the triplet table the manifest packs."""
+    from my_polars_ai_spark.operators.base import RDZV_SHARDS
+
+    ops = all_ops()
+    trips = ops["contrastive_triplet_mining"].fn(spark, sf_dir).collect()
+    manifest = ops["triplet_export_manifest"].fn(spark, sf_dir).collect()
+    assert manifest, "sf0.001 corpus must yield at least one record"
+
+    by_anchor: dict[int, list] = {}
+    for t in trips:
+        by_anchor.setdefault(t.anchor_id, []).append(t)
+    assert len(manifest) == len(by_anchor)  # one packed record per anchor
+
+    for m in manifest:
+        ts = sorted(by_anchor[m.anchor_id], key=lambda t: t.neg_rank)
+        assert m.pos_id == ts[0].pos_id
+        assert m.pos_jaccard == ts[0].pos_jaccard
+        assert m.n_negs == len(ts)
+        expect_ids = ",".join(str(t.neg_id) for t in ts)
+        assert m.neg_ids == expect_ids
+        # rank 1 is the hardest negative, so the margin uses ts[0]
+        assert m.margin == round(m.pos_jaccard - ts[0].neg_jaccard, 6)
+        assert 0 <= m.shard < RDZV_SHARDS
+        canonical = f"{m.anchor_id}|{m.pos_id}|{expect_ids}"
+        assert m.record_md5 == hashlib.md5(canonical.encode()).hexdigest()
+
+
+def test_audio_vad_chunks_tile_the_segments_exactly(spark, sf_dir):
+    """Chunk geometry: per (doc, segment) the chunk indices are dense
+    from 0, chunks tile the segment's frame range in order without
+    overlap, no chunk exceeds the VAD_CHUNK_FRAMES budget, and the
+    chunk frame counts and EXACT energies sum back to the segment's —
+    nothing is prorated or dropped at the split."""
+    from my_polars_ai_spark.operators.multimodal import VAD_CHUNK_FRAMES
+
+    ops = all_ops()
+    segs = {
+        (s.doc_id, s.seg_idx): s
+        for s in ops["audio_vad_segments"].fn(spark, sf_dir).collect()
+    }
+    chunks = ops["audio_vad_chunks"].fn(spark, sf_dir).collect()
+    assert chunks
+
+    by_seg: dict[tuple, list] = {}
+    for c in chunks:
+        by_seg.setdefault((c.doc_id, c.seg_idx), []).append(c)
+    assert set(by_seg) == set(segs)  # every segment chunked, none invented
+
+    for key, cs in by_seg.items():
+        seg = segs[key]
+        cs.sort(key=lambda c: c.chunk_idx)
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        assert cs[0].chunk_start == seg.start_frame
+        assert cs[-1].chunk_end == seg.end_frame
+        for a, b in zip(cs, cs[1:]):
+            assert b.chunk_start == a.chunk_end + 1  # ordered, gap-free
+        for c in cs:
+            assert 1 <= c.n_frames <= VAD_CHUNK_FRAMES
+            assert c.n_frames == c.chunk_end - c.chunk_start + 1
+        assert sum(c.n_frames for c in cs) == seg.n_frames
+        assert sum(c.energy for c in cs) == seg.energy
