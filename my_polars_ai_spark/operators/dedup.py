@@ -287,7 +287,53 @@ def minhash_lsh_pairs(
     group-by either way) and on very self-similar corpora k=2 trades a
     little recall (P = sum_{i>=k} C(b,i) p^i (1-p)^(b-i), p = j^r) for a
     much smaller verify fan-in. The default k=1 is classic LSH.
+
+    The size-prefiltered candidate frame (``paired``) is memoized per
+    (session, sf_dir, params): its cached band and token-array
+    subtrees ARE the pipeline's cost, and every consumer in a
+    long-lived session (the dedup canary, the triplet miner and its
+    export manifest, the cross-shard report, the cluster ops) must
+    resolve the SAME cache entries — a fresh call would .cache()
+    brand-new lineage objects whose fills are never reused (the same
+    re-pay-per-call artifact the GD trainer had, classic_ml._qgd_xy).
     """
+    key = (spark, sf_dir, n_perms, n_bands, threshold, min_band_matches)
+    paired = _LSH_PAIRED.get(key)
+    if paired is None:
+        paired = _build_lsh_paired(
+            spark, sf_dir, n_perms, n_bands, threshold, min_band_matches
+        )
+        _LSH_PAIRED[key] = paired
+    ni = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = ni / (F.col("na") + F.col("nb") - ni)
+    if with_verdict:
+        # every size-prefiltered candidate, with the verify verdict
+        # instead of the filter — the hard-negative miner's input
+        return paired.select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, ROUND_RATIO).alias("jaccard"),
+            (jac >= threshold).cast("int").alias("is_dup"),
+        )
+    return paired.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, ROUND_RATIO).alias("jaccard")
+    )
+
+
+_LSH_PAIRED: dict = {}
+
+
+def _build_lsh_paired(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int,
+    n_bands: int,
+    threshold: float,
+    min_band_matches: int,
+) -> DataFrame:
+    """The LSH pipeline through the verify join's input (candidates
+    with both token arrays attached) — see minhash_lsh_pairs, which
+    memoizes this frame and applies the verdict/filter tail."""
     toks = _doc_tokens(spark, sf_dir)
     rows_per_band = n_perms // n_bands
     # Hash each DISTINCT token once per permutation, as n_perms WIDE
@@ -383,22 +429,7 @@ def minhash_lsh_pairs(
     # At 100 TB the token-array table is doc-count-sized, not corpus-sized.
     arr_a = tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     arr_b = tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    paired = pre.join(arr_a, "doc_a").join(arr_b, "doc_b")
-    ni = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = ni / (F.col("na") + F.col("nb") - ni)
-    if with_verdict:
-        # every size-prefiltered candidate, with the verify verdict
-        # instead of the filter — the hard-negative miner's input
-        return paired.select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, ROUND_RATIO).alias("jaccard"),
-            (jac >= threshold).cast("int").alias("is_dup"),
-        )
-    return (
-        paired.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, ROUND_RATIO).alias("jaccard"))
-    )
+    return pre.join(arr_a, "doc_a").join(arr_b, "doc_b")
 
 
 _SIMHASH_SQL = """
