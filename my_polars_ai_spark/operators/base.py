@@ -102,6 +102,27 @@ def make_registrar(ops: dict[str, Op]):
     return op
 
 
+def rearm_cached(frames: "tuple[DataFrame, ...]") -> None:
+    """Re-register the ``.cache()`` marks on memoized DataFrames.
+
+    Session-memoized pipelines (``dedup._LSH_PAIRED``,
+    ``classic_ml._QGD_XY``) hand out the SAME DataFrame objects across
+    calls so their cache fills are shared. But an external
+    ``spark.catalog.clearCache()`` (bench.py's isolated re-measure, a
+    user resetting the session) unregisters the plans from the
+    CacheManager WITHOUT the memo knowing — after that, every execution
+    of the memoized frame silently recomputes its full lineage (the LSH
+    diamond re-executes the signature subtree once per self-join side:
+    measured 12.7s vs 1.1s at sf0.1). Calling this on every memo hit
+    makes the memo self-healing: ``df.storageLevel`` is a pure
+    CacheManager lookup (no job), and re-``cache()`` re-registers the
+    identical plan so the next action refills it once."""
+    for f in frames:
+        lvl = f.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            f.cache()
+
+
 def signed_ratio_round(num, den, scale: int = ROUND_RATIO):
     """Sign-split :func:`ratio_round`: exact half-away-from-zero rounding
     of ``num/den`` at ``scale`` for integer-valued DECIMAL columns where

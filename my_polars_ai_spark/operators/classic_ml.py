@@ -29,6 +29,7 @@ from my_polars_ai_spark.operators.base import (
     oracle_ratio_round,
     oracle_signed_ratio_round,
     ratio_round,
+    rearm_cached,
     signed_ratio_round,
 )
 from my_polars_ai_spark.operators.text import _EN_MARKERS, _MARKERS_SQL
@@ -2537,19 +2538,35 @@ def _qgd_xy(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
 
     key = (spark, sf_dir)
     if key in _QGD_XY:
+        # self-heal after an external clearCache(): re-register the
+        # cache marks so the next action refills them once instead of
+        # re-splitting the corpus per GD step forever after
+        rearm_cached(_QGD_XY[key])
         return _QGD_XY[key]
     d = _t(spark, sf_dir, "documents")
     ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
-    y = base.select(
-        "doc_id",
-        F.when(
-            F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS))) >= 2,
-            QGD_MICRO,
+    # Both tables are cached PRE-PARTITIONED on doc_id: every consumer
+    # aggregates or joins them on doc_id (z's groupBy, z⋈y, x⋈r, the
+    # scoring pass), and cached data keeps its outputPartitioning — so
+    # each of the 3 unrolled GD steps runs exchange-free except its
+    # 32-row gradient shuffle, instead of re-shuffling the corpus-grain
+    # x once per step. The one-time repartition costs a single shuffle
+    # at fill; all downstream math is integer micro-units, so the
+    # changed aggregation order cannot move a bit.
+    y = (
+        base.select(
+            "doc_id",
+            F.when(
+                F.size(F.filter("ts", lambda x: x.isin(*_EN_MARKERS))) >= 2,
+                QGD_MICRO,
+            )
+            .otherwise(0)
+            .alias("y_micro"),
         )
-        .otherwise(0)
-        .alias("y_micro"),
-    ).cache()
+        .repartition("doc_id")
+        .cache()
+    )
     x = (
         base.select("doc_id", F.explode("ts").alias("tok"))
         .select(
@@ -2560,6 +2577,7 @@ def _qgd_xy(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
         )
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .repartition("doc_id")
         .cache()
     )
     _QGD_XY[key] = (x, y)
@@ -2582,6 +2600,9 @@ def qgd_train_artifacts(
 
     key = (spark, sf_dir)
     if key in _QGD_ARTIFACTS:
+        # route through _qgd_xy so its rearm_cached self-heal runs even
+        # on an artifact-memo hit (w derives from the cached x/y)
+        _qgd_xy(spark, sf_dir)
         return _QGD_ARTIFACTS[key]
 
     x, y = _qgd_xy(spark, sf_dir)

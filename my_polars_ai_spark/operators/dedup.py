@@ -27,6 +27,7 @@ from my_polars_ai_spark.operators.base import (
     oracle_ratio_round,
     oracle_signed_ratio_round,
     ratio_round,
+    rearm_cached,
     signed_ratio_round,
 )
 from my_polars_ai_spark.sources.tables import load_table as _t
@@ -296,14 +297,20 @@ def minhash_lsh_pairs(
     resolve the SAME cache entries — a fresh call would .cache()
     brand-new lineage objects whose fills are never reused (the same
     re-pay-per-call artifact the GD trainer had, classic_ml._qgd_xy).
+    rearm_cached makes the memo survive an external clearCache() —
+    without it the LSH diamond recomputes its signature subtree per
+    self-join side forever after (measured 12.7s vs 1.1s at sf0.1
+    under bench.py's clearCache-then-warm isolated pass).
     """
     key = (spark, sf_dir, n_perms, n_bands, threshold, min_band_matches)
-    paired = _LSH_PAIRED.get(key)
-    if paired is None:
-        paired = _build_lsh_paired(
+    entry = _LSH_PAIRED.get(key)
+    if entry is None:
+        entry = _build_lsh_paired(
             spark, sf_dir, n_perms, n_bands, threshold, min_band_matches
         )
-        _LSH_PAIRED[key] = paired
+        _LSH_PAIRED[key] = entry
+    paired, cached_subtrees = entry
+    rearm_cached(cached_subtrees)
     ni = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = ni / (F.col("na") + F.col("nb") - ni)
     if with_verdict:
@@ -330,10 +337,12 @@ def _build_lsh_paired(
     n_bands: int,
     threshold: float,
     min_band_matches: int,
-) -> DataFrame:
+) -> "tuple[DataFrame, tuple[DataFrame, ...]]":
     """The LSH pipeline through the verify join's input (candidates
-    with both token arrays attached) — see minhash_lsh_pairs, which
-    memoizes this frame and applies the verdict/filter tail."""
+    with both token arrays attached), plus its two cached subtrees
+    (bands, token arrays) so the memo can rearm them after an external
+    clearCache() — see minhash_lsh_pairs, which memoizes this pair and
+    applies the verdict/filter tail."""
     toks = _doc_tokens(spark, sf_dir)
     rows_per_band = n_perms // n_bands
     # Hash each DISTINCT token once per permutation, as n_perms WIDE
@@ -429,7 +438,7 @@ def _build_lsh_paired(
     # At 100 TB the token-array table is doc-count-sized, not corpus-sized.
     arr_a = tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     arr_b = tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    return pre.join(arr_a, "doc_a").join(arr_b, "doc_b")
+    return pre.join(arr_a, "doc_a").join(arr_b, "doc_b"), (bands, tok_arrays)
 
 
 _SIMHASH_SQL = """
