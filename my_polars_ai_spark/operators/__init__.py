@@ -824,12 +824,13 @@ _PRIORITY_R13 = (
     "filtered_count",
     "histogram_bins",
     "intersect_keys",
-    "join_anti",
-    # round-11 additions (displace two r1 freshness re-attests —
-    # join_cross/join_full_outer stay covered by pytest and the local
-    # sweep; first driver rows take precedence over re-attests)
+    # round-11 additions (displace three r1 freshness re-attests —
+    # join_anti/join_cross/join_full_outer stay covered by pytest and
+    # the local sweep; first driver rows take precedence over
+    # re-attests)
     "triplet_export_manifest",
     "audio_vad_chunks",
+    "doremi_sampling_manifest",
     # round-10 additions (landed after the window was first staged)
     "quantile_normalize_lengths",
     "holt_linear_daily_revenue",

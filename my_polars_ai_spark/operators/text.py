@@ -5694,7 +5694,12 @@ def token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production reweighting job runs between corpus scoring and manifest
 # emission.
 
-_DOMAIN_EXCESS_SQL = f"""
+# Shared CTE prefix (through the per-source excess table `e` and its
+# 1-row total `t`): _DOMAIN_EXCESS_SQL and _DOREMI_MANIFEST_SQL both
+# build on it, so a change to the NLL scoring or the excess definition
+# moves the weights op and its sampling consumer together (the same
+# shared-prefix discipline as dedup's _MINHASH_CTES).
+_DOMAIN_EXCESS_CTES = f"""
     WITH toks AS (
         SELECT source, tok
         FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -5723,7 +5728,10 @@ _DOMAIN_EXCESS_SQL = f"""
         FROM per_src CROSS JOIN m
     ), t AS (
         SELECT sum(excess_micro) AS tot FROM e
-    )
+    )"""
+
+_DOMAIN_EXCESS_SQL = f"""
+    {_DOMAIN_EXCESS_CTES}
     SELECT source, n_tokens, avg_nll_micro, excess_micro,
            CASE WHEN tot = 0 THEN NULL
                 ELSE {oracle_ratio_round("excess_micro", "tot")} END AS weight
@@ -5751,6 +5759,24 @@ def domain_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram table, then everything is per-SOURCE (bounded domain
     count): a bounded aggregate, two 1-row broadcast totals, zero
     corpus re-scans."""
+    e, t = _domain_excess(spark, sf_dir)
+    return e.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        "avg_nll_micro",
+        "excess_micro",
+        F.when(
+            F.col("tot") != 0, ratio_round(F.col("excess_micro"), F.col("tot"))
+        ).alias("weight"),
+    )
+
+
+def _domain_excess(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """The per-source excess-NLL table ``e`` (source, n_tokens,
+    avg_nll_micro, excess_micro) and its 1-row total ``t`` — the
+    shared core of `domain_excess_loss_weights` and the sampling
+    consumer `doremi_sampling_manifest` (one definition, like the
+    oracle side's _DOMAIN_EXCESS_CTES prefix)."""
     toks = (
         _t(spark, sf_dir, "documents")
         .select("source", F.explode(F.split("text", " ")).alias("tok"))
@@ -5783,14 +5809,174 @@ def domain_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("avg_nll_micro") - F.col("min_nll")).cast("long").alias("excess_micro"),
     )
     t = e.agg(F.sum("excess_micro").alias("tot"))
-    return e.crossJoin(F.broadcast(t)).select(
+    return e, t
+
+
+# ---------------------------------------------------------------------------
+# DoReMi sampling manifest: the consumer that REALIZES the mixture
+# weights. domain_excess_loss_weights says what fraction of the
+# training mix each source should be; this op turns that into an
+# executable sampling plan — a per-source keep probability against a
+# fixed token budget, a deterministic per-doc hash draw (same doc ->
+# same fate, the hash_sample discipline), and the achieved-vs-target
+# audit a mixture job publishes. Sources whose target exceeds their
+# inventory are flagged capped (kept whole) — the data-constrained
+# case epoch_allocation_plan prices via repetition instead.
+
+# Draw resolution: the 60-bit portable hash folded to 30 bits keeps
+# every cross-multiplied comparison inside DECIMAL(38,0)/HUGEINT at
+# any corpus size (h<2^30 times tot*n_tokens stays < 1e38 even at
+# 100 TB token counts), at 1e-9 probability granularity. Budget: half
+# the corpus tokens (DOREMI_BUDGET_DEN).
+DOREMI_DRAW_SPAN = 1 << 30
+DOREMI_BUDGET_DEN = 2
+
+_DOREMI_MANIFEST_SQL = f"""
+    {_DOMAIN_EXCESS_CTES}, bu AS (
+        SELECT CAST(sum(n_tokens) AS HUGEINT) // {DOREMI_BUDGET_DEN} AS b FROM e
+    ), sp AS (
+        SELECT e.source, e.n_tokens, e.excess_micro,
+               CAST(bu.b AS HUGEINT) * CAST(e.excess_micro AS HUGEINT) AS num,
+               CAST(t.tot AS HUGEINT) * CAST(e.n_tokens AS HUGEINT) AS den
+        FROM e CROSS JOIN t CROSS JOIN bu
+    ), pd AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS n_d
+        FROM documents
+    ), dr AS (
+        SELECT pd.source, pd.n_d,
+               CASE WHEN den = 0 THEN 0
+                    WHEN num >= den THEN 1
+                    WHEN CAST(('0x' || substr(md5('doremi:' ||
+                             CAST(pd.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             % {DOREMI_DRAW_SPAN} AS HUGEINT) * den
+                         < num * {DOREMI_DRAW_SPAN} THEN 1
+                    ELSE 0 END AS kept
+        FROM pd JOIN sp USING (source)
+    ), ag AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS docs_kept,
+               CAST(coalesce(sum(kept * n_d), 0) AS BIGINT) AS tokens_kept
+        FROM dr GROUP BY source
+    ), tk AS (
+        SELECT sum(tokens_kept) AS kept_total FROM ag
+    )
+    SELECT sp.source, ag.n_docs, sp.n_tokens,
+           CASE WHEN den = 0 THEN NULL
+                ELSE {oracle_ratio_round("least(num, den)", "den")}
+           END AS keep_prob,
+           CASE WHEN den = 0 THEN NULL
+                WHEN num >= den THEN 1 ELSE 0 END AS capped,
+           ag.docs_kept, ag.tokens_kept,
+           CASE WHEN kept_total = 0 THEN NULL
+                ELSE {oracle_ratio_round("tokens_kept", "kept_total")}
+           END AS achieved_weight
+    FROM sp JOIN ag USING (source) CROSS JOIN tk
+"""
+
+
+@op(
+    "doremi_sampling_manifest",
+    oracle=_DOREMI_MANIFEST_SQL,
+    tags=("text", "curation", "pipeline", "sample"),
+)
+def doremi_sampling_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize the DoReMi mixture weights as an executable sampling
+    plan: per source, the keep probability that hits a half-corpus
+    token budget at the target weight (capped at 1 when the source
+    cannot supply its target), the docs/tokens actually kept under the
+    deterministic per-doc hash draw, and the achieved token share next
+    to the target — the weights -> corpus step a reweighting pipeline
+    runs after `domain_excess_loss_weights` and audits before shipping
+    (the same detect -> act -> audit ladder as
+    `decontaminated_manifest`).
+
+    Exactness: keep_prob is the exact rational (budget*excess) /
+    (tot*n_tokens) compared against a 30-bit fold of the portable md5
+    hash by cross-multiplication in DECIMAL(38,0) — no float ever
+    decides a doc's fate, so both engines keep the same documents.
+
+    Scale shape: the weights table is source-grain (bounded) and
+    BROADCAST onto one doc-grain pass (doc token counts are computed
+    in the same narrow projection); the manifest is two bounded
+    aggregates and a 1-row kept-total broadcast. No corpus re-scan, no
+    corpus-grain shuffle beyond the one source-keyed aggregate."""
+    e, t = _domain_excess(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    bu = e.agg(
+        exact_floor_div(F.sum("n_tokens"), F.lit(DOREMI_BUDGET_DEN)).alias("b")
+    )
+    sp = (
+        e.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(bu))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("b").cast(d38) * F.col("excess_micro").cast(d38))
+            .cast(d38)
+            .alias("num"),
+            (F.col("tot").cast(d38) * F.col("n_tokens").cast(d38))
+            .cast(d38)
+            .alias("den"),
+        )
+    )
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    pd = _t(spark, sf_dir, "documents").select(
+        "doc_id",
         "source",
-        "n_tokens",
-        "avg_nll_micro",
-        "excess_micro",
-        F.when(
-            F.col("tot") != 0, ratio_round(F.col("excess_micro"), F.col("tot"))
-        ).alias("weight"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_d"),
+    )
+    h30 = (
+        portable_hash60(F.concat(F.lit("doremi:"), F.col("doc_id").cast("string")))
+        % DOREMI_DRAW_SPAN
+    )
+    dr = pd.join(F.broadcast(sp), "source").select(
+        "source",
+        "n_d",
+        F.when(F.col("den") == 0, 0)
+        .when(F.col("num") >= F.col("den"), 1)
+        .when(
+            h30.cast(d38) * F.col("den") < F.col("num") * F.lit(DOREMI_DRAW_SPAN),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    ag = dr.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("docs_kept"),
+        F.coalesce(F.sum(F.col("kept") * F.col("n_d")), F.lit(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    tk = ag.agg(F.sum("tokens_kept").alias("kept_total"))
+    return (
+        sp.join(ag, "source")
+        .crossJoin(F.broadcast(tk))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.when(
+                F.col("den") != 0,
+                ratio_round(F.least("num", "den"), F.col("den")),
+            ).alias("keep_prob"),
+            F.when(F.col("den") == 0, F.lit(None).cast("int"))
+            .when(F.col("num") >= F.col("den"), 1)
+            .otherwise(0)
+            .alias("capped"),
+            "docs_kept",
+            "tokens_kept",
+            F.when(
+                F.col("kept_total") != 0,
+                ratio_round(F.col("tokens_kept"), F.col("kept_total")),
+            ).alias("achieved_weight"),
+        )
     )
 
 

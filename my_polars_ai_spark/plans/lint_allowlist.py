@@ -66,6 +66,10 @@ _BNLJ_SCALAR_OPS = (
     # r10: 1-row corpus-total / global-distribution / min-and-sum
     # broadcasts rejoined onto bounded domain/QI grids
     "domain_excess_loss_weights", "t_closeness_audit",
+    # r11: the sampling manifest crossJoins three 1-row scalar frames
+    # (excess total, token budget, kept total); the weights table
+    # itself rides a bounded source-grain broadcast equi-join
+    "doremi_sampling_manifest",
     # r10: the non-equi quantile match joins the two VALUE-DOMAIN
     # histograms (bounded distinct lengths), never doc rows
     "quantile_normalize_lengths",

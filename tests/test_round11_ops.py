@@ -75,3 +75,54 @@ def test_audio_vad_chunks_tile_the_segments_exactly(spark, sf_dir):
             assert c.n_frames == c.chunk_end - c.chunk_start + 1
         assert sum(c.n_frames for c in cs) == seg.n_frames
         assert sum(c.energy for c in cs) == seg.energy
+
+
+def test_doremi_sampling_manifest_realizes_the_weights(spark, sf_dir):
+    """The manifest must be consistent with the weights table it
+    consumes and with its own draw contract: the weight-0 (best-NLL)
+    source keeps nothing, capped sources keep everything, docs_kept
+    respects the deterministic hash draw per source, achieved token
+    shares sum to 1 over the kept corpus, and every uncapped source's
+    kept tokens undershoot-or-meet expectation only through the draw
+    (kept <= inventory)."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60  # noqa: F401
+    from my_polars_ai_spark.operators.text import DOREMI_BUDGET_DEN
+
+    ops = all_ops()
+    weights = {
+        r.source: r for r in ops["domain_excess_loss_weights"].fn(spark, sf_dir).collect()
+    }
+    rows = ops["doremi_sampling_manifest"].fn(spark, sf_dir).collect()
+    assert rows and len(rows) == len(weights)
+
+    total_tokens = sum(w.n_tokens for w in weights.values())
+    budget = total_tokens // DOREMI_BUDGET_DEN
+    kept_total = sum(r.tokens_kept for r in rows)
+    assert 0 < kept_total <= total_tokens
+
+    for r in rows:
+        w = weights[r.source]
+        assert r.n_tokens == w.n_tokens
+        assert 0 <= r.docs_kept <= r.n_docs
+        assert 0 <= r.tokens_kept <= r.n_tokens
+        if w.excess_micro == 0:
+            # the best-scoring source has weight 0 -> keeps nothing
+            assert r.keep_prob == 0.0 and r.docs_kept == 0
+        if r.capped == 1:
+            # target exceeds inventory -> the whole source is kept
+            assert r.keep_prob == 1.0
+            assert r.docs_kept == r.n_docs and r.tokens_kept == r.n_tokens
+        if r.keep_prob is not None and r.capped == 0:
+            # keep_prob is the exact rational budget*excess/(tot*n)
+            tot = sum(x.excess_micro for x in weights.values())
+            exact = budget * w.excess_micro / (tot * w.n_tokens)
+            assert abs(r.keep_prob - exact) < 1e-6
+
+    # achieved shares audit the kept mix and sum to ~1 (per-source
+    # half-up rounding at 1e-6 can drift the sum by n_sources ulps)
+    ach = sum(r.achieved_weight for r in rows if r.achieved_weight is not None)
+    assert abs(ach - 1.0) < 1e-4
+
+    # deterministic: same session, same plan, same fate per doc
+    again = {r.source: r.docs_kept for r in ops["doremi_sampling_manifest"].fn(spark, sf_dir).collect()}
+    assert again == {r.source: r.docs_kept for r in rows}
