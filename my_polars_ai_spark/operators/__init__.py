@@ -823,14 +823,14 @@ _PRIORITY_R13 = (
     "filter_compound_predicates",
     "filtered_count",
     "histogram_bins",
-    "intersect_keys",
-    # round-11 additions (displace three r1 freshness re-attests —
-    # join_anti/join_cross/join_full_outer stay covered by pytest and
-    # the local sweep; first driver rows take precedence over
-    # re-attests)
+    # round-11 additions (displace four r1 freshness re-attests —
+    # intersect_keys/join_anti/join_cross/join_full_outer stay covered
+    # by pytest and the local sweep; first driver rows take precedence
+    # over re-attests)
     "triplet_export_manifest",
     "audio_vad_chunks",
     "doremi_sampling_manifest",
+    "ann_index_manifest",
     # round-10 additions (landed after the window was first staged)
     "quantile_normalize_lengths",
     "holt_linear_daily_revenue",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
     Op,
+    RDZV_SHARDS,
     ROUND_RATIO,
     exact_floor_div,
     make_registrar,
@@ -248,22 +249,32 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CELLS = 16  # IVF coarse-quantizer cells
 N_PROBE = 4   # cells each query probes (recall 0.60-0.67 vs brute on this corpus)
 
-_IVF_ORACLE = f"""
-WITH corpus AS MATERIALIZED (
+def _ivf_ctes(
+    corpus: str = "corpus", seeds: str = "seeds", assigned: str = "assigned"
+) -> str:
+    """The IVF coarse-quantizer oracle CTE prefix (raw corpus ->
+    md5-seeded cell codebook -> rounded-cosine argmax assignment), with
+    injectable CTE names for composite consumers (`ann_index_manifest`)
+    — ONE definition shared with _IVF_ORACLE."""
+    return f"""{corpus} AS MATERIALIZED (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), seeds AS MATERIALIZED (
+), {seeds} AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
            v AS cv
-    FROM corpus QUALIFY cell < {N_CELLS}
-), assigned AS MATERIALIZED (
+    FROM {corpus} QUALIFY cell < {N_CELLS}
+), {assigned} AS MATERIALIZED (
     SELECT vec_id, v, cell FROM (
         SELECT c.vec_id, c.v, s.cell,
                row_number() OVER (PARTITION BY c.vec_id
                    ORDER BY round(list_cosine_similarity(c.v, s.cv), {ROUND_RATIO}) DESC,
                             s.cell) AS arank
-        FROM corpus c CROSS JOIN seeds s
+        FROM {corpus} c CROSS JOIN {seeds} s
     ) WHERE arank = 1
-), probed AS (
+)"""
+
+
+_IVF_ORACLE = f"""
+WITH {_ivf_ctes()}, probed AS (
     SELECT q_id, cell FROM (
         SELECT c.vec_id AS q_id, s.cell,
                row_number() OVER (PARTITION BY c.vec_id
@@ -288,30 +299,22 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-@op(
-    "ivf_cosine_topk",
-    oracle=_IVF_ORACLE,  # deterministic md5-seeded codebook => fully oracle-checked
-    tags=("similarity", "ann", "ivf"),
-)
-def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with a deterministic coarse quantizer: the codebook is
-    the N_CELLS corpus vectors ranked first by md5(vec_id) (a seeded
-    sample — no trained k-means state, so the whole operator is a pure
-    function of the data and oracle-checkable). Queries probe their
-    N_PROBE nearest cells and rerank exactly within them.
+def _ivf_ranked_cells(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, Column]":
+    """The IVF coarse quantizer's Spark core, shared by
+    `ivf_cosine_topk` and `ann_index_manifest`: the raw corpus frame
+    and the ranked-cells projection column (cells sorted by rounded
+    cosine desc, ties to the lower cell id — identical to the oracle's
+    _ivf_ctes assignment).
 
-    100 TB shape: the codebook is a bounded N_CELLS-row artifact
-    (materialized driver-side exactly like KMeansModel.clusterCenters())
-    baked into a NARROW projection — cell assignment adds zero shuffles;
-    the corpus would be written partitioned by cell so a query reads
-    N_PROBE/N_CELLS of the data. Cosines are rounded before the argmax so
-    engine ulp drift can't flip cell assignment (ties fall to the lower
-    cell id on both sides)."""
+    The codebook is the top-N_CELLS rows by (md5, vec_id) —
+    TakeOrderedAndProject, not a global sort; bounded by the constant,
+    not the data — materialized driver-side exactly like
+    KMeansModel.clusterCenters() and baked into a NARROW projection,
+    so cell assignment adds zero shuffles."""
     e = _t(spark, sf_dir, "embeddings")
     corpus = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-
-    # codebook: top-N_CELLS rows by (md5, vec_id) — TakeOrderedAndProject,
-    # not a global sort; bounded by the constant, not the data
     seeds = (
         corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
@@ -340,6 +343,29 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    return corpus, ranked_cells
+
+
+@op(
+    "ivf_cosine_topk",
+    oracle=_IVF_ORACLE,  # deterministic md5-seeded codebook => fully oracle-checked
+    tags=("similarity", "ann", "ivf"),
+)
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with a deterministic coarse quantizer: the codebook is
+    the N_CELLS corpus vectors ranked first by md5(vec_id) (a seeded
+    sample — no trained k-means state, so the whole operator is a pure
+    function of the data and oracle-checkable). Queries probe their
+    N_PROBE nearest cells and rerank exactly within them.
+
+    100 TB shape: the codebook is a bounded N_CELLS-row artifact
+    (materialized driver-side exactly like KMeansModel.clusterCenters())
+    baked into a NARROW projection — cell assignment adds zero shuffles;
+    the corpus would be written partitioned by cell so a query reads
+    N_PROBE/N_CELLS of the data. Cosines are rounded before the argmax so
+    engine ulp drift can't flip cell assignment (ties fall to the lower
+    cell id on both sides)."""
+    corpus, ranked_cells = _ivf_ranked_cells(spark, sf_dir)
     assigned = corpus.withColumn("cell", ranked_cells[0]["cell"])
 
     probed = (
@@ -605,8 +631,18 @@ PQ_M = 8
 PQ_SUB = 8
 PQ_K = 16
 
-_PQ_ORACLE = f"""
-WITH corpus AS MATERIALIZED (
+def _pq_ctes(
+    corpus: str = "corpus",
+    seeds: str = "seeds",
+    cdist: str = "cdist",
+    codes: str = "codes",
+) -> str:
+    """The PQ pipeline's oracle CTE prefix (normalized corpus ->
+    md5-seeded codebook -> rounded subspace distances -> argmin codes),
+    with injectable CTE names so a composite consumer
+    (`ann_index_manifest`) can embed it next to the IVF prefix without
+    name collisions — ONE definition, like dedup's _MINHASH_CTES."""
+    return f"""{corpus} AS MATERIALIZED (
     -- L2-normalize first: min L2 distance == max cosine on the unit
     -- sphere, aligning PQ's metric with the cosine rankers
     SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM (
@@ -614,25 +650,29 @@ WITH corpus AS MATERIALIZED (
                sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))) AS nrm
         FROM embeddings
     )
-), seeds AS MATERIALIZED (
+), {seeds} AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
            v AS cv
-    FROM corpus QUALIFY k < {PQ_K}
-), cdist AS MATERIALIZED (
+    FROM {corpus} QUALIFY k < {PQ_K}
+), {cdist} AS MATERIALIZED (
     SELECT c.vec_id, m.m, s.k,
            round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
                  i -> (c.v[m.m * {PQ_SUB} + i] - s.cv[m.m * {PQ_SUB} + i]) ^ 2)),
                  {ROUND_RATIO}) AS d2
-    FROM corpus c
+    FROM {corpus} c
     CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m
-    CROSS JOIN seeds s
-), codes AS (
+    CROSS JOIN {seeds} s
+), {codes} AS (
     SELECT vec_id, m, k FROM (
         SELECT vec_id, m, k,
                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS r
-        FROM cdist
+        FROM {cdist}
     ) WHERE r = 1
-), lut AS (
+)"""
+
+
+_PQ_ORACLE = f"""
+WITH {_pq_ctes()}, lut AS (
     SELECT vec_id AS q_id, m, k, d2 FROM cdist WHERE vec_id < {N_QUERIES}
 ), scored AS (
     SELECT l.q_id, c.vec_id AS neighbor_id,
@@ -720,6 +760,16 @@ def _pq_cdist(spark: SparkSession, corpus: DataFrame) -> DataFrame:
 _PQ_ORACLE = _PQ_ORACLE.replace("{PQ_SHORTLIST}", str(PQ_SHORTLIST))
 
 
+def _pq_codes(cdist: DataFrame) -> DataFrame:
+    """(vec_id, m, k) PQ code table: argmin centroid per (vector,
+    subspace) — min_by over a (d2, k) struct, map-side combinable,
+    ties to the lower k. Shared by `pq_adc_topk`,
+    `pq_distortion_report`-style consumers and `ann_index_manifest`."""
+    return cdist.groupBy("vec_id", "m").agg(
+        F.min_by("k", F.struct("d2", "k")).alias("k")
+    )
+
+
 @op(
     "pq_adc_topk",
     oracle=_PQ_ORACLE,  # deterministic md5-seeded codebook => fully oracle-checked
@@ -750,11 +800,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is 10x faster end-to-end and is also the oracle's shape.)"""
     corpus = _pq_norm_corpus(spark, sf_dir)
     cdist = _pq_cdist(spark, corpus)
-    # argmin per (vector, subspace): min_by over a (d2, k) struct —
-    # map-side combinable, ties to the lower k
-    codes = cdist.groupBy("vec_id", "m").agg(
-        F.min_by("k", F.struct("d2", "k")).alias("k")
-    )
+    codes = _pq_codes(cdist)
     lut = cdist.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "m", "k", "d2"
     )
@@ -849,10 +895,37 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "int8_quantize_embeddings",
-    oracle="""
-    WITH v AS (
+def _int8_vm(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """The int8 quantizer's Spark core, shared by
+    `int8_quantize_embeddings` and `ann_index_manifest`: the exact
+    micro-unit value table ``v`` (vec_id, vm) and the per-vector
+    absmax scale table ``m`` (vec_id, maxabs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        # pure IEEE-double micro conversion (sign-split floor(x*1e6+0.5)):
+        # every step is correctly rounded and therefore engine-identical,
+        # unlike double->DECIMAL casts, where Spark rounds the shortest
+        # decimal repr and DuckDB the binary value (the base.py seam —
+        # ratio-rounded aggregates absorb the odd +-1 micro, raw
+        # quantization codes do not)
+        (F.when(F.col("val") < 0, -1).otherwise(1)
+         * F.floor(F.abs(F.col("val").cast("double")) * 1000000 + F.lit(0.5)))
+        .cast("decimal(38,0)").alias("vm"),
+    )
+    m = v.groupBy("vec_id").agg(F.max(F.abs("vm")).alias("maxabs"))
+    return v, m
+
+
+def _int8_vm_ctes(v: str = "v", m: str = "m") -> str:
+    """The int8 quantizer's oracle CTE prefix (exact micro-unit values
+    and the per-vector absmax scale), with injectable CTE names for
+    composite consumers (`ann_index_manifest`) — ONE definition shared
+    with int8_quantize_embeddings' oracle."""
+    return f"""{v} AS (
         SELECT vec_id,
                (CASE WHEN embedding[i] < 0 THEN -1 ELSE 1 END)
                * CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
@@ -860,9 +933,15 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT vec_id, embedding,
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
-    ), m AS (
-        SELECT vec_id, max(abs(vm)) AS maxabs FROM v GROUP BY vec_id
-    ), q AS (
+    ), {m} AS (
+        SELECT vec_id, max(abs(vm)) AS maxabs FROM {v} GROUP BY vec_id
+    )"""
+
+
+@op(
+    "int8_quantize_embeddings",
+    oracle=f"""
+    WITH {_int8_vm_ctes()}, q AS (
         SELECT v.vec_id,
                (CASE WHEN v.vm < 0 THEN -1 ELSE 1 END)
                * ((2*abs(v.vm)*127 + m.maxabs) // (2*m.maxabs)) AS qv
@@ -890,23 +969,7 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     [-127, 127] proves no clipping). Per-vector maxabs is a grouped
     max; quantization is a narrow map — no shuffle beyond the vec_id
     grouping."""
-    e = _t(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id",
-        F.posexplode("embedding").alias("pos", "val"),
-    ).select(
-        "vec_id",
-        # pure IEEE-double micro conversion (sign-split floor(x*1e6+0.5)):
-        # every step is correctly rounded and therefore engine-identical,
-        # unlike double->DECIMAL casts, where Spark rounds the shortest
-        # decimal repr and DuckDB the binary value (the base.py seam —
-        # ratio-rounded aggregates absorb the odd +-1 micro, raw
-        # quantization codes do not)
-        (F.when(F.col("val") < 0, -1).otherwise(1)
-         * F.floor(F.abs(F.col("val").cast("double")) * 1000000 + F.lit(0.5)))
-        .cast("decimal(38,0)").alias("vm"),
-    )
-    m = v.groupBy("vec_id").agg(F.max(F.abs("vm")).alias("maxabs"))
+    v, m = _int8_vm(spark, sf_dir)
     sign = F.when(F.col("vm") < 0, -1).otherwise(1)
     qv = sign * exact_floor_div(
         2 * F.abs(F.col("vm")) * 127 + F.col("maxabs"), 2 * F.col("maxabs")
@@ -921,6 +984,101 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qv").cast("long").alias("q_sum"),
         F.min("qv").cast("long").alias("q_min"),
         F.max("qv").cast("long").alias("q_max"),
+    )
+
+
+_ANN_INDEX_SQL = f"""
+    WITH {_ivf_ctes("ivf_corpus", "ivf_seeds", "ivf_assigned")},
+    {_pq_ctes("pq_corpus", "pq_seeds", "pq_cdist", "pq_codes")},
+    {_int8_vm_ctes("vm_v", "vm_m")},
+    packed AS (
+        SELECT vec_id,
+               string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS pq_codes_csv,
+               CAST(count(*) AS INTEGER) AS n_subspaces
+        FROM pq_codes GROUP BY vec_id
+    )
+    SELECT a.vec_id,
+           CAST(a.cell AS INTEGER) AS cell,
+           p.n_subspaces,
+           p.pq_codes_csv AS pq_codes,
+           CAST(m.maxabs AS BIGINT) AS maxabs_micro,
+           CAST(('0x' || substr(md5('vec:' || CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+                % {RDZV_SHARDS} AS INTEGER) AS shard,
+           md5(CAST(a.vec_id AS VARCHAR) || '|' || CAST(a.cell AS VARCHAR)
+               || '|' || p.pq_codes_csv || '|' || CAST(m.maxabs AS VARCHAR))
+               AS record_md5
+    FROM ivf_assigned a JOIN packed p USING (vec_id) JOIN vm_m m USING (vec_id)
+"""
+
+
+@op(
+    "ann_index_manifest",
+    oracle=_ANN_INDEX_SQL,
+    tags=("similarity", "ann", "pipeline", "report"),
+)
+def ann_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIP step of the ANN family — one packed index record per
+    corpus vector, composing the three existing artifact definitions
+    verbatim: the IVF coarse cell (`_ivf_ranked_cells`, what partition
+    the vector lives in), the PQ code string (`_pq_codes`, the
+    compressed scan representation ADC reads), and the int8 absmax
+    scale (`_int8_vm`, the serving-side dequantization constant) —
+    plus a deterministic placement shard and an md5 record checksum, the
+    same detect -> audit -> ship ladder `triplet_export_manifest` and
+    `decontaminated_manifest` close for their families. A vector store
+    loader can build the whole IVF-PQ index from this table without
+    touching the raw embedding column.
+
+    Scale shape: both codebooks are bounded driver-side artifacts
+    (N_CELLS rows / M x K rows, the KMeansModel.clusterCenters()
+    pattern) baked into narrow projections and one broadcast join, so
+    cell + codes cost zero unbounded shuffles; the three sides of the
+    final join are all vec-grain narrow tables co-keyed on vec_id.
+    Writing this manifest partitioned by (shard, cell) IS the index
+    build at 100 TB."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    corpus, ranked_cells = _ivf_ranked_cells(spark, sf_dir)
+    assigned = corpus.select(
+        "vec_id", ranked_cells[0]["cell"].cast("int").alias("cell")
+    )
+    codes = _pq_codes(_pq_cdist(spark, _pq_norm_corpus(spark, sf_dir)))
+    packed = codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "k"))),
+                lambda s: s.getField("k").cast("string"),
+            ),
+            ",",
+        ).alias("pq_codes"),
+        F.count(F.lit(1)).cast("int").alias("n_subspaces"),
+    )
+    _, m = _int8_vm(spark, sf_dir)
+    joined = assigned.join(packed, "vec_id").join(
+        m.select("vec_id", F.col("maxabs").cast("long").alias("maxabs_micro")),
+        "vec_id",
+    )
+    return joined.select(
+        "vec_id",
+        "cell",
+        "n_subspaces",
+        "pq_codes",
+        "maxabs_micro",
+        (
+            portable_hash60(F.concat(F.lit("vec:"), F.col("vec_id").cast("string")))
+            % RDZV_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("vec_id").cast("string"),
+                F.col("cell").cast("string"),
+                F.col("pq_codes"),
+                F.col("maxabs_micro").cast("string"),
+            )
+        ).alias("record_md5"),
     )
 
 

@@ -126,3 +126,37 @@ def test_doremi_sampling_manifest_realizes_the_weights(spark, sf_dir):
     # deterministic: same session, same plan, same fate per doc
     again = {r.source: r.docs_kept for r in ops["doremi_sampling_manifest"].fn(spark, sf_dir).collect()}
     assert again == {r.source: r.docs_kept for r in rows}
+
+
+def test_ann_index_manifest_composes_the_three_artifacts(spark, sf_dir):
+    """The index record must agree with the artifact definitions it
+    packs: the IVF cell matches ivf's own assignment semantics (every
+    cell in range), the PQ code string is pq_adc's argmin codes in
+    subspace order, maxabs_micro matches int8_quantize_embeddings, the
+    shard is the deterministic hash placement, and the checksum covers
+    exactly (vec_id|cell|codes|maxabs)."""
+    import hashlib
+
+    from my_polars_ai_spark.operators.base import RDZV_SHARDS
+    from my_polars_ai_spark.operators.similarity import N_CELLS, PQ_K, PQ_M
+
+    ops = all_ops()
+    rows = ops["ann_index_manifest"].fn(spark, sf_dir).collect()
+    assert rows
+
+    int8 = {
+        r.vec_id: r.maxabs_micro
+        for r in ops["int8_quantize_embeddings"].fn(spark, sf_dir).collect()
+    }
+    # one record per vector, same population as the quantizer's
+    assert {r.vec_id for r in rows} == set(int8)
+
+    for r in rows:
+        assert 0 <= r.cell < N_CELLS
+        assert r.n_subspaces == PQ_M
+        codes = [int(c) for c in r.pq_codes.split(",")]
+        assert len(codes) == PQ_M and all(0 <= c < PQ_K for c in codes)
+        assert r.maxabs_micro == int8[r.vec_id]
+        assert 0 <= r.shard < RDZV_SHARDS
+        canonical = f"{r.vec_id}|{r.cell}|{r.pq_codes}|{r.maxabs_micro}"
+        assert r.record_md5 == hashlib.md5(canonical.encode()).hexdigest()
