@@ -842,8 +842,73 @@ _PRIORITY_R13 = (
     "audio_vad_segments",
 )
 
+# Round-14 window, staged in round 11. After R11-R13 retire the
+# first-attestation backlog, every registry op has a driver row, and
+# the windows switch to pure FRESHNESS ROTATION: 3 canaries + the 47
+# ops whose latest driver row (actual or scheduled through r13) is
+# OLDEST — exactly the r1/r2-era rows untouched since rounds 1-2.
+# Ordering is (effective latest round, registry order); no
+# disjointness rule applies because re-attestation is the point.
+_PRIORITY_R14 = (
+    # canaries — flagship + dedup + SQL, as every round
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-1 rows (20) — includes the four re-attests displaced from
+    # R13 by the round-11 consumer additions
+    "scan_project_derive",
+    "null_handling_fill",
+    "median_quantiles",
+    "stats_stddev_var",
+    "value_counts",
+    "rollup_region_nation",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_anti",
+    "join_cross",
+    "union_concat",
+    "intersect_keys",
+    "window_running_agg",
+    "rolling_median",
+    "percent_rank_cume_dist",
+    "unpivot_metrics",
+    "string_funcs",
+    "regex_funcs",
+    "math_funcs",
+    # round-2 rows (27) — the next-oldest block, registry order
+    "conditional_case_when",
+    "group_agg_multi",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "join_inner_broadcast",
+    "join_semi",
+    "join_theta_inequality",
+    "topk_orders",
+    "window_topk_per_group",
+    "window_lag_lead",
+    "rolling_mean_std",
+    "sessionize_gap",
+    "percent_rank_approx",
+    "pivot_status_qty",
+    "explode_tokens",
+    "tumbling_window_hourly",
+    "session_window_10m",
+    "asof_join_backward",
+    "interval_join_bucketed",
+    "roc_points_bucketed",
+    "dedup_exact_text",
+    "dedup_keyed_first",
+    "dedup_ngram_jaccard",
+    "simhash_signature",
+    "simhash_near_dup",
+    "pagerank_near_dup",
+    "embedding_norms",
+)
+
 # Round 11: the staged flip, executed (round-12/13 windows already
-# staged above so the next two rounds are one-liners too).
+# staged above so the next two rounds are one-liners too; round 14
+# starts the freshness rotation, also a one-liner).
 _PRIORITY = _PRIORITY_R11
 
 

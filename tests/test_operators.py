@@ -1662,3 +1662,37 @@ def test_r13_window_is_staged_and_valid():
     fresh = set(_PRIORITY_R13[3:23])
     overlap = fresh & (set(_PRIORITY_R11) | set(_PRIORITY_R12))
     assert not overlap, sorted(overlap)
+
+
+def test_r14_window_is_staged_and_valid():
+    """Staging discipline for round 14 (staged in round 11): the first
+    pure freshness-rotation window. 50 real ops, no duplicates, and —
+    because R11-R13 retire the whole first-attestation backlog — every
+    non-canary slot must already hold a driver CORRECTNESS row from a
+    past round OR sit in an earlier staged window (re-attestation is
+    the point, so no disjointness rule; instead assert the window
+    contains NO never-attested op, which would belong in R13 or
+    earlier)."""
+    import glob
+    import json
+    import os
+
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R11,
+        _PRIORITY_R12,
+        _PRIORITY_R13,
+        _PRIORITY_R14,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R14) == 50
+    assert len(set(_PRIORITY_R14)) == 50
+    missing = [n for n in _PRIORITY_R14 if n not in ops]
+    assert not missing, missing
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    scheduled = attested | set(_PRIORITY_R11) | set(_PRIORITY_R12) | set(_PRIORITY_R13)
+    never = [n for n in _PRIORITY_R14 if n not in scheduled]
+    assert not never, never
