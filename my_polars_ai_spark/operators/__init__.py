@@ -822,15 +822,16 @@ _PRIORITY_R13 = (
     "filter_between_isnull",
     "filter_compound_predicates",
     "filtered_count",
-    "histogram_bins",
-    # round-11 additions (displace four r1 freshness re-attests —
-    # intersect_keys/join_anti/join_cross/join_full_outer stay covered
-    # by pytest and the local sweep; first driver rows take precedence
-    # over re-attests)
+    # round-11 additions (displace five r1 freshness re-attests —
+    # intersect_keys/join_anti/join_cross/join_full_outer/histogram_bins
+    # stay covered by pytest and the local sweep, and move to the R14
+    # freshness window; first driver rows take precedence over
+    # re-attests)
     "triplet_export_manifest",
     "audio_vad_chunks",
     "doremi_sampling_manifest",
     "ann_index_manifest",
+    "curation_attributes_manifest",
     # round-10 additions (landed after the window was first staged)
     "quantile_normalize_lengths",
     "holt_linear_daily_revenue",
@@ -854,13 +855,14 @@ _PRIORITY_R14 = (
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-1 rows (20) — includes the four re-attests displaced from
+    # round-1 rows (21) — includes the five re-attests displaced from
     # R13 by the round-11 consumer additions
     "scan_project_derive",
     "null_handling_fill",
     "median_quantiles",
     "stats_stddev_var",
     "value_counts",
+    "histogram_bins",
     "rollup_region_nation",
     "join_left_outer",
     "join_right_outer",
@@ -876,7 +878,9 @@ _PRIORITY_R14 = (
     "string_funcs",
     "regex_funcs",
     "math_funcs",
-    # round-2 rows (27) — the next-oldest block, registry order
+    # round-2 rows (26) — the next-oldest block, registry order
+    # (embedding_norms, the youngest r2 row by registry order, yields
+    # its slot to the displaced histogram_bins and rotates in r15)
     "conditional_case_when",
     "group_agg_multi",
     "tpch_q3_shipping_priority",
@@ -903,7 +907,6 @@ _PRIORITY_R14 = (
     "simhash_signature",
     "simhash_near_dup",
     "pagerank_near_dup",
-    "embedding_norms",
 )
 
 # Round 11: the staged flip, executed (round-12/13 windows already

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
     ROUND_RATIO,
+    RDZV_SHARDS,
     Op,
     exact_floor_div,
     make_registrar,
@@ -5333,7 +5334,7 @@ _FUNNEL_DOC_CTES = f"""
         FROM grams g JOIN bench b USING (gram)
         WHERE g.source <> 'src0'
     ), doc AS (
-        SELECT f.doc_id, f.n,
+        SELECT f.doc_id, f.source, f.n,
                CASE WHEN f.s_quality = 0 THEN 0
                     WHEN coalesce(d.keep_first, 0) = 0 THEN 1
                     WHEN r.rep_ok = 0 THEN 2
@@ -5380,29 +5381,16 @@ _FUNNEL_SQL = f"""
 """
 
 
-@op(
-    "curation_funnel_report",
-    oracle=_FUNNEL_SQL,
-    tags=("text", "quality", "curation", "pipeline"),
-)
-def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The data-funnel table every pre-training corpus card publishes:
-    docs and tokens surviving each sequential curation stage — raw ->
-    Gopher rule gate -> exact dedup (keep lowest id per identical
-    text) -> repetition gate (top-2-gram share <= 10%) -> benchmark
-    decontamination (drop the src0 benchmark slice itself plus any
-    training doc sharing a 3-gram with it) — with doc/token retention
-    percentages against raw. Composes the SAME definitions as
-    `gopher_quality_flags`, `dedup_exact_text`,
-    `repetition_2gram_ratio` and `benchmark_contamination`, so the
-    funnel cannot drift from the individual gates it summarizes.
-
-    Scale shape: rule and repetition stats are zero-shuffle per-doc
-    higher-order expressions; exact dedup is one hash shuffle on text
-    among quality survivors; decontamination is the shingle equi-join
-    (never doc x doc); the funnel itself is ONE conditional-sum global
-    aggregate emitting a literal 5-stage array — no per-stage rescan
-    of the corpus."""
+def _funnel_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document funnel verdict (doc_id, source, n, sr) — the stage
+    index each document REACHES in the sequential curation ladder
+    (0 = failed the Gopher rule gate, 1 = dropped by exact dedup,
+    2 = failed the repetition gate, 3 = benchmark slice or
+    contaminated, 4 = kept). The single Spark-side twin of the
+    oracle's `_FUNNEL_DOC_CTES` prefix, shared by
+    `curation_funnel_report` (its GROUP BY) and
+    `curation_attributes_manifest` (its per-doc projection) so the
+    two views cannot drift."""
     d = _t(spark, sf_dir, "documents")
     ts_e = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     base = d.select("doc_id", "source", "text", ts_e.alias("ts")).filter(
@@ -5470,11 +5458,12 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contaminated", F.lit(1))
     )
-    doc = (
+    return (
         flags.join(keep, "text", "left")
         .join(contam, "doc_id", "left")
         .select(
             "doc_id",
+            "source",
             "n",
             F.when(F.col("s_quality") == 0, 0)
             .when(F.col("keep_doc") != F.col("doc_id"), 1)
@@ -5488,6 +5477,33 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sr"),
         )
     )
+
+
+@op(
+    "curation_funnel_report",
+    oracle=_FUNNEL_SQL,
+    tags=("text", "quality", "curation", "pipeline"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-funnel table every pre-training corpus card publishes:
+    docs and tokens surviving each sequential curation stage — raw ->
+    Gopher rule gate -> exact dedup (keep lowest id per identical
+    text) -> repetition gate (top-2-gram share <= 10%) -> benchmark
+    decontamination (drop the src0 benchmark slice itself plus any
+    training doc sharing a 3-gram with it) — with doc/token retention
+    percentages against raw. Composes the SAME definitions as
+    `gopher_quality_flags`, `dedup_exact_text`,
+    `repetition_2gram_ratio` and `benchmark_contamination` (via the
+    shared `_funnel_doc` verdict frame), so the funnel cannot drift
+    from the individual gates it summarizes.
+
+    Scale shape: rule and repetition stats are zero-shuffle per-doc
+    higher-order expressions; exact dedup is one hash shuffle on text
+    among quality survivors; decontamination is the shingle equi-join
+    (never doc x doc); the funnel itself is ONE conditional-sum global
+    aggregate emitting a literal 5-stage array — no per-stage rescan
+    of the corpus."""
+    doc = _funnel_doc(spark, sf_dir)
     tot = doc.agg(
         *[
             F.sum(F.when(F.col("sr") >= k, 1).otherwise(0))
@@ -5515,6 +5531,91 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(5)
     ]
     return tot.select(F.explode(F.array(*stage_structs)).alias("s")).select("s.*")
+
+
+_ATTR_MANIFEST_SQL = f"""
+    {_FUNNEL_DOC_CTES}, attr AS (
+        SELECT doc_id, n, sr,
+               CASE WHEN sr = 0 THEN 'quality_rules'
+                    WHEN sr = 1 THEN 'exact_dedup'
+                    WHEN sr = 2 THEN 'repetition'
+                    WHEN sr = 3 AND source = 'src0' THEN 'benchmark_slice'
+                    WHEN sr = 3 THEN 'decontamination'
+               END AS drop_reason
+        FROM doc
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(sr AS INT) AS stage_reached,
+           (sr = 4) AS kept,
+           drop_reason,
+           CAST(('0x' || substr(md5('attr:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                % {RDZV_SHARDS} AS INTEGER) AS shard,
+           md5(doc_id::VARCHAR || '|' || sr::VARCHAR || '|'
+               || coalesce(drop_reason, '')) AS record_md5
+    FROM attr
+"""
+
+
+@op(
+    "curation_attributes_manifest",
+    oracle=_ATTR_MANIFEST_SQL,
+    tags=("text", "quality", "curation", "pipeline", "manifest"),
+)
+def curation_attributes_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document attributes file the curation pipeline SHIPS
+    next to the corpus (the Dolma-attributes / RedPajama-quality-signal
+    shape): for every document with at least one token, the funnel
+    stage it reached, whether it is kept, and — for drops — the FIRST
+    gate that eliminated it (`quality_rules`, `exact_dedup`,
+    `repetition`, `benchmark_slice` for the held-out slice itself, or
+    `decontamination` for training docs sharing a 3-gram with it),
+    plus the deterministic placement shard and an md5 record checksum
+    like the other ship-step manifests (`triplet_export_manifest`,
+    `ann_index_manifest`). `curation_funnel_report` is this table's
+    GROUP BY — both project the shared `_funnel_doc` verdict frame /
+    `_FUNNEL_DOC_CTES` oracle prefix, so the per-doc attribution can
+    never disagree with the published funnel counts.
+
+    Scale shape: identical to the funnel's (zero-shuffle rule stats,
+    one hash shuffle for exact dedup among quality survivors, the
+    shingle equi-join for decontamination) with the aggregate replaced
+    by a narrow per-doc projection; writing it partitioned by `shard`
+    co-locates records with the corpus shards they annotate."""
+    doc = _funnel_doc(spark, sf_dir)
+    reason = (
+        F.when(F.col("sr") == 0, F.lit("quality_rules"))
+        .when(F.col("sr") == 1, F.lit("exact_dedup"))
+        .when(F.col("sr") == 2, F.lit("repetition"))
+        .when(
+            (F.col("sr") == 3) & (F.col("source") == "src0"),
+            F.lit("benchmark_slice"),
+        )
+        .when(F.col("sr") == 3, F.lit("decontamination"))
+    )
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    return doc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("sr").cast("int").alias("stage_reached"),
+        (F.col("sr") == 4).alias("kept"),
+        reason.alias("drop_reason"),
+        (
+            portable_hash60(F.concat(F.lit("attr:"), F.col("doc_id").cast("string")))
+            % RDZV_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.col("sr").cast("string"),
+                F.coalesce(reason, F.lit("")),
+            )
+        ).alias("record_md5"),
+    )
 
 
 # Context-length grid for the packing planner: the candidate training

@@ -160,3 +160,59 @@ def test_ann_index_manifest_composes_the_three_artifacts(spark, sf_dir):
         assert 0 <= r.shard < RDZV_SHARDS
         canonical = f"{r.vec_id}|{r.cell}|{r.pq_codes}|{r.maxabs_micro}"
         assert r.record_md5 == hashlib.md5(canonical.encode()).hexdigest()
+
+
+def test_curation_attributes_manifest_agrees_with_the_funnel(spark, sf_dir):
+    """The per-doc attributes file must be the funnel's own rows: its
+    stage_reached histogram reproduces curation_funnel_report's
+    survivor counts exactly (docs AND tokens), drop_reason names the
+    first failing gate consistently with the stage index (NULL iff
+    kept), the benchmark slice itself is labeled benchmark_slice while
+    contaminated training docs get decontamination, and the shard /
+    md5 record fields follow the ship-manifest contract."""
+    import hashlib
+
+    from my_polars_ai_spark.operators.base import RDZV_SHARDS
+
+    ops = all_ops()
+    rows = ops["curation_attributes_manifest"].fn(spark, sf_dir).collect()
+    assert rows
+
+    funnel = {
+        r.stage_idx: r
+        for r in ops["curation_funnel_report"].fn(spark, sf_dir).collect()
+    }
+    # stage k of the funnel counts docs with stage_reached >= k
+    for k in range(5):
+        docs = sum(1 for r in rows if r.stage_reached >= k)
+        toks = sum(r.n_tokens for r in rows if r.stage_reached >= k)
+        assert docs == funnel[k].n_docs, f"stage {k} doc count"
+        assert toks == funnel[k].n_tokens, f"stage {k} token count"
+
+    reason_for = {
+        0: "quality_rules",
+        1: "exact_dedup",
+        2: "repetition",
+    }
+    for r in rows:
+        assert r.kept == (r.stage_reached == 4)
+        if r.stage_reached == 4:
+            assert r.drop_reason is None
+        elif r.stage_reached == 3:
+            assert r.drop_reason in ("benchmark_slice", "decontamination")
+        else:
+            assert r.drop_reason == reason_for[r.stage_reached]
+        assert 0 <= r.shard < RDZV_SHARDS
+        canonical = f"{r.doc_id}|{r.stage_reached}|{r.drop_reason or ''}"
+        assert r.record_md5 == hashlib.md5(canonical.encode()).hexdigest()
+
+    # the held-out slice (source src0) never survives and is labeled as
+    # the slice itself, not as a contaminated training doc
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src0 = {d.doc_id for d in docs.filter("source = 'src0'").collect()}
+    labeled = {r.doc_id: r.drop_reason for r in rows if r.doc_id in src0}
+    assert labeled and all(
+        v in ("quality_rules", "exact_dedup", "repetition", "benchmark_slice")
+        for v in labeled.values()
+    )
+    assert any(v == "benchmark_slice" for v in labeled.values())
