@@ -112,6 +112,13 @@ HEADLINE = [
     # domain-weight shape (token pass + bounded source-grain tail)
     "contrastive_triplet_mining",
     "domain_excess_loss_weights",
+    # round-11: the two ship-step consumers — the full IVF-PQ index
+    # build packed per vector (three artifact families in one plan; the
+    # heaviest inherent cost is the PQ encoding fan-out) and the
+    # DoReMi weights realized as a deterministic sampling manifest
+    # (token pass + bounded source-grain broadcast)
+    "ann_index_manifest",
+    "doremi_sampling_manifest",
 ]
 
 
