@@ -216,3 +216,52 @@ def test_curation_attributes_manifest_agrees_with_the_funnel(spark, sf_dir):
         for v in labeled.values()
     )
     assert any(v == "benchmark_slice" for v in labeled.values())
+
+
+def test_curation_attributes_pin_the_engineered_casualties(spark, tmp_path):
+    """Same engineered corpus as the funnel's stage test (one casualty
+    per gate), but asserting the PER-DOC attribution: each doc gets
+    exactly the drop_reason it was built to earn, the dedup loser is
+    the higher doc_id, the benchmark doc is labeled as the slice
+    itself (not as a contaminated training doc), and survivors carry a
+    NULL reason."""
+
+    def prose(prefix, k=50):
+        return " ".join([f"{prefix}{i}" for i in range(k)] + ["the", "a"])
+
+    d1 = prose("gram")
+    d2 = "way too short"
+    dup = prose("dupe")
+    d5 = " ".join([f"fill{i}" for i in range(46)] + ["pp", "qq"] * 10 + ["the", "a"])
+    bench = prose("bench") + " sha1 sha2 sha3"
+    d7 = prose("uniq") + " sha1 sha2 sha3"
+    rows = [
+        (1, d1, "en", "srcA", len(d1)),
+        (2, d2, "en", "srcA", len(d2)),
+        (3, dup, "en", "srcA", len(dup)),
+        (4, dup, "en", "srcB", len(dup)),
+        (5, d5, "en", "srcA", len(d5)),
+        (6, bench, "en", "src0", len(bench)),
+        (7, d7, "en", "srcA", len(d7)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: r
+        for r in all_ops()["curation_attributes_manifest"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 7
+    assert out[1].kept and out[1].drop_reason is None
+    assert out[2].drop_reason == "quality_rules" and out[2].stage_reached == 0
+    # exact dedup keeps the LOWEST doc_id of the identical pair
+    assert out[3].kept and out[3].drop_reason is None
+    assert out[4].drop_reason == "exact_dedup" and out[4].stage_reached == 1
+    assert out[5].drop_reason == "repetition" and out[5].stage_reached == 2
+    assert out[6].drop_reason == "benchmark_slice" and out[6].stage_reached == 3
+    assert out[7].drop_reason == "decontamination" and out[7].stage_reached == 3
+    # token counts are the whitespace token counts the funnel uses
+    assert out[1].n_tokens == 52 and out[2].n_tokens == 3
