@@ -909,9 +909,70 @@ _PRIORITY_R14 = (
     "pagerank_near_dup",
 )
 
+# Round-15 window, staged in round 11: the freshness rotation
+# continues with the next-oldest 47 driver rows — the 13 remaining
+# r2-era rows (including embedding_norms, displaced from R14 by
+# histogram_bins) then the oldest r5-era block, registry order within
+# each age group, behind the usual 3 canaries.
+_PRIORITY_R15 = (
+    # canaries — flagship + dedup + SQL, as every round
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-2 rows (13) — the rest of the r2 era
+    "embedding_norms",
+    "cosine_topk_brute",
+    "dedup_embedding_cosine",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_counts",
+    "training_data_pipeline",
+    "multimodal_meta",
+    "pandas_udf_sigmoid",
+    "apply_in_pandas_zscore",
+    "fuzzy_levenshtein_pairs",
+    "hash_sample",
+    "stratified_sample",
+    # round-5 rows (34) — the oldest r5 block, registry order
+    "first_last_nth_value",
+    "string_pad_funcs",
+    "bit_aggregates",
+    "variant_json_funcs",
+    "view_purchase_attribution",
+    "asof_join_tolerance",
+    "roc_points",
+    "profile_columns",
+    "dedup_cluster_canonical",
+    "near_dup_triangle_stats",
+    "label_centroids",
+    "pq_adc_topk",
+    "pii_redact",
+    "remove_boilerplate_tokens",
+    "benchmark_contamination",
+    "repetition_2gram_ratio",
+    "audio_frame_features",
+    "row_udf_label",
+    "udtf_bigrams",
+    "grouped_agg_sum_squares",
+    "boxplot_stats",
+    "mode_per_group",
+    "rolling_min_max",
+    "weighted_avg",
+    "hash_funcs",
+    "key_skew_profile",
+    "python_datasource_scan",
+    "bloom_filter_semi_join",
+    "linear_counting_distinct",
+    "string_agg_per_group",
+    "group_topk_percent",
+    "weighted_bernoulli_sample",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+)
+
 # Round 11: the staged flip, executed (round-12/13 windows already
-# staged above so the next two rounds are one-liners too; round 14
-# starts the freshness rotation, also a one-liner).
+# staged above so the next two rounds are one-liners too; rounds 14
+# and 15 continue the freshness rotation, also one-liners).
 _PRIORITY = _PRIORITY_R11
 
 

@@ -1696,3 +1696,37 @@ def test_r14_window_is_staged_and_valid():
     scheduled = attested | set(_PRIORITY_R11) | set(_PRIORITY_R12) | set(_PRIORITY_R13)
     never = [n for n in _PRIORITY_R14 if n not in scheduled]
     assert not never, never
+
+
+def test_r15_window_is_staged_and_valid():
+    """Staging discipline for round 15 (staged in round 11): the
+    freshness rotation continues. Same contract as R14 — 50 real ops,
+    no duplicates, no never-attested op (those belong in R13 or
+    earlier) — plus disjointness from R14's re-attest block, since
+    rotating the same rows twice in a row would waste both windows."""
+    import glob
+    import json
+    import os
+
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R11,
+        _PRIORITY_R12,
+        _PRIORITY_R13,
+        _PRIORITY_R14,
+        _PRIORITY_R15,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R15) == 50
+    assert len(set(_PRIORITY_R15)) == 50
+    missing = [n for n in _PRIORITY_R15 if n not in ops]
+    assert not missing, missing
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    scheduled = attested | set(_PRIORITY_R11) | set(_PRIORITY_R12) | set(_PRIORITY_R13)
+    never = [n for n in _PRIORITY_R15 if n not in scheduled]
+    assert not never, never
+    overlap = set(_PRIORITY_R15[3:]) & set(_PRIORITY_R14[3:])
+    assert not overlap, sorted(overlap)
