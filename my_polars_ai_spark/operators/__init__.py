@@ -970,10 +970,73 @@ _PRIORITY_R15 = (
     "tpch_q7_volume_shipping",
 )
 
-# Round 11: the staged flip, executed (round-12/13 windows already
-# staged above so the next two rounds are one-liners too; rounds 14
-# and 15 continue the freshness rotation, also one-liners).
-_PRIORITY = _PRIORITY_R11
+# Round-16 window, staged in round 12: the freshness rotation
+# continues with the next-oldest 47 driver rows once R12-R15 have
+# run — the 7 remaining r5-era rows (the TPC-H block that didn't fit
+# in R15) then the oldest r6-era block, registry order within each
+# age group, behind the usual 3 canaries.  Computed by
+# (effective latest round, registry order) where "effective" counts
+# staged R12-R15 membership as a future row.
+_PRIORITY_R16 = (
+    # canaries — flagship + dedup + SQL, as every round
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-5 rows (7) — the rest of the r5 era
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_stats",
+    "tpch_q21_waiting_suppliers",
+    # round-6 rows (40) — the oldest r6 block, registry order
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_rich_customers",
+    "histogram_2d",
+    "weighted_median_per_group",
+    "join_null_safe",
+    "basket_size_hist",
+    "lead_time_by_priority",
+    "repeat_customer_share",
+    "brand_supplier_hhi",
+    "discount_band_elasticity",
+    "setops_all_multiplicity",
+    "union_allow_missing_columns",
+    "abc_part_classification",
+    "star_denormalize_wide",
+    "rolling_trend_slope",
+    "running_distinct_event_types",
+    "misc_scalar_funcs",
+    "event_transition_matrix",
+    "rolling_wau",
+    "session_bounce_rate",
+    "session_path_counts",
+    "ttc_daily_median",
+    "volume_spike_days",
+    "max_concurrent_sessions",
+    "cohort_revenue_ltv",
+    "ohlc_bars_hourly",
+    "open_lineitems_per_day",
+    "dow_adjusted_spike_days",
+    "retention_halflife_fit",
+    "wau_overlap_jaccard",
+    "spc_control_chart",
+    "revenue_max_drawdown",
+    "cusum_change_detection",
+    "kaplan_meier_churn",
+    "logrank_test_churn",
+)
+
+# Round 12: the staged flip, executed (round-13 window already staged
+# above so the next round is a one-liner too; rounds 14 and 15
+# continue the freshness rotation, also one-liners).
+_PRIORITY = _PRIORITY_R12
 
 
 def all_ops() -> dict[str, Op]:

@@ -1730,3 +1730,41 @@ def test_r15_window_is_staged_and_valid():
     assert not never, never
     overlap = set(_PRIORITY_R15[3:]) & set(_PRIORITY_R14[3:])
     assert not overlap, sorted(overlap)
+
+
+def test_r16_window_is_staged_and_valid():
+    """Staging discipline for round 16 (staged in round 12): the
+    freshness rotation continues with the next-oldest driver rows —
+    the 7 remaining r5-era TPC-H rows then the oldest r6 block. Same
+    contract as R14/R15 — 50 real ops, no duplicates, no
+    never-attested op (those all ran by R13) — plus disjointness from
+    R14's and R15's re-attest blocks, since rotating the same rows
+    again would waste the window."""
+    import glob
+    import json
+    import os
+
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R12,
+        _PRIORITY_R13,
+        _PRIORITY_R14,
+        _PRIORITY_R15,
+        _PRIORITY_R16,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R16) == 50
+    assert len(set(_PRIORITY_R16)) == 50
+    missing = [n for n in _PRIORITY_R16 if n not in ops]
+    assert not missing, missing
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    scheduled = attested | set(_PRIORITY_R12) | set(_PRIORITY_R13)
+    never = [n for n in _PRIORITY_R16 if n not in scheduled]
+    assert not never, never
+    overlap = set(_PRIORITY_R16[3:]) & (
+        set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:])
+    )
+    assert not overlap, sorted(overlap)
