@@ -174,8 +174,27 @@ def main() -> None:
     # the two would keep a spuriously-fast shared sample that rode a
     # cache another query filled — the artifact class this pass exists
     # to remove).
+    #
+    # ISOLATED_REMEASURE is ALWAYS isolated, on top of the dynamic
+    # top-5: these are the queries whose in-bench samples proved
+    # GC/cache-pressure-sensitive across rounds (bimodal with zero code
+    # change — PERF.md rounds 5-11 adjudications). Before round 12 their
+    # recorded number was isolated only in rounds where they happened to
+    # land in the top-5, so cross-round comparisons mixed steady-state
+    # and in-bench samples and the >1.25x drift wire fired on
+    # measurement artifacts. Pinning them here (and tagging "isolated"
+    # in the output so tools/compare_bench.py can require
+    # isolated-vs-isolated before flagging) makes the wire fire only
+    # when a query's ISOLATED time moved — i.e. on real plan changes.
+    ISOLATED_REMEASURE = (
+        "dedup_minhash_lsh",
+        "pq_adc_topk",
+        "repeated_span_excision",
+        "ann_index_manifest",
+    )
     heavy = sorted(timings, key=timings.get, reverse=True)[:5]
-    for name in heavy:
+    isolated_set = sorted(set(heavy) | set(ISOLATED_REMEASURE), key=HEADLINE.index)
+    for name in isolated_set:
         spark.catalog.clearCache()
         ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         isolated = []
@@ -197,6 +216,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "isolated": isolated_set,
                 "sf": sf_val,
             }
         )

@@ -1,0 +1,84 @@
+"""Drift-wire semantics of tools/compare_bench.py (round 12).
+
+The wire must fire only on apples-to-apples moves: isolated-vs-isolated
+(or stable in-bench-vs-in-bench) beyond the threshold. A pairing of an
+isolated min-of-5 with an untagged in-bench sample is a measurement
+artifact — reported informationally, exit 0 — because that mixing is
+exactly how rounds 5-11 spent a PERF.md adjudication per round on
+`pq_adc_topk` / `dedup_minhash_lsh` without any plan change.
+"""
+
+import json
+import subprocess
+import sys
+import os
+
+TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools", "compare_bench.py")
+
+
+def _run(tmp_path, old, new):
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps(old))
+    new_p.write_text(json.dumps(new))
+    return subprocess.run(
+        [sys.executable, TOOL, str(old_p), str(new_p)],
+        capture_output=True, text=True,
+    )
+
+
+def test_mixed_sample_does_not_fire(tmp_path):
+    # old artifact predates isolation tags (the r11 shape); the new one
+    # isolates the bimodal query — 1.5x move, but mixed-sample: exit 0.
+    old = {"queries": {"pq_adc_topk": 1.3, "scan": 0.5}}
+    new = {"queries": {"pq_adc_topk": 2.0, "scan": 0.52},
+           "isolated": ["pq_adc_topk"]}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "mixed-sample" in r.stdout
+    assert "drifted beyond" not in r.stdout
+
+
+def test_isolated_vs_isolated_fires(tmp_path):
+    old = {"queries": {"pq_adc_topk": 1.3}, "isolated": ["pq_adc_topk"]}
+    new = {"queries": {"pq_adc_topk": 2.0}, "isolated": ["pq_adc_topk"]}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "drifted beyond" in r.stdout
+
+
+def test_in_bench_drift_still_fires(tmp_path):
+    # a light query outside both isolation sets keeps the old strict wire
+    old = {"queries": {"scan": 0.5}, "isolated": []}
+    new = {"queries": {"scan": 0.9}, "isolated": []}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+
+
+def test_sub_150ms_noise_ignored(tmp_path):
+    old = {"queries": {"tiny": 0.08}, "isolated": []}
+    new = {"queries": {"tiny": 0.14}, "isolated": []}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_driver_bench_artifact_shape(tmp_path):
+    # the driver wraps bench output under "parsed"
+    old = {"parsed": {"queries": {"q": 1.0}, "isolated": ["q"]}}
+    new = {"queries": {"q": 1.0}, "isolated": ["q"]}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "1.00x" in r.stdout
+
+
+def test_bench_isolated_remeasure_set_is_in_headline():
+    # the pinned always-isolated queries must stay headline members,
+    # else HEADLINE.index in bench.py raises at runtime
+    sys.path.insert(0, os.path.dirname(TOOL).rsplit(os.sep, 1)[0])
+    import bench
+
+    src = open(bench.__file__).read()
+    for name in ("dedup_minhash_lsh", "pq_adc_topk",
+                 "repeated_span_excision", "ann_index_manifest"):
+        assert name in bench.HEADLINE
+        assert f'"{name}",' in src

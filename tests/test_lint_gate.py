@@ -39,3 +39,29 @@ def test_every_lint_warning_is_attributed(spark, sf_dir):
     # the sweep actually covered the registry (sanity against an
     # accidentally-empty ops dict making the gate vacuous)
     assert len(clean) + len(warned) > 400
+
+
+def test_cache_conditional_entries_fire_cold(spark, sf_dir):
+    """Round-12 staleness contract: every CACHE_CONDITIONAL allowlist
+    entry must (a) point at a real ALLOWLIST justification and (b)
+    actually fire against a COLD cache — conditional entries are
+    exempt from the warm-sweep staleness gate in tools/lint_all.py,
+    so this is what keeps them from rotting."""
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.plans.guardrails import lint_plan
+    from my_polars_ai_spark.plans.lint_allowlist import (
+        ALLOWLIST,
+        CACHE_CONDITIONAL,
+        kind_of,
+    )
+
+    assert CACHE_CONDITIONAL, "set removed? drop this test with it"
+    ops = all_ops()
+    for name, kind in sorted(CACHE_CONDITIONAL):
+        assert (name, kind) in ALLOWLIST, (name, kind)
+        spark.catalog.clearCache()
+        warnings = lint_plan(ops[name].fn(spark, sf_dir))
+        assert any(kind_of(w) == kind for w in warnings), (
+            f"{name} [{kind}] no longer fires even cold — prune it from "
+            f"CACHE_CONDITIONAL and ALLOWLIST"
+        )

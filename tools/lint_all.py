@@ -7,9 +7,14 @@ Usage: PYTHONPATH=/root/repo python tools/lint_all.py [sf_dir]
 
 Exit code 1 if any warning has NO allowlist justification — a new op
 may not park a scale-killer shape in the advisory noise; it must either
-lose the warning or document why the flagged input is bounded. Stale
-allowlist entries (documented but no longer firing) are printed as info
-only: warnings are plan-dependent and some fire only at other SFs.
+lose the warning or document why the flagged input is bounded.
+
+Exit code 1 ALSO if any allowlist entry did not fire in the sweep
+(round 12: a stale allowlist is how a future real regression of the
+same kind would hide behind a dead justification). Entries listed in
+lint_allowlist.CACHE_CONDITIONAL are warm-sweep-exempt but are
+re-linted in ISOLATION after clearCache() — they must fire cold, or
+they too fail the gate. Nothing in the allowlist can rot silently.
 
 The same sweep runs inside pytest (tests/test_lint_gate.py) so an
 unattributed warning can never ship on a green test suite — the
@@ -76,16 +81,43 @@ def main() -> int:
                 print(f"  ⚠ {name} [{kind}]: {ALLOWLIST[(name, kind)]}")
     for name, err in sorted(errored.items()):
         print(f"  ✗ {name}: {err}")
-    stale = sorted(k for k in ALLOWLIST if k not in fired)
+
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.plans.guardrails import lint_plan
+    from my_polars_ai_spark.plans.lint_allowlist import CACHE_CONDITIONAL
+
+    not_fired = sorted(k for k in ALLOWLIST if k not in fired)
+    stale: list[tuple[str, str]] = []
+    ops = all_ops()
+    for name, kind in not_fired:
+        if (name, kind) not in CACHE_CONDITIONAL:
+            stale.append((name, kind))
+            continue
+        # conditional entries must still fire against a COLD cache —
+        # re-lint in isolation so a conditional entry cannot rot either
+        spark.catalog.clearCache()
+        try:
+            cold = lint_plan(ops[name].fn(spark, sf_dir))
+        except Exception as exc:
+            print(f"  ✗ conditional entry {name} failed cold re-lint: {exc!r}")
+            stale.append((name, kind))
+            continue
+        if any(kind_of(w) == kind for w in cold):
+            print(f"  ⚠ {name} [{kind}]: cache-conditional — absorbed by "
+                  f"warm-sweep caches, verified firing against a cold cache")
+        else:
+            stale.append((name, kind))
     if stale:
-        print(f"\nallowlist entries not firing at this SF ({len(stale)}):")
+        print(f"\nSTALE allowlist entries ({len(stale)}) — not firing in the "
+              f"sweep (nor cold, for conditional ones); prune or fix:")
         for name, kind in stale:
-            print(f"  - {name} [{kind}]")
+            print(f"  ✗ {name} [{kind}]")
     print(
         f"\nclean={len(clean)} warned={len(warned)} "
-        f"unattributed={len(unattributed)} errored={len(errored)}"
+        f"unattributed={len(unattributed)} errored={len(errored)} "
+        f"stale={len(stale)}"
     )
-    return 1 if unattributed or errored else 0
+    return 1 if unattributed or errored or stale else 0
 
 
 if __name__ == "__main__":
