@@ -820,8 +820,6 @@ _PRIORITY_R13 = (
     "distinct_projection",
     "except_keys",
     "filter_between_isnull",
-    "filter_compound_predicates",
-    "filtered_count",
     # round-11 additions (displace five r1 freshness re-attests —
     # intersect_keys/join_anti/join_cross/join_full_outer/histogram_bins
     # stay covered by pytest and the local sweep, and move to the R14
@@ -841,6 +839,12 @@ _PRIORITY_R13 = (
     "contrastive_triplet_mining",
     "nelson_aalen_hazard",
     "audio_vad_segments",
+    # round-12 additions (displace two more r1 freshness re-attests —
+    # filter_compound_predicates/filtered_count move to the R16
+    # freshness window; first driver rows take precedence over
+    # re-attests, same rule as the r11 wave)
+    "ann_manifest_query_topk",
+    "audio_chunk_export_manifest",
 )
 
 # Round-14 window, staged in round 11. After R11-R13 retire the
@@ -972,16 +976,23 @@ _PRIORITY_R15 = (
 
 # Round-16 window, staged in round 12: the freshness rotation
 # continues with the next-oldest 47 driver rows once R12-R15 have
-# run — the 7 remaining r5-era rows (the TPC-H block that didn't fit
-# in R15) then the oldest r6-era block, registry order within each
-# age group, behind the usual 3 canaries.  Computed by
-# (effective latest round, registry order) where "effective" counts
-# staged R12-R15 membership as a future row.
+# run — the two r1 re-attests the round-12 consumer additions
+# displaced from R13, the 7 remaining r5-era rows (the TPC-H block
+# that didn't fit in R15), then the oldest r6-era block, registry
+# order within each age group, behind the usual 3 canaries.
+# Computed by (effective latest round, registry order) where
+# "effective" counts staged R12-R15 membership as a future row
+# (kaplan_meier_churn / logrank_test_churn yielded the tail slots to
+# the displaced r1 rows and rotate in R17).
 _PRIORITY_R16 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
+    # round-1 rows (2) — the re-attests displaced from R13 by the
+    # round-12 consumer additions (oldest driver rows, so they lead)
+    "filter_compound_predicates",
+    "filtered_count",
     # round-5 rows (7) — the rest of the r5 era
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -1029,8 +1040,6 @@ _PRIORITY_R16 = (
     "spc_control_chart",
     "revenue_max_drawdown",
     "cusum_change_detection",
-    "kaplan_meier_churn",
-    "logrank_test_churn",
 )
 
 # Round 12: the staged flip, executed (round-13 window already staged

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
+    RDZV_SHARDS,
     ROUND_RATIO,
     Op,
     make_registrar,
@@ -421,9 +422,12 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 VAD_CHUNK_FRAMES = 2
 
 
-@op(
-    "audio_vad_chunks",
-    oracle=f"""
+# The chunker's full CTE prefix (VAD segments -> ordinal segments ->
+# fixed-budget chunk bounds -> per-chunk exact-energy aggregates),
+# shared by the chunker oracle and the export-manifest oracle below so
+# the two can't drift — the same one-definition discipline as
+# _VAD_SEG_CTES and text.py's _FUNNEL_DOC_CTES.
+_VAD_CHUNK_CTES = f"""
     {_VAD_SEG_CTES}, segn AS (
         SELECT doc_id,
                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
@@ -443,14 +447,23 @@ VAD_CHUNK_FRAMES = 2
                           start_frame + chunk_idx * {VAD_CHUNK_FRAMES}
                               + {VAD_CHUNK_FRAMES - 1}) AS INTEGER) AS chunk_end
         FROM ch
-    )
-    SELECT c.doc_id, c.seg_idx, c.chunk_idx, c.chunk_start, c.chunk_end,
-           CAST(count(*) AS INTEGER) AS n_frames,
-           CAST(sum(f.sum_sq) AS BIGINT) AS energy
-    FROM cb c
-    JOIN f ON f.doc_id = c.doc_id
-          AND f.frame_idx BETWEEN c.chunk_start AND c.chunk_end
-    GROUP BY 1, 2, 3, 4, 5
+    ), chk AS (
+        SELECT c.doc_id, c.seg_idx, c.chunk_idx, c.chunk_start, c.chunk_end,
+               CAST(count(*) AS INTEGER) AS n_frames,
+               CAST(sum(f.sum_sq) AS BIGINT) AS energy
+        FROM cb c
+        JOIN f ON f.doc_id = c.doc_id
+              AND f.frame_idx BETWEEN c.chunk_start AND c.chunk_end
+        GROUP BY 1, 2, 3, 4, 5
+    )"""
+
+
+@op(
+    "audio_vad_chunks",
+    oracle=f"""
+    {_VAD_CHUNK_CTES}
+    SELECT doc_id, seg_idx, chunk_idx, chunk_start, chunk_end, n_frames, energy
+    FROM chk
     """,
     tags=("multimodal", "udf", "audio", "window", "pipeline"),
 )
@@ -499,6 +512,104 @@ def audio_vad_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_frames"),
             F.sum("sum_sq").cast("long").alias("energy"),
         )
+    )
+
+
+# PCM16-LE geometry for the export byte ranges: 2 bytes per sample.
+PCM_BYTES_PER_SAMPLE = 2
+
+_AUDIO_EXPORT_SQL = f"""
+    {_VAD_CHUNK_CTES}
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                AS INTEGER) AS sample_idx,
+           seg_idx, chunk_idx, chunk_start, chunk_end, n_frames, energy,
+           CAST(chunk_start AS BIGINT) * {PCM_FRAME * PCM_BYTES_PER_SAMPLE}
+               AS byte_start,
+           CAST(n_frames AS BIGINT) * {PCM_FRAME * PCM_BYTES_PER_SAMPLE}
+               AS n_bytes,
+           CAST(('0x' || substr(md5('achunk:' || CAST(doc_id AS VARCHAR)
+                || ':' || CAST(seg_idx AS VARCHAR)
+                || ':' || CAST(chunk_idx AS VARCHAR)), 1, 15))::BIGINT
+                % {RDZV_SHARDS} AS INTEGER) AS shard,
+           md5(CAST(doc_id AS VARCHAR) || '|' || CAST(seg_idx AS VARCHAR)
+               || '|' || CAST(chunk_idx AS VARCHAR)
+               || '|' || CAST(chunk_start AS VARCHAR)
+               || '|' || CAST(chunk_end AS VARCHAR)
+               || '|' || CAST(n_frames AS VARCHAR)
+               || '|' || CAST(energy AS VARCHAR)) AS record_md5
+    FROM chk
+"""
+
+
+@op(
+    "audio_chunk_export_manifest",
+    oracle=_AUDIO_EXPORT_SQL,
+    tags=("multimodal", "audio", "pipeline", "report"),
+)
+def audio_chunk_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIP step of the audio family — one export record per VAD
+    chunk, the manifest an ASR/caption training job reads to slice
+    payloads WITHOUT re-decoding (r12 consumer rule: consumes
+    `audio_vad_chunks` verbatim, the same detect -> act -> ship ladder
+    `triplet_export_manifest` and `ann_index_manifest` close for their
+    families). Each record carries the chunk's frame bounds and exact
+    energy, its per-doc export ordinal (sample_idx — chunk ranges
+    within a doc are disjoint, so ORDER BY chunk_start is
+    deterministic), the BYTE RANGE of the chunk inside the doc's
+    PCM16-LE payload (frame geometry x 2 bytes/sample — the slice a
+    loader actually seeks to), a deterministic placement shard, and an
+    md5 record checksum.
+
+    Scale shape: everything is per-doc or per-chunk — the ordinal
+    window is doc-partitioned and bounded by clip length; shard +
+    checksum + byte math are narrow projections on the chunk grain;
+    writing this manifest partitioned by shard IS the export layout.
+    No corpus-grain shuffle beyond the chunker's own (doc, seg,
+    chunk) aggregate."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    chunks = audio_vad_chunks(spark, sf_dir)
+    wd = Window.partitionBy("doc_id").orderBy("chunk_start")
+    bytes_per_frame = PCM_FRAME * PCM_BYTES_PER_SAMPLE
+    return chunks.select(
+        "doc_id",
+        F.row_number().over(wd).cast("int").alias("sample_idx"),
+        "seg_idx",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_end",
+        "n_frames",
+        "energy",
+        (F.col("chunk_start").cast("long") * bytes_per_frame).alias("byte_start"),
+        (F.col("n_frames").cast("long") * bytes_per_frame).alias("n_bytes"),
+        (
+            portable_hash60(
+                F.concat(
+                    F.lit("achunk:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("seg_idx").cast("string"),
+                    F.lit(":"),
+                    F.col("chunk_idx").cast("string"),
+                )
+            )
+            % RDZV_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.col("seg_idx").cast("string"),
+                F.col("chunk_idx").cast("string"),
+                F.col("chunk_start").cast("string"),
+                F.col("chunk_end").cast("string"),
+                F.col("n_frames").cast("string"),
+                F.col("energy").cast("string"),
+            )
+        ).alias("record_md5"),
     )
 
 

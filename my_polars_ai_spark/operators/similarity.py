@@ -1082,6 +1082,139 @@ def ann_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_QUERY_SQL = f"""
+    WITH {_ivf_ctes("ivf_corpus", "ivf_seeds", "ivf_assigned")},
+    {_pq_ctes("pq_corpus", "pq_seeds", "pq_cdist", "pq_codes")},
+    probed AS (
+        SELECT q_id, cell FROM (
+            SELECT c.vec_id AS q_id, s.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY round(list_cosine_similarity(c.v, s.cv), {ROUND_RATIO}) DESC,
+                                s.cell) AS prank
+            FROM ivf_corpus c CROSS JOIN ivf_seeds s WHERE c.vec_id < {N_QUERIES}
+        ) WHERE prank <= {N_PROBE}
+    ), lut AS (
+        SELECT vec_id AS q_id, m, k, d2 FROM pq_cdist WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probed p JOIN ivf_assigned a USING (cell)
+        WHERE a.vec_id != p.q_id
+    ), scored AS (
+        SELECT c.q_id, c.neighbor_id,
+               sum(CAST(l.d2 AS DECIMAL(18,6))) AS approx_dec
+        FROM cand c
+        JOIN pq_codes pc ON pc.vec_id = c.neighbor_id
+        JOIN lut l ON l.q_id = c.q_id AND l.m = pc.m AND l.k = pc.k
+        GROUP BY 1, 2
+    ), shortlist AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY approx_dec, neighbor_id) AS arank
+            FROM scored
+        ) WHERE arank <= {PQ_SHORTLIST}
+    ), exact AS (
+        SELECT s.q_id, s.neighbor_id, list_cosine_similarity(cq.v, cn.v) AS cos
+        FROM shortlist s
+        JOIN pq_corpus cq ON cq.vec_id = s.q_id
+        JOIN pq_corpus cn ON cn.vec_id = s.neighbor_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM exact
+    )
+    SELECT q_id, neighbor_id, round(cos, {ROUND_RATIO}) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@op(
+    "ann_manifest_query_topk",
+    oracle=_ANN_QUERY_SQL,
+    tags=("similarity", "ann", "ivf", "pq", "pipeline"),
+)
+def ann_manifest_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE step of the ANN family — the query path that runs
+    against the index `ann_index_manifest` builds, closing the
+    build -> serve lifecycle (r12 consumer rule: consumes the packed
+    manifest rows, not the raw embedding column). Standard IVF-PQ
+    serving: each query routes to its N_PROBE nearest coarse cells
+    (the bounded codebook lives serving-side, as in `ivf_cosine_topk`),
+    candidates are ONLY the manifest records in those cells, and they
+    are scored by asymmetric distance over the manifest's PACKED
+    pq_codes CSV — posexplode(split(...)) recovers (subspace, code),
+    so this op also proves the pack/unpack round trip is lossless —
+    then a PQ_SHORTLIST-deep shortlist fetches real vectors for the
+    exact-cosine rerank. Differs from `ivf_cosine_topk` (exact within
+    cells, no compression) and `pq_adc_topk` (ADC over the FULL
+    corpus): this is the composed production plan, ADC restricted to
+    probed cells.
+
+    100 TB shape: the manifest is written partitioned by (shard,
+    cell), so probing N_PROBE of N_CELLS cells IS partition pruning —
+    a query touches N_PROBE/N_CELLS of the index and reads M bytes of
+    codes per candidate, never the 64-double vector; the query LUT
+    (queries x M x K subspace distances) and the probed routing table
+    are bounded broadcasts; only the shortlist fetches embeddings.
+    ADC totals sum DECIMAL(18,6) terms (exact, order-independent) and
+    every argmin/argmax is over ROUNDED values with id tiebreaks, so
+    both engines keep identical candidates, shortlists, and ranks."""
+    manifest = ann_index_manifest(spark, sf_dir)
+    corpus, ranked_cells = _ivf_ranked_cells(spark, sf_dir)
+    probed = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(F.slice(ranked_cells, 1, N_PROBE)["cell"]).alias("cell"),
+    )
+    ncorpus = _pq_norm_corpus(spark, sf_dir)
+    lut = _pq_cdist(spark, ncorpus).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", "k", "d2"
+    )
+    decoded = (
+        manifest.select("vec_id", "cell", "pq_codes")
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode(F.split("pq_codes", ",")).alias("m", "k_str"),
+        )
+        .select("q_id", "neighbor_id", "m", F.col("k_str").cast("int").alias("k"))
+    )
+    scored = (
+        decoded.join(F.broadcast(lut), ["q_id", "m", "k"])
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum(F.col("d2").cast("decimal(18,6)")).alias("approx_dec"))
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.asc("approx_dec"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= PQ_SHORTLIST)
+        .select("q_id", "neighbor_id")
+    )
+    cq = ncorpus.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    cn = ncorpus.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        shortlist.join(F.broadcast(cq.filter(F.col("q_id") < N_QUERIES)), "q_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("nv"))
+                / (_norm(F.col("qv")) * _norm(F.col("nv")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id", "neighbor_id", F.round("cos", ROUND_RATIO).alias("cos"), "rank"
+        )
+    )
+
+
 # Core-point threshold for the density flags (neighbors at the
 # dedup_embedding_cosine similarity level).
 DENSITY_MIN_NEIGHBORS = 2
