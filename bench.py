@@ -119,6 +119,14 @@ HEADLINE = [
     # (token pass + bounded source-grain broadcast)
     "ann_index_manifest",
     "doremi_sampling_manifest",
+    # round-12: the two consumer ops — the ANN SERVE step (manifest-
+    # routed ADC + exact rerank; the in-plan index build dominates its
+    # time, the serve-side joins are the structurally-new part) and the
+    # audio export manifest (first bench entry for the mapInPandas
+    # audio chain: synth+decode -> VAD islands -> chunk explode ->
+    # byte-addressed manifest)
+    "ann_manifest_query_topk",
+    "audio_chunk_export_manifest",
 ]
 
 
@@ -190,6 +198,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "pq_adc_topk",
         "repeated_span_excision",
+        "repeated_span_stats",
         "ann_index_manifest",
     )
     heavy = sorted(timings, key=timings.get, reverse=True)[:5]

@@ -79,6 +79,7 @@ def test_bench_isolated_remeasure_set_is_in_headline():
 
     src = open(bench.__file__).read()
     for name in ("dedup_minhash_lsh", "pq_adc_topk",
-                 "repeated_span_excision", "ann_index_manifest"):
+                 "repeated_span_excision", "repeated_span_stats",
+                 "ann_index_manifest"):
         assert name in bench.HEADLINE
         assert f'"{name}",' in src
