@@ -9,7 +9,21 @@ _PRIORITY_R* windows and prints:
 - the never-attested remainder in registry order (the candidate pool
   for the next staging pass).
 
-Usage: PYTHONPATH=/root/repo python tools/attestation_status.py
+Usage: PYTHONPATH=/root/repo python tools/attestation_status.py [--endgame]
+
+``--endgame`` (round-12 groundwork for the post-R13 contract): once the
+R13 window has run, every registry op has a driver row and the ledger's
+headline becomes FRESHNESS, not coverage. The flag asserts exactly
+that and exits non-zero otherwise:
+
+- zero never-attested ops and zero ops still waiting on a staged
+  window (i.e. cumulative attested == registry),
+- every non-green latest row belongs to ROWS_ONLY_BY_DESIGN (the
+  sketch trio whose outputs are not SQL-oracle-expressible — their
+  rows-only driver check records no hash match by design),
+- prints the freshness ledger: "full-registry attested; oldest row:
+  rN" plus the ops holding that oldest round (the next rotation's
+  natural candidates).
 """
 
 from __future__ import annotations
@@ -34,6 +48,51 @@ RETIRED: dict[str, str] = {
     ),
 }
 
+# Sketch/ML ops whose outputs are by design not SQL-oracle-expressible:
+# the driver records a rows-only check for them (rows > 0, no value
+# hash), so a non-green "latest row" for exactly these names is the
+# expected endgame state, not a defect.
+ROWS_ONLY_BY_DESIGN = frozenset(
+    {"approx_distinct", "approx_quantiles", "kmeans_segments"}
+)
+
+
+def endgame_check(
+    ops: list[str],
+    latest_round: dict[str, int],
+    green: dict[str, bool],
+    staged_pending: set[str],
+) -> tuple[bool, str]:
+    """The post-R13 ledger contract, pure so tests can pin it.
+
+    Returns (ok, report). ok only when every registry op has a driver
+    row, nothing is still waiting on a staged window, and every
+    non-green latest row is a ROWS_ONLY_BY_DESIGN sketch."""
+    missing = [o for o in ops if o not in latest_round]
+    bad_red = sorted(
+        n for n, g in green.items() if not g and n in ops and n not in ROWS_ONLY_BY_DESIGN
+    )
+    lines = []
+    ok = not missing and not staged_pending and not bad_red
+    if missing:
+        lines.append(f"NOT at endgame: {len(missing)} ops never attested: {missing[:10]}")
+    if staged_pending:
+        lines.append(
+            f"NOT at endgame: {len(staged_pending)} ops still waiting on a staged window"
+        )
+    if bad_red:
+        lines.append(f"NOT at endgame: non-green latest rows outside the sketch trio: {bad_red}")
+    if ok:
+        oldest = min(latest_round[o] for o in ops)
+        holders = [o for o in ops if latest_round[o] == oldest]
+        lines.append(f"full-registry attested; oldest row: r{oldest}")
+        lines.append(
+            f"  {len(holders)} ops at r{oldest} (next rotation candidates): "
+            + ", ".join(holders[:8])
+            + ("..." if len(holders) > 8 else "")
+        )
+    return ok, "\n".join(lines)
+
 
 def main() -> int:
     import my_polars_ai_spark.operators as reg
@@ -41,13 +100,17 @@ def main() -> int:
 
     ops = list(all_ops())
     attested: dict[str, bool] = {}  # name -> last driver row green?
+    latest_round: dict[str, int] = {}  # name -> last driver round
     for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        rnd_m = re.search(r"r(\d+)", os.path.basename(f))
+        rnd = int(rnd_m.group(1)) if rnd_m else 0
         for name, row in json.load(open(f)).items():
             ok = all(
                 row.get(k) in (True, None)
                 for k in ("rows_match", "schema_match", "hash_match")
             ) and row.get("err") in (None, "")
             attested[name] = ok
+            latest_round[name] = max(latest_round.get(name, 0), rnd)
     # Pending = the LIVE window (the driver runs it this round) plus
     # every staged window numbered past the last CORRECTNESS round;
     # historical windows already have their rows in CORRECTNESS files
@@ -89,6 +152,10 @@ def main() -> int:
     print(f"never attested/staged:   {len(never)}")
     for n in never:
         print(f"  - {n}")
+    if "--endgame" in sys.argv:
+        ok, report = endgame_check(ops, latest_round, attested, staged)
+        print(report)
+        return 0 if ok else 1
     return 0
 
 
