@@ -203,6 +203,7 @@ def main() -> None:
     )
     heavy = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated_set = sorted(set(heavy) | set(ISOLATED_REMEASURE), key=HEADLINE.index)
+    isolated_pinned = sorted(ISOLATED_REMEASURE, key=HEADLINE.index)
     for name in isolated_set:
         spark.catalog.clearCache()
         ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -226,6 +227,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "isolated": isolated_set,
+                "isolated_pinned": isolated_pinned,
                 "sf": sf_val,
             }
         )

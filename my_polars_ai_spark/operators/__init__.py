@@ -1001,7 +1001,7 @@ _PRIORITY_R16 = (
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_part_stats",
     "tpch_q21_waiting_suppliers",
-    # round-6 rows (40) — the oldest r6 block, registry order
+    # round-6 rows (38) — the oldest r6 block, registry order
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",

@@ -1011,6 +1011,66 @@ _ANN_INDEX_SQL = f"""
 """
 
 
+def _ann_index_frames(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame, Column, DataFrame, DataFrame]":
+    """Shared builder for the ANN index family: (manifest, corpus,
+    ranked_cells, ncorpus, cdist). `ann_index_manifest` ships the
+    first; `ann_manifest_query_topk` consumes the manifest AND reuses
+    the other frames for query routing / the LUT — so the eager
+    driver-side codebook materializations (the N_CELLS IVF seed
+    collect in `_ivf_ranked_cells`, the PQ_K seed collect in
+    `_pq_cdist`) run ONCE per invocation instead of once per
+    consumer."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    corpus, ranked_cells = _ivf_ranked_cells(spark, sf_dir)
+    ncorpus = _pq_norm_corpus(spark, sf_dir)
+    cdist = _pq_cdist(spark, ncorpus)
+    assigned = corpus.select(
+        "vec_id", ranked_cells[0]["cell"].cast("int").alias("cell")
+    )
+    codes = _pq_codes(cdist)
+    packed = codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "k"))),
+                lambda s: s.getField("k").cast("string"),
+            ),
+            ",",
+        ).alias("pq_codes"),
+        F.count(F.lit(1)).cast("int").alias("n_subspaces"),
+    )
+    _, m = _int8_vm(spark, sf_dir)
+    joined = assigned.join(packed, "vec_id").join(
+        m.select("vec_id", F.col("maxabs").cast("long").alias("maxabs_micro")),
+        "vec_id",
+    )
+    manifest = joined.select(
+        "vec_id",
+        "cell",
+        "n_subspaces",
+        "pq_codes",
+        "maxabs_micro",
+        (
+            portable_hash60(F.concat(F.lit("vec:"), F.col("vec_id").cast("string")))
+            % RDZV_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("vec_id").cast("string"),
+                F.col("cell").cast("string"),
+                F.col("pq_codes"),
+                F.col("maxabs_micro").cast("string"),
+            )
+        ).alias("record_md5"),
+    )
+    return manifest, corpus, ranked_cells, ncorpus, cdist
+
+
 @op(
     "ann_index_manifest",
     oracle=_ANN_INDEX_SQL,
@@ -1036,50 +1096,7 @@ def ann_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     final join are all vec-grain narrow tables co-keyed on vec_id.
     Writing this manifest partitioned by (shard, cell) IS the index
     build at 100 TB."""
-    from my_polars_ai_spark.operators.dedup import portable_hash60
-
-    corpus, ranked_cells = _ivf_ranked_cells(spark, sf_dir)
-    assigned = corpus.select(
-        "vec_id", ranked_cells[0]["cell"].cast("int").alias("cell")
-    )
-    codes = _pq_codes(_pq_cdist(spark, _pq_norm_corpus(spark, sf_dir)))
-    packed = codes.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "k"))),
-                lambda s: s.getField("k").cast("string"),
-            ),
-            ",",
-        ).alias("pq_codes"),
-        F.count(F.lit(1)).cast("int").alias("n_subspaces"),
-    )
-    _, m = _int8_vm(spark, sf_dir)
-    joined = assigned.join(packed, "vec_id").join(
-        m.select("vec_id", F.col("maxabs").cast("long").alias("maxabs_micro")),
-        "vec_id",
-    )
-    return joined.select(
-        "vec_id",
-        "cell",
-        "n_subspaces",
-        "pq_codes",
-        "maxabs_micro",
-        (
-            portable_hash60(F.concat(F.lit("vec:"), F.col("vec_id").cast("string")))
-            % RDZV_SHARDS
-        )
-        .cast("int")
-        .alias("shard"),
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("vec_id").cast("string"),
-                F.col("cell").cast("string"),
-                F.col("pq_codes"),
-                F.col("maxabs_micro").cast("string"),
-            )
-        ).alias("record_md5"),
-    )
+    return _ann_index_frames(spark, sf_dir)[0]
 
 
 _ANN_QUERY_SQL = f"""
@@ -1156,17 +1173,23 @@ def ann_manifest_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes per candidate, never the 64-double vector; the query LUT
     (queries x M x K subspace distances) and the probed routing table
     are bounded broadcasts; only the shortlist fetches embeddings.
-    ADC totals sum DECIMAL(18,6) terms (exact, order-independent) and
-    every argmin/argmax is over ROUNDED values with id tiebreaks, so
-    both engines keep identical candidates, shortlists, and ranks."""
-    manifest = ann_index_manifest(spark, sf_dir)
-    corpus, ranked_cells = _ivf_ranked_cells(spark, sf_dir)
+    Cross-engine determinism: cell routing and the ADC
+    argmin/shortlist order over ROUNDED values (scale-6 d2,
+    DECIMAL(18,6) totals — exact and order-independent) with id
+    tiebreaks; the final exact rerank ranks RAW cosines, same as its
+    green siblings `ivf_cosine_topk`/`pq_adc_topk` (both engines
+    evaluate the same double expression; only the output column
+    rounds). Build + serve share ONE `_ann_index_frames` call, so the
+    driver-side codebook materializations are not repeated per
+    consumer."""
+    manifest, corpus, ranked_cells, ncorpus, cdist = _ann_index_frames(
+        spark, sf_dir
+    )
     probed = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.explode(F.slice(ranked_cells, 1, N_PROBE)["cell"]).alias("cell"),
     )
-    ncorpus = _pq_norm_corpus(spark, sf_dir)
-    lut = _pq_cdist(spark, ncorpus).filter(F.col("vec_id") < N_QUERIES).select(
+    lut = cdist.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "m", "k", "d2"
     )
     decoded = (

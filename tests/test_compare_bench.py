@@ -27,16 +27,29 @@ def _run(tmp_path, old, new):
     )
 
 
-def test_mixed_sample_does_not_fire(tmp_path):
+def test_pinned_transition_does_not_fire(tmp_path):
     # old artifact predates isolation tags (the r11 shape); the new one
-    # isolates the bimodal query — 1.5x move, but mixed-sample: exit 0.
+    # pins the bimodal query — 1.5x move, but a one-time pinned
+    # transition: exit 0.
     old = {"queries": {"pq_adc_topk": 1.3, "scan": 0.5}}
     new = {"queries": {"pq_adc_topk": 2.0, "scan": 0.52},
-           "isolated": ["pq_adc_topk"]}
+           "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
     r = _run(tmp_path, old, new)
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "mixed-sample" in r.stdout
+    assert "pinned transition" in r.stdout
     assert "drifted beyond" not in r.stdout
+
+
+def test_dynamic_top5_entrant_still_fires(tmp_path):
+    # a NON-pinned query whose regression pushed it into the dynamic
+    # top-5 must not ride the mixed-sample transition unflagged — the
+    # membership flip is evidence its time moved
+    old = {"queries": {"q": 1.0}, "isolated": [], "isolated_pinned": []}
+    new = {"queries": {"q": 2.8}, "isolated": ["q"], "isolated_pinned": []}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "mixed-sample: re-measure isolated first" in r.stdout
 
 
 def test_isolated_vs_isolated_fires(tmp_path):

@@ -40,6 +40,31 @@ def test_every_lint_warning_is_attributed(spark, sf_dir):
     # accidentally-empty ops dict making the gate vacuous)
     assert len(clean) + len(warned) > 400
 
+    # Staleness, INSIDE pytest (round-12): a documented allowlist entry
+    # whose warning no longer fires is how a future real regression of
+    # the same kind hides behind a dead justification — and a gate that
+    # lives only in the tools/ CLI is the round-8 failure mode this
+    # file exists to prevent. CACHE_CONDITIONAL entries are exempt here
+    # (their cold-fire contract is the next test); everything else must
+    # have fired in this cold-cache sweep.
+    from my_polars_ai_spark.plans.lint_allowlist import (
+        ALLOWLIST,
+        CACHE_CONDITIONAL,
+        kind_of,
+    )
+
+    fired = {
+        (name, kind_of(w)) for name, ws in warned.items() for w in ws
+    }
+    stale = sorted(
+        k for k in ALLOWLIST if k not in fired and k not in CACHE_CONDITIONAL
+    )
+    assert not stale, (
+        f"allowlist entries not firing in the cold sweep (prune from "
+        f"plans/lint_allowlist.py or move to CACHE_CONDITIONAL with a "
+        f"documented reason): {stale}"
+    )
+
 
 def test_cache_conditional_entries_fire_cold(spark, sf_dir):
     """Round-12 staleness contract: every CACHE_CONDITIONAL allowlist

@@ -59,8 +59,12 @@ def test_ann_manifest_query_topk_serves_from_the_index(spark, sf_dir):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert len(rs) <= TOP_K
+        # rank is assigned over RAW cosine (id tiebreak), the output
+        # column is rounded — so only cos monotonicity is assertable
+        # here: two rounded-equal neighbors may sit in raw-cos order,
+        # not id order
         for a, b in zip(rs, rs[1:]):
-            assert (a.cos, -a.neighbor_id) >= (b.cos, -b.neighbor_id)
+            assert a.cos >= b.cos
         for r in rs:
             assert r.neighbor_id != q_id
             assert cells[r.neighbor_id] in probed[q_id], (

@@ -7,24 +7,29 @@ exits 1 if any common query drifted beyond the threshold (default
 1.25x) — the signal the round-6 verdict asked to keep pinned as the
 headline set grows.
 
-Round 12: the drift wire now reads the isolation tags bench.py emits
-("isolated": [query, ...]). A query's recorded number is either an
-isolated min-of-5 after clearCache (steady-state) or an in-bench
-min-of-3 from the shared loop (rides whatever cache/GC pressure the
-preceding ~50 queries left behind). Comparing one of each is how the
-wire spent rounds 5-11 firing on `pq_adc_topk`/`dedup_minhash_lsh`
-measurement artifacts that PERF.md then hand-adjudicated with manual
-isolated re-runs. Now:
+Round 12: the drift wire reads the isolation tags bench.py emits
+("isolated": every query measured as an isolated min-of-5 after
+clearCache; "isolated_pinned": the ISOLATED_REMEASURE subset pinned in
+bench.py because its in-bench samples proved bimodal across rounds with
+no code change). A query's recorded number is either an isolated
+steady-state or an in-bench shared-loop sample, and comparing one of
+each is how the wire spent rounds 5-11 firing on
+`pq_adc_topk`/`dedup_minhash_lsh` measurement artifacts that PERF.md
+then hand-adjudicated. The rules:
 
 - isolated(old) vs isolated(new): steady-state vs steady-state — a
-  >threshold move is a real plan change; the wire fires.
-- mixed or in-bench on either side for a query in either artifact's
-  isolation set: not apples-to-apples — reported as "mixed-sample"
-  informationally, wire does NOT fire. (One transition round per query
-  at most; once both artifacts carry the tag the strict path applies.)
-- in-bench vs in-bench for queries outside both isolation sets:
-  unchanged behavior — these are the light queries whose shared-loop
-  samples have been stable within the ambient 1.04-1.19x band.
+  >threshold move is a real plan change; the wire FIRES.
+- mixed pairing on a PINNED query: the one-time transition from an
+  untagged artifact — reported informationally, wire does not fire
+  (at most one such round per pinned query; afterwards both sides
+  carry the tag and the strict path applies).
+- mixed pairing on a NON-pinned query (it entered or left the dynamic
+  top-5): the membership flip is itself evidence the query's time
+  moved, and exempting it would let a real regression ride the
+  transition unflagged — the wire FIRES, annotated as mixed-sample so
+  the adjudicator knows to re-measure isolated before chasing a plan.
+- in-bench vs in-bench outside both isolation sets: unchanged strict
+  behavior (the light queries, stable within the ambient band).
 """
 
 from __future__ import annotations
@@ -33,20 +38,21 @@ import json
 import sys
 
 
-def _load(path: str) -> tuple[dict[str, float], set[str]]:
+def _load(path: str) -> tuple[dict[str, float], set[str], set[str]]:
     with open(path) as fh:
         d = json.load(fh)
     if "parsed" in d and "queries" in d.get("parsed", {}):  # driver BENCH_r{N}
         d = d["parsed"]
     if "queries" not in d:
         raise SystemExit(f"{path}: no 'queries' map found")
-    return d["queries"], set(d.get("isolated", ()))
+    return d["queries"], set(d.get("isolated", ())), set(d.get("isolated_pinned", ()))
 
 
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
-    (old, old_iso), (new, new_iso) = _load(old_path), _load(new_path)
+    (old, old_iso, old_pin), (new, new_iso, new_pin) = _load(old_path), _load(new_path)
+    pinned = old_pin | new_pin
     common = sorted(set(old) & set(new))
     if not common:
         raise SystemExit("no common queries")
@@ -54,14 +60,18 @@ def main() -> int:
         ((new[q] / old[q] if old[q] else float("inf"), q) for q in common),
         reverse=True,
     )
-    drifted, mixed = [], []
+    drifted, transition = [], []
     for ratio, q in rows:
         flag = ""
         if ratio > threshold and new[q] - old[q] > 0.15:  # ignore sub-150ms noise
             in_iso_old, in_iso_new = q in old_iso, q in new_iso
-            if (in_iso_old or in_iso_new) and not (in_iso_old and in_iso_new):
-                flag = "  <-- mixed-sample (isolated vs in-bench; informational)"
-                mixed.append(q)
+            mixed = (in_iso_old or in_iso_new) and not (in_iso_old and in_iso_new)
+            if mixed and q in pinned:
+                flag = "  <-- pinned transition (isolated vs in-bench; informational)"
+                transition.append(q)
+            elif mixed:
+                flag = "  <-- drift (mixed-sample: re-measure isolated first)"
+                drifted.append(q)
             else:
                 flag = "  <-- drift"
                 drifted.append(q)
@@ -73,15 +83,17 @@ def main() -> int:
     only_new = sorted(set(new) - set(old))
     if only_new:
         print("new-only:", {q: new[q] for q in only_new})
-    if mixed:
-        print(f"\n{len(mixed)} mixed-sample comparisons (not drift): {mixed}")
-        print("these pair an isolated min-of-5 with an in-bench sample; the "
-              "next round compares isolated-vs-isolated and the strict wire "
-              "applies")
+    if transition:
+        print(f"\n{len(transition)} pinned-transition comparisons (not drift): "
+              f"{transition}")
+        print("these pair a pinned query's isolated min-of-5 with a pre-tag "
+              "in-bench sample; the next round compares isolated-vs-isolated "
+              "and the strict wire applies")
     if drifted:
         print(f"\n{len(drifted)} queries drifted beyond {threshold}x: {drifted}")
-        print("isolated-vs-isolated (or stable in-bench) moves — investigate "
-              "as real plan changes")
+        print("isolated-vs-isolated (or stable in-bench) moves fire as real "
+              "plan changes; mixed-sample entries need an isolated re-measure "
+              "before adjudication")
         return 1
     return 0
 

@@ -16,6 +16,13 @@ lint_allowlist.CACHE_CONDITIONAL are warm-sweep-exempt but are
 re-linted in ISOLATION after clearCache() — they must fire cold, or
 they too fail the gate. Nothing in the allowlist can rot silently.
 
+The staleness gate is enforced only at the default GATE_SF (warning
+shapes are plan-dependent and some fire only at that SF — broadcast
+thresholds and row counts shift with data size); at any other sf_dir
+not-firing entries are printed as info and do not affect the exit
+code, so `lint_all.py /root/testdata/sf0.1` stays usable as an
+attribution check without spurious reds.
+
 The same sweep runs inside pytest (tests/test_lint_gate.py) so an
 unattributed warning can never ship on a green test suite — the
 round-8 postmortem (a red lint gate at HEAD because the script lived
@@ -60,8 +67,11 @@ def sweep(spark, sf_dir: str, ops: dict | None = None):
     return clean, warned, errored, unattributed
 
 
+GATE_SF = "/root/testdata/sf0.001"  # the SF where staleness is enforced
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else GATE_SF
 
     from my_polars_ai_spark.plans.lint_allowlist import ALLOWLIST, kind_of
     from my_polars_ai_spark.session import get_spark
@@ -107,17 +117,18 @@ def main() -> int:
                   f"warm-sweep caches, verified firing against a cold cache")
         else:
             stale.append((name, kind))
+    enforce_stale = sf_dir.rstrip("/") == GATE_SF.rstrip("/")
     if stale:
-        print(f"\nSTALE allowlist entries ({len(stale)}) — not firing in the "
-              f"sweep (nor cold, for conditional ones); prune or fix:")
+        label = "STALE" if enforce_stale else "not firing at this SF (info only)"
+        print(f"\n{label} allowlist entries ({len(stale)}):")
         for name, kind in stale:
-            print(f"  ✗ {name} [{kind}]")
+            print(f"  {'✗' if enforce_stale else '-'} {name} [{kind}]")
     print(
         f"\nclean={len(clean)} warned={len(warned)} "
         f"unattributed={len(unattributed)} errored={len(errored)} "
-        f"stale={len(stale)}"
+        f"stale={len(stale) if enforce_stale else 0}"
     )
-    return 1 if unattributed or errored or stale else 0
+    return 1 if unattributed or errored or (stale and enforce_stale) else 0
 
 
 if __name__ == "__main__":
