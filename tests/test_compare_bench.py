@@ -96,3 +96,38 @@ def test_bench_isolated_remeasure_set_is_in_headline():
                  "ann_index_manifest"):
         assert name in bench.HEADLINE
         assert f'"{name}",' in src
+
+
+def test_uniform_ambient_shift_does_not_fire(tmp_path):
+    # 12 queries all 1.30x slower (session-wide shift): the median
+    # normalization cancels it — no per-query flags, but the
+    # session-level guard fires because the median itself is past the
+    # threshold (a global regression must not hide behind the median)
+    old = {"queries": {f"q{i}": 1.0 for i in range(12)}, "isolated": []}
+    new = {"queries": {f"q{i}": 1.3 for i in range(12)}, "isolated": []}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "session-level drift" in r.stdout
+    assert r.stdout.count("<-- drift") == 0
+
+
+def test_outlier_against_ambient_shift_fires(tmp_path):
+    # 11 queries at a 1.10x ambient shift + one at 1.60x: only the
+    # outlier fires (1.60/1.10 > 1.25), the shifted majority does not
+    old = {"queries": {f"q{i}": 1.0 for i in range(11)} | {"bad": 1.0},
+           "isolated": []}
+    new = {"queries": {f"q{i}": 1.1 for i in range(11)} | {"bad": 1.6},
+           "isolated": []}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "'bad'" in r.stdout
+    assert r.stdout.count("<-- drift") == 1
+
+
+def test_small_common_set_uses_raw_ratios(tmp_path):
+    # below 10 common queries the median is meaningless — raw behavior
+    old = {"queries": {"a": 1.0, "b": 1.0}, "isolated": []}
+    new = {"queries": {"a": 1.6, "b": 1.6}, "isolated": []}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert r.stdout.count("<-- drift") == 2

@@ -30,6 +30,19 @@ then hand-adjudicated. The rules:
   the adjudicator knows to re-measure isolated before chasing a plan.
 - in-bench vs in-bench outside both isolation sets: unchanged strict
   behavior (the light queries, stable within the ambient band).
+
+Ambient normalization (round 12, late): a session-wide uniform shift
+(VM noise, thermal state — measured 1.04-1.21x across six same-code
+runs in one day) moves EVERY light query by the same factor and the
+flat threshold then flags 8-12 of them spuriously. With >= 10 common
+queries, per-query ratios are therefore normalized by the session
+MEDIAN ratio before the threshold applies — a real plan regression is
+an OUTLIER against the session shift, which the median cancels. The
+global-regression case stays covered: if the median itself exceeds the
+threshold, the tool reports session-level drift and exits 1 (that is
+either a machine problem or a global plan/config regression — both
+need adjudication). Below 10 common queries the raw ratios apply
+(a median over a handful of queries is meaningless).
 """
 
 from __future__ import annotations
@@ -60,10 +73,12 @@ def main() -> int:
         ((new[q] / old[q] if old[q] else float("inf"), q) for q in common),
         reverse=True,
     )
+    finite = sorted(r for r, _ in rows if r != float("inf"))
+    med = finite[len(finite) // 2] if len(finite) >= 10 else 1.0
     drifted, transition = [], []
     for ratio, q in rows:
         flag = ""
-        if ratio > threshold and new[q] - old[q] > 0.15:  # ignore sub-150ms noise
+        if ratio / med > threshold and new[q] - old[q] > 0.15:  # ignore sub-150ms noise
             in_iso_old, in_iso_new = q in old_iso, q in new_iso
             mixed = (in_iso_old or in_iso_new) and not (in_iso_old and in_iso_new)
             if mixed and q in pinned:
@@ -79,7 +94,13 @@ def main() -> int:
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
     print(f"\ncommon={len(common)} total {t_old:.2f}s -> {t_new:.2f}s "
-          f"({t_new / t_old:.2f}x)")
+          f"({t_new / t_old:.2f}x); session median ratio {med:.2f}x"
+          + (" (ambient-normalized thresholds)" if med != 1.0 else ""))
+    if med > threshold:
+        print(f"\nsession-level drift: median ratio {med:.2f}x drifted beyond "
+              f"{threshold}x — machine problem or GLOBAL plan/config "
+              f"regression; adjudicate before trusting per-query ratios")
+        drifted.append("__session_median__")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print("new-only:", {q: new[q] for q in only_new})
