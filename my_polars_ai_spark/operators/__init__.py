@@ -1042,10 +1042,12 @@ _PRIORITY_R16 = (
     "cusum_change_detection",
 )
 
-# Round 12: the staged flip, executed (round-13 window already staged
-# above so the next round is a one-liner too; rounds 14 and 15
-# continue the freshness rotation, also one-liners).
-_PRIORITY = _PRIORITY_R12
+# Round 13: the staged flip, executed — this window retires the last
+# never-attested ops, so after its CORRECTNESS rows land the registry
+# is fully driver-attested and `tools/attestation_status.py --endgame`
+# becomes the standing gate. Rounds 14-17 are staged freshness
+# rotations (one-line flips).
+_PRIORITY = _PRIORITY_R13
 
 
 def all_ops() -> dict[str, Op]:

@@ -101,7 +101,17 @@ def main() -> int:
     ops = list(all_ops())
     attested: dict[str, bool] = {}  # name -> last driver row green?
     latest_round: dict[str, int] = {}  # name -> last driver round
-    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+    # Sort by the EXTRACTED round number, not lexicographically:
+    # attested[name] keeps the verdict from the last file processed, and
+    # glob order would pair r99's verdict with r100's round at three
+    # digits (round-12 advice item).
+    files = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")),
+        key=lambda f: (
+            int(m.group(1)) if (m := re.search(r"r(\d+)", os.path.basename(f))) else 0
+        ),
+    )
+    for f in files:
         rnd_m = re.search(r"r(\d+)", os.path.basename(f))
         rnd = int(rnd_m.group(1)) if rnd_m else 0
         for name, row in json.load(open(f)).items():
