@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: first the full per-query detail {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "isolated": [...],
+"sf": ...}, then a SHORT summary line with the same metric/value/sf —
+last, so a tail-capture of stdout always contains the total (the round-12
+artifact lost it to truncation). The full detail is also written to
+BENCH_LAST.json, keyed to the summary by run_id.
 
 Each query is forced through the noop sink so the full plan (including
 projected columns) executes — a count() would let Catalyst prune the
@@ -219,16 +223,41 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Output order matters: the driver records only the TAIL of stdout,
+    # and in round 12 the single detail line (57 queries + two isolated
+    # arrays) outgrew that window — the truncation ate the leading
+    # "metric"/"value" keys and BENCH_r12.json landed with parsed: null.
+    # So: per-query detail line FIRST, short summary line LAST — however
+    # many queries the headline grows to, truncation can only reach the
+    # detail line, never the total. The full payload is also written to
+    # BENCH_LAST.json (run_id ties it to the summary) so
+    # tools/compare_bench.py can recover complete per-query data even
+    # when the artifact's tail holds only part of the detail line.
+    run_id = str(time.time_ns())
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "isolated": isolated_set,
+        "isolated_pinned": isolated_pinned,
+        "sf": sf_val,
+        "run_id": run_id,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LAST.json"), "w") as fh:
+        json.dump(detail, fh)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
-                "isolated": isolated_set,
-                "isolated_pinned": isolated_pinned,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "run_id": run_id,
+                "detail": "BENCH_LAST.json",
             }
         )
     )

@@ -131,3 +131,118 @@ def test_small_common_set_uses_raw_ratios(tmp_path):
     r = _run(tmp_path, old, new)
     assert r.returncode == 1, r.stdout + r.stderr
     assert r.stdout.count("<-- drift") == 2
+
+
+# ---- round-13 additions: artifact recovery + ambient corroboration ----
+
+def test_null_parsed_artifact_recovered_from_tail(tmp_path):
+    # the round-12 failure shape: driver tail-truncation ate the leading
+    # "metric"/"value" keys, parsed is null — the tool must recover the
+    # per-query pairs (name-filtered, dropping the half-truncated leading
+    # name) instead of crashing with a TypeError
+    tail = ('_q1_pricing_summary": 0.536, "tpch_q3_shipping_priority": 0.74, '
+            '"dedup_minhash_lsh": 0.919, "pq_adc_topk": 1.742}, '
+            '"isolated": ["dedup_minhash_lsh", "pq_adc_topk"], '
+            '"isolated_pinned": ["dedup_minhash_lsh", "pq_adc_topk"], "sf": 0.1}')
+    old = {"queries": {"tpch_q3_shipping_priority": 0.74,
+                       "dedup_minhash_lsh": 0.9, "pq_adc_topk": 1.7},
+           "isolated": ["dedup_minhash_lsh", "pq_adc_topk"]}
+    new = {"n": 1, "rc": 0, "tail": tail, "parsed": None}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "recovered 3 queries from tail" in r.stdout  # truncated name dropped
+    assert "tpch_q3_shipping_priority" in r.stdout
+
+
+def test_summary_parsed_artifact_recovered_from_bench_last(tmp_path):
+    # the round-13 two-line output: the driver parses the SHORT summary
+    # (no queries map); the sibling BENCH_LAST.json with a matching
+    # run_id supplies the full detail
+    full = {"metric": "headline_queries_total_runtime", "value": 2.0,
+            "queries": {"a": 1.0, "b": 1.0}, "isolated": [], "run_id": "42"}
+    (tmp_path / "BENCH_LAST.json").write_text(json.dumps(full))
+    old = {"queries": {"a": 1.0, "b": 1.0}, "isolated": []}
+    new = {"n": 1, "rc": 0, "tail": "…",
+           "parsed": {"metric": "headline_queries_total_runtime", "value": 2.0,
+                      "n_queries": 2, "run_id": "42"}}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "recovered from BENCH_LAST.json" in r.stdout
+    assert "1.00x" in r.stdout
+
+
+def test_uncorroborated_session_shift_fires(tmp_path):
+    # the round-12 advice blind zone: a uniform 1.2x in-bench shift
+    # (below the 1.25x session threshold, so the old guard was silent)
+    # with FLAT pinned isolated numbers is a code/config or composition
+    # regression, not ambient — the corroboration wire must fire
+    qs_old = {f"q{i}": 1.0 for i in range(12)} | {"pq_adc_topk": 2.0}
+    qs_new = {f"q{i}": 1.2 for i in range(12)} | {"pq_adc_topk": 2.0}
+    old = {"queries": qs_old, "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    new = {"queries": qs_new, "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "__session_uncorroborated__" in r.stdout
+    assert "NOT corroborated" in r.stdout
+
+
+def test_corroborated_session_shift_passes(tmp_path):
+    # same 1.2x shift, but the pinned isolated pair moved with it — a
+    # true ambient machine shift; no wire fires
+    qs_old = {f"q{i}": 1.0 for i in range(12)} | {"pq_adc_topk": 2.0}
+    qs_new = {f"q{i}": 1.2 for i in range(12)} | {"pq_adc_topk": 2.36}
+    old = {"queries": qs_old, "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    new = {"queries": qs_new, "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "corroborated as ambient" in r.stdout
+
+
+def test_isolated_pairs_face_raw_threshold(tmp_path):
+    # an isolated-vs-isolated regression must NOT hide behind the
+    # in-bench ambient median: 11 light queries at 1.15x would normalize
+    # a 1.30x isolated move down to ~1.13x — the raw threshold applies
+    # to isolated pairs instead, and 1.30x on a pinned plan fires
+    qs_old = {f"q{i}": 1.0 for i in range(11)} | {"pq_adc_topk": 2.0}
+    qs_new = {f"q{i}": 1.15 for i in range(11)} | {"pq_adc_topk": 2.6}
+    old = {"queries": qs_old, "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    new = {"queries": qs_new, "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "pq_adc_topk" in r.stdout and "<-- drift" in r.stdout
+
+
+def test_assume_old_isolated_applies_strict_wire(tmp_path):
+    # round-12 advice: when the old artifact's numbers are KNOWN to be
+    # isolated samples that merely predate the tag, --assume-old-isolated
+    # backfills the tag and the strict isolated-vs-isolated wire applies
+    # on the transition round instead of the informational exemption
+    old = {"queries": {"pq_adc_topk": 1.3, "scan": 0.5}}
+    new = {"queries": {"pq_adc_topk": 2.0, "scan": 0.52},
+           "isolated": ["pq_adc_topk"], "isolated_pinned": ["pq_adc_topk"]}
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps(old))
+    new_p.write_text(json.dumps(new))
+    r = subprocess.run(
+        [sys.executable, TOOL, str(old_p), str(new_p),
+         "--assume-old-isolated=pinned"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "pinned transition" not in r.stdout
+    assert "drifted beyond" in r.stdout
+
+
+def test_bench_prints_summary_line_last():
+    # the tail-truncation defense is an ordering contract on bench.py's
+    # source: the detail json.dumps must precede the summary print, and
+    # the summary must not embed the queries map
+    src = open(os.path.join(os.path.dirname(TOOL), "..", "bench.py")).read()
+    assert src.index('"queries": timings') < src.index('"n_queries"')
+    assert "BENCH_LAST.json" in src

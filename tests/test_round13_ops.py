@@ -1,0 +1,68 @@
+"""Round-13 hardening of the ANN build/serve lifecycle (the r12-verdict
+ask): the index frames are session-memoized with cached vec-grain
+manifest (so serve no longer re-executes the build in-plan), the memo
+self-heals after clearCache, and — the production contract — the serve
+plan produces identical results when it reads the manifest BACK from a
+parquet write partitioned by (shard, cell)."""
+
+from __future__ import annotations
+
+
+def _is_registered(df) -> bool:
+    lvl = df.storageLevel
+    return bool(lvl.useMemory or lvl.useDisk)
+
+
+def test_ann_frames_memoized_and_rearm_after_clearcache(spark, sf_dir):
+    from my_polars_ai_spark.operators import similarity
+
+    m1 = similarity._ann_index_frames(spark, sf_dir)[0]
+    m1.count()
+    key = next(
+        k for k in similarity._ANN_FRAMES if k[0] is spark and k[1] == sf_dir
+    )
+    _, cached_subtrees = similarity._ANN_FRAMES[key]
+    assert all(_is_registered(f) for f in cached_subtrees)
+
+    # memo hit hands back the SAME frame objects (shared cache fills)
+    m2 = similarity._ann_index_frames(spark, sf_dir)[0]
+    assert m2 is m1
+
+    spark.catalog.clearCache()
+    assert not any(_is_registered(f) for f in cached_subtrees)
+
+    # a build-op call routes through the memo and re-registers the marks
+    from my_polars_ai_spark.operators import all_ops
+
+    n = all_ops()["ann_index_manifest"].fn(spark, sf_dir).count()
+    assert all(_is_registered(f) for f in cached_subtrees)
+    assert n == m1.count()
+
+
+def test_ann_serve_round_trips_through_written_manifest(spark, sf_dir, tmp_path):
+    """write manifest -> read -> serve == in-session serve. This is the
+    100 TB path: production serving reads the written index, never the
+    in-session build lineage; the (shard, cell) partitioning makes
+    IVF probing literal partition pruning on the read side."""
+    from my_polars_ai_spark.operators import all_ops
+    from my_polars_ai_spark.operators.similarity import _ann_serve_topk
+
+    ops = all_ops()
+    manifest = ops["ann_index_manifest"].fn(spark, sf_dir)
+    path = str(tmp_path / "ann_manifest")
+    manifest.write.partitionBy("shard", "cell").parquet(path)
+
+    read_back = spark.read.parquet(path)
+    # partition columns come back as the trailing columns; the serve
+    # plan selects by name so ordering must not matter — but the cell
+    # partition value must round-trip as the same integer
+    assert set(read_back.columns) == set(manifest.columns)
+
+    served_rt = sorted(
+        map(tuple, _ann_serve_topk(spark, sf_dir, read_back).collect())
+    )
+    served_mem = sorted(
+        map(tuple, ops["ann_manifest_query_topk"].fn(spark, sf_dir).collect())
+    )
+    assert served_rt == served_mem
+    assert served_mem, "serve must return rows at sf0.001"

@@ -1,6 +1,7 @@
 """Diff two bench artifacts (BENCH_r{N}.json or raw bench.py output).
 
 Usage: python tools/compare_bench.py OLD NEW [drift_threshold]
+       [--assume-old-isolated=q1,q2,... | --assume-old-isolated=pinned]
 
 Prints per-query ratios sorted worst-first, the common-set totals, and
 exits 1 if any common query drifted beyond the threshold (default
@@ -18,11 +19,17 @@ each is how the wire spent rounds 5-11 firing on
 then hand-adjudicated. The rules:
 
 - isolated(old) vs isolated(new): steady-state vs steady-state — a
-  >threshold move is a real plan change; the wire FIRES.
+  >threshold move is a real plan change; the wire FIRES. These pairs
+  use RAW ratios (round 13): an isolated min-of-5 by construction does
+  not carry the in-bench ambient shift, so dividing it by the session
+  median would let in-bench noise mask a real isolated-plan move.
 - mixed pairing on a PINNED query: the one-time transition from an
   untagged artifact — reported informationally, wire does not fire
   (at most one such round per pinned query; afterwards both sides
-  carry the tag and the strict path applies).
+  carry the tag and the strict path applies). The transition can be
+  skipped entirely with --assume-old-isolated when the old artifact's
+  numbers are KNOWN to be isolated samples that merely predate the
+  tag (PERF.md records which — the round-12 advice ask).
 - mixed pairing on a NON-pinned query (it entered or left the dynamic
   top-5): the membership flip is itself evidence the query's time
   moved, and exempting it would let a real regression ride the
@@ -35,50 +42,158 @@ Ambient normalization (round 12, late): a session-wide uniform shift
 (VM noise, thermal state — measured 1.04-1.21x across six same-code
 runs in one day) moves EVERY light query by the same factor and the
 flat threshold then flags 8-12 of them spuriously. With >= 10 common
-queries, per-query ratios are therefore normalized by the session
-MEDIAN ratio before the threshold applies — a real plan regression is
-an OUTLIER against the session shift, which the median cancels. The
-global-regression case stays covered: if the median itself exceeds the
-threshold, the tool reports session-level drift and exits 1 (that is
-either a machine problem or a global plan/config regression — both
-need adjudication). Below 10 common queries the raw ratios apply
-(a median over a handful of queries is meaningless).
+in-bench queries, per-query in-bench ratios are therefore normalized
+by the session MEDIAN in-bench ratio before the threshold applies — a
+real plan regression is an OUTLIER against the session shift, which
+the median cancels. Isolated-vs-isolated pairs are excluded from both
+the median and the normalization (round 13, closing the round-12
+advice blind zone). Below 10 in-bench common queries the raw ratios
+apply (a median over a handful of queries is meaningless).
+
+Session-median corroboration (round 13): median normalization could
+absorb a REAL global regression up to the threshold — a config change
+slowing every query 20% reads as "ambient shift". The pinned
+isolated-vs-isolated pairs measure machine state nearly free of plan
+and cache effects, so they corroborate: when the in-bench median
+shifts past SESSION_GUARD (1.10x) but the pinned isolated median did
+not move with it (less than half the shift), the shift is NOT ambient
+— it is a global code/config regression and the wire fires
+("__session_uncorroborated__"). A median past the full threshold
+still fires unconditionally as before. With no pinned
+isolated-vs-isolated pair available (legacy untagged artifact and no
+--assume-old-isolated), the shift is reported as unadjudicable but
+does not fire — the per-query wires still apply.
+
+Driver-artifact recovery (round 13): a BENCH_r{N}.json whose "parsed"
+is null (the round-12 tail-truncation failure) or is the new SHORT
+summary line (no "queries" map) is recovered by, in order: (a) a
+sibling BENCH_LAST.json whose run_id matches the summary's — the full
+detail bench.py now writes alongside stdout; (b) a complete detail
+line surviving in the captured tail; (c) best-effort regex extraction
+of per-query pairs from the truncated tail, name-filtered against
+bench.HEADLINE (drops a half-truncated leading name), flagged
+"partial" in the output.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
+
+SESSION_GUARD = 1.10  # ambient shifts past this need pinned corroboration
+
+
+def _recover_from_tail(tail: str) -> dict | None:
+    """Best-effort per-query recovery from a driver artifact's captured
+    stdout tail (see module docstring, recovery steps b/c)."""
+    for m in re.finditer(r'\{"metric"', tail):
+        line = tail[m.start():].splitlines()[0]
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if "queries" in d:
+            return d
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        import bench  # stdlib-only at import time; HEADLINE filters names
+        valid = set(bench.HEADLINE)
+    except Exception:
+        valid = None
+    seg = tail.split('"queries": {', 1)[-1]
+    qs: dict[str, float] = {}
+    for m in re.finditer(r'"([a-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)', seg):
+        if valid is None or m.group(1) in valid:
+            qs[m.group(1)] = float(m.group(2))
+    if not qs:
+        return None
+    out: dict = {"queries": qs, "_recovered_partial": True}
+    for key in ("isolated", "isolated_pinned"):
+        am = re.search(r'"%s": \[([^\]]*)\]' % key, tail)
+        if am:
+            out[key] = re.findall(r'"([a-z0-9_]+)"', am.group(1))
+    return out
 
 
 def _load(path: str) -> tuple[dict[str, float], set[str], set[str]]:
     with open(path) as fh:
         d = json.load(fh)
-    if "parsed" in d and "queries" in d.get("parsed", {}):  # driver BENCH_r{N}
-        d = d["parsed"]
+    if "parsed" in d:  # driver BENCH_r{N} wrapper
+        p = d.get("parsed") or {}
+        if "queries" in p:
+            d = p
+        else:
+            rec = None
+            run_id = p.get("run_id")
+            sibling = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                   "BENCH_LAST.json")
+            if run_id and os.path.exists(sibling):
+                with open(sibling) as fh:
+                    full = json.load(fh)
+                if full.get("run_id") == run_id and "queries" in full:
+                    rec = full
+                    print(f"note: {path} recovered from BENCH_LAST.json "
+                          f"(run_id {run_id})")
+            if rec is None:
+                rec = _recover_from_tail(d.get("tail") or "")
+                if rec is None:
+                    raise SystemExit(
+                        f"{path}: artifact unparsed (parsed: null/summary) and "
+                        f"no queries recoverable from tail")
+                note = ("PARTIAL (front-truncated tail)"
+                        if rec.get("_recovered_partial") else "complete")
+                print(f"note: {path} parsed payload missing; recovered "
+                      f"{len(rec['queries'])} queries from tail [{note}]")
+            d = rec
     if "queries" not in d:
         raise SystemExit(f"{path}: no 'queries' map found")
     return d["queries"], set(d.get("isolated", ())), set(d.get("isolated_pinned", ()))
 
 
 def main() -> int:
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
+    assumed_old_iso: set[str] = set()
+    pos: list[str] = []
+    for a in sys.argv[1:]:
+        if a.startswith("--assume-old-isolated"):
+            val = a.split("=", 1)[1] if "=" in a else "pinned"
+            assumed_old_iso = {"__pinned__"} if val == "pinned" else set(val.split(","))
+        else:
+            pos.append(a)
+    old_path, new_path = pos[0], pos[1]
+    threshold = float(pos[2]) if len(pos) > 2 else 1.25
     (old, old_iso, old_pin), (new, new_iso, new_pin) = _load(old_path), _load(new_path)
     pinned = old_pin | new_pin
+    if "__pinned__" in assumed_old_iso:
+        assumed_old_iso = set(pinned)
+    if assumed_old_iso:
+        print(f"assuming old-side isolated tags for: {sorted(assumed_old_iso)}")
+        old_iso |= assumed_old_iso
     common = sorted(set(old) & set(new))
     if not common:
         raise SystemExit("no common queries")
+    both_iso = {q for q in common if q in old_iso and q in new_iso}
     rows = sorted(
         ((new[q] / old[q] if old[q] else float("inf"), q) for q in common),
         reverse=True,
     )
-    finite = sorted(r for r, _ in rows if r != float("inf"))
+    # session median over IN-BENCH pairs only: isolated min-of-5 samples
+    # carry no shared-loop ambient and would dilute (or be masked by) it
+    finite = sorted(r for r, q in rows if r != float("inf") and q not in both_iso)
     med = finite[len(finite) // 2] if len(finite) >= 10 else 1.0
+    pinned_iso_ratios = sorted(
+        new[q] / old[q] for q in both_iso if q in pinned and old[q]
+    )
+    pinned_med = (pinned_iso_ratios[len(pinned_iso_ratios) // 2]
+                  if pinned_iso_ratios else None)
     drifted, transition = [], []
     for ratio, q in rows:
         flag = ""
-        if ratio / med > threshold and new[q] - old[q] > 0.15:  # ignore sub-150ms noise
+        # isolated-vs-isolated pairs face the RAW threshold; in-bench
+        # pairs are ambient-normalized by the session median
+        eff = ratio if q in both_iso else ratio / med
+        if eff > threshold and new[q] - old[q] > 0.15:  # ignore sub-150ms noise
             in_iso_old, in_iso_new = q in old_iso, q in new_iso
             mixed = (in_iso_old or in_iso_new) and not (in_iso_old and in_iso_new)
             if mixed and q in pinned:
@@ -90,17 +205,41 @@ def main() -> int:
             else:
                 flag = "  <-- drift"
                 drifted.append(q)
-        print(f"  {ratio:5.2f}x  {q}: {old[q]:.3f} -> {new[q]:.3f}{flag}")
+        iso_mark = " [iso]" if q in both_iso else ""
+        print(f"  {ratio:5.2f}x  {q}: {old[q]:.3f} -> {new[q]:.3f}{iso_mark}{flag}")
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
     print(f"\ncommon={len(common)} total {t_old:.2f}s -> {t_new:.2f}s "
           f"({t_new / t_old:.2f}x); session median ratio {med:.2f}x"
-          + (" (ambient-normalized thresholds)" if med != 1.0 else ""))
+          + (" (ambient-normalized in-bench thresholds)" if med != 1.0 else "")
+          + (f"; pinned isolated median {pinned_med:.2f}x"
+             if pinned_med is not None else ""))
     if med > threshold:
         print(f"\nsession-level drift: median ratio {med:.2f}x drifted beyond "
               f"{threshold}x — machine problem or GLOBAL plan/config "
               f"regression; adjudicate before trusting per-query ratios")
         drifted.append("__session_median__")
+    elif med > SESSION_GUARD:
+        # a sub-threshold session shift is "ambient" only if the pinned
+        # isolated pairs (machine state, nearly free of plan/cache
+        # effects) moved with it — at least half the shift
+        if pinned_med is None:
+            print(f"\nsession median {med:.2f}x exceeds the {SESSION_GUARD}x "
+                  f"ambient guard but no pinned isolated-vs-isolated pair is "
+                  f"available to corroborate (legacy untagged artifact?); "
+                  f"pass --assume-old-isolated if the old numbers are known-"
+                  f"isolated, else adjudicate by re-running bench")
+        elif pinned_med < 1 + (med - 1) * 0.5:
+            print(f"\nsession median {med:.2f}x NOT corroborated by the pinned "
+                  f"isolated set (median {pinned_med:.2f}x did not move with "
+                  f"it) — NOT ambient machine shift: either a global "
+                  f"code/config regression or a shared-loop composition "
+                  f"change (did HEADLINE grow a heavy query?); the "
+                  f"normalization must not absorb it unadjudicated")
+            drifted.append("__session_uncorroborated__")
+        else:
+            print(f"\nsession median {med:.2f}x corroborated as ambient by the "
+                  f"pinned isolated median {pinned_med:.2f}x")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print("new-only:", {q: new[q] for q in only_new})
