@@ -1042,6 +1042,71 @@ _PRIORITY_R16 = (
     "cusum_change_detection",
 )
 
+# Round-17 window, staged in round 13: the freshness rotation
+# continues with the next-oldest 47 driver rows once R13-R16 have
+# run — the two r6-era rows displaced from R16's tail
+# (kaplan_meier_churn / logrank_test_churn), the 5 remaining r6 rows,
+# then the oldest r7-era block, registry order within each age group,
+# behind the usual 3 canaries. Computed by (effective latest round,
+# registry order) where "effective" counts staged R13-R16 membership
+# as a future row.
+_PRIORITY_R17 = (
+    # canaries — flagship + dedup + SQL, as every round
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-6 rows (7) — the R16-displaced pair leads, then the rest
+    # of the r6 era, registry order
+    "kaplan_meier_churn",
+    "logrank_test_churn",
+    "forecast_backtest_naive",
+    "yoy_revenue_change",
+    "early_activity_retention_corr",
+    "dow_hour_heatmap",
+    "tpch_q20_top_shippers",
+    # round-7 rows (40) — the oldest r7 block, registry order
+    "tpch_q18_large_volume_customer",
+    "tpch_q17_small_qty_revenue",
+    "revenue_share_of_region",
+    "rls_masked_view",
+    "ntile_quartiles",
+    "rolling_range_7d",
+    "vs_peers_daily",
+    "pivot_multi_agg",
+    "array_funcs",
+    "higher_order_array_funcs",
+    "struct_map_access",
+    "json_funcs",
+    "neardup_blast_radius",
+    "split_neardup_leakage",
+    "kmeans_lloyd_step",
+    "kcenter_coreset_greedy",
+    "bpe_merge_step",
+    "training_manifest",
+    "token_budget_selection",
+    "dsir_importance_weights",
+    "bpe_train_merges",
+    "phrase_search_positional",
+    "winnowing_fingerprint_overlap",
+    "repeated_span_stats",
+    "repeated_span_excision",
+    "kneser_ney_bigram_score",
+    "tokenizer_fertility_stats",
+    "isotonic_calibration_pav",
+    "multimodal_decode",
+    "frame_sample_chunks",
+    "scene_change_detection",
+    "image_resize_stats",
+    "cross_clip_frame_overlap",
+    "image_ahash_pairs",
+    "rendezvous_shard_plan",
+    "split_leakage_audit",
+    "poisson_bootstrap_ci",
+    "neyman_allocation_plan",
+    "dp_noisy_counts",
+    "caliper_matching_att",
+)
+
 # Round 13: the staged flip, executed — this window retires the last
 # never-attested ops, so after its CORRECTNESS rows land the registry
 # is fully driver-attested and `tools/attestation_status.py --endgame`

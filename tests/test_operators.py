@@ -1768,3 +1768,42 @@ def test_r16_window_is_staged_and_valid():
         set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:])
     )
     assert not overlap, sorted(overlap)
+
+
+def test_r17_window_is_staged_and_valid():
+    """Staging discipline for round 17 (staged in round 13): the
+    freshness rotation continues with the next-oldest driver rows —
+    the two r6-era rows displaced from R16's tail
+    (kaplan_meier_churn/logrank_test_churn), the remaining r6 rows,
+    then the oldest r7 block. Same contract as R14-R16 — 50 real ops,
+    no duplicates, no never-attested op (those all ran by R13) — plus
+    disjointness from the R14/R15/R16 re-attest blocks, since rotating
+    the same rows again would waste the window."""
+    import glob
+    import json
+    import os
+
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R13,
+        _PRIORITY_R14,
+        _PRIORITY_R15,
+        _PRIORITY_R16,
+        _PRIORITY_R17,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R17) == 50
+    assert len(set(_PRIORITY_R17)) == 50
+    missing = [n for n in _PRIORITY_R17 if n not in ops]
+    assert not missing, missing
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    scheduled = attested | set(_PRIORITY_R13)
+    never = [n for n in _PRIORITY_R17 if n not in scheduled]
+    assert not never, never
+    overlap = set(_PRIORITY_R17[3:]) & (
+        set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:]) | set(_PRIORITY_R16[3:])
+    )
+    assert not overlap, sorted(overlap)
