@@ -50,3 +50,16 @@ def test_sketch_trio_is_the_documented_set():
         "approx_quantiles",
         "kmeans_segments",
     }
+
+
+def test_correctness_files_sort_by_round_number():
+    # r100 must process AFTER r99 so the latest verdict wins (the
+    # lexicographic hazard: "r100" < "r99" as strings)
+    from tools.attestation_status import round_of
+
+    files = ["CORRECTNESS_r100.json", "CORRECTNESS_r99.json",
+             "CORRECTNESS_r02.json", "CORRECTNESS_r13.json"]
+    assert sorted(files, key=round_of) == [
+        "CORRECTNESS_r02.json", "CORRECTNESS_r13.json",
+        "CORRECTNESS_r99.json", "CORRECTNESS_r100.json",
+    ]

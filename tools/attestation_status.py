@@ -57,6 +57,14 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 )
 
 
+def round_of(path: str) -> int:
+    """CORRECTNESS file ordering key: the EXTRACTED round number, so
+    r100 sorts after r99 (lexicographic glob order breaks at three
+    digits and would pair r100's round with r99's verdict)."""
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
 def endgame_check(
     ops: list[str],
     latest_round: dict[str, int],
@@ -101,19 +109,15 @@ def main() -> int:
     ops = list(all_ops())
     attested: dict[str, bool] = {}  # name -> last driver row green?
     latest_round: dict[str, int] = {}  # name -> last driver round
-    # Sort by the EXTRACTED round number, not lexicographically:
-    # attested[name] keeps the verdict from the last file processed, and
-    # glob order would pair r99's verdict with r100's round at three
-    # digits (round-12 advice item).
+    # attested[name] keeps the verdict from the last file processed, so
+    # the processing order must be round_of(), not glob order (round-12
+    # advice item: lexicographic pairs r100's round with r99's verdict).
     files = sorted(
         glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")),
-        key=lambda f: (
-            int(m.group(1)) if (m := re.search(r"r(\d+)", os.path.basename(f))) else 0
-        ),
+        key=round_of,
     )
     for f in files:
-        rnd_m = re.search(r"r(\d+)", os.path.basename(f))
-        rnd = int(rnd_m.group(1)) if rnd_m else 0
+        rnd = round_of(f)
         for name, row in json.load(open(f)).items():
             ok = all(
                 row.get(k) in (True, None)
