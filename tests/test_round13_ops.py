@@ -66,3 +66,17 @@ def test_ann_serve_round_trips_through_written_manifest(spark, sf_dir, tmp_path)
     )
     assert served_rt == served_mem
     assert served_mem, "serve must return rows at sf0.001"
+
+
+def test_ann_serve_plan_reads_cached_manifest_not_rebuild(spark, sf_dir):
+    """The r12 verdict's 'weak' finding, pinned closed: after the build
+    op materializes the manifest once, the SERVE op's physical plan
+    must read it from the cache (InMemoryTableScan) rather than
+    re-executing the index build lineage (whose signature is the
+    posexplode PQ-encoding fan-out feeding an aggregate)."""
+    from my_polars_ai_spark.operators import all_ops
+
+    ops = all_ops()
+    ops["ann_index_manifest"].fn(spark, sf_dir).count()  # fill the cache
+    plan = ops["ann_manifest_query_topk"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
