@@ -1107,6 +1107,70 @@ _PRIORITY_R17 = (
     "caliper_matching_att",
 )
 
+# Round-18 window, staged in round 13 (one round ahead, so the R14
+# round only flips _PRIORITY): the freshness rotation continues with
+# the next-oldest 47 driver rows once R13-R17 have run — the 5
+# remaining r7-era rows, then the oldest r8-era block (the r8 windows
+# through semdedup_keep_list), registry order within each age group,
+# behind the usual 3 canaries. Computed by (effective latest round,
+# registry order) where "effective" counts staged R13-R17 membership
+# as a future row.
+_PRIORITY_R18 = (
+    # canaries — flagship + dedup + SQL, as every round
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-7 rows (5) — the rest of the r7 era, registry order
+    "neardup_adamic_adar",
+    "contamination_blast_radius",
+    "neardup_label_consistency",
+    "adamic_adar_verified_pairs",
+    "decontaminated_manifest",
+    # round-8 rows (42) — the oldest r8 block, registry order
+    "median_two_pass_exact",
+    "array_set_ops",
+    "try_arithmetic_funcs",
+    "collated_group_count",
+    "sliding_window_1h_30m",
+    "daily_rollup",
+    "sequence_islands",
+    "funnel_conversion",
+    "retention_cohorts",
+    "concurrency_duration_profile",
+    "session_window_dynamic_gap",
+    "ts_decompose_daily",
+    "twap_daily_value",
+    "markov_3step_purchase",
+    "markov_conditional_entropy",
+    "theil_sen_daily_slope",
+    "seasonal_strength_daily",
+    "conformal_daily_interval",
+    "attribution_models_compare",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "corr_matrix",
+    "impute_mean",
+    "confusion_matrix",
+    "feature_minmax_scale",
+    "groupwise_ols_slope",
+    "chi_square_lang_source",
+    "gini_per_nation",
+    "spearman_per_nation",
+    "doc_fingerprint",
+    "dedup_cluster_size_hist",
+    "dedup_keep_longest",
+    "source_overlap_matrix",
+    "co_supplier_pairs",
+    "minhash_banding_curve",
+    "neardup_degree_hist",
+    "dedup_prefix_filter_jaccard",
+    "dedup_cluster_pointer_doubling",
+    "dedup_cluster_best_quality",
+    "cluster_lang_purity",
+    "neardup_pair_explain",
+    "semdedup_keep_list",
+)
+
 # Round 13: the staged flip, executed — this window retires the last
 # never-attested ops, so after its CORRECTNESS rows land the registry
 # is fully driver-attested and `tools/attestation_status.py --endgame`

@@ -1807,3 +1807,44 @@ def test_r17_window_is_staged_and_valid():
         set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:]) | set(_PRIORITY_R16[3:])
     )
     assert not overlap, sorted(overlap)
+
+
+def test_r18_window_is_staged_and_valid():
+    """Staging discipline for round 18 (staged in round 13, one round
+    ahead so the R14 session only flips _PRIORITY): the freshness
+    rotation continues with the 5 remaining r7-era rows then the
+    oldest r8 block. Same contract as R14-R17 — 50 real ops, no
+    duplicates, no never-attested op — plus disjointness from the
+    R15/R16/R17 re-attest blocks (R14's block is far enough back to
+    be eligible again by the time R18 runs, but none of its rows are
+    old enough to qualify, so assert against it too)."""
+    import glob
+    import json
+    import os
+
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R13,
+        _PRIORITY_R14,
+        _PRIORITY_R15,
+        _PRIORITY_R16,
+        _PRIORITY_R17,
+        _PRIORITY_R18,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R18) == 50
+    assert len(set(_PRIORITY_R18)) == 50
+    missing = [n for n in _PRIORITY_R18 if n not in ops]
+    assert not missing, missing
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    scheduled = attested | set(_PRIORITY_R13)
+    never = [n for n in _PRIORITY_R18 if n not in scheduled]
+    assert not never, never
+    overlap = set(_PRIORITY_R18[3:]) & (
+        set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:])
+        | set(_PRIORITY_R16[3:]) | set(_PRIORITY_R17[3:])
+    )
+    assert not overlap, sorted(overlap)
