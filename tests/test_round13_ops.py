@@ -80,3 +80,36 @@ def test_ann_serve_plan_reads_cached_manifest_not_rebuild(spark, sf_dir):
     ops["ann_index_manifest"].fn(spark, sf_dir).count()  # fill the cache
     plan = ops["ann_manifest_query_topk"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_ship_step_manifests_round_trip_through_parquet(spark, sf_dir, tmp_path):
+    """Every ship-step manifest is a table another system READS — at
+    100 TB the parquet file, not the in-session DataFrame, is the
+    contract. Pin that write -> read is lossless for the export
+    manifests: identical schema (field names + types) and identical
+    rows. Catches the classic hazards (decimal precision narrowing,
+    timestamp unit drift, nullability-dependent encodings) before a
+    consumer does."""
+    from my_polars_ai_spark.operators import all_ops
+
+    ops = all_ops()
+    for name in (
+        "triplet_export_manifest",
+        "audio_chunk_export_manifest",
+        "doremi_sampling_manifest",
+        "curation_attributes_manifest",
+        "decontaminated_manifest",
+        "training_manifest",
+        "ann_index_manifest",
+    ):
+        df = ops[name].fn(spark, sf_dir)
+        path = str(tmp_path / name)
+        df.write.parquet(path)
+        back = spark.read.parquet(path)
+        assert [(f.name, f.dataType) for f in back.schema.fields] == [
+            (f.name, f.dataType) for f in df.schema.fields
+        ], name
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b, name
+        assert a, f"{name} must produce rows at sf0.001"
