@@ -246,3 +246,30 @@ def test_bench_prints_summary_line_last():
     src = open(os.path.join(os.path.dirname(TOOL), "..", "bench.py")).read()
     assert src.index('"queries": timings') < src.index('"n_queries"')
     assert "BENCH_LAST.json" in src
+
+
+def test_summary_parsed_artifact_without_bench_last_recovers_from_tail(tmp_path):
+    # two-line era, worst case: the parsed summary has no queries map
+    # AND no sibling BENCH_LAST.json survives (or its run_id mismatches)
+    # — the front-truncated detail line plus the summary line sit in the
+    # tail, and recovery must extract the per-query pairs from there
+    # without double-counting keys from the summary line
+    tail = ('minhash_lsh": 0.989, "pq_adc_topk": 2.076}, '
+            '"isolated": ["dedup_minhash_lsh", "pq_adc_topk"], '
+            '"isolated_pinned": ["dedup_minhash_lsh", "pq_adc_topk"], '
+            '"sf": 0.1, "run_id": "7"}\n'
+            '{"metric": "headline_queries_total_runtime", "value": 58.2, '
+            '"unit": "sec", "sf": 0.1, "n_queries": 57, "run_id": "7", '
+            '"detail": "BENCH_LAST.json"}')
+    # stale sibling with a DIFFERENT run_id must be ignored
+    (tmp_path / "BENCH_LAST.json").write_text(json.dumps(
+        {"queries": {"pq_adc_topk": 99.0}, "run_id": "stale"}))
+    old = {"queries": {"pq_adc_topk": 2.0}, "isolated": ["pq_adc_topk"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    new = {"n": 1, "rc": 0, "tail": tail,
+           "parsed": {"metric": "headline_queries_total_runtime",
+                      "value": 58.2, "n_queries": 57, "run_id": "7"}}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "recovered 1 queries from tail" in r.stdout  # truncated name dropped
+    assert "pq_adc_topk: 2.000 -> 2.076" in r.stdout    # not the stale 99.0
