@@ -63,3 +63,41 @@ def test_correctness_files_sort_by_round_number():
         "CORRECTNESS_r02.json", "CORRECTNESS_r13.json",
         "CORRECTNESS_r99.json", "CORRECTNESS_r100.json",
     ]
+
+
+def test_r13_window_is_sufficient_for_endgame():
+    """Simulate the R13 driver rows landing on the REAL ledger: overlay
+    the live window as green (the sketch trio as its sanctioned
+    rows-only non-green) onto the actual CORRECTNESS files and assert
+    endgame_check passes — i.e., no registry op outside the R13 window
+    is still missing a driver row. If someone registers an op without a
+    staged slot, or drops a never-attested name from the window, this
+    fails before the driver does."""
+    import glob
+    import json
+    import re
+
+    from my_polars_ai_spark.operators import _PRIORITY, all_ops
+    from tools.attestation_status import round_of
+
+    ops = list(all_ops())
+    latest: dict[str, int] = {}
+    green: dict[str, bool] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                   key=round_of)
+    for f in files:
+        rnd = round_of(f)
+        for name, row in json.load(open(f)).items():
+            ok = all(row.get(k) in (True, None)
+                     for k in ("rows_match", "schema_match", "hash_match")
+                     ) and row.get("err") in (None, "")
+            green[name] = ok
+            latest[name] = max(latest.get(name, 0), rnd)
+    r13 = max((round_of(f) for f in files), default=12) + 1
+    for name in _PRIORITY:  # the live window's rows land in round r13
+        latest[name] = r13
+        green[name] = name not in ROWS_ONLY_BY_DESIGN
+    ok, report = endgame_check(ops, latest, green, set())
+    assert ok, report
+    assert "full-registry attested" in report
