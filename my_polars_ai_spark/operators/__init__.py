@@ -847,20 +847,33 @@ _PRIORITY_R13 = (
     "audio_chunk_export_manifest",
 )
 
-# Round-14 window, staged in round 11. After R11-R13 retire the
-# first-attestation backlog, every registry op has a driver row, and
-# the windows switch to pure FRESHNESS ROTATION: 3 canaries + the 47
-# ops whose latest driver row (actual or scheduled through r13) is
-# OLDEST — exactly the r1/r2-era rows untouched since rounds 1-2.
-# Ordering is (effective latest round, registry order); no
-# disjointness rule applies because re-attestation is the point.
+# Round-14 window, staged in round 11, AMENDED in round 14 per the
+# r13 verdict. After R11-R13 retire the first-attestation backlog,
+# every registry op has a driver row, and the windows switch to pure
+# FRESHNESS ROTATION: 3 canaries + the 47 ops whose latest driver row
+# (actual or scheduled through r13) is OLDEST — exactly the r1/r2-era
+# rows untouched since rounds 1-2. Ordering is (effective latest
+# round, registry order); no disjointness rule applies because
+# re-attestation is the point.
+#
+# STANDING RULE (adopted round 14, r13 verdict item 1): any op whose
+# `fn` body changes in a round gets a slot in the NEXT unflipped
+# window, exactly like a brand-new op — local sweeps are not driver
+# rows. First application: ivf_cosine_topk and pq_distortion_report
+# were re-plumbed onto the memoized _ann_index_frames in round 13
+# (their latest driver rows, r9/r9, predate the change), so they take
+# the tail slots here; regex_funcs and math_funcs — the youngest r1
+# rows by registry order — yield and lead R15's non-canary block
+# instead. (pq_adc_topk, the third re-plumbed sibling, already holds
+# an R15 slot.)
 _PRIORITY_R14 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-1 rows (21) — includes the five re-attests displaced from
-    # R13 by the round-11 consumer additions
+    # round-1 rows (19) — includes the five re-attests displaced from
+    # R13 by the round-11 consumer additions; regex_funcs/math_funcs
+    # yielded to the touched-op re-attests and lead R15
     "scan_project_derive",
     "null_handling_fill",
     "median_quantiles",
@@ -880,8 +893,6 @@ _PRIORITY_R14 = (
     "percent_rank_cume_dist",
     "unpivot_metrics",
     "string_funcs",
-    "regex_funcs",
-    "math_funcs",
     # round-2 rows (26) — the next-oldest block, registry order
     # (embedding_norms, the youngest r2 row by registry order, yields
     # its slot to the displaced histogram_bins and rotates in r15)
@@ -911,18 +922,30 @@ _PRIORITY_R14 = (
     "simhash_signature",
     "simhash_near_dup",
     "pagerank_near_dup",
+    # touched-op re-attests (round-13 re-plumb onto _ann_index_frames;
+    # see the standing rule in the window comment above)
+    "ivf_cosine_topk",
+    "pq_distortion_report",
 )
 
-# Round-15 window, staged in round 11: the freshness rotation
-# continues with the next-oldest 47 driver rows — the 13 remaining
-# r2-era rows (including embedding_norms, displaced from R14 by
-# histogram_bins) then the oldest r5-era block, registry order within
-# each age group, behind the usual 3 canaries.
+# Round-15 window, staged in round 11, AMENDED in round 14: the
+# freshness rotation continues with the next-oldest 47 driver rows —
+# the two r1-era rows displaced from R14 by the touched-op re-attests
+# (oldest driver rows, so they lead), the 13 remaining r2-era rows
+# (including embedding_norms, displaced from R14 by histogram_bins),
+# then the oldest r5-era block, registry order within each age group,
+# behind the usual 3 canaries. tpch_q2_min_cost_supplier and
+# tpch_q7_volume_shipping — the youngest r5 rows by registry order —
+# yielded their tail slots to the displaced r1 pair and lead R19's
+# non-canary block instead.
 _PRIORITY_R15 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
+    # round-1 rows (2) — displaced from R14 by the touched-op rule
+    "regex_funcs",
+    "math_funcs",
     # round-2 rows (13) — the rest of the r2 era
     "embedding_norms",
     "cosine_topk_brute",
@@ -937,7 +960,9 @@ _PRIORITY_R15 = (
     "fuzzy_levenshtein_pairs",
     "hash_sample",
     "stratified_sample",
-    # round-5 rows (34) — the oldest r5 block, registry order
+    # round-5 rows (32) — the oldest r5 block, registry order
+    # (tpch_q2/q7, the youngest by registry order, yielded to the
+    # displaced r1 pair and lead R19)
     "first_last_nth_value",
     "string_pad_funcs",
     "bit_aggregates",
@@ -970,8 +995,6 @@ _PRIORITY_R15 = (
     "string_agg_per_group",
     "group_topk_percent",
     "weighted_bernoulli_sample",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
 )
 
 # Round-16 window, staged in round 12: the freshness rotation
@@ -1171,12 +1194,83 @@ _PRIORITY_R18 = (
     "semdedup_keep_list",
 )
 
-# Round 13: the staged flip, executed — this window retires the last
-# never-attested ops, so after its CORRECTNESS rows land the registry
-# is fully driver-attested and `tools/attestation_status.py --endgame`
-# becomes the standing gate. Rounds 14-17 are staged freshness
-# rotations (one-line flips).
-_PRIORITY = _PRIORITY_R13
+# Round-19 window, staged in round 14 (one round ahead of cadence):
+# the freshness rotation continues with the next-oldest 47 driver
+# rows once R14-R18 have run — the two r5-era rows displaced from
+# R15's tail by the R14 amendment (tpch_q2/q7, oldest driver rows, so
+# they lead), the r8 tail (ccnet_perplexity_split /
+# hashed_linear_quality_score), then the oldest r9 block and the
+# first r10 row, registry order within each age group, behind the
+# usual 3 canaries. Computed by (effective latest round, registry
+# order) where "effective" counts amended/staged R14-R18 membership
+# as a future row — which is why ivf_cosine_topk and
+# pq_distortion_report (natural r9 rows) are absent: their touched-op
+# re-attests land in R14.
+_PRIORITY_R19 = (
+    # canaries — flagship + dedup + SQL, as every round
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-5 rows (2) — displaced from R15's tail by the R14
+    # amendment (oldest driver rows, so they lead)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    # round-8 rows (2) — the rest of the r8 era
+    "ccnet_perplexity_split",
+    "hashed_linear_quality_score",
+    # round-9 rows (42) — the oldest r9 block, registry order
+    "tpch_q1_pricing_summary",
+    "local_clustering_coefficient",
+    "degree_assortativity",
+    "dedup_normalized_text",
+    "dedup_incremental_minhash",
+    "ann_lsh_cosine",
+    "embedding_dim_stats",
+    "int8_quantize_embeddings",
+    "density_core_points",
+    "embedding_dbscan_clusters",
+    "hard_negatives_topk",
+    "centroid_outlier_scores",
+    "label_centroid_similarity",
+    "embedding_covariance",
+    "ann_recall_report",
+    "matryoshka_prefix_recall",
+    "retrieval_metrics_at_k",
+    "nearest_centroid_confusion",
+    "pca_power_iteration_step",
+    "benchmark_embedding_contamination",
+    "tfidf_top_terms",
+    "top_tokens",
+    "bm25_scores",
+    "token_cooccurrence_pmi",
+    "source_quality_report",
+    "dup_chunk_fraction",
+    "unigram_logprob_score",
+    "padding_waste_stats",
+    "vocab_growth_curve",
+    "rebalance_sample_plan",
+    "lang_id_confusion",
+    "inverted_index_build",
+    "source_mixing_weights",
+    "zipf_fit",
+    "top_tokens_by_lang",
+    "heavy_hitters_tokens",
+    "global_shuffle_row_number",
+    "bpe_encode_corpus",
+    "gopher_quality_flags",
+    "epoch_allocation_plan",
+    "ngram_novelty_score",
+    "quality_classifier_gd_step",
+    # round-10 row (1) — the oldest r10 row by registry order
+    "minhash_jaccard_calibration",
+)
+
+# Round 14: the staged flip, executed (with the verdict-item-1
+# amendment re-attesting the two ANN siblings whose plans changed in
+# round 13). The registry is fully driver-attested —
+# `tools/attestation_status.py --endgame` is the standing gate — and
+# rounds 15-19 are staged freshness rotations (one-line flips).
+_PRIORITY = _PRIORITY_R14
 
 
 def all_ops() -> dict[str, Op]:

@@ -101,3 +101,23 @@ def test_r13_window_is_sufficient_for_endgame():
     ok, report = endgame_check(ops, latest, green, set())
     assert ok, report
     assert "full-registry attested" in report
+
+
+def test_endgame_gate_is_green_on_the_real_ledger():
+    """The STANDING per-round gate (r13 verdict item 3, wired in round
+    14): run the real `--endgame` CLI against the actual CORRECTNESS
+    ledger and the live registry — no overlay, no simulation. A red
+    latest-row outside the sketch trio, a never-attested op, or an op
+    parked in a staged window without a ledger row fails the suite
+    here, before the driver ever sees it."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=root)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "attestation_status.py"),
+         "--endgame"],
+        capture_output=True, text=True, env=env, cwd=root,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "full-registry attested; oldest row:" in proc.stdout

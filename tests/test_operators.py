@@ -29,11 +29,11 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R13
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R14
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R13  # round-13 rotation is live
+    assert _PRIORITY == _PRIORITY_R14  # round-14 rotation is live
     window = set(ordered[:50])
     # R11 canaries: trimmed to 3 per the r8 verdict (flagship + dedup
     # + SQL) while the first-attestation backlog clears; the other
@@ -1848,3 +1848,56 @@ def test_r18_window_is_staged_and_valid():
         | set(_PRIORITY_R16[3:]) | set(_PRIORITY_R17[3:])
     )
     assert not overlap, sorted(overlap)
+
+
+def test_r19_window_is_staged_and_valid():
+    """Staging discipline for round 19 (staged in round 14, one round
+    ahead so the R15 session only flips _PRIORITY): the freshness
+    rotation continues with the two r5-era rows displaced from R15's
+    tail by the R14 touched-op amendment (tpch_q2/q7 lead, oldest
+    driver rows), the r8 tail, then the oldest r9 block and the first
+    r10 row. Same contract as R14-R18 — 50 real ops, no duplicates,
+    no never-attested op (the registry is fully attested as of R13) —
+    plus disjointness from the R14-R18 re-attest blocks, since
+    rotating the same rows again would waste the window. In
+    particular ivf_cosine_topk / pq_distortion_report (natural r9
+    rows) must NOT appear here: their touched-op re-attests are
+    R14's."""
+    import glob
+    import json
+    import os
+
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R14,
+        _PRIORITY_R15,
+        _PRIORITY_R16,
+        _PRIORITY_R17,
+        _PRIORITY_R18,
+        _PRIORITY_R19,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R19) == 50
+    assert len(set(_PRIORITY_R19)) == 50
+    missing = [n for n in _PRIORITY_R19 if n not in ops]
+    assert not missing, missing
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    never = [n for n in _PRIORITY_R19 if n not in attested]
+    assert not never, never
+    overlap = set(_PRIORITY_R19[3:]) & (
+        set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:])
+        | set(_PRIORITY_R16[3:]) | set(_PRIORITY_R17[3:])
+        | set(_PRIORITY_R18[3:])
+    )
+    assert not overlap, sorted(overlap)
+    # the touched-op pair re-attests in R14, not here
+    assert "ivf_cosine_topk" not in _PRIORITY_R19
+    assert "pq_distortion_report" not in _PRIORITY_R19
+    # the displaced r5 pair leads the non-canary block
+    assert _PRIORITY_R19[3:5] == (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q7_volume_shipping",
+    )
