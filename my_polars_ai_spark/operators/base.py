@@ -102,6 +102,33 @@ def make_registrar(ops: dict[str, Op]):
     return op
 
 
+def evict_stopped_sessions(memo: dict) -> None:
+    """Drop memo entries keyed by a stopped SparkSession.
+
+    Every session memo (``similarity._ANN_FRAMES``,
+    ``dedup._LSH_PAIRED``, ``classic_ml._QGD_XY`` /
+    ``_QGD_ARTIFACTS``) keys on ``(spark, ...)`` with a STRONG
+    reference to the session, so in a long-lived process that churns
+    sessions each stopped session's entry pins its JVM-backed
+    DataFrames (including cache-marked subtrees) forever — the r13
+    advice leak. Called at the top of every memo getter: the entries
+    are few (one per session x sf_dir), the liveness probe is a pure
+    driver-side attribute check (no job), and evicting on access
+    cannot change behavior for live sessions — a dead session's
+    frames are unusable anyway."""
+    dead = []
+    for key in memo:
+        spark = key[0]
+        try:
+            stopped = spark.sparkContext._jsc is None
+        except Exception:
+            stopped = True  # unreachable context == dead session
+        if stopped:
+            dead.append(key)
+    for key in dead:
+        del memo[key]
+
+
 def rearm_cached(frames: "tuple[DataFrame, ...]") -> None:
     """Re-register the ``.cache()`` marks on memoized DataFrames.
 

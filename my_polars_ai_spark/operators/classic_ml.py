@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from my_polars_ai_spark.operators.base import (
     Op,
+    evict_stopped_sessions,
     exact_floor_div,
     make_registrar,
     oracle_ratio_round,
@@ -2536,6 +2537,7 @@ def _qgd_xy(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
     the full corpus text gets re-split per step."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
+    evict_stopped_sessions(_QGD_XY)
     key = (spark, sf_dir)
     if key in _QGD_XY:
         # self-heal after an external clearCache(): re-register the
@@ -2598,6 +2600,7 @@ def qgd_train_artifacts(
     sf_dir (deterministic plan — a rebuild would be identical)."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
+    evict_stopped_sessions(_QGD_ARTIFACTS)
     key = (spark, sf_dir)
     if key in _QGD_ARTIFACTS:
         # route through _qgd_xy so its rearm_cached self-heal runs even

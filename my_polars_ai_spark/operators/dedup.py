@@ -22,6 +22,7 @@ from my_polars_ai_spark.operators.base import (
     RDZV_SHARDS,
     ROUND_RATIO,
     Op,
+    evict_stopped_sessions,
     exact_floor_div,
     make_registrar,
     oracle_ratio_round,
@@ -302,6 +303,7 @@ def minhash_lsh_pairs(
     self-join side forever after (measured 12.7s vs 1.1s at sf0.1
     under bench.py's clearCache-then-warm isolated pass).
     """
+    evict_stopped_sessions(_LSH_PAIRED)
     key = (spark, sf_dir, n_perms, n_bands, threshold, min_band_matches)
     entry = _LSH_PAIRED.get(key)
     if entry is None:

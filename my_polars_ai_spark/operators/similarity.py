@@ -24,6 +24,7 @@ from my_polars_ai_spark.operators.base import (
     Op,
     RDZV_SHARDS,
     ROUND_RATIO,
+    evict_stopped_sessions,
     exact_floor_div,
     make_registrar,
     oracle_ratio_round,
@@ -1035,7 +1036,17 @@ def _ann_index_frames(
     serving reads back; NOT the corpus x M x K cdist frame, which
     stays lazy) is cached once and every consumer resolves the same
     cache entry. rearm_cached makes the memo survive an external
-    clearCache() (bench.py's isolated pass)."""
+    clearCache() (bench.py's isolated pass).
+
+    Documented trade-off (r13 advice): a lone IVF or PQ call in a
+    fresh session pays the FULL family build (both driver-side seed
+    collects, the _int8_vm join lineage, the manifest cache
+    registration) even though it uses one sub-family — the warm memo
+    amortizes it for every later sibling. If cold-start latency of a
+    single-sub-family session ever matters, split the memo into
+    lazily-built IVF-side and PQ-side entries; until then one shared
+    entry keeps the serve path and the round-trip test simple."""
+    evict_stopped_sessions(_ANN_FRAMES)
     key = (spark, sf_dir)
     entry = _ANN_FRAMES.get(key)
     if entry is None:

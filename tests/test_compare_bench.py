@@ -273,3 +273,72 @@ def test_summary_parsed_artifact_without_bench_last_recovers_from_tail(tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "recovered 1 queries from tail" in r.stdout  # truncated name dropped
     assert "pq_adc_topk: 2.000 -> 2.076" in r.stdout    # not the stale 99.0
+
+
+def test_tail_recovery_denylists_artifact_keys_without_headline():
+    """When bench.HEADLINE is unimportable (valid=None), the regex
+    fallback must still refuse summary keys — otherwise "sf"/"value"/
+    "n_queries" become phantom queries that silently enter ratio
+    comparison (r13 advice item)."""
+    import importlib
+    import types
+
+    cb = importlib.import_module("tools.compare_bench")
+    real = sys.modules.get("bench")
+    sys.modules["bench"] = types.ModuleType("bench")  # no HEADLINE attr
+    try:
+        tail = ('truncated... "tpch_q1_pricing_summary": 0.41, '
+                '"dedup_minhash_lsh": 0.87}, "sf": 0.1, "value": 50.603, '
+                '"n_queries": 57, "rc": 0}')
+        rec = cb._recover_from_tail(tail)
+    finally:
+        if real is not None:
+            sys.modules["bench"] = real
+        else:
+            sys.modules.pop("bench", None)
+    assert rec is not None
+    assert set(rec["queries"]) == {"tpch_q1_pricing_summary",
+                                   "dedup_minhash_lsh"}
+
+
+def test_corroborated_ambient_normalizes_isolated_pairs(tmp_path):
+    """A pinned isolated pair that tracks a corroborated ambient shift
+    (plus >0.15s delta) must not fire the drift wire while the session
+    is simultaneously reported ambient (r13 advice item): during a
+    corroborated shift, isolated pairs are normalized by the OTHER
+    pinned pairs' median (leave-one-out) instead of facing raw
+    ratios. Three pinned pairs all riding the same machine shift
+    cancel each other out."""
+    light_old = {f"q{i}": 1.0 for i in range(12)}
+    light_new = {f"q{i}": 1.15 for i in range(12)}  # ambient band shift
+    pins = ["pq_adc_topk", "repeated_span_stats", "dedup_minhash_lsh"]
+    old = {"queries": dict(light_old, pq_adc_topk=1.4,
+                           repeated_span_stats=2.0, dedup_minhash_lsh=1.0),
+           "isolated": pins, "isolated_pinned": pins}
+    new = {"queries": dict(light_new, pq_adc_topk=1.82,   # 1.30x raw
+                           repeated_span_stats=2.56,      # 1.28x raw
+                           dedup_minhash_lsh=1.15),       # 1.15x raw
+           "isolated": pins, "isolated_pinned": pins}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "corroborated as ambient" in r.stdout
+    assert "inside the corroborated ambient band" in r.stdout
+    assert "drifted beyond" not in r.stdout
+
+
+def test_isolated_outlier_fires_even_during_corroborated_shift(tmp_path):
+    """The normalization must not become a loophole: an isolated move
+    far beyond the pinned population's own shift is a real plan change
+    and still fires during a corroborated ambient session."""
+    light_old = {f"q{i}": 1.0 for i in range(12)}
+    light_new = {f"q{i}": 1.15 for i in range(12)}
+    old = {"queries": dict(light_old, pq_adc_topk=1.4, ann_index_manifest=1.0),
+           "isolated": ["pq_adc_topk", "ann_index_manifest"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    new = {"queries": dict(light_new, pq_adc_topk=1.61,  # 1.15x, tracks shift
+                           ann_index_manifest=1.9),       # 1.9x raw, 1.65x norm
+           "isolated": ["pq_adc_topk", "ann_index_manifest"],
+           "isolated_pinned": ["pq_adc_topk"]}
+    r = _run(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "ann_index_manifest" in r.stdout and "drifted beyond" in r.stdout

@@ -59,3 +59,58 @@ def test_qgd_memo_rearms_after_clearcache(spark, sf_dir):
     assert x2 is x and y2 is y
     assert _is_registered(x) and _is_registered(y)
     assert x.count() == n_x
+
+
+class _DeadContext:
+    _jsc = None
+
+
+class _DeadSession:
+    """Mimics a stopped classic SparkSession: sparkContext._jsc is None."""
+
+    sparkContext = _DeadContext()
+
+
+class _UnreachableSession:
+    """Mimics a torn-down session whose context raises on access."""
+
+    @property
+    def sparkContext(self):
+        raise RuntimeError("SparkContext stopped")
+
+
+def test_evict_stopped_sessions_drops_dead_keys_keeps_live(spark):
+    from my_polars_ai_spark.operators.base import evict_stopped_sessions
+
+    memo = {
+        (spark, "/sf"): "live",
+        (_DeadSession(), "/sf"): "dead",
+        (_UnreachableSession(), "/sf", 64, 16): "unreachable",
+    }
+    evict_stopped_sessions(memo)
+    assert list(memo.values()) == ["live"]
+
+
+def test_memo_getters_evict_dead_session_entries(spark, sf_dir):
+    """Every session-memo getter evicts stopped-session entries on
+    access (r13 advice: a stopped session's entry pins JVM-backed
+    DataFrames — including cache-marked subtrees — forever in a
+    long-lived multi-session process)."""
+    from my_polars_ai_spark.operators import classic_ml, dedup, similarity
+
+    dead_keys = [
+        (similarity._ANN_FRAMES, (_DeadSession(), "/dead/sf")),
+        (dedup._LSH_PAIRED, (_DeadSession(), "/dead/sf", 64, 16, 0.95, 1)),
+        (classic_ml._QGD_XY, (_DeadSession(), "/dead/sf")),
+        (classic_ml._QGD_ARTIFACTS, (_DeadSession(), "/dead/sf")),
+    ]
+    for memo, key in dead_keys:
+        memo[key] = ("sentinel",)
+    # touch each getter with the live session; the dead entry must go
+    similarity._ann_index_frames(spark, sf_dir)
+    dedup.minhash_lsh_pairs(spark, sf_dir)
+    classic_ml.qgd_train_artifacts(spark, sf_dir)
+    for memo, key in dead_keys:
+        assert key not in memo, key
+        # the live session's entry survives the eviction pass
+        assert any(k[0] is spark for k in memo), memo.keys()
