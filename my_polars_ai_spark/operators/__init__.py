@@ -919,13 +919,17 @@ _PRIORITY_R14 = (
     "dedup_exact_text",
     "dedup_keyed_first",
     "dedup_ngram_jaccard",
-    "simhash_signature",
-    "simhash_near_dup",
-    "pagerank_near_dup",
     # touched-op re-attests (round-13 re-plumb onto _ann_index_frames;
     # see the standing rule in the window comment above)
     "ivf_cosine_topk",
     "pq_distortion_report",
+    # round-14 consumer additions (first driver rows take precedence
+    # over re-attests, the r11/r12 rule: the three youngest r2 rows by
+    # registry order — simhash_signature / simhash_near_dup /
+    # pagerank_near_dup — yield and lead R15's r2 block instead)
+    "ann_cell_balance_stats",
+    "qgd_weights_manifest",
+    "int8_vector_export_manifest",
 )
 
 # Round-15 window, staged in round 11, AMENDED in round 14: the
@@ -946,7 +950,12 @@ _PRIORITY_R15 = (
     # round-1 rows (2) — displaced from R14 by the touched-op rule
     "regex_funcs",
     "math_funcs",
-    # round-2 rows (13) — the rest of the r2 era
+    # round-2 rows (16) — the three rows displaced from R14 by the
+    # round-14 consumer additions lead (registry order), then the rest
+    # of the r2 era
+    "simhash_signature",
+    "simhash_near_dup",
+    "pagerank_near_dup",
     "embedding_norms",
     "cosine_topk_brute",
     "dedup_embedding_cosine",
@@ -960,9 +969,11 @@ _PRIORITY_R15 = (
     "fuzzy_levenshtein_pairs",
     "hash_sample",
     "stratified_sample",
-    # round-5 rows (32) — the oldest r5 block, registry order
+    # round-5 rows (29) — the oldest r5 block, registry order
     # (tpch_q2/q7, the youngest by registry order, yielded to the
-    # displaced r1 pair and lead R19)
+    # displaced r1 pair and lead R19; string_agg_per_group /
+    # group_topk_percent / weighted_bernoulli_sample yielded to the
+    # displaced r2 trio and lead R20)
     "first_last_nth_value",
     "string_pad_funcs",
     "bit_aggregates",
@@ -992,9 +1003,6 @@ _PRIORITY_R15 = (
     "python_datasource_scan",
     "bloom_filter_semi_join",
     "linear_counting_distinct",
-    "string_agg_per_group",
-    "group_topk_percent",
-    "weighted_bernoulli_sample",
 )
 
 # Round-16 window, staged in round 12: the freshness rotation
@@ -1265,11 +1273,79 @@ _PRIORITY_R19 = (
     "minhash_jaccard_calibration",
 )
 
+# Round-20 window, staged in round 14 (two ahead of cadence — round
+# 20 is the final round, so the whole rotation plan is now written
+# down): the freshness rotation continues with the next-oldest 47
+# driver rows once R14-R19 have run — the three r5-era rows displaced
+# from R15's tail by the round-14 consumer additions (oldest driver
+# rows, so they lead), then the oldest r10 block, registry order
+# within each age group, behind the usual 3 canaries. Computed by
+# (effective latest round, registry order) where "effective" counts
+# amended/staged R14-R19 membership as a future row.
+_PRIORITY_R20 = (
+    # canaries — flagship + dedup + SQL, as every round
+    "flagship_revenue_by_nation",
+    "dedup_minhash_lsh",
+    "sql_api_revenue",
+    # round-5 rows (3) — displaced from R15's tail by the round-14
+    # consumer additions (oldest driver rows, so they lead)
+    "string_agg_per_group",
+    "group_topk_percent",
+    "weighted_bernoulli_sample",
+    # round-10 rows (44) — the oldest r10 block, registry order
+    "semdedup_threshold_sweep",
+    "token_entropy_per_doc",
+    "chunk_sliding_windows",
+    "psi_source_drift",
+    "bigram_logprob_score",
+    "calibration_curve_langid",
+    "count_min_estimates",
+    "mutual_info_lang_source",
+    "token_coverage_curve",
+    "sentiment_lexicon_score",
+    "chunk_containment_pairs",
+    "gains_chart_langid",
+    "distinctive_tokens_per_source",
+    "pack_windows_concat",
+    "lang_sampling_temperature",
+    "token_frequency_spectrum",
+    "js_divergence_sources",
+    "intra_doc_halves_divergence",
+    "rrf_fusion_topk",
+    "mmr_diversified_topk",
+    "ece_langid",
+    "hits_containment_step",
+    "rbo_rankings",
+    "flesch_proxy_readability",
+    "filter_cascade_report",
+    "curation_funnel_report",
+    "context_length_waste_curve",
+    "ema_per_user",
+    "arrow_doc_meta",
+    "udtf_ngrams_polymorphic",
+    "arrow_scalar_udf_margin",
+    "apply_in_arrow_center",
+    "grouping_sets",
+    "salted_group_agg",
+    "join_salted_skew",
+    "recursive_cte_hierarchy",
+    "sql_scripting_above_avg",
+    "sql_parameterized_query",
+    "quality_classifier_gd_convergence",
+    "quality_classifier_trained_scores",
+    "quality_filter_agreement",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_gopher_gate",
+)
+
 # Round 14: the staged flip, executed (with the verdict-item-1
 # amendment re-attesting the two ANN siblings whose plans changed in
-# round 13). The registry is fully driver-attested —
-# `tools/attestation_status.py --endgame` is the standing gate — and
-# rounds 15-19 are staged freshness rotations (one-line flips).
+# round 13, plus three round-14 consumer additions taking their first
+# driver rows this round). The registry is fully driver-attested —
+# `tools/attestation_status.py --endgame` is the standing gate, with
+# live-window pending sanctioned for exactly the new-op case — and
+# rounds 15-20 are staged freshness rotations (one-line flips).
 _PRIORITY = _PRIORITY_R14
 
 

@@ -2714,6 +2714,99 @@ def quality_classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_QGD_WEIGHTS_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ), y AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(ts, x -> x IN {_MARKERS_SQL})) >= 2
+                    THEN {QGD_MICRO} ELSE 0 END AS y_micro
+        FROM t WHERE len(ts) > 0
+    ), x AS (
+        SELECT doc_id, {_QGD_BUCKET.replace("tok", "u.tok")} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM t, LATERAL (SELECT unnest(ts) AS tok) u
+        WHERE len(ts) > 0
+        GROUP BY 1, 2
+    ),
+    {_qgd_sql_steps(final_update=True)},
+    model AS (
+        SELECT md5(string_agg(
+                   CAST(b AS VARCHAR) || ':' || CAST(w AS VARCHAR),
+                   ',' ORDER BY b)) AS model_md5
+        FROM w{QGD_STEPS}
+    )
+    SELECT CAST(wf.b AS BIGINT) AS b,
+           CAST(wf.w AS BIGINT) AS w_micro,
+           md5('qgdw:' || CAST(wf.b AS VARCHAR) || '|'
+               || CAST(wf.w AS VARCHAR)) AS record_md5,
+           model.model_md5
+    FROM w{QGD_STEPS} wf CROSS JOIN model
+"""
+
+
+@op(
+    "qgd_weights_manifest",
+    oracle=_QGD_WEIGHTS_SQL,
+    tags=("ml", "quality", "pipeline", "report"),
+)
+def qgd_weights_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIP step of the trained-classifier family — the
+    QGD_DIM-row weight table `qgd_train_artifacts` trains, packed as
+    a deployable model manifest: bucket id, trained weight in integer
+    micro-units, an md5 record checksum, and the md5 of the WHOLE
+    ordered weight vector on every row (the model fingerprint a
+    serving layer pins so a partially-written or stale weights file
+    can never score traffic — the same detect -> act -> ship ladder
+    `ann_index_manifest` and `triplet_export_manifest` close for
+    their families). `stream_trained_classifier` freezes these same
+    weights into its scoring literal; shipping them as a checksummed
+    table is what lets a DIFFERENT process (the streaming deploy, a
+    feature store, next month's retrain diff) load the model without
+    re-running training.
+
+    Scale shape: training cost is `qgd_train_artifacts`'s documented
+    3-step chain (memoized per session — this op adds nothing
+    corpus-grain); the manifest itself is the bounded QGD_DIM-row
+    artifact, its model fingerprint ONE sorted-array fold over those
+    rows broadcast back, every checksum a narrow per-row expression."""
+    _, _, w = qgd_train_artifacts(spark, sf_dir)
+    rec = w.select(
+        F.col("b").cast("long").alias("b"),
+        F.col("w").cast("long").alias("w_micro"),
+    )
+    model = rec.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "w_micro"))),
+                    lambda s: F.concat(
+                        s.getField("b").cast("string"),
+                        F.lit(":"),
+                        s.getField("w_micro").cast("string"),
+                    ),
+                ),
+                ",",
+            )
+        ).alias("model_md5")
+    )
+    return rec.crossJoin(F.broadcast(model)).select(
+        "b",
+        "w_micro",
+        F.md5(
+            F.concat(
+                F.lit("qgdw:"),
+                F.col("b").cast("string"),
+                F.lit("|"),
+                F.col("w_micro").cast("string"),
+            )
+        ).alias("record_md5"),
+        "model_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality-filter ensemble agreement (FineWeb-ablation shape): how often
 # do independent quality filters agree, and is the agreement more than

@@ -1296,6 +1296,226 @@ def _ann_serve_topk(
     )
 
 
+_ANN_CELL_BALANCE_SQL = f"""
+    WITH {_ivf_ctes("ivf_corpus", "ivf_seeds", "ivf_assigned")},
+    cellcounts AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM ivf_assigned GROUP BY cell
+    ), tot AS (
+        SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cellcounts
+    )
+    SELECT CAST(c.cell AS INTEGER) AS cell,
+           c.n_vectors,
+           {oracle_ratio_round(f"c.n_vectors * {N_CELLS}", "t.total")}
+               AS skew_x_uniform,
+           CAST(CASE WHEN c.n_vectors * {N_CELLS} > 2 * t.total
+                THEN 1 ELSE 0 END AS INT) AS is_hot
+    FROM cellcounts c CROSS JOIN tot t
+"""
+
+
+@op(
+    "ann_cell_balance_stats",
+    oracle=_ANN_CELL_BALANCE_SQL,
+    tags=("similarity", "ann", "report", "pipeline"),
+)
+def ann_cell_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health audit of the shipped ANN manifest — per IVF cell,
+    the record count, its skew against a perfectly uniform coarse
+    quantizer (n_vectors * N_CELLS / total, exactly 1.0 when
+    balanced), and a hot-cell flag at 2x uniform. This is the number
+    that decides whether the coarse codebook needs re-training:
+    `ann_manifest_query_topk`'s whole serve economics rest on probing
+    N_PROBE/N_CELLS of the data, and ONE hot cell quietly turns the
+    pruned scan back into a corpus scan for every query routed to it
+    (the p99 latency tail every IVF deployment monitors). Consumes
+    the manifest records `ann_index_manifest` ships — at 100 TB this
+    audit runs on the (shard, cell)-partitioned manifest parquet and
+    its group-by keys ARE the partition keys, so it reduces to
+    partition-local counting.
+
+    Scale shape: one map-side-combinable count at the bounded
+    N_CELLS grain, one 1-row total broadcast back onto it; the
+    hot flag is a cross-multiplied integer comparison and the skew a
+    single half-up rational, so no float decides a verdict."""
+    manifest = _ann_index_frames(spark, sf_dir)[0]
+    counts = manifest.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = counts.agg(F.sum("n_vectors").cast("long").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vectors",
+        ratio_round(
+            F.col("n_vectors").cast("decimal(38,0)") * N_CELLS, F.col("total")
+        ).alias("skew_x_uniform"),
+        (F.col("n_vectors") * N_CELLS > 2 * F.col("total"))
+        .cast("int")
+        .alias("is_hot"),
+    )
+
+
+_INT8_EXPORT_SQL = f"""
+    WITH vp AS (
+        SELECT vec_id, i,
+               (CASE WHEN embedding[i] < 0 THEN -1 ELSE 1 END)
+               * CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+                      AS HUGEINT) AS vm
+        FROM (SELECT vec_id, embedding,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ), m AS (
+        SELECT vec_id, max(abs(vm)) AS maxabs FROM vp GROUP BY vec_id
+    ), q AS (
+        SELECT vp.vec_id, vp.i,
+               (CASE WHEN vp.vm < 0 THEN -1 ELSE 1 END)
+               * ((2*abs(vp.vm)*127 + m.maxabs) // (2*m.maxabs)) AS qv
+        FROM vp JOIN m USING (vec_id) WHERE m.maxabs > 0
+    ), packed AS (
+        SELECT vec_id,
+               string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i) AS codes_csv,
+               CAST(count(*) AS BIGINT) AS n_dims
+        FROM q GROUP BY vec_id
+    ), rec AS (
+        SELECT p.vec_id, p.codes_csv,
+               CAST(m.maxabs AS BIGINT) AS maxabs_micro,
+               CAST(('0x' || substr(md5('vec:' || CAST(p.vec_id AS VARCHAR)), 1, 15))::BIGINT
+                    % {RDZV_SHARDS} AS INTEGER) AS shard,
+               p.n_dims + 8 AS n_bytes
+        FROM packed p JOIN m ON m.vec_id = p.vec_id
+    ), placed AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY shard ORDER BY vec_id)
+                   AS export_ordinal,
+               coalesce(sum(n_bytes) OVER (PARTITION BY shard ORDER BY vec_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS byte_start
+        FROM rec
+    )
+    SELECT vec_id, shard,
+           CAST(export_ordinal AS BIGINT) AS export_ordinal,
+           CAST(byte_start AS BIGINT) AS byte_start,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           maxabs_micro,
+           md5('i8:' || CAST(vec_id AS VARCHAR) || '|'
+               || CAST(maxabs_micro AS VARCHAR) || '|' || codes_csv)
+               AS record_md5
+    FROM placed
+"""
+
+
+@op(
+    "int8_vector_export_manifest",
+    oracle=_INT8_EXPORT_SQL,
+    tags=("similarity", "quantize", "pipeline", "report"),
+)
+def int8_vector_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIP step of the int8 quantizer family — the byte-addressed
+    export manifest of the exact-rerank vector store. PQ codes in
+    `ann_index_manifest` are the SCAN representation; the final
+    shortlist rerank (`ann_manifest_query_topk`'s exact stage) reads
+    real vectors, and at 100 TB those live in flat binary shard files
+    a loader seeks into, not in parquet rows. One record per
+    quantizable vector: the rendezvous shard (the SAME 'vec:' salt as
+    `ann_index_manifest`, so the rerank store is CO-SHARDED with the
+    index — a serve node's probe and its rerank reads are both
+    local), the write-order ordinal inside the shard file, the byte
+    range of the record (n_dims int8 codes + an 8-byte maxabs_micro
+    dequantization header), and an md5 over the full pos-ordered code
+    CSV — payload integrity, not just envelope (the audio analog is
+    `audio_chunk_export_manifest`'s PCM byte ranges).
+
+    Quantization repeats `_int8_vm`'s sign-split floor micro
+    conversion and `int8_quantize_embeddings`' exact absmax rational
+    POSITION-AWARE (those definitions drop the dimension index their
+    consumers don't need); duplicated rather than refactored so the
+    attested quantizer plans stay byte-identical — fold into a shared
+    pos-carrying core when `_int8_vm`'s consumers next earn re-attest
+    slots.
+
+    Scale shape: one posexplode + vec-grain pack (map-side
+    combinable), bounded-shard enumeration windows whose sort IS the
+    shard file's write order (a writer sorts within partitions
+    anyway — sortWithinPartitions — so the window adds no work the
+    export doesn't already do), checksums as narrow projections."""
+    from my_polars_ai_spark.operators.dedup import portable_hash60
+
+    e = _t(spark, sf_dir, "embeddings")
+    vp = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "i",
+        (
+            F.when(F.col("val") < 0, -1).otherwise(1)
+            * F.floor(F.abs(F.col("val").cast("double")) * 1000000 + F.lit(0.5))
+        )
+        .cast("decimal(38,0)")
+        .alias("vm"),
+    )
+    m = vp.groupBy("vec_id").agg(F.max(F.abs("vm")).alias("maxabs"))
+    sign = F.when(F.col("vm") < 0, -1).otherwise(1)
+    qv = sign * exact_floor_div(
+        2 * F.abs(F.col("vm")) * 127 + F.col("maxabs"), 2 * F.col("maxabs")
+    )
+    q = (
+        vp.join(m, "vec_id")
+        .filter(F.col("maxabs") > 0)
+        .select("vec_id", "i", qv.alias("qv"))
+    )
+    packed = q.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "qv"))),
+                lambda s: s.getField("qv").cast("string"),
+            ),
+            ",",
+        ).alias("codes_csv"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+    )
+    rec = packed.join(
+        m.select("vec_id", F.col("maxabs").cast("long").alias("maxabs_micro")),
+        "vec_id",
+    ).select(
+        "vec_id",
+        "codes_csv",
+        "maxabs_micro",
+        (
+            portable_hash60(F.concat(F.lit("vec:"), F.col("vec_id").cast("string")))
+            % RDZV_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        (F.col("n_dims") + 8).alias("n_bytes"),
+    )
+    ws = Window.partitionBy("shard").orderBy("vec_id")
+    return rec.select(
+        "vec_id",
+        "shard",
+        F.row_number().over(ws).cast("long").alias("export_ordinal"),
+        F.coalesce(
+            F.sum("n_bytes").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("byte_start"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "maxabs_micro",
+        F.md5(
+            F.concat(
+                F.lit("i8:"),
+                F.col("vec_id").cast("string"),
+                F.lit("|"),
+                F.col("maxabs_micro").cast("string"),
+                F.lit("|"),
+                F.col("codes_csv"),
+            )
+        ).alias("record_md5"),
+    )
+
+
 # Core-point threshold for the density flags (neighbors at the
 # dedup_embedding_cosine similarity level).
 DENSITY_MIN_NEIGHBORS = 2

@@ -107,6 +107,13 @@ _BNLJ_SCALAR_OPS = (
     # the 3-row literal pair spine (plus the trained chain's own 1-row
     # doc-count broadcasts upstream)
     "quality_filter_agreement",
+    # r14: 1-row corpus-total crossJoin onto the bounded N_CELLS-grain
+    # cell counts (similarity.py, ann_cell_balance_stats)
+    "ann_cell_balance_stats",
+    # r14: 1-row model-fingerprint crossJoin onto the 32-row weight
+    # spine, plus the trained chain's own 1-row doc-count broadcasts
+    # upstream (classic_ml.py, qgd_weights_manifest)
+    "qgd_weights_manifest",
 )
 _BNLJ_PROBE_OPS = (
     "cosine_topk_brute", "binary_hamming_topk", "hard_negatives_topk",
@@ -152,6 +159,11 @@ _SMJ_OPS = (
     # per step (score join z⋈y, gradient join x⋈r) — the SMJ count is
     # steps*2, bounded by the fixed step count, each keyed on doc_id
     "quality_classifier_gd_convergence",
+    # r14: ships the same trained chain's final weights — inherits the
+    # fixed-step doc-grain joins verbatim (classic_ml.py,
+    # qgd_weights_manifest); the manifest itself adds no join beyond
+    # the 32-row fingerprint broadcast
+    "qgd_weights_manifest",
     # r9: triangle counting joins the LSH-candidate edge list to itself
     # twice (wedge close) — both sides are the banded candidate set,
     # never doc x doc; fires or not depending on which upstream frames

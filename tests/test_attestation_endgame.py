@@ -121,3 +121,21 @@ def test_endgame_gate_is_green_on_the_real_ledger():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "full-registry attested; oldest row:" in proc.stdout
+
+
+def test_endgame_sanctions_live_window_pending_only():
+    """Round-14 contract evolution: a pending op in the LIVE window is
+    a sanctioned new-op addition (first row lands at this round's
+    driver run); a pending op parked anywhere else still fails."""
+    latest = {"a": 3, "b": 7, "approx_distinct": 13, "c": 3}
+    green = {"a": True, "b": True, "approx_distinct": False, "c": True}
+    ops = OPS + ["new_op"]
+    ok, report = endgame_check(ops, latest, green, {"new_op"},
+                               live_window={"new_op", "a"})
+    assert ok, report
+    assert "pending in the LIVE window" in report and "new_op" in report
+    assert "full-registry attested; oldest row: r3" in report
+    ok, report = endgame_check(ops, latest, green, {"new_op"},
+                               live_window={"a"})
+    assert not ok
+    assert "not the live one" in report

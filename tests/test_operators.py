@@ -1694,8 +1694,18 @@ def test_r14_window_is_staged_and_valid():
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         attested.update(json.load(open(f)))
     scheduled = attested | set(_PRIORITY_R11) | set(_PRIORITY_R12) | set(_PRIORITY_R13)
-    never = [n for n in _PRIORITY_R14 if n not in scheduled]
+    # round-14 consumer additions: first attestation happens at this
+    # round's driver run (the r11/r12 precedent — new ops enter the
+    # earliest window that has not yet run, which for a live-round
+    # addition is the live window itself)
+    new_r14 = {
+        "ann_cell_balance_stats",
+        "qgd_weights_manifest",
+        "int8_vector_export_manifest",
+    }
+    never = [n for n in _PRIORITY_R14 if n not in scheduled and n not in new_r14]
     assert not never, never
+    assert new_r14 <= set(_PRIORITY_R14[3:])
 
 
 def test_r15_window_is_staged_and_valid():
@@ -1900,4 +1910,53 @@ def test_r19_window_is_staged_and_valid():
     assert _PRIORITY_R19[3:5] == (
         "tpch_q2_min_cost_supplier",
         "tpch_q7_volume_shipping",
+    )
+
+
+def test_r20_window_is_staged_and_valid():
+    """Staging discipline for round 20 (staged in round 14, two ahead
+    of cadence — round 20 is the final round, so the full rotation
+    plan is written down): the three r5-era rows displaced from R15's
+    tail by the round-14 consumer additions lead (oldest driver
+    rows), then the oldest r10 block, registry order. Same contract
+    as R14-R19 — 50 real ops, no duplicates, every slot holds a
+    driver row — plus disjointness from the R15-R19 re-attest blocks
+    AND from R14's (nothing in R14 is old enough to rotate again by
+    round 20)."""
+    import glob
+    import json
+    import os
+
+    from my_polars_ai_spark.operators import (
+        _PRIORITY_R14,
+        _PRIORITY_R15,
+        _PRIORITY_R16,
+        _PRIORITY_R17,
+        _PRIORITY_R18,
+        _PRIORITY_R19,
+        _PRIORITY_R20,
+    )
+
+    ops = all_ops()
+    assert len(_PRIORITY_R20) == 50
+    assert len(set(_PRIORITY_R20)) == 50
+    missing = [n for n in _PRIORITY_R20 if n not in ops]
+    assert not missing, missing
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    never = [n for n in _PRIORITY_R20 if n not in attested]
+    assert not never, never
+    overlap = set(_PRIORITY_R20[3:]) & (
+        set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:])
+        | set(_PRIORITY_R16[3:]) | set(_PRIORITY_R17[3:])
+        | set(_PRIORITY_R18[3:]) | set(_PRIORITY_R19[3:])
+    )
+    assert not overlap, sorted(overlap)
+    # the displaced r5 trio leads the non-canary block
+    assert _PRIORITY_R20[3:6] == (
+        "string_agg_per_group",
+        "group_topk_percent",
+        "weighted_bernoulli_sample",
     )

@@ -17,7 +17,11 @@ headline becomes FRESHNESS, not coverage. The flag asserts exactly
 that and exits non-zero otherwise:
 
 - zero never-attested ops and zero ops still waiting on a staged
-  window (i.e. cumulative attested == registry),
+  window (i.e. cumulative attested == registry) — EXCEPT ops pending
+  in the LIVE window, which are sanctioned (round 14): a consumer
+  registered this round attests at this round's driver run, the
+  earliest schedule possible; only an op parked in a LATER window (or
+  in none) fails the gate,
 - every non-green latest row belongs to ROWS_ONLY_BY_DESIGN (the
   sketch trio whose outputs are not SQL-oracle-expressible — their
   rows-only driver check records no hash match by design),
@@ -70,29 +74,47 @@ def endgame_check(
     latest_round: dict[str, int],
     green: dict[str, bool],
     staged_pending: set[str],
+    live_window: frozenset[str] | set[str] = frozenset(),
 ) -> tuple[bool, str]:
     """The post-R13 ledger contract, pure so tests can pin it.
 
     Returns (ok, report). ok only when every registry op has a driver
     row, nothing is still waiting on a staged window, and every
-    non-green latest row is a ROWS_ONLY_BY_DESIGN sketch."""
-    missing = [o for o in ops if o not in latest_round]
+    non-green latest row is a ROWS_ONLY_BY_DESIGN sketch.
+
+    Round-14 evolution (the new-op rule meets the standing gate): a
+    pending op that sits in the LIVE window is SANCTIONED — it is a
+    consumer added this round, and its first driver row lands at the
+    very next driver run, which is the strongest schedule an op
+    without a time machine can have. A pending op NOT in the live
+    window is parked and still fails: that is the regression this
+    gate exists to catch (an op registered without a next-run slot)."""
+    missing = [o for o in ops if o not in latest_round and o not in staged_pending]
+    sanctioned = sorted(staged_pending & set(live_window))
+    parked = sorted(staged_pending - set(live_window))
     bad_red = sorted(
         n for n, g in green.items() if not g and n in ops and n not in ROWS_ONLY_BY_DESIGN
     )
     lines = []
-    ok = not missing and not staged_pending and not bad_red
+    ok = not missing and not parked and not bad_red
     if missing:
         lines.append(f"NOT at endgame: {len(missing)} ops never attested: {missing[:10]}")
-    if staged_pending:
+    if parked:
         lines.append(
-            f"NOT at endgame: {len(staged_pending)} ops still waiting on a staged window"
+            f"NOT at endgame: {len(parked)} ops waiting on a staged window "
+            f"that is not the live one: {parked[:10]}"
+        )
+    if sanctioned:
+        lines.append(
+            f"{len(sanctioned)} new op(s) pending in the LIVE window "
+            f"(first row lands at this round's driver run): {sanctioned}"
         )
     if bad_red:
         lines.append(f"NOT at endgame: non-green latest rows outside the sketch trio: {bad_red}")
     if ok:
-        oldest = min(latest_round[o] for o in ops)
-        holders = [o for o in ops if latest_round[o] == oldest]
+        rowed = [o for o in ops if o in latest_round]
+        oldest = min(latest_round[o] for o in rowed)
+        holders = [o for o in rowed if latest_round[o] == oldest]
         lines.append(f"full-registry attested; oldest row: r{oldest}")
         lines.append(
             f"  {len(holders)} ops at r{oldest} (next rotation candidates): "
@@ -167,7 +189,9 @@ def main() -> int:
     for n in never:
         print(f"  - {n}")
     if "--endgame" in sys.argv:
-        ok, report = endgame_check(ops, latest_round, attested, staged)
+        ok, report = endgame_check(
+            ops, latest_round, attested, staged, live_window=set(reg._PRIORITY)
+        )
         print(report)
         return 0 if ok else 1
     return 0
