@@ -131,6 +131,16 @@ HEADLINE = [
     # byte-addressed manifest)
     "ann_manifest_query_topk",
     "audio_chunk_export_manifest",
+    # round-14: the two new similarity-family ship/audit consumers —
+    # the byte-addressed int8 rerank-store export (posexplode pack +
+    # shard-bounded enumeration windows) and the manifest cell-balance
+    # audit (bounded N_CELLS aggregate over the warm manifest; its
+    # near-zero steady-state time IS the point — index health checks
+    # must be free). qgd_weights_manifest is deliberately NOT here:
+    # its cost is the trained GD chain quality_classifier_trained_scores
+    # already measures, plus a 32-row fold.
+    "int8_vector_export_manifest",
+    "ann_cell_balance_stats",
 ]
 
 
@@ -244,8 +254,19 @@ def main() -> None:
         "sf": sf_val,
         "run_id": run_id,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LAST.json"), "w") as fh:
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_LAST.json"), "w") as fh:
+        json.dump(detail, fh)
+    # Archive the full payload per run_id too: BENCH_LAST.json holds
+    # only the LATEST run, so the first local bench of a new round used
+    # to overwrite the very detail file that recovers the PREVIOUS
+    # round's summary-parsed driver artifact, silently degrading
+    # compare_bench to partial tail-regex recovery (round 14, observed
+    # live). The archive is ~3 KB per run and compare_bench checks it
+    # by run_id before falling back to the tail.
+    runs_dir = os.path.join(root, "cache", "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    with open(os.path.join(runs_dir, f"{run_id}.json"), "w") as fh:
         json.dump(detail, fh)
     print(json.dumps(detail))
     print(

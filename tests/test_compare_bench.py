@@ -342,3 +342,34 @@ def test_isolated_outlier_fires_even_during_corroborated_shift(tmp_path):
     r = _run(tmp_path, old, new)
     assert r.returncode == 1, r.stdout + r.stderr
     assert "ann_index_manifest" in r.stdout and "drifted beyond" in r.stdout
+
+
+def test_summary_parsed_artifact_recovers_from_run_archive(tmp_path):
+    """BENCH_LAST.json holds only the LATEST run, so a newer local
+    bench overwrites the detail that recovers the previous round's
+    summary-parsed driver artifact (observed live in round 14). The
+    per-run_id archive under cache/bench_runs/ is checked by run_id
+    before the partial tail fallback."""
+    detail = {"metric": "headline_queries_total_runtime", "value": 1.5,
+              "queries": {"q_a": 1.0, "q_b": 0.5}, "isolated": [],
+              "isolated_pinned": [], "run_id": "424242"}
+    runs = tmp_path / "cache" / "bench_runs"
+    runs.mkdir(parents=True)
+    (runs / "424242.json").write_text(json.dumps(detail))
+    # a NEWER run owns BENCH_LAST — run_id does not match the artifact
+    (tmp_path / "BENCH_LAST.json").write_text(
+        json.dumps(dict(detail, run_id="999999",
+                        queries={"q_a": 9.0, "q_b": 9.0})))
+    old = {"parsed": {"metric": "headline_queries_total_runtime",
+                      "value": 1.5, "n_queries": 2, "run_id": "424242"},
+           "tail": "truncated beyond recovery"}
+    new = {"queries": {"q_a": 1.05, "q_b": 0.52}}
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps(old))
+    new_p.write_text(json.dumps(new))
+    r = subprocess.run([sys.executable, TOOL, str(old_p), str(new_p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "recovered from the bench_runs archive" in r.stdout
+    # the archive's numbers (1.0/0.5), not BENCH_LAST's stale 9.0s
+    assert "q_a: 1.000 -> 1.050" in r.stdout

@@ -155,9 +155,13 @@ def _load(path: str) -> tuple[dict[str, float], set[str], set[str]]:
             d = p
         else:
             rec = None
+            tail = d.get("tail") or ""
             run_id = p.get("run_id")
-            sibling = os.path.join(os.path.dirname(os.path.abspath(path)),
-                                   "BENCH_LAST.json")
+            if not run_id:  # parsed: null (r12 shape) — mine the tail
+                m = re.search(r'"run_id": "(\d+)"', tail)
+                run_id = m.group(1) if m else None
+            here = os.path.dirname(os.path.abspath(path))
+            sibling = os.path.join(here, "BENCH_LAST.json")
             if run_id and os.path.exists(sibling):
                 with open(sibling) as fh:
                     full = json.load(fh)
@@ -165,6 +169,18 @@ def _load(path: str) -> tuple[dict[str, float], set[str], set[str]]:
                     rec = full
                     print(f"note: {path} recovered from BENCH_LAST.json "
                           f"(run_id {run_id})")
+            # BENCH_LAST holds only the latest run — a newer local bench
+            # overwrites it, so older rounds' details live in the
+            # per-run_id archive bench.py writes (round 14)
+            archive = os.path.join(here, "cache", "bench_runs",
+                                   f"{run_id}.json") if run_id else None
+            if rec is None and archive and os.path.exists(archive):
+                with open(archive) as fh:
+                    full = json.load(fh)
+                if "queries" in full:
+                    rec = full
+                    print(f"note: {path} recovered from the bench_runs "
+                          f"archive (run_id {run_id})")
             if rec is None:
                 rec = _recover_from_tail(d.get("tail") or "")
                 if rec is None:
