@@ -101,6 +101,9 @@ def test_ship_step_manifests_round_trip_through_parquet(spark, sf_dir, tmp_path)
         "decontaminated_manifest",
         "training_manifest",
         "ann_index_manifest",
+        # r14 ship steps
+        "qgd_weights_manifest",
+        "int8_vector_export_manifest",
     ):
         df = ops[name].fn(spark, sf_dir)
         path = str(tmp_path / name)

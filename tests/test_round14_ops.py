@@ -108,3 +108,51 @@ def test_int8_export_byte_ranges_are_contiguous_and_co_sharded(spark, sf_dir):
     }
     for r in rows:
         assert r.shard == ann_shards[r.vec_id], r.vec_id
+
+
+def test_cell_balance_audit_over_the_written_manifest(spark, sf_dir, tmp_path):
+    """The audit's 100 TB story is that it runs on the WRITTEN
+    (shard, cell)-partitioned manifest parquet, where its group-by
+    keys are the partition keys (partition-local counting). Pin that
+    the same audit computed from the read-back parquet equals the
+    registered op's output — the in-session frame is a bench-scale
+    convenience, the file is the contract (the serve-side twin of
+    test_ann_serve_round_trips_through_written_manifest)."""
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.operators.base import ratio_round
+    from my_polars_ai_spark.operators.similarity import N_CELLS
+
+    ops = all_ops()
+    manifest = ops["ann_index_manifest"].fn(spark, sf_dir)
+    path = str(tmp_path / "ann_manifest_for_audit")
+    manifest.write.partitionBy("shard", "cell").parquet(path)
+
+    read_back = spark.read.parquet(path)
+    counts = read_back.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = counts.agg(F.sum("n_vectors").cast("long").alias("total"))
+    audited_rt = sorted(
+        map(
+            tuple,
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("cell").cast("int").alias("cell"),
+                "n_vectors",
+                ratio_round(
+                    F.col("n_vectors").cast("decimal(38,0)") * N_CELLS,
+                    F.col("total"),
+                ).alias("skew_x_uniform"),
+                (F.col("n_vectors") * N_CELLS > 2 * F.col("total"))
+                .cast("int")
+                .alias("is_hot"),
+            )
+            .collect(),
+        )
+    )
+    audited_mem = sorted(
+        map(tuple, ops["ann_cell_balance_stats"].fn(spark, sf_dir).collect())
+    )
+    assert audited_rt == audited_mem
+    assert audited_mem, "audit must return rows at sf0.001"
