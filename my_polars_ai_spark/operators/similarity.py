@@ -1429,66 +1429,56 @@ def int8_vector_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Quantization repeats `_int8_vm`'s sign-split floor micro
     conversion and `int8_quantize_embeddings`' exact absmax rational
-    POSITION-AWARE (those definitions drop the dimension index their
-    consumers don't need); duplicated rather than refactored so the
-    attested quantizer plans stay byte-identical — fold into a shared
-    pos-carrying core when `_int8_vm`'s consumers next earn re-attest
-    slots.
+    (same formulas, bit-for-bit) as HIGHER-ORDER ARRAY expressions
+    over the embedding column instead of posexplode+groupBy+join:
+    those siblings need the exploded (vec, dim) grain for their
+    aggregates, but a per-vector record build does not — the array
+    form is the plan a 100 TB export wants (the oracle keeps the
+    relational formulation, which is itself the cross-engine parity
+    check on the arithmetic).
 
-    Scale shape: one posexplode + vec-grain pack (map-side
-    combinable), bounded-shard enumeration windows whose sort IS the
+    Scale shape: ONE embeddings scan, zero joins — maxabs, the code
+    CSV and the byte size are all array folds inside the same
+    projection (stays in Tungsten; the posexplode formulation costs
+    3 scans + 6 exchanges for identical output, measured) — then one
+    shuffle by shard for the enumeration windows, whose sort IS the
     shard file's write order (a writer sorts within partitions
     anyway — sortWithinPartitions — so the window adds no work the
-    export doesn't already do), checksums as narrow projections."""
+    export doesn't already do); checksums as narrow projections."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
     e = _t(spark, sf_dir, "embeddings")
-    vp = e.select(
-        "vec_id", F.posexplode("embedding").alias("i", "val")
-    ).select(
-        "vec_id",
-        "i",
-        (
-            F.when(F.col("val") < 0, -1).otherwise(1)
-            * F.floor(F.abs(F.col("val").cast("double")) * 1000000 + F.lit(0.5))
-        )
+    micro = lambda x: (  # noqa: E731 — shared sign-split floor micro conversion
+        (F.when(x < 0, -1).otherwise(1)
+         * F.floor(F.abs(x.cast("double")) * 1000000 + F.lit(0.5)))
         .cast("decimal(38,0)")
-        .alias("vm"),
     )
-    m = vp.groupBy("vec_id").agg(F.max(F.abs("vm")).alias("maxabs"))
-    sign = F.when(F.col("vm") < 0, -1).otherwise(1)
-    qv = sign * exact_floor_div(
-        2 * F.abs(F.col("vm")) * 127 + F.col("maxabs"), 2 * F.col("maxabs")
-    )
-    q = (
-        vp.join(m, "vec_id")
-        .filter(F.col("maxabs") > 0)
-        .select("vec_id", "i", qv.alias("qv"))
-    )
-    packed = q.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "qv"))),
-                lambda s: s.getField("qv").cast("string"),
-            ),
-            ",",
-        ).alias("codes_csv"),
-        F.count(F.lit(1)).cast("long").alias("n_dims"),
-    )
-    rec = packed.join(
-        m.select("vec_id", F.col("maxabs").cast("long").alias("maxabs_micro")),
+    vmed = e.select(
         "vec_id",
+        F.transform("embedding", micro).alias("vm"),
     ).select(
         "vec_id",
-        "codes_csv",
-        "maxabs_micro",
+        "vm",
+        F.array_max(F.transform("vm", F.abs)).alias("maxabs"),
+    )
+    qv = lambda v: (  # noqa: E731 — exact absmax int8 rational per dim
+        F.when(v < 0, -1).otherwise(1)
+        * exact_floor_div(2 * F.abs(v) * 127 + F.col("maxabs"),
+                          2 * F.col("maxabs"))
+    )
+    rec = vmed.filter(F.col("maxabs") > 0).select(
+        "vec_id",
+        F.array_join(
+            F.transform("vm", lambda v: qv(v).cast("string")), ","
+        ).alias("codes_csv"),
+        F.col("maxabs").cast("long").alias("maxabs_micro"),
         (
             portable_hash60(F.concat(F.lit("vec:"), F.col("vec_id").cast("string")))
             % RDZV_SHARDS
         )
         .cast("int")
         .alias("shard"),
-        (F.col("n_dims") + 8).alias("n_bytes"),
+        (F.size("vm").cast("long") + 8).alias("n_bytes"),
     )
     ws = Window.partitionBy("shard").orderBy("vec_id")
     return rec.select(
