@@ -132,8 +132,8 @@ HEADLINE = [
     "ann_manifest_query_topk",
     "audio_chunk_export_manifest",
     # round-14: the two new similarity-family ship/audit consumers —
-    # the byte-addressed int8 rerank-store export (posexplode pack +
-    # shard-bounded enumeration windows) and the manifest cell-balance
+    # the byte-addressed int8 rerank-store export (single-scan array
+    # folds + shard-bounded enumeration windows) and the manifest cell-balance
     # audit (bounded N_CELLS aggregate over the warm manifest; its
     # near-zero steady-state time IS the point — index health checks
     # must be free). qgd_weights_manifest is deliberately NOT here:
