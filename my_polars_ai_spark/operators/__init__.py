@@ -918,18 +918,19 @@ _PRIORITY_R14 = (
     "roc_points_bucketed",
     "dedup_exact_text",
     "dedup_keyed_first",
-    "dedup_ngram_jaccard",
     # touched-op re-attests (round-13 re-plumb onto _ann_index_frames;
     # see the standing rule in the window comment above)
     "ivf_cosine_topk",
     "pq_distortion_report",
     # round-14 consumer additions (first driver rows take precedence
-    # over re-attests, the r11/r12 rule: the three youngest r2 rows by
-    # registry order — simhash_signature / simhash_near_dup /
-    # pagerank_near_dup — yield and lead R15's r2 block instead)
+    # over re-attests, the r11/r12 rule: the four youngest r2 rows by
+    # registry order — dedup_ngram_jaccard / simhash_signature /
+    # simhash_near_dup / pagerank_near_dup — yield and lead R15's r2
+    # block instead)
     "ann_cell_balance_stats",
     "qgd_weights_manifest",
     "int8_vector_export_manifest",
+    "ivf_probe_recall_curve",
 )
 
 # Round-15 window, staged in round 11, AMENDED in round 14: the
@@ -950,9 +951,10 @@ _PRIORITY_R15 = (
     # round-1 rows (2) — displaced from R14 by the touched-op rule
     "regex_funcs",
     "math_funcs",
-    # round-2 rows (16) — the three rows displaced from R14 by the
+    # round-2 rows (17) — the four rows displaced from R14 by the
     # round-14 consumer additions lead (registry order), then the rest
     # of the r2 era
+    "dedup_ngram_jaccard",
     "simhash_signature",
     "simhash_near_dup",
     "pagerank_near_dup",
@@ -969,11 +971,12 @@ _PRIORITY_R15 = (
     "fuzzy_levenshtein_pairs",
     "hash_sample",
     "stratified_sample",
-    # round-5 rows (29) — the oldest r5 block, registry order
+    # round-5 rows (28) — the oldest r5 block, registry order
     # (tpch_q2/q7, the youngest by registry order, yielded to the
-    # displaced r1 pair and lead R19; string_agg_per_group /
-    # group_topk_percent / weighted_bernoulli_sample yielded to the
-    # displaced r2 trio and lead R20)
+    # displaced r1 pair and lead R19; linear_counting_distinct /
+    # string_agg_per_group / group_topk_percent /
+    # weighted_bernoulli_sample yielded to the displaced r2 rows and
+    # lead R20)
     "first_last_nth_value",
     "string_pad_funcs",
     "bit_aggregates",
@@ -1002,7 +1005,6 @@ _PRIORITY_R15 = (
     "key_skew_profile",
     "python_datasource_scan",
     "bloom_filter_semi_join",
-    "linear_counting_distinct",
 )
 
 # Round-16 window, staged in round 12: the freshness rotation
@@ -1276,7 +1278,7 @@ _PRIORITY_R19 = (
 # Round-20 window, staged in round 14 (two ahead of cadence — round
 # 20 is the final round, so the whole rotation plan is now written
 # down): the freshness rotation continues with the next-oldest 47
-# driver rows once R14-R19 have run — the three r5-era rows displaced
+# driver rows once R14-R19 have run — the four r5-era rows displaced
 # from R15's tail by the round-14 consumer additions (oldest driver
 # rows, so they lead), then the oldest r10 block, registry order
 # within each age group, behind the usual 3 canaries. Computed by
@@ -1287,12 +1289,13 @@ _PRIORITY_R20 = (
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-5 rows (3) — displaced from R15's tail by the round-14
+    # round-5 rows (4) — displaced from R15's tail by the round-14
     # consumer additions (oldest driver rows, so they lead)
+    "linear_counting_distinct",
     "string_agg_per_group",
     "group_topk_percent",
     "weighted_bernoulli_sample",
-    # round-10 rows (44) — the oldest r10 block, registry order
+    # round-10 rows (43) — the oldest r10 block, registry order
     "semdedup_threshold_sweep",
     "token_entropy_per_doc",
     "chunk_sliding_windows",
@@ -1336,7 +1339,10 @@ _PRIORITY_R20 = (
     "quality_filter_agreement",
     "stream_tumbling_counts",
     "stream_session_windows",
-    "stream_gopher_gate",
+    # stream_gopher_gate, the youngest r10 row by registry order,
+    # yielded its slot to linear_counting_distinct and falls past the
+    # rotation horizon (round 20 is the final window) — its r10 driver
+    # row remains its final attestation
 )
 
 # Round 14: the staged flip, executed (with the verdict-item-1

@@ -1357,6 +1357,138 @@ def ann_cell_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROBE_CURVE_SQL_TEMPLATE = f"""
+    WITH {_ivf_ctes("ivf_corpus", "ivf_seeds", "ivf_assigned")},
+    probed AS (
+        SELECT q_id, cell, prank FROM (
+            SELECT c.vec_id AS q_id, s.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY round(list_cosine_similarity(c.v, s.cv), {ROUND_RATIO}) DESC,
+                                s.cell) AS prank
+            FROM ivf_corpus c CROSS JOIN ivf_seeds s WHERE c.vec_id < {N_QUERIES}
+        ) WHERE prank <= {N_PROBE}
+    ), cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id, p.prank,
+               list_cosine_similarity(q.v, a.v) AS cos
+        FROM probed p JOIN ivf_assigned a USING (cell)
+        JOIN ivf_corpus q ON q.vec_id = p.q_id
+        WHERE a.vec_id != p.q_id
+    ), depths AS (
+        SELECT CAST(unnest(range(1, {N_PROBE} + 1)) AS INTEGER) AS probe_depth
+    ), ivf_topk AS (
+        SELECT probe_depth, q_id, neighbor_id FROM (
+            SELECT d.probe_depth, c.q_id, c.neighbor_id,
+                   row_number() OVER (PARTITION BY d.probe_depth, c.q_id
+                                      ORDER BY c.cos DESC, c.neighbor_id) AS rnk
+            FROM cand c JOIN depths d ON c.prank <= d.probe_depth
+        ) WHERE rnk <= {TOP_K}
+    ), brute AS ({{BRUTE}})
+    SELECT d.probe_depth,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           {oracle_ratio_round("count(i.neighbor_id)", "count(*)")} AS recall
+    FROM brute b CROSS JOIN depths d
+    LEFT JOIN ivf_topk i ON i.probe_depth = d.probe_depth
+                        AND i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY d.probe_depth
+"""
+
+
+def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N_PROBE tuning table — recall@k against the exact
+    brute-force truth at EVERY probe depth 1..N_PROBE in one pass:
+    the cost/quality curve an IVF deployment derives before fixing
+    its probe count, since each extra probed cell buys marginal
+    recall at a linear scan-cost increase (`ann_cell_balance_stats`
+    prices the cost side; this table prices the quality side).
+    Candidates come from the SHIPPED manifest records like the serve
+    op, and the truth set is the registered `cosine_topk_brute`
+    itself (same plan, same oracle embedded as a derived table), so
+    the curve can never drift from what users actually run.
+
+    The one-pass trick: a neighbor lives in exactly ONE cell, so its
+    routing rank against a query is a single number — scoring each
+    candidate once with its prank attached and fanning out over a
+    bounded N_PROBE-row depth spine replaces N_PROBE separate topk
+    runs (the naive formulation re-scans the candidate set per
+    depth). Scale shape: routing codebook and query vectors are
+    bounded broadcasts, candidate volume is the serve op's (N_PROBE
+    cells per query), the per-depth ranking windows are keyed on
+    (depth, query), and the final aggregate is N_PROBE rows."""
+    manifest, corpus, ranked_cells, _, _ = _ann_index_frames(spark, sf_dir)
+    probed = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(F.slice(ranked_cells, 1, N_PROBE)["cell"]).alias("p0", "cell"),
+    ).select("q_id", (F.col("p0") + 1).cast("int").alias("prank"), "cell")
+    qv = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = (
+        manifest.select("vec_id", "cell")
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qv), "q_id")
+        .join(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")),
+            F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            "prank",
+            (
+                _dot(F.col("qv"), F.col("nv"))
+                / (_norm(F.col("qv")) * _norm(F.col("nv")))
+            ).alias("cos"),
+        )
+    )
+    depths = spark.range(1, N_PROBE + 1).select(
+        F.col("id").cast("int").alias("probe_depth")
+    )
+    fanned = cand.join(F.broadcast(depths), F.col("prank") <= F.col("probe_depth"))
+    w = Window.partitionBy("probe_depth", "q_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    ivf_topk = (
+        fanned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_depth", "q_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    )
+    brute = OPS["cosine_topk_brute"].fn(spark, sf_dir).select("q_id", "neighbor_id")
+    # both sides fan over the SAME depths frame — explicit aliases keep
+    # the join columns unambiguous (no silent trivially-true predicate)
+    truth = brute.crossJoin(F.broadcast(depths)).alias("tr")
+    hits = truth.join(
+        ivf_topk.alias("iv"),
+        (F.col("iv.probe_depth") == F.col("tr.probe_depth"))
+        & (F.col("iv.q_id") == F.col("tr.q_id"))
+        & (F.col("iv.ivf_neighbor") == F.col("tr.neighbor_id")),
+        "left",
+    ).select(
+        F.col("tr.probe_depth").alias("probe_depth"),
+        F.col("iv.ivf_neighbor").alias("ivf_neighbor"),
+    )
+    return hits.groupBy(F.col("probe_depth").cast("int").alias("probe_depth")).agg(
+        F.count("ivf_neighbor").cast("long").alias("n_hits"),
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        ratio_round(
+            F.count("ivf_neighbor").cast("decimal(38,0)"),
+            F.count(F.lit(1)).cast("decimal(38,0)"),
+        ).alias("recall"),
+    )
+
+
+OPS["ivf_probe_recall_curve"] = Op(
+    name="ivf_probe_recall_curve",
+    fn=ivf_probe_recall_curve,
+    oracle=_PROBE_CURVE_SQL_TEMPLATE.replace(
+        "{BRUTE}", OPS["cosine_topk_brute"].oracle
+    ),
+    tags=("similarity", "ann", "ivf", "report"),
+    doc=ivf_probe_recall_curve.__doc__ or "",
+)
+
+
 _INT8_EXPORT_SQL = f"""
     WITH vp AS (
         SELECT vec_id, i,

@@ -118,6 +118,10 @@ _BNLJ_SCALAR_OPS = (
 _BNLJ_PROBE_OPS = (
     "cosine_topk_brute", "binary_hamming_topk", "hard_negatives_topk",
     "mmr_diversified_topk", "matryoshka_prefix_recall",
+    # r14: the theta fan-out (prank <= probe_depth) rides an N_PROBE-row
+    # depth spine broadcast, plus the embedded brute-truth's bounded
+    # query broadcast (similarity.py, ivf_probe_recall_curve)
+    "ivf_probe_recall_curve",
 )
 _WIN_HIST_OPS = (
     "auc_langid_score", "gains_chart_langid", "isotonic_calibration_pav",

@@ -1702,6 +1702,7 @@ def test_r14_window_is_staged_and_valid():
         "ann_cell_balance_stats",
         "qgd_weights_manifest",
         "int8_vector_export_manifest",
+        "ivf_probe_recall_curve",
     }
     never = [n for n in _PRIORITY_R14 if n not in scheduled and n not in new_r14]
     assert not never, never
@@ -1954,8 +1955,9 @@ def test_r20_window_is_staged_and_valid():
         | set(_PRIORITY_R18[3:]) | set(_PRIORITY_R19[3:])
     )
     assert not overlap, sorted(overlap)
-    # the displaced r5 trio leads the non-canary block
-    assert _PRIORITY_R20[3:6] == (
+    # the displaced r5 rows lead the non-canary block
+    assert _PRIORITY_R20[3:7] == (
+        "linear_counting_distinct",
         "string_agg_per_group",
         "group_topk_percent",
         "weighted_bernoulli_sample",

@@ -156,3 +156,36 @@ def test_cell_balance_audit_over_the_written_manifest(spark, sf_dir, tmp_path):
     )
     assert audited_rt == audited_mem
     assert audited_mem, "audit must return rows at sf0.001"
+
+
+def test_probe_recall_curve_is_monotone_and_agrees_with_ivf_topk(spark, sf_dir):
+    """The curve's invariants the oracle hash cannot articulate: recall
+    is NON-DECREASING in probe depth (candidates at depth p are a
+    superset of depth p-1 — a decrease means the fan-out or ranking is
+    wrong), and the deepest point of the curve must agree with the
+    standalone `ivf_cosine_topk` (same N_PROBE cells, same ranking):
+    the curve is those ops' tuning generalization, not a rival
+    definition."""
+    from my_polars_ai_spark.operators.similarity import N_PROBE, TOP_K
+
+    ops = all_ops()
+    rows = sorted(
+        ops["ivf_probe_recall_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.probe_depth,
+    )
+    assert [r.probe_depth for r in rows] == list(range(1, N_PROBE + 1))
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert all(r.n_truth == rows[0].n_truth for r in rows)
+    # depth-N_PROBE hits == |ivf_cosine_topk ∩ brute| recomputed raw
+    brute = {
+        (r.q_id, r.neighbor_id)
+        for r in ops["cosine_topk_brute"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.q_id, r.neighbor_id)
+        for r in ops["ivf_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    assert rows[-1].n_hits == len(brute & ivf)
+    assert rows[0].n_truth == len(brute)
+    assert len(brute) > 0 and rows[-1].n_hits <= rows[0].n_truth
