@@ -498,3 +498,66 @@ def test_gopher_flags_match_pure_python_reference(spark, docs):
     }
     want = {i: _gopher_ref(toks) for i, toks in enumerate(docs)}
     assert got == want
+
+
+VEC = st.lists(
+    st.floats(min_value=-10.0, max_value=10.0,
+              allow_nan=False, allow_infinity=False, width=32),
+    min_size=2, max_size=8,
+)
+
+
+@given(vecs=st.lists(VEC, min_size=1, max_size=6))
+@_SETTINGS
+def test_int8_export_quantization_matches_pure_python(spark, vecs, tmp_path_factory):
+    """The int8 export manifest's array-fold quantization against a
+    pure-Python reference over arbitrary float vectors: the record's
+    code CSV must equal the sign-split half-away-from-zero micro
+    conversion followed by the exact absmax rational (|q| <= 127;
+    zero-maxabs vectors excluded), and the byte geometry must be
+    n_dims + 8 — the loader-facing contract, independent of the
+    DuckDB oracle's relational formulation."""
+    import math
+    import os
+
+    pdf = pd.DataFrame({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [[float(x) for x in v] for v in vecs],
+    })
+    tmp = tmp_path_factory.mktemp("i8prop")
+    path = os.path.join(str(tmp), "embeddings.parquet")
+    spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    def micro(x: float) -> int:
+        s = -1 if x < 0 else 1
+        return s * math.floor(abs(x) * 1000000 + 0.5)
+
+    expected: dict[int, tuple[str, int, int]] = {}
+    for vid, v in enumerate(vecs):
+        vm = [micro(x) for x in v]
+        maxabs = max(abs(m) for m in vm)
+        if maxabs <= 0:
+            continue  # unquantizable — the op must drop it
+        qs = [
+            (-1 if m < 0 else 1) * ((2 * abs(m) * 127 + maxabs) // (2 * maxabs))
+            for m in vm
+        ]
+        assert all(abs(q) <= 127 for q in qs)
+        expected[vid] = (",".join(str(q) for q in qs), maxabs, len(v) + 8)
+
+    from my_polars_ai_spark.operators import all_ops
+
+    rows = all_ops()["int8_vector_export_manifest"].fn(spark, str(tmp)).collect()
+    got = {r.vec_id: r for r in rows}
+    assert set(got) == set(expected)
+    import hashlib
+
+    for vid, (csv, maxabs, n_bytes) in expected.items():
+        r = got[vid]
+        assert r.maxabs_micro == maxabs, vid
+        assert r.n_bytes == n_bytes, vid
+        assert r.record_md5 == hashlib.md5(
+            f"i8:{vid}|{maxabs}|{csv}".encode()
+        ).hexdigest(), vid
