@@ -141,6 +141,12 @@ HEADLINE = [
     # already measures, plus a 32-row fold.
     "int8_vector_export_manifest",
     "ann_cell_balance_stats",
+    # round-15: the probe-depth tuning curve (one-pass depth fan-out
+    # over the warm ANN manifest + brute truth) — landed after the
+    # round-14 final-code bench commit, so this is its first HEADLINE
+    # row; isolated-pinned from the start because it shares the ANN
+    # memo diamond with the other pinned ANN entries.
+    "ivf_probe_recall_curve",
 ]
 
 
@@ -214,6 +220,11 @@ def main() -> None:
         "repeated_span_excision",
         "repeated_span_stats",
         "ann_index_manifest",
+        # pinned from its first HEADLINE appearance (r15): rides the
+        # same session-memoized ANN index diamond as pq_adc_topk /
+        # ann_index_manifest, so its in-bench sample inherits their
+        # cache-pressure bimodality by construction.
+        "ivf_probe_recall_curve",
     )
     heavy = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated_set = sorted(set(heavy) | set(ISOLATED_REMEASURE), key=HEADLINE.index)

@@ -893,9 +893,11 @@ _PRIORITY_R14 = (
     "percent_rank_cume_dist",
     "unpivot_metrics",
     "string_funcs",
-    # round-2 rows (26) — the next-oldest block, registry order
-    # (embedding_norms, the youngest r2 row by registry order, yields
-    # its slot to the displaced histogram_bins and rotates in r15)
+    # round-2 rows (22) — the next-oldest block, registry order
+    # (embedding_norms, the youngest r2 row by registry order, yielded
+    # its slot to the displaced histogram_bins; dedup_ngram_jaccard /
+    # simhash_signature / simhash_near_dup / pagerank_near_dup yielded
+    # to the round-14 consumer additions — all five rotate in R15)
     "conditional_case_when",
     "group_agg_multi",
     "tpch_q3_shipping_priority",
@@ -1345,14 +1347,17 @@ _PRIORITY_R20 = (
     # row remains its final attestation
 )
 
-# Round 14: the staged flip, executed (with the verdict-item-1
-# amendment re-attesting the two ANN siblings whose plans changed in
-# round 13, plus three round-14 consumer additions taking their first
-# driver rows this round). The registry is fully driver-attested —
-# `tools/attestation_status.py --endgame` is the standing gate, with
-# live-window pending sanctioned for exactly the new-op case — and
-# rounds 15-20 are staged freshness rotations (one-line flips).
-_PRIORITY = _PRIORITY_R14
+# Round 15: the staged flip, executed. CORRECTNESS_r14 landed 50/50
+# all-green (first window with zero non-green rows), so the R14
+# window's touched-op re-attests and the four consumer first-rows are
+# all on the ledger; the freshness rotation continues with the
+# next-oldest 47 driver rows (the displaced r1 pair leads, then the
+# r2-era tail, then the oldest r5 block). The registry is fully
+# driver-attested — `tools/attestation_status.py --endgame` is the
+# standing gate, with live-window pending sanctioned for exactly the
+# new-op case — and rounds 16-20 are staged freshness rotations
+# (one-line flips).
+_PRIORITY = _PRIORITY_R15
 
 
 def all_ops() -> dict[str, Op]:

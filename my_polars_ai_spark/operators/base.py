@@ -121,8 +121,18 @@ def evict_stopped_sessions(memo: dict) -> None:
         spark = key[0]
         try:
             stopped = spark.sparkContext._jsc is None
+        except (AttributeError, NotImplementedError):
+            # "Context API unavailable" is NOT "context stopped": a
+            # Spark Connect session raises PySparkNotImplementedError
+            # (a NotImplementedError subclass) on every sparkContext
+            # access, and evicting it here would silently disable
+            # memoization — every getter call would re-register fresh
+            # .cache() frames without unpersisting the prior ones (the
+            # r14 advice). Fall back to the session's own is_stopped
+            # probe when it exists; otherwise assume live.
+            stopped = bool(getattr(spark, "is_stopped", False))
         except Exception:
-            stopped = True  # unreachable context == dead session
+            stopped = True  # confirmed-unreachable context == dead
         if stopped:
             dead.append(key)
     for key in dead:

@@ -1478,15 +1478,17 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OPS["ivf_probe_recall_curve"] = Op(
-    name="ivf_probe_recall_curve",
-    fn=ivf_probe_recall_curve,
+# Registered via the decorator (not a direct OPS[...] assignment) so
+# make_registrar's duplicate-name guard applies — the oracle string
+# needs cosine_topk_brute's oracle, already in OPS at this point, so
+# the decorator call can simply be deferred past the fn definition.
+op(
+    "ivf_probe_recall_curve",
     oracle=_PROBE_CURVE_SQL_TEMPLATE.replace(
         "{BRUTE}", OPS["cosine_topk_brute"].oracle
     ),
     tags=("similarity", "ann", "ivf", "report"),
-    doc=ivf_probe_recall_curve.__doc__ or "",
-)
+)(ivf_probe_recall_curve)
 
 
 _INT8_EXPORT_SQL = f"""
@@ -2192,13 +2194,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OPS["ann_recall_report"] = Op(
-    name="ann_recall_report",
-    fn=ann_recall_report,
+# Decorator registration (deferred past the fn definition because the
+# oracle is built by _recall_oracle()) keeps the duplicate-name guard.
+op(
+    "ann_recall_report",
     oracle=_recall_oracle(),
     tags=("similarity", "ann", "report"),
-    doc=ann_recall_report.__doc__ or "",
-)
+)(ann_recall_report)
 
 
 MRL_PREFIX_DIM = 16  # truncated-embedding prefix length

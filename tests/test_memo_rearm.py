@@ -79,16 +79,33 @@ class _UnreachableSession:
         raise RuntimeError("SparkContext stopped")
 
 
+class _ConnectLikeSession:
+    """Mimics a LIVE Spark Connect session: sparkContext access raises
+    PySparkNotImplementedError (a NotImplementedError subclass), and
+    liveness is exposed via ``is_stopped`` instead (r14 advice — the
+    API being unavailable must not read as the session being dead)."""
+
+    def __init__(self, stopped: bool = False):
+        self.is_stopped = stopped
+
+    @property
+    def sparkContext(self):
+        raise NotImplementedError("sparkContext is not implemented on Connect")
+
+
 def test_evict_stopped_sessions_drops_dead_keys_keeps_live(spark):
     from my_polars_ai_spark.operators.base import evict_stopped_sessions
 
+    live_connect = _ConnectLikeSession(stopped=False)
     memo = {
         (spark, "/sf"): "live",
         (_DeadSession(), "/sf"): "dead",
         (_UnreachableSession(), "/sf", 64, 16): "unreachable",
+        (live_connect, "/sf"): "live-connect",
+        (_ConnectLikeSession(stopped=True), "/sf"): "stopped-connect",
     }
     evict_stopped_sessions(memo)
-    assert list(memo.values()) == ["live"]
+    assert list(memo.values()) == ["live", "live-connect"]
 
 
 def test_memo_getters_evict_dead_session_entries(spark, sf_dir):
