@@ -147,6 +147,12 @@ HEADLINE = [
     # row; isolated-pinned from the start because it shares the ANN
     # memo diamond with the other pinned ANN entries.
     "ivf_probe_recall_curve",
+    # round-15: the exact-vs-int8 rerank fidelity audit — one corpus
+    # scan building float vectors and int8 codes in the same
+    # projection, bounded query broadcast, dual ranking windows. A
+    # fresh-scan op (no memo diamond), so it rides the shared loop
+    # unpinned.
+    "int8_rerank_fidelity",
 ]
 
 

@@ -973,12 +973,14 @@ _PRIORITY_R15 = (
     "fuzzy_levenshtein_pairs",
     "hash_sample",
     "stratified_sample",
-    # round-5 rows (28) — the oldest r5 block, registry order
+    # round-5 rows (27) — the oldest r5 block, registry order
     # (tpch_q2/q7, the youngest by registry order, yielded to the
     # displaced r1 pair and lead R19; linear_counting_distinct /
     # string_agg_per_group / group_topk_percent /
     # weighted_bernoulli_sample yielded to the displaced r2 rows and
-    # lead R20)
+    # lead R20; bloom_filter_semi_join — the youngest remaining r5 row
+    # by registry order — yielded to the round-15 consumer addition
+    # and leads R16's r5 block)
     "first_last_nth_value",
     "string_pad_funcs",
     "bit_aggregates",
@@ -1006,19 +1008,27 @@ _PRIORITY_R15 = (
     "hash_funcs",
     "key_skew_profile",
     "python_datasource_scan",
-    "bloom_filter_semi_join",
+    # round-15 consumer addition (first driver row takes precedence
+    # over re-attests, the r11/r12/r14 rule): the int8 rerank-store
+    # fidelity audit — the quality-side consumer of
+    # int8_vector_export_manifest
+    "int8_rerank_fidelity",
 )
 
-# Round-16 window, staged in round 12: the freshness rotation
-# continues with the next-oldest 47 driver rows once R12-R15 have
-# run — the two r1 re-attests the round-12 consumer additions
-# displaced from R13, the 7 remaining r5-era rows (the TPC-H block
-# that didn't fit in R15), then the oldest r6-era block, registry
-# order within each age group, behind the usual 3 canaries.
-# Computed by (effective latest round, registry order) where
-# "effective" counts staged R12-R15 membership as a future row
-# (kaplan_meier_churn / logrank_test_churn yielded the tail slots to
-# the displaced r1 rows and rotate in R17).
+# Round-16 window, staged in round 12, AMENDED in round 15 (the
+# cascade from the round-15 consumer addition): the freshness
+# rotation continues with the next-oldest 47 driver rows once R12-R15
+# have run — the two r1 re-attests the round-12 consumer additions
+# displaced from R13, the 8 remaining r5-era rows (the R15-displaced
+# bloom_filter_semi_join leads, then the TPC-H block that didn't fit
+# in R15), then the oldest r6-era block, registry order within each
+# age group, behind the usual 3 canaries. Computed by (effective
+# latest round, registry order) where "effective" counts staged
+# R12-R15 membership as a future row (kaplan_meier_churn /
+# logrank_test_churn yielded the tail slots to the displaced r1 rows
+# and rotate in R17; cusum_change_detection — the youngest r6 row by
+# registry order — yielded to the displaced bloom_filter_semi_join
+# and leads R17's r6 block).
 _PRIORITY_R16 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
@@ -1028,7 +1038,9 @@ _PRIORITY_R16 = (
     # round-12 consumer additions (oldest driver rows, so they lead)
     "filter_compound_predicates",
     "filtered_count",
-    # round-5 rows (7) — the rest of the r5 era
+    # round-5 rows (8) — the R15-displaced row leads, then the rest
+    # of the r5 era
+    "bloom_filter_semi_join",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_parts",
@@ -1036,7 +1048,8 @@ _PRIORITY_R16 = (
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_part_stats",
     "tpch_q21_waiting_suppliers",
-    # round-6 rows (38) — the oldest r6 block, registry order
+    # round-6 rows (37) — the oldest r6 block, registry order
+    # (cusum_change_detection yielded, see the tail comment)
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
@@ -1074,32 +1087,40 @@ _PRIORITY_R16 = (
     "wau_overlap_jaccard",
     "spc_control_chart",
     "revenue_max_drawdown",
-    "cusum_change_detection",
+    # cusum_change_detection, the youngest r6 row by registry order,
+    # yielded its slot to the R15-displaced bloom_filter_semi_join and
+    # leads R17's r6 block
 )
 
-# Round-17 window, staged in round 13: the freshness rotation
-# continues with the next-oldest 47 driver rows once R13-R16 have
-# run — the two r6-era rows displaced from R16's tail
-# (kaplan_meier_churn / logrank_test_churn), the 5 remaining r6 rows,
-# then the oldest r7-era block, registry order within each age group,
-# behind the usual 3 canaries. Computed by (effective latest round,
-# registry order) where "effective" counts staged R13-R16 membership
-# as a future row.
+# Round-17 window, staged in round 13, AMENDED in round 15 (the
+# cascade from the round-15 consumer addition): the freshness
+# rotation continues with the next-oldest 47 driver rows once R13-R16
+# have run — the three r6-era rows displaced from R16's tail
+# (kaplan_meier_churn / logrank_test_churn staged in r13,
+# cusum_change_detection displaced by the r15 cascade), the 5
+# remaining r6 rows, then the oldest r7-era block, registry order
+# within each age group, behind the usual 3 canaries. Computed by
+# (effective latest round, registry order) where "effective" counts
+# staged R13-R16 membership as a future row (caliper_matching_att —
+# the youngest r7 row by registry order — yielded to the displaced
+# cusum_change_detection and leads R18's r7 block).
 _PRIORITY_R17 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-6 rows (7) — the R16-displaced pair leads, then the rest
-    # of the r6 era, registry order
+    # round-6 rows (8) — the R16-displaced rows lead (displacement
+    # order), then the rest of the r6 era, registry order
     "kaplan_meier_churn",
     "logrank_test_churn",
+    "cusum_change_detection",
     "forecast_backtest_naive",
     "yoy_revenue_change",
     "early_activity_retention_corr",
     "dow_hour_heatmap",
     "tpch_q20_top_shippers",
-    # round-7 rows (40) — the oldest r7 block, registry order
+    # round-7 rows (39) — the oldest r7 block, registry order
+    # (caliper_matching_att yielded, see the tail comment)
     "tpch_q18_large_volume_customer",
     "tpch_q17_small_qty_revenue",
     "revenue_share_of_region",
@@ -1139,29 +1160,38 @@ _PRIORITY_R17 = (
     "poisson_bootstrap_ci",
     "neyman_allocation_plan",
     "dp_noisy_counts",
-    "caliper_matching_att",
+    # caliper_matching_att, the youngest r7 row by registry order,
+    # yielded its slot to the R16-displaced cusum_change_detection and
+    # leads R18's r7 block
 )
 
 # Round-18 window, staged in round 13 (one round ahead, so the R14
-# round only flips _PRIORITY): the freshness rotation continues with
-# the next-oldest 47 driver rows once R13-R17 have run — the 5
-# remaining r7-era rows, then the oldest r8-era block (the r8 windows
-# through semdedup_keep_list), registry order within each age group,
-# behind the usual 3 canaries. Computed by (effective latest round,
-# registry order) where "effective" counts staged R13-R17 membership
-# as a future row.
+# round only flips _PRIORITY), AMENDED in round 15 (the cascade from
+# the round-15 consumer addition): the freshness rotation continues
+# with the next-oldest 47 driver rows once R13-R17 have run — the 6
+# remaining r7-era rows (the R17-displaced caliper_matching_att
+# leads), then the oldest r8-era block (the r8 windows through
+# dedup_cluster_best_quality... — semdedup_keep_list, the youngest r8
+# row by registry order, yielded to the displaced caliper and leads
+# R19's r8 block), registry order within each age group, behind the
+# usual 3 canaries. Computed by (effective latest round, registry
+# order) where "effective" counts staged R13-R17 membership as a
+# future row.
 _PRIORITY_R18 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-7 rows (5) — the rest of the r7 era, registry order
+    # round-7 rows (6) — the R17-displaced row leads, then the rest
+    # of the r7 era, registry order
+    "caliper_matching_att",
     "neardup_adamic_adar",
     "contamination_blast_radius",
     "neardup_label_consistency",
     "adamic_adar_verified_pairs",
     "decontaminated_manifest",
-    # round-8 rows (42) — the oldest r8 block, registry order
+    # round-8 rows (41) — the oldest r8 block, registry order
+    # (semdedup_keep_list yielded, see the tail comment)
     "median_two_pass_exact",
     "array_set_ops",
     "try_arithmetic_funcs",
@@ -1203,21 +1233,26 @@ _PRIORITY_R18 = (
     "dedup_cluster_best_quality",
     "cluster_lang_purity",
     "neardup_pair_explain",
-    "semdedup_keep_list",
+    # semdedup_keep_list, the youngest r8 row by registry order,
+    # yielded its slot to the R17-displaced caliper_matching_att and
+    # leads R19's r8 block
 )
 
-# Round-19 window, staged in round 14 (one round ahead of cadence):
-# the freshness rotation continues with the next-oldest 47 driver
-# rows once R14-R18 have run — the two r5-era rows displaced from
-# R15's tail by the R14 amendment (tpch_q2/q7, oldest driver rows, so
-# they lead), the r8 tail (ccnet_perplexity_split /
-# hashed_linear_quality_score), then the oldest r9 block and the
-# first r10 row, registry order within each age group, behind the
-# usual 3 canaries. Computed by (effective latest round, registry
-# order) where "effective" counts amended/staged R14-R18 membership
-# as a future row — which is why ivf_cosine_topk and
-# pq_distortion_report (natural r9 rows) are absent: their touched-op
-# re-attests land in R14.
+# Round-19 window, staged in round 14 (one round ahead of cadence),
+# AMENDED in round 15 (the cascade from the round-15 consumer
+# addition): the freshness rotation continues with the next-oldest 47
+# driver rows once R14-R18 have run — the two r5-era rows displaced
+# from R15's tail by the R14 amendment (tpch_q2/q7, oldest driver
+# rows, so they lead), the r8 tail (the R18-displaced
+# semdedup_keep_list then ccnet_perplexity_split /
+# hashed_linear_quality_score), then the oldest r9 block, registry
+# order within each age group, behind the usual 3 canaries. Computed
+# by (effective latest round, registry order) where "effective"
+# counts amended/staged R14-R18 membership as a future row — which is
+# why ivf_cosine_topk and pq_distortion_report (natural r9 rows) are
+# absent: their touched-op re-attests land in R14.
+# minhash_jaccard_calibration, the lone r10 row here, yielded to the
+# displaced semdedup_keep_list and leads R20's r10 block.
 _PRIORITY_R19 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
@@ -1227,7 +1262,9 @@ _PRIORITY_R19 = (
     # amendment (oldest driver rows, so they lead)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
-    # round-8 rows (2) — the rest of the r8 era
+    # round-8 rows (3) — the R18-displaced row leads, then the rest
+    # of the r8 era
+    "semdedup_keep_list",
     "ccnet_perplexity_split",
     "hashed_linear_quality_score",
     # round-9 rows (42) — the oldest r9 block, registry order
@@ -1273,19 +1310,22 @@ _PRIORITY_R19 = (
     "epoch_allocation_plan",
     "ngram_novelty_score",
     "quality_classifier_gd_step",
-    # round-10 row (1) — the oldest r10 row by registry order
-    "minhash_jaccard_calibration",
+    # minhash_jaccard_calibration, the lone r10 row staged here in
+    # r14, yielded its slot to the R18-displaced semdedup_keep_list
+    # and leads R20's r10 block
 )
 
 # Round-20 window, staged in round 14 (two ahead of cadence — round
 # 20 is the final round, so the whole rotation plan is now written
-# down): the freshness rotation continues with the next-oldest 47
+# down), AMENDED in round 15 (the cascade from the round-15 consumer
+# addition): the freshness rotation continues with the next-oldest 47
 # driver rows once R14-R19 have run — the four r5-era rows displaced
 # from R15's tail by the round-14 consumer additions (oldest driver
-# rows, so they lead), then the oldest r10 block, registry order
-# within each age group, behind the usual 3 canaries. Computed by
-# (effective latest round, registry order) where "effective" counts
-# amended/staged R14-R19 membership as a future row.
+# rows, so they lead), then the r10 block (the R19-displaced
+# minhash_jaccard_calibration leads), registry order within each age
+# group, behind the usual 3 canaries. Computed by (effective latest
+# round, registry order) where "effective" counts amended/staged
+# R14-R19 membership as a future row.
 _PRIORITY_R20 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
@@ -1297,7 +1337,9 @@ _PRIORITY_R20 = (
     "string_agg_per_group",
     "group_topk_percent",
     "weighted_bernoulli_sample",
-    # round-10 rows (43) — the oldest r10 block, registry order
+    # round-10 rows (43) — the R19-displaced row leads, then the
+    # oldest r10 block, registry order
+    "minhash_jaccard_calibration",
     "semdedup_threshold_sweep",
     "token_entropy_per_doc",
     "chunk_sliding_windows",
@@ -1340,11 +1382,13 @@ _PRIORITY_R20 = (
     "quality_classifier_trained_scores",
     "quality_filter_agreement",
     "stream_tumbling_counts",
-    "stream_session_windows",
     # stream_gopher_gate, the youngest r10 row by registry order,
     # yielded its slot to linear_counting_distinct and falls past the
     # rotation horizon (round 20 is the final window) — its r10 driver
-    # row remains its final attestation
+    # row remains its final attestation; stream_session_windows, the
+    # next-youngest, yielded to the R19-displaced
+    # minhash_jaccard_calibration in the round-15 cascade and likewise
+    # keeps its r10 row as final attestation
 )
 
 # Round 15: the staged flip, executed. CORRECTNESS_r14 landed 50/50

@@ -1640,6 +1640,168 @@ def int8_vector_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INT8_FIDELITY_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding, x ->
+                   (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                   * CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5)
+                          AS HUGEINT)) AS vm
+        FROM embeddings
+    ), mx AS (
+        SELECT vec_id, v, vm,
+               list_max(list_transform(vm, y -> abs(y))) AS maxabs
+        FROM base
+    ), qz AS (
+        SELECT vec_id, v,
+               list_transform(vm, y ->
+                   CAST((CASE WHEN y < 0 THEN -1 ELSE 1 END)
+                        * ((2 * 127 * abs(y) + maxabs) // (2 * maxabs))
+                        AS DOUBLE)) AS c
+        FROM mx WHERE maxabs > 0
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, c AS qc FROM qz
+        WHERE vec_id < {{NQ}}
+    ), scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.v) AS cos_exact,
+               list_cosine_similarity(q.qc, e.c) AS cos_int8
+        FROM q CROSS JOIN qz e WHERE e.vec_id != q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_exact, cos_int8,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_exact DESC, neighbor_id) AS rank_exact,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_int8 DESC, neighbor_id) AS rank_int8
+        FROM scored
+    )
+    SELECT q_id,
+           CAST(count(CASE WHEN rank_exact <= {{K}} AND rank_int8 <= {{K}}
+                      THEN 1 END) AS BIGINT) AS n_agree,
+           CAST({{K}} AS BIGINT) AS k,
+           {{AGREE}} AS agreement,
+           round(max(CASE WHEN rank_int8 <= {{K}}
+                     THEN abs(cos_exact - cos_int8) END),
+                 {ROUND_RATIO}) AS max_abs_cos_err
+    FROM ranked
+    WHERE rank_exact <= {{K}} OR rank_int8 <= {{K}}
+    GROUP BY q_id
+""".replace("{NQ}", str(N_QUERIES)).replace("{K}", str(TOP_K)).replace(
+    "{AGREE}",
+    oracle_ratio_round(
+        f"count(CASE WHEN rank_exact <= {TOP_K} AND rank_int8 <= {TOP_K}"
+        " THEN 1 END)",
+        str(TOP_K),
+    ),
+)
+
+
+@op(
+    "int8_rerank_fidelity",
+    oracle=_INT8_FIDELITY_ORACLE,
+    tags=("similarity", "quantize", "report"),
+)
+def int8_rerank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIT consumer of `int8_vector_export_manifest` — prices the
+    QUALITY side of shipping int8 rerank vectors the way
+    `ivf_probe_recall_curve` prices the probe-depth decision: per
+    query, does a rerank over the int8 store return the same top-k as
+    a rerank over exact floats, and how much cosine distortion do the
+    served results carry? Output per query: the exact/int8 top-k
+    agreement count and ratio, and the max |cos_exact - cos_int8|
+    over the int8-served results. Query 3 at sf0.001 shows a real
+    int8-induced rank flip (2/3 agreement) — exactly the regression
+    this audit exists to catch before a quantized store ships.
+
+    Quantization repeats the export's sign-split floor micro
+    conversion and exact absmax rational bit-for-bit (same lambdas'
+    formulas as `int8_vector_export_manifest`), so the audit scores
+    the codes a loader would actually read back. Both sides of the
+    int8 cosine are quantized (symmetric int8 serve): the per-vector
+    scales then CANCEL in the cosine, so cos_int8 is pure integer
+    arithmetic (int8 dot / sqrt of int norms — every sum exact in a
+    double) and is bit-identical across engines regardless of fold
+    order; the ranking cannot tie-flip cross-engine.
+
+    Scale shape: ONE embeddings scan builds the float vector and the
+    int8 code array in the same projection (micro -> absmax -> codes
+    as array folds, all in Tungsten); the bounded query set broadcasts
+    (N_QUERIES rows — the same broadcast-crossJoin shape as
+    `cosine_topk_brute`, the registered exact baseline); one exchange
+    on q_id drives both ranking windows; output is N_QUERIES rows.
+    At 100 TB the corpus side stays a single streaming pass."""
+    e = _t(spark, sf_dir, "embeddings")
+    micro = lambda x: (  # noqa: E731 — export's sign-split floor micro conversion
+        (F.when(x < 0, -1).otherwise(1)
+         * F.floor(F.abs(x.cast("double")) * 1000000 + F.lit(0.5)))
+        .cast("decimal(38,0)")
+    )
+    vmed = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        F.transform("embedding", micro).alias("vm"),
+    ).select(
+        "vec_id", "v", "vm",
+        F.array_max(F.transform("vm", F.abs)).alias("maxabs"),
+    )
+    qv = lambda y: (  # noqa: E731 — export's exact absmax int8 rational per dim
+        F.when(y < 0, -1).otherwise(1)
+        * exact_floor_div(2 * 127 * F.abs(y) + F.col("maxabs"),
+                          2 * F.col("maxabs"))
+    )
+    qz = vmed.filter(F.col("maxabs") > 0).select(
+        "vec_id", "v",
+        F.transform("vm", lambda y: qv(y).cast("double")).alias("c"),
+    )
+    queries = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("c").alias("qc"),
+    )
+    # broadcast the bounded query set over one corpus pass; score the
+    # exact-float and symmetric-int8 cosine in the same projection
+    scored = (
+        qz.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v"))
+             / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos_exact"),
+            (_dot(F.col("qc"), F.col("c"))
+             / (_norm(F.col("qc")) * _norm(F.col("c")))).alias("cos_int8"),
+        )
+    )
+    we = Window.partitionBy("q_id").orderBy(F.desc("cos_exact"), F.asc("neighbor_id"))
+    wi = Window.partitionBy("q_id").orderBy(F.desc("cos_int8"), F.asc("neighbor_id"))
+    both = F.when(
+        (F.col("rank_exact") <= TOP_K) & (F.col("rank_int8") <= TOP_K), 1
+    ).otherwise(0)
+    return (
+        scored.withColumn("rank_exact", F.row_number().over(we))
+        .withColumn("rank_int8", F.row_number().over(wi))
+        .filter((F.col("rank_exact") <= TOP_K) | (F.col("rank_int8") <= TOP_K))
+        .groupBy("q_id")
+        .agg(
+            F.sum(both).cast("long").alias("n_agree"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            ratio_round(
+                F.sum(both).cast("decimal(38,0)"),
+                F.lit(TOP_K).cast("decimal(38,0)"),
+            ).alias("agreement"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rank_int8") <= TOP_K,
+                        F.abs(F.col("cos_exact") - F.col("cos_int8")),
+                    )
+                ),
+                ROUND_RATIO,
+            ).alias("max_abs_cos_err"),
+        )
+    )
+
+
 # Core-point threshold for the density flags (neighbors at the
 # dedup_embedding_cosine similarity level).
 DENSITY_MIN_NEIGHBORS = 2

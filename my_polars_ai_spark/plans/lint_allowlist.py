@@ -122,6 +122,12 @@ _BNLJ_PROBE_OPS = (
     # depth spine broadcast, plus the embedded brute-truth's bounded
     # query broadcast (similarity.py, ivf_probe_recall_curve)
     "ivf_probe_recall_curve",
+    # r15: the exact-vs-int8 rerank audit scores one corpus pass
+    # against the bounded N_QUERIES broadcast — the same
+    # crossJoin(F.broadcast(queries)) probe shape as
+    # cosine_topk_brute, with the int8 code arrays built in the same
+    # projection (similarity.py, int8_rerank_fidelity)
+    "int8_rerank_fidelity",
 )
 _WIN_HIST_OPS = (
     "auc_langid_score", "gains_chart_langid", "isotonic_calibration_pav",

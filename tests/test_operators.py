@@ -1737,8 +1737,13 @@ def test_r15_window_is_staged_and_valid():
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         attested.update(json.load(open(f)))
     scheduled = attested | set(_PRIORITY_R11) | set(_PRIORITY_R12) | set(_PRIORITY_R13)
-    never = [n for n in _PRIORITY_R15 if n not in scheduled]
+    # round-15 consumer addition: first attestation happens at this
+    # round's driver run (the r11/r12/r14 precedent — a live-round
+    # addition enters the live window itself)
+    new_r15 = {"int8_rerank_fidelity"}
+    never = [n for n in _PRIORITY_R15 if n not in scheduled and n not in new_r15]
     assert not never, never
+    assert new_r15 <= set(_PRIORITY_R15[3:])
     overlap = set(_PRIORITY_R15[3:]) & set(_PRIORITY_R14[3:])
     assert not overlap, sorted(overlap)
 
@@ -1746,7 +1751,9 @@ def test_r15_window_is_staged_and_valid():
 def test_r16_window_is_staged_and_valid():
     """Staging discipline for round 16 (staged in round 12): the
     freshness rotation continues with the next-oldest driver rows —
-    the 7 remaining r5-era TPC-H rows then the oldest r6 block. Same
+    the 8 remaining r5-era rows (the R15-displaced
+    bloom_filter_semi_join leads the TPC-H block) then the oldest r6
+    block. Same
     contract as R14/R15 — 50 real ops, no duplicates, no
     never-attested op (those all ran by R13) — plus disjointness from
     R14's and R15's re-attest blocks, since rotating the same rows
@@ -1784,9 +1791,11 @@ def test_r16_window_is_staged_and_valid():
 def test_r17_window_is_staged_and_valid():
     """Staging discipline for round 17 (staged in round 13): the
     freshness rotation continues with the next-oldest driver rows —
-    the two r6-era rows displaced from R16's tail
-    (kaplan_meier_churn/logrank_test_churn), the remaining r6 rows,
-    then the oldest r7 block. Same contract as R14-R16 — 50 real ops,
+    the three r6-era rows displaced from R16's tail
+    (kaplan_meier_churn/logrank_test_churn, plus the r15-cascade
+    cusum_change_detection), the remaining r6 rows, then the oldest
+    r7 block (caliper_matching_att yielded to the cascade and leads
+    R18). Same contract as R14-R16 — 50 real ops,
     no duplicates, no never-attested op (those all ran by R13) — plus
     disjointness from the R14/R15/R16 re-attest blocks, since rotating
     the same rows again would waste the window."""
@@ -1823,8 +1832,10 @@ def test_r17_window_is_staged_and_valid():
 def test_r18_window_is_staged_and_valid():
     """Staging discipline for round 18 (staged in round 13, one round
     ahead so the R14 session only flips _PRIORITY): the freshness
-    rotation continues with the 5 remaining r7-era rows then the
-    oldest r8 block. Same contract as R14-R17 — 50 real ops, no
+    rotation continues with the 6 remaining r7-era rows (the
+    R17-displaced caliper_matching_att leads) then the oldest r8
+    block (semdedup_keep_list yielded to the cascade and leads R19's
+    r8 tail). Same contract as R14-R17 — 50 real ops, no
     duplicates, no never-attested op — plus disjointness from the
     R15/R16/R17 re-attest blocks (R14's block is far enough back to
     be eligible again by the time R18 runs, but none of its rows are
@@ -1866,8 +1877,9 @@ def test_r19_window_is_staged_and_valid():
     ahead so the R15 session only flips _PRIORITY): the freshness
     rotation continues with the two r5-era rows displaced from R15's
     tail by the R14 touched-op amendment (tpch_q2/q7 lead, oldest
-    driver rows), the r8 tail, then the oldest r9 block and the first
-    r10 row. Same contract as R14-R18 — 50 real ops, no duplicates,
+    driver rows), the r8 tail (the R18-displaced semdedup_keep_list
+    leads), then the oldest r9 block (minhash_jaccard_calibration
+    yielded to the cascade and leads R20's r10 block). Same contract as R14-R18 — 50 real ops, no duplicates,
     no never-attested op (the registry is fully attested as of R13) —
     plus disjointness from the R14-R18 re-attest blocks, since
     rotating the same rows again would waste the window. In
@@ -1917,9 +1929,12 @@ def test_r19_window_is_staged_and_valid():
 def test_r20_window_is_staged_and_valid():
     """Staging discipline for round 20 (staged in round 14, two ahead
     of cadence — round 20 is the final round, so the full rotation
-    plan is written down): the three r5-era rows displaced from R15's
+    plan is written down): the four r5-era rows displaced from R15's
     tail by the round-14 consumer additions lead (oldest driver
-    rows), then the oldest r10 block, registry order. Same contract
+    rows), then the r10 block with the R19-displaced
+    minhash_jaccard_calibration in front, registry order
+    (stream_session_windows yielded to the r15 cascade and keeps its
+    r10 row as final attestation). Same contract
     as R14-R19 — 50 real ops, no duplicates, every slot holds a
     driver row — plus disjointness from the R15-R19 re-attest blocks
     AND from R14's (nothing in R14 is old enough to rotate again by

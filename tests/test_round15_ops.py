@@ -1,0 +1,130 @@
+"""Round-15 consumer addition: invariants the DuckDB oracle cannot
+express for the int8 rerank fidelity audit — artifact identity (the
+audit scores the SAME codes `int8_vector_export_manifest` ships,
+pinned by md5) and agreement-number correctness against an
+independent pure-Python reranker over those shipped codes."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from my_polars_ai_spark.operators import all_ops
+
+
+def _python_codes(vecs: dict[int, list[float]]) -> dict[int, list[int]]:
+    """The export's quantizer, in pure Python (the test_property
+    reference): sign-split half-away-from-zero micro conversion, then
+    the exact absmax rational. Zero-maxabs vectors are unquantizable
+    and dropped, exactly as the export drops them."""
+    out: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        vm = [(-1 if x < 0 else 1) * math.floor(abs(x) * 1000000 + 0.5) for x in v]
+        maxabs = max(abs(m) for m in vm)
+        if maxabs <= 0:
+            continue
+        out[vid] = [
+            (-1 if m < 0 else 1) * ((2 * abs(m) * 127 + maxabs) // (2 * maxabs))
+            for m in vm
+        ]
+    return out
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def _topk(scores: dict[int, float], k: int) -> list[int]:
+    # descending score, neighbor_id ascending on ties — the audit's
+    # (and cosine_topk_brute's) deterministic ranking
+    return [n for n, _ in sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]]
+
+
+def test_int8_rerank_fidelity_audits_the_shipped_codes(spark, sf_dir):
+    """The audit's whole claim is that it scores the store a loader
+    would read back. Pin it end-to-end: (1) the pure-Python quantizer
+    reproduces every record_md5 of `int8_vector_export_manifest` —
+    so the codes below ARE the shipped codes, bit-for-bit; (2) an
+    independent Python reranker over those codes reproduces the
+    audit's per-query n_agree and (within the rounding grain) its
+    max cosine distortion."""
+    from my_polars_ai_spark.operators.similarity import N_QUERIES, TOP_K
+
+    ops = all_ops()
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    codes = _python_codes(vecs)
+
+    # (1) artifact identity: same codes as the export manifest
+    export = {r.vec_id: r for r in ops["int8_vector_export_manifest"].fn(spark, sf_dir).collect()}
+    assert set(export) == set(codes)
+    for vid, qs in codes.items():
+        csv = ",".join(str(q) for q in qs)
+        expect = hashlib.md5(
+            f"i8:{vid}|{export[vid].maxabs_micro}|{csv}".encode()
+        ).hexdigest()
+        assert export[vid].record_md5 == expect, vid
+
+    # (2) independent reranker over the shipped codes
+    expected = {}
+    for qid in range(N_QUERIES):
+        if qid not in codes:
+            continue
+        exact = {
+            n: _cos(vecs[qid], vecs[n]) for n in codes if n != qid
+        }
+        int8 = {
+            n: _cos([float(c) for c in codes[qid]], [float(c) for c in codes[n]])
+            for n in codes
+            if n != qid
+        }
+        te, ti = _topk(exact, TOP_K), _topk(int8, TOP_K)
+        agree = len(set(te) & set(ti))
+        max_err = max(abs(exact[n] - int8[n]) for n in ti)
+        expected[qid] = (agree, max_err)
+
+    rows = {r.q_id: r for r in ops["int8_rerank_fidelity"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(expected)
+    for qid, (agree, max_err) in expected.items():
+        r = rows[qid]
+        assert r.n_agree == agree, qid
+        assert r.k == TOP_K
+        assert abs(r.agreement - agree / TOP_K) < 1e-6, qid
+        # the op rounds at 1e-6; allow one rounding grain of slack for
+        # last-ulp differences between the Python and Tungsten folds
+        assert abs(r.max_abs_cos_err - max_err) < 2e-6, qid
+        assert 0 <= r.n_agree <= r.k
+        assert r.max_abs_cos_err >= 0
+
+
+def test_fidelity_exact_side_is_cosine_topk_brute(spark, sf_dir):
+    """The audit's exact side must be the registered exact baseline,
+    not a rival definition: n_agree == |cosine_topk_brute's top-k for
+    that query ∩ the int8 top-k over the shipped codes| recomputed
+    from the brute op's own output."""
+    from my_polars_ai_spark.operators.similarity import TOP_K
+
+    ops = all_ops()
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    codes = _python_codes(vecs)
+    brute: dict[int, set[int]] = {}
+    for r in ops["cosine_topk_brute"].fn(spark, sf_dir).collect():
+        brute.setdefault(r.q_id, set()).add(r.neighbor_id)
+    rows = {r.q_id: r for r in ops["int8_rerank_fidelity"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(brute)
+    for qid, exact_topk in brute.items():
+        int8 = {
+            n: _cos([float(c) for c in codes[qid]], [float(c) for c in codes[n]])
+            for n in codes
+            if n != qid
+        }
+        ti = set(_topk(int8, TOP_K))
+        assert rows[qid].n_agree == len(exact_topk & ti), qid
