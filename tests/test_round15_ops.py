@@ -128,3 +128,18 @@ def test_fidelity_exact_side_is_cosine_topk_brute(spark, sf_dir):
         }
         ti = set(_topk(int8, TOP_K))
         assert rows[qid].n_agree == len(exact_topk & ti), qid
+
+
+def test_fidelity_plan_shape_single_exchange(spark, sf_dir):
+    """Keep the audit's scale shape load-bearing: the bounded query
+    set broadcasts (no shuffle join), and ONE q_id hash exchange
+    feeds both ranking windows AND the final aggregate (window output
+    partitioning reused — a second hashpartitioning exchange means a
+    regression re-shuffling N_QUERIES x corpus rows)."""
+    df = all_ops()["int8_rerank_fidelity"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    # the query-side scan is pruned at the source, not post-scan
+    assert "LessThan(vec_id,5)" in plan
