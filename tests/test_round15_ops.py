@@ -143,3 +143,62 @@ def test_fidelity_plan_shape_single_exchange(spark, sf_dir):
     assert plan.count("BroadcastExchange") == 1
     # the query-side scan is pruned at the source, not post-scan
     assert "LessThan(vec_id,5)" in plan
+
+
+def test_qgd_scores_round_trip_through_written_manifest(spark, sf_dir, tmp_path):
+    """The classifier twin of the ANN family's written-manifest
+    round-trip: `qgd_weights_manifest`'s 100 TB story is that a
+    DIFFERENT process loads the written weights file and scores
+    traffic without re-running training. Pin it: write the manifest
+    to parquet, read it back, verify the whole-model fingerprint from
+    the read rows (the stale/partial-write guard a loader runs), then
+    score every document with ONLY the read-back weights and assert
+    bit-identical scores and keep bits against the registered trained
+    scorer — the in-session trainer chain is the bench-scale
+    convenience, the file is the contract."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from my_polars_ai_spark.operators.classic_ml import (
+        QGD_KEEP_MICRO,
+        _qgd_p,
+        _qgd_xy,
+    )
+
+    ops = all_ops()
+    path = str(tmp_path / "qgd_weights_manifest")
+    ops["qgd_weights_manifest"].fn(spark, sf_dir).write.parquet(path)
+
+    read_back = spark.read.parquet(path)
+    rows = read_back.collect()
+    trained = {r.b: r.w_micro for r in rows}
+    # loader integrity: recompute the whole-model fingerprint from the
+    # read rows and match the fingerprint every row carries
+    expected_fp = hashlib.md5(
+        ",".join(f"{b}:{trained[b]}" for b in sorted(trained)).encode()
+    ).hexdigest()
+    assert {r.model_md5 for r in rows} == {expected_fp}
+
+    # serve from the file: the scoring projection over read-back
+    # weights only (no trainer chain on this side)
+    x, y = _qgd_xy(spark, sf_dir)
+    w_rt = read_back.select("b", F.col("w_micro").alias("w"))
+    zf = (
+        x.join(F.broadcast(w_rt), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("z_micro"))
+    )
+    pf = _qgd_p(F.col("z_micro"))
+    served = zf.join(y, "doc_id").select(
+        "doc_id",
+        pf.alias("p_micro"),
+        F.col("y_micro").cast("bigint").alias("y_micro"),
+        F.when(pf >= QGD_KEEP_MICRO, 1).otherwise(0).cast("int").alias("keep"),
+    )
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(
+        map(tuple, ops["quality_classifier_trained_scores"].fn(spark, sf_dir).collect())
+    )
+    assert got == want
+    assert want, "trained scorer must return rows at sf0.001"
