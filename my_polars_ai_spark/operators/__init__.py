@@ -1401,7 +1401,7 @@ _PRIORITY_R20 = (
 # standing gate, with live-window pending sanctioned for exactly the
 # new-op case — and rounds 16-20 are staged freshness rotations
 # (one-line flips).
-_PRIORITY = _PRIORITY_R15
+_PRIORITY = _PRIORITY_R16
 
 
 def all_ops() -> dict[str, Op]:

@@ -129,8 +129,20 @@ def evict_stopped_sessions(memo: dict) -> None:
             # memoization — every getter call would re-register fresh
             # .cache() frames without unpersisting the prior ones (the
             # r14 advice). Fall back to the session's own is_stopped
-            # probe when it exists; otherwise assume live.
-            stopped = bool(getattr(spark, "is_stopped", False))
+            # probe — in its own try/except (r15 advice): a Connect
+            # is_stopped property that itself raises (dropped client
+            # connection) must read as stopped/unreachable, not escape
+            # and break the getter; and a session with NO is_stopped
+            # at all has no liveness signal left, so it is evicted
+            # like any dead context (assume-live only for objects that
+            # actually expose the probe — otherwise a raising-
+            # sparkContext-but-probe-less class would pin its frames
+            # forever, the r13 leak reintroduced).
+            try:
+                probe = getattr(spark, "is_stopped", None)
+                stopped = True if probe is None else bool(probe)
+            except Exception:
+                stopped = True  # raising probe == unreachable == dead
         except Exception:
             stopped = True  # confirmed-unreachable context == dead
         if stopped:

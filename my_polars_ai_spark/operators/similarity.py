@@ -1723,6 +1723,22 @@ def int8_rerank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     double) and is bit-identical across engines regardless of fold
     order; the ranking cannot tie-flip cross-engine.
 
+    Two scoping caveats (r15 advice). (1) BOTH rerank sides are
+    intentionally restricted to the quantizable STORE MEMBERS
+    (maxabs > 0 after micro conversion — exactly the rows
+    `int8_vector_export_manifest` ships): the audit prices the store
+    a loader serves, so a micro-zero vector (every |x| < 5e-7) that
+    `cosine_topk_brute` could legitimately rank is outside the audit
+    universe on both sides by design — n_agree compares exact-vs-int8
+    OVER THE STORE, not vs the unfiltered-corpus brute ranking (the
+    two coincide whenever no micro-zero vector cracks a top-k, which
+    holds on every test SF). (2) The cross-engine bit-exactness
+    guarantee above covers the cos_int8 RANKING only; cos_exact is a
+    float fold (Spark zip_with/aggregate vs the oracle's
+    list_cosine_similarity) and shares `cosine_topk_brute`'s accepted
+    last-ulp tie exposure on near-tied neighbors, relied on
+    empirically (tie-free at all three SFs).
+
     Scale shape: ONE embeddings scan builds the float vector and the
     int8 code array in the same projection (micro -> absmax -> codes
     as array folds, all in Tungsten); the bounded query set broadcasts

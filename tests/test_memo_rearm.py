@@ -93,6 +93,33 @@ class _ConnectLikeSession:
         raise NotImplementedError("sparkContext is not implemented on Connect")
 
 
+class _BrokenProbeSession:
+    """Mimics a Connect session whose ``is_stopped`` property ITSELF
+    raises (dropped client connection). The r15 advice case: the
+    raising probe must read as stopped/unreachable, not escape the
+    eviction pass and break every memo getter."""
+
+    @property
+    def sparkContext(self):
+        raise NotImplementedError("sparkContext is not implemented on Connect")
+
+    @property
+    def is_stopped(self):
+        raise RuntimeError("client connection lost")
+
+
+class _ProbelessRaisingSession:
+    """Mimics a session class whose sparkContext raises AttributeError
+    and which exposes NO ``is_stopped`` at all: no liveness signal
+    remains, so it must be evicted rather than assumed live forever
+    (the r13 pin-forever leak the r15 advice flagged as quietly
+    reintroduced for this class)."""
+
+    @property
+    def sparkContext(self):
+        raise AttributeError("no sparkContext on this session class")
+
+
 def test_evict_stopped_sessions_drops_dead_keys_keeps_live(spark):
     from my_polars_ai_spark.operators.base import evict_stopped_sessions
 
@@ -103,6 +130,8 @@ def test_evict_stopped_sessions_drops_dead_keys_keeps_live(spark):
         (_UnreachableSession(), "/sf", 64, 16): "unreachable",
         (live_connect, "/sf"): "live-connect",
         (_ConnectLikeSession(stopped=True), "/sf"): "stopped-connect",
+        (_BrokenProbeSession(), "/sf"): "broken-probe",
+        (_ProbelessRaisingSession(), "/sf"): "probe-less",
     }
     evict_stopped_sessions(memo)
     assert list(memo.values()) == ["live", "live-connect"]

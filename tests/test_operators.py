@@ -29,11 +29,11 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R15
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R16
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R15  # round-15 rotation is live
+    assert _PRIORITY == _PRIORITY_R16  # round-16 rotation is live
     window = set(ordered[:50])
     # R11 canaries: trimmed to 3 per the r8 verdict (flagship + dedup
     # + SQL) while the first-attestation backlog clears; the other
