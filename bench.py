@@ -153,6 +153,7 @@ HEADLINE = [
     # fresh-scan op (no memo diamond), so it rides the shared loop
     # unpinned.
     "int8_rerank_fidelity",
+    "audio_manifest_integrity",
 ]
 
 

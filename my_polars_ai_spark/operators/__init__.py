@@ -1048,8 +1048,10 @@ _PRIORITY_R16 = (
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_part_stats",
     "tpch_q21_waiting_suppliers",
-    # round-6 rows (37) — the oldest r6 block, registry order
-    # (cusum_change_detection yielded, see the tail comment)
+    # round-6 rows (36) — the oldest r6 block, registry order
+    # (cusum_change_detection yielded in the r15 cascade,
+    # revenue_max_drawdown to the round-16 consumer addition — see the
+    # tail comment)
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
@@ -1086,41 +1088,52 @@ _PRIORITY_R16 = (
     "retention_halflife_fit",
     "wau_overlap_jaccard",
     "spc_control_chart",
-    "revenue_max_drawdown",
+    # round-16 consumer addition (first driver row takes precedence
+    # over re-attests, the r11/r12/r14/r15 rule): the audio export's
+    # loader-side integrity + seek-profile audit — the audit consumer
+    # of audio_chunk_export_manifest
+    "audio_manifest_integrity",
     # cusum_change_detection, the youngest r6 row by registry order,
     # yielded its slot to the R15-displaced bloom_filter_semi_join and
-    # leads R17's r6 block
+    # leads R17's r6 block; revenue_max_drawdown, the next-youngest,
+    # yielded to the round-16 consumer addition and joins R17's
+    # displaced leads
 )
 
-# Round-17 window, staged in round 13, AMENDED in round 15 (the
-# cascade from the round-15 consumer addition): the freshness
+# Round-17 window, staged in round 13, AMENDED in rounds 15 and 16
+# (the cascades from each round's consumer addition): the freshness
 # rotation continues with the next-oldest 47 driver rows once R13-R16
-# have run — the three r6-era rows displaced from R16's tail
+# have run — the four r6-era rows displaced from R16's tail
 # (kaplan_meier_churn / logrank_test_churn staged in r13,
-# cusum_change_detection displaced by the r15 cascade), the 5
-# remaining r6 rows, then the oldest r7-era block, registry order
-# within each age group, behind the usual 3 canaries. Computed by
-# (effective latest round, registry order) where "effective" counts
-# staged R13-R16 membership as a future row (caliper_matching_att —
-# the youngest r7 row by registry order — yielded to the displaced
-# cusum_change_detection and leads R18's r7 block).
+# cusum_change_detection displaced by the r15 cascade,
+# revenue_max_drawdown by the r16 cascade), the 5 remaining r6 rows,
+# then the oldest r7-era block, registry order within each age group,
+# behind the usual 3 canaries. Computed by (effective latest round,
+# registry order) where "effective" counts staged R13-R16 membership
+# as a future row (caliper_matching_att — the youngest r7 row by
+# registry order — yielded to the displaced cusum_change_detection
+# and leads R18's r7 block; dp_noisy_counts, the next-youngest,
+# yielded to the displaced revenue_max_drawdown and follows it
+# there).
 _PRIORITY_R17 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-6 rows (8) — the R16-displaced rows lead (displacement
+    # round-6 rows (9) — the R16-displaced rows lead (displacement
     # order), then the rest of the r6 era, registry order
     "kaplan_meier_churn",
     "logrank_test_churn",
     "cusum_change_detection",
+    "revenue_max_drawdown",
     "forecast_backtest_naive",
     "yoy_revenue_change",
     "early_activity_retention_corr",
     "dow_hour_heatmap",
     "tpch_q20_top_shippers",
-    # round-7 rows (39) — the oldest r7 block, registry order
-    # (caliper_matching_att yielded, see the tail comment)
+    # round-7 rows (38) — the oldest r7 block, registry order
+    # (caliper_matching_att yielded in the r15 cascade,
+    # dp_noisy_counts in the r16 cascade — see the tail comment)
     "tpch_q18_large_volume_customer",
     "tpch_q17_small_qty_revenue",
     "revenue_share_of_region",
@@ -1159,39 +1172,43 @@ _PRIORITY_R17 = (
     "split_leakage_audit",
     "poisson_bootstrap_ci",
     "neyman_allocation_plan",
-    "dp_noisy_counts",
     # caliper_matching_att, the youngest r7 row by registry order,
     # yielded its slot to the R16-displaced cusum_change_detection and
-    # leads R18's r7 block
+    # leads R18's r7 block; dp_noisy_counts, the next-youngest,
+    # yielded to the R16-displaced revenue_max_drawdown and follows
+    # caliper in R18's r7 block
 )
 
 # Round-18 window, staged in round 13 (one round ahead, so the R14
-# round only flips _PRIORITY), AMENDED in round 15 (the cascade from
-# the round-15 consumer addition): the freshness rotation continues
-# with the next-oldest 47 driver rows once R13-R17 have run — the 6
-# remaining r7-era rows (the R17-displaced caliper_matching_att
-# leads), then the oldest r8-era block (the r8 windows through
-# dedup_cluster_best_quality... — semdedup_keep_list, the youngest r8
+# round only flips _PRIORITY), AMENDED in rounds 15 and 16 (the
+# cascades from each round's consumer addition): the freshness
+# rotation continues with the next-oldest 47 driver rows once R13-R17
+# have run — the 7 remaining r7-era rows (the R17-displaced
+# caliper_matching_att and dp_noisy_counts lead, displacement order),
+# then the oldest r8-era block (semdedup_keep_list, the youngest r8
 # row by registry order, yielded to the displaced caliper and leads
-# R19's r8 block), registry order within each age group, behind the
-# usual 3 canaries. Computed by (effective latest round, registry
-# order) where "effective" counts staged R13-R17 membership as a
-# future row.
+# R19's r8 block; neardup_pair_explain, the next-youngest, yielded to
+# the displaced dp_noisy_counts and follows it there), registry order
+# within each age group, behind the usual 3 canaries. Computed by
+# (effective latest round, registry order) where "effective" counts
+# staged R13-R17 membership as a future row.
 _PRIORITY_R18 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-7 rows (6) — the R17-displaced row leads, then the rest
-    # of the r7 era, registry order
+    # round-7 rows (7) — the R17-displaced rows lead (displacement
+    # order), then the rest of the r7 era, registry order
     "caliper_matching_att",
+    "dp_noisy_counts",
     "neardup_adamic_adar",
     "contamination_blast_radius",
     "neardup_label_consistency",
     "adamic_adar_verified_pairs",
     "decontaminated_manifest",
-    # round-8 rows (41) — the oldest r8 block, registry order
-    # (semdedup_keep_list yielded, see the tail comment)
+    # round-8 rows (40) — the oldest r8 block, registry order
+    # (semdedup_keep_list yielded in the r15 cascade,
+    # neardup_pair_explain in the r16 cascade — see the tail comment)
     "median_two_pass_exact",
     "array_set_ops",
     "try_arithmetic_funcs",
@@ -1232,27 +1249,31 @@ _PRIORITY_R18 = (
     "dedup_cluster_pointer_doubling",
     "dedup_cluster_best_quality",
     "cluster_lang_purity",
-    "neardup_pair_explain",
     # semdedup_keep_list, the youngest r8 row by registry order,
     # yielded its slot to the R17-displaced caliper_matching_att and
-    # leads R19's r8 block
+    # leads R19's r8 block; neardup_pair_explain, the next-youngest,
+    # yielded to the R17-displaced dp_noisy_counts and follows
+    # semdedup in R19's r8 block
 )
 
 # Round-19 window, staged in round 14 (one round ahead of cadence),
-# AMENDED in round 15 (the cascade from the round-15 consumer
-# addition): the freshness rotation continues with the next-oldest 47
-# driver rows once R14-R18 have run — the two r5-era rows displaced
-# from R15's tail by the R14 amendment (tpch_q2/q7, oldest driver
-# rows, so they lead), the r8 tail (the R18-displaced
-# semdedup_keep_list then ccnet_perplexity_split /
-# hashed_linear_quality_score), then the oldest r9 block, registry
-# order within each age group, behind the usual 3 canaries. Computed
-# by (effective latest round, registry order) where "effective"
-# counts amended/staged R14-R18 membership as a future row — which is
-# why ivf_cosine_topk and pq_distortion_report (natural r9 rows) are
-# absent: their touched-op re-attests land in R14.
-# minhash_jaccard_calibration, the lone r10 row here, yielded to the
-# displaced semdedup_keep_list and leads R20's r10 block.
+# AMENDED in rounds 15 and 16 (the cascades from each round's
+# consumer addition): the freshness rotation continues with the
+# next-oldest 47 driver rows once R14-R18 have run — the two r5-era
+# rows displaced from R15's tail by the R14 amendment (tpch_q2/q7,
+# oldest driver rows, so they lead), the r8 tail (the R18-displaced
+# semdedup_keep_list and neardup_pair_explain in displacement order,
+# then ccnet_perplexity_split / hashed_linear_quality_score), then
+# the oldest r9 block, registry order within each age group, behind
+# the usual 3 canaries. Computed by (effective latest round, registry
+# order) where "effective" counts amended/staged R14-R18 membership
+# as a future row — which is why ivf_cosine_topk and
+# pq_distortion_report (natural r9 rows) are absent: their touched-op
+# re-attests land in R14. minhash_jaccard_calibration, the lone r10
+# row here, yielded to the displaced semdedup_keep_list and leads
+# R20's r10 block; quality_classifier_gd_step, the youngest r9 row by
+# registry order, yielded to the displaced neardup_pair_explain and
+# precedes minhash in R20 (older era first).
 _PRIORITY_R19 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
@@ -1262,12 +1283,14 @@ _PRIORITY_R19 = (
     # amendment (oldest driver rows, so they lead)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
-    # round-8 rows (3) — the R18-displaced row leads, then the rest
-    # of the r8 era
+    # round-8 rows (4) — the R18-displaced rows lead (displacement
+    # order), then the rest of the r8 era
     "semdedup_keep_list",
+    "neardup_pair_explain",
     "ccnet_perplexity_split",
     "hashed_linear_quality_score",
-    # round-9 rows (42) — the oldest r9 block, registry order
+    # round-9 rows (41) — the oldest r9 block, registry order
+    # (quality_classifier_gd_step yielded, see the tail comment)
     "tpch_q1_pricing_summary",
     "local_clustering_coefficient",
     "degree_assortativity",
@@ -1309,23 +1332,26 @@ _PRIORITY_R19 = (
     "gopher_quality_flags",
     "epoch_allocation_plan",
     "ngram_novelty_score",
-    "quality_classifier_gd_step",
     # minhash_jaccard_calibration, the lone r10 row staged here in
     # r14, yielded its slot to the R18-displaced semdedup_keep_list
-    # and leads R20's r10 block
+    # and leads R20's r10 block; quality_classifier_gd_step, the
+    # youngest r9 row by registry order, yielded to the R18-displaced
+    # neardup_pair_explain and precedes minhash in R20
 )
 
 # Round-20 window, staged in round 14 (two ahead of cadence — round
 # 20 is the final round, so the whole rotation plan is now written
-# down), AMENDED in round 15 (the cascade from the round-15 consumer
-# addition): the freshness rotation continues with the next-oldest 47
-# driver rows once R14-R19 have run — the four r5-era rows displaced
-# from R15's tail by the round-14 consumer additions (oldest driver
-# rows, so they lead), then the r10 block (the R19-displaced
-# minhash_jaccard_calibration leads), registry order within each age
-# group, behind the usual 3 canaries. Computed by (effective latest
-# round, registry order) where "effective" counts amended/staged
-# R14-R19 membership as a future row.
+# down), AMENDED in rounds 15 and 16 (the cascades from each round's
+# consumer addition): the freshness rotation continues with the
+# next-oldest 47 driver rows once R14-R19 have run — the four r5-era
+# rows displaced from R15's tail by the round-14 consumer additions
+# (oldest driver rows, so they lead), the R19-displaced
+# quality_classifier_gd_step (r9 era, so it precedes the r10 block),
+# then the r10 block (the R19-displaced minhash_jaccard_calibration
+# leads), registry order within each age group, behind the usual 3
+# canaries. Computed by (effective latest round, registry order)
+# where "effective" counts amended/staged R14-R19 membership as a
+# future row.
 _PRIORITY_R20 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
@@ -1337,8 +1363,12 @@ _PRIORITY_R20 = (
     "string_agg_per_group",
     "group_topk_percent",
     "weighted_bernoulli_sample",
-    # round-10 rows (43) — the R19-displaced row leads, then the
-    # oldest r10 block, registry order
+    # round-9 row (1) — displaced from R19 by the r16 cascade (older
+    # era than the r10 block, so it precedes it)
+    "quality_classifier_gd_step",
+    # round-10 rows (42) — the R19-displaced row leads, then the
+    # oldest r10 block, registry order (stream_tumbling_counts
+    # yielded, see the tail comment)
     "minhash_jaccard_calibration",
     "semdedup_threshold_sweep",
     "token_entropy_per_doc",
@@ -1381,14 +1411,16 @@ _PRIORITY_R20 = (
     "quality_classifier_gd_convergence",
     "quality_classifier_trained_scores",
     "quality_filter_agreement",
-    "stream_tumbling_counts",
     # stream_gopher_gate, the youngest r10 row by registry order,
     # yielded its slot to linear_counting_distinct and falls past the
     # rotation horizon (round 20 is the final window) — its r10 driver
     # row remains its final attestation; stream_session_windows, the
     # next-youngest, yielded to the R19-displaced
     # minhash_jaccard_calibration in the round-15 cascade and likewise
-    # keeps its r10 row as final attestation
+    # keeps its r10 row as final attestation; stream_tumbling_counts,
+    # the next-youngest after that, yielded to the R19-displaced
+    # quality_classifier_gd_step in the round-16 cascade — same
+    # past-the-horizon outcome, its r10 driver row stands
 )
 
 # Round 15: the staged flip, executed. CORRECTNESS_r14 landed 50/50

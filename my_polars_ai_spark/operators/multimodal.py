@@ -613,6 +613,149 @@ def audio_chunk_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every synthesized clip is exactly PCM_SAMPLES samples of PCM16-LE, so
+# the payload a loader slices is this many bytes — the geometry the
+# integrity audit bounds-checks byte ranges against (a real deployment
+# reads per-doc payload lengths from the blob store's metadata instead;
+# that swaps one literal for one join, nothing about the plan).
+AUDIO_PAYLOAD_BYTES = PCM_SAMPLES * PCM_BYTES_PER_SAMPLE
+
+
+_AUDIO_INTEGRITY_ORACLE = f"""
+    WITH man AS (
+        {_AUDIO_EXPORT_SQL}
+    ), lagged AS (
+        SELECT doc_id, sample_idx, byte_start, n_bytes,
+               lag(byte_start + n_bytes) OVER w AS prev_end,
+               lag(sample_idx) OVER w AS prev_idx
+        FROM man
+        WINDOW w AS (PARTITION BY doc_id ORDER BY sample_idx)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes_exported,
+           CAST({AUDIO_PAYLOAD_BYTES} AS BIGINT) AS payload_bytes,
+           {oracle_ratio_round("sum(n_bytes)", str(AUDIO_PAYLOAD_BYTES))}
+               AS coverage,
+           CAST(sum(CASE WHEN byte_start < 0
+                          OR byte_start + n_bytes > {AUDIO_PAYLOAD_BYTES}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oob,
+           CAST(sum(CASE WHEN prev_end IS NOT NULL AND byte_start < prev_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+           CAST(sum(CASE WHEN (prev_idx IS NULL AND sample_idx != 1)
+                          OR (prev_idx IS NOT NULL
+                              AND sample_idx != prev_idx + 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ordinal_breaks,
+           CAST(sum(CASE WHEN prev_end IS NOT NULL AND byte_start > prev_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN prev_end IS NOT NULL AND byte_start > prev_end
+                     THEN byte_start - prev_end ELSE 0 END) AS BIGINT)
+               AS seek_bytes,
+           CAST(max(CASE WHEN prev_end IS NOT NULL AND byte_start > prev_end
+                     THEN byte_start - prev_end ELSE 0 END) AS BIGINT)
+               AS max_gap_bytes
+    FROM lagged
+    GROUP BY doc_id
+"""
+
+
+@op(
+    "audio_manifest_integrity",
+    oracle=_AUDIO_INTEGRITY_ORACLE,
+    tags=("multimodal", "audio", "report"),
+)
+def audio_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-side AUDIT consumer of `audio_chunk_export_manifest`
+    — the check a training job runs over the written manifest BEFORE
+    seeking into 100 TB of PCM payloads, completing the audit symmetry
+    the other ship families already have (`ann_cell_balance_stats` /
+    `ivf_probe_recall_curve` for the ANN index, `int8_rerank_fidelity`
+    for the int8 store, the written-manifest round-trip for the
+    classifier weights). Per doc it validates the manifest purely from
+    its own rows plus the payload geometry — exactly what a loader can
+    see without decoding audio:
+
+    * bounds: `n_oob` counts records whose byte range escapes the
+      doc's PCM payload (negative start or start+len past the end) —
+      any nonzero means a seek would fault or read garbage;
+    * overlap / ordering: `n_overlaps` counts consecutive-by-ordinal
+      records whose byte ranges intersect, `n_ordinal_breaks` counts
+      sample_idx sequence breaks (not starting at 1 / not dense) —
+      both must be zero for chunk-addressed shuffling to be sound;
+    * IO profile: `bytes_exported`, `coverage` of the payload, and
+      the seek geometry a prefetcher prices — `n_gaps` (skipped
+      silence runs between voiced chunks), `seek_bytes` (total bytes
+      skipped), `max_gap_bytes` (worst single seek). High coverage +
+      few gaps says "read the doc sequentially"; low coverage + many
+      gaps says "scatter-read the chunks" — at scale this decides the
+      export's read strategy per shard.
+
+    The oracle nests the export's own registered SQL verbatim as its
+    `man` CTE (the `_VAD_CHUNK_CTES` one-definition discipline, one
+    level up: the audit and the artifact cannot drift).
+
+    Scale shape: consumes the manifest op verbatim; Catalyst prunes
+    the unused shard/md5 projections at the source. The lag window
+    partitions on doc_id and the final aggregate groups on doc_id —
+    both satisfied by the manifest's own sample_idx window
+    partitioning, so the audit adds ZERO exchanges over the producer
+    (pinned by test: equal exchange counts in both physical plans).
+    Per-doc state is bounded by clip length, never corpus size."""
+    m = audio_chunk_export_manifest(spark, sf_dir).select(
+        "doc_id", "sample_idx", "byte_start", "n_bytes"
+    )
+    return _audio_manifest_integrity_stats(m)
+
+
+def _audio_manifest_integrity_stats(m: DataFrame) -> DataFrame:
+    """The audit body, parameterized over any manifest-shaped frame
+    (doc_id, sample_idx, byte_start, n_bytes) so tests can feed a
+    TAMPERED manifest and prove each detector actually fires — the
+    registered op applies it to `audio_chunk_export_manifest` verbatim
+    (the `_ann_serve_topk` manifest-parameter pattern)."""
+    w = Window.partitionBy("doc_id").orderBy("sample_idx")
+    lagged = m.select(
+        "doc_id",
+        "sample_idx",
+        "byte_start",
+        "n_bytes",
+        F.lag(F.col("byte_start") + F.col("n_bytes")).over(w).alias("prev_end"),
+        F.lag("sample_idx").over(w).alias("prev_idx"),
+    )
+    oob = F.when(
+        (F.col("byte_start") < 0)
+        | (F.col("byte_start") + F.col("n_bytes") > AUDIO_PAYLOAD_BYTES),
+        1,
+    ).otherwise(0)
+    overlap = F.when(
+        F.col("prev_end").isNotNull() & (F.col("byte_start") < F.col("prev_end")), 1
+    ).otherwise(0)
+    ordinal_break = F.when(
+        (F.col("prev_idx").isNull() & (F.col("sample_idx") != 1))
+        | (
+            F.col("prev_idx").isNotNull()
+            & (F.col("sample_idx") != F.col("prev_idx") + 1)
+        ),
+        1,
+    ).otherwise(0)
+    gap = F.when(
+        F.col("prev_end").isNotNull() & (F.col("byte_start") > F.col("prev_end")),
+        F.col("byte_start") - F.col("prev_end"),
+    ).otherwise(F.lit(0).cast("long"))
+    return lagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_bytes").cast("long").alias("bytes_exported"),
+        F.lit(AUDIO_PAYLOAD_BYTES).cast("long").alias("payload_bytes"),
+        ratio_round(F.sum("n_bytes"), F.lit(AUDIO_PAYLOAD_BYTES)).alias("coverage"),
+        F.sum(oob).cast("long").alias("n_oob"),
+        F.sum(overlap).cast("long").alias("n_overlaps"),
+        F.sum(ordinal_break).cast("long").alias("n_ordinal_breaks"),
+        F.sum((gap > 0).cast("int")).cast("long").alias("n_gaps"),
+        F.sum(gap).cast("long").alias("seek_bytes"),
+        F.max(gap).cast("long").alias("max_gap_bytes"),
+    )
+
+
 @op(
     "scene_change_detection",
     oracle=f"""

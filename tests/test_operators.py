@@ -1753,7 +1753,10 @@ def test_r16_window_is_staged_and_valid():
     freshness rotation continues with the next-oldest driver rows —
     the 8 remaining r5-era rows (the R15-displaced
     bloom_filter_semi_join leads the TPC-H block) then the oldest r6
-    block. Same
+    block, plus the round-16 consumer addition in the tail slot
+    (first driver rows take the live window, the standing new-op
+    rule; revenue_max_drawdown yielded to it and leads R17's
+    displaced rows). Same
     contract as R14/R15 — 50 real ops, no duplicates, no
     never-attested op (those all ran by R13) — plus disjointness from
     R14's and R15's re-attest blocks, since rotating the same rows
@@ -1780,8 +1783,10 @@ def test_r16_window_is_staged_and_valid():
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         attested.update(json.load(open(f)))
     scheduled = attested | set(_PRIORITY_R12) | set(_PRIORITY_R13)
-    never = [n for n in _PRIORITY_R16 if n not in scheduled]
+    new_r16 = {"audio_manifest_integrity"}
+    never = [n for n in _PRIORITY_R16 if n not in scheduled and n not in new_r16]
     assert not never, never
+    assert new_r16 <= set(_PRIORITY_R16[3:])
     overlap = set(_PRIORITY_R16[3:]) & (
         set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:])
     )
@@ -1791,11 +1796,12 @@ def test_r16_window_is_staged_and_valid():
 def test_r17_window_is_staged_and_valid():
     """Staging discipline for round 17 (staged in round 13): the
     freshness rotation continues with the next-oldest driver rows —
-    the three r6-era rows displaced from R16's tail
-    (kaplan_meier_churn/logrank_test_churn, plus the r15-cascade
-    cusum_change_detection), the remaining r6 rows, then the oldest
-    r7 block (caliper_matching_att yielded to the cascade and leads
-    R18). Same contract as R14-R16 — 50 real ops,
+    the four r6-era rows displaced from R16's tail
+    (kaplan_meier_churn/logrank_test_churn, the r15-cascade
+    cusum_change_detection, and the r16-cascade
+    revenue_max_drawdown), the remaining r6 rows, then the oldest
+    r7 block (caliper_matching_att and dp_noisy_counts yielded to
+    the cascades and lead R18). Same contract as R14-R16 — 50 real ops,
     no duplicates, no never-attested op (those all ran by R13) — plus
     disjointness from the R14/R15/R16 re-attest blocks, since rotating
     the same rows again would waste the window."""
@@ -1832,9 +1838,10 @@ def test_r17_window_is_staged_and_valid():
 def test_r18_window_is_staged_and_valid():
     """Staging discipline for round 18 (staged in round 13, one round
     ahead so the R14 session only flips _PRIORITY): the freshness
-    rotation continues with the 6 remaining r7-era rows (the
-    R17-displaced caliper_matching_att leads) then the oldest r8
-    block (semdedup_keep_list yielded to the cascade and leads R19's
+    rotation continues with the 7 remaining r7-era rows (the
+    R17-displaced caliper_matching_att and dp_noisy_counts lead)
+    then the oldest r8 block (semdedup_keep_list and
+    neardup_pair_explain yielded to the cascades and lead R19's
     r8 tail). Same contract as R14-R17 — 50 real ops, no
     duplicates, no never-attested op — plus disjointness from the
     R15/R16/R17 re-attest blocks (R14's block is far enough back to
@@ -1878,8 +1885,10 @@ def test_r19_window_is_staged_and_valid():
     rotation continues with the two r5-era rows displaced from R15's
     tail by the R14 touched-op amendment (tpch_q2/q7 lead, oldest
     driver rows), the r8 tail (the R18-displaced semdedup_keep_list
-    leads), then the oldest r9 block (minhash_jaccard_calibration
-    yielded to the cascade and leads R20's r10 block). Same contract as R14-R18 — 50 real ops, no duplicates,
+    and neardup_pair_explain lead), then the oldest r9 block
+    (minhash_jaccard_calibration yielded to the cascade and leads
+    R20's r10 block; quality_classifier_gd_step yielded to the r16
+    cascade and precedes it there). Same contract as R14-R18 — 50 real ops, no duplicates,
     no never-attested op (the registry is fully attested as of R13) —
     plus disjointness from the R14-R18 re-attest blocks, since
     rotating the same rows again would waste the window. In
@@ -1931,10 +1940,12 @@ def test_r20_window_is_staged_and_valid():
     of cadence — round 20 is the final round, so the full rotation
     plan is written down): the four r5-era rows displaced from R15's
     tail by the round-14 consumer additions lead (oldest driver
-    rows), then the r10 block with the R19-displaced
+    rows), the R19-displaced quality_classifier_gd_step (r9 era),
+    then the r10 block with the R19-displaced
     minhash_jaccard_calibration in front, registry order
-    (stream_session_windows yielded to the r15 cascade and keeps its
-    r10 row as final attestation). Same contract
+    (stream_session_windows yielded to the r15 cascade,
+    stream_tumbling_counts to the r16 cascade — both keep their
+    r10 rows as final attestation). Same contract
     as R14-R19 — 50 real ops, no duplicates, every slot holds a
     driver row — plus disjointness from the R15-R19 re-attest blocks
     AND from R14's (nothing in R14 is old enough to rotate again by

@@ -1,0 +1,142 @@
+"""Round-16 consumer addition: invariants the DuckDB oracle cannot
+express for the audio export's loader-side integrity audit —
+detector teeth (each integrity counter provably FIRES on a tampered
+manifest, not just reads zero on a healthy one), the contiguity
+identity that ties the seek profile to the chunk geometry, and the
+zero-added-exchange plan contract over the producer."""
+
+from __future__ import annotations
+
+import pytest
+
+from my_polars_ai_spark.operators import all_ops
+
+
+@pytest.fixture(scope="module")
+def audit_rows(spark, sf_dir):
+    return {
+        r.doc_id: r
+        for r in all_ops()["audio_manifest_integrity"].fn(spark, sf_dir).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def manifest_rows(spark, sf_dir):
+    return sorted(
+        all_ops()["audio_chunk_export_manifest"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r.doc_id, r.sample_idx),
+    )
+
+
+def test_integrity_matches_python_recompute(audit_rows, manifest_rows):
+    """Every audit column recomputed in pure Python from the shipped
+    manifest rows — the audit must describe the artifact, not a
+    re-derivation of the chunker."""
+    from my_polars_ai_spark.operators.multimodal import AUDIO_PAYLOAD_BYTES
+
+    by_doc: dict[int, list] = {}
+    for r in manifest_rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(audit_rows) == set(by_doc)
+    for doc_id, rows in by_doc.items():
+        a = audit_rows[doc_id]
+        assert a.n_chunks == len(rows)
+        assert a.bytes_exported == sum(r.n_bytes for r in rows)
+        assert a.payload_bytes == AUDIO_PAYLOAD_BYTES
+        assert abs(a.coverage - a.bytes_exported / AUDIO_PAYLOAD_BYTES) < 1e-6
+        gaps = [
+            rows[i].byte_start - (rows[i - 1].byte_start + rows[i - 1].n_bytes)
+            for i in range(1, len(rows))
+        ]
+        assert a.n_oob == sum(
+            1
+            for r in rows
+            if r.byte_start < 0 or r.byte_start + r.n_bytes > AUDIO_PAYLOAD_BYTES
+        )
+        assert a.n_overlaps == sum(1 for g in gaps if g < 0)
+        assert a.n_ordinal_breaks == 0  # row_number-built ordinals are dense
+        assert a.n_gaps == sum(1 for g in gaps if g > 0), doc_id
+        assert a.seek_bytes == sum(g for g in gaps if g > 0), doc_id
+        assert a.max_gap_bytes == max([g for g in gaps if g > 0], default=0)
+
+
+def test_healthy_manifest_audits_clean_with_gap_teeth(audit_rows):
+    """On the shipped manifest every integrity counter is zero (the
+    export is sound) while the SEEK profile is non-trivial — some doc
+    must show a real gap, or the gap columns are untested
+    decoration."""
+    assert audit_rows
+    for a in audit_rows.values():
+        assert a.n_oob == 0 and a.n_overlaps == 0 and a.n_ordinal_breaks == 0
+        # contiguity identity: the covered span equals exported bytes
+        # plus skipped bytes on a gap-only (no-overlap) manifest
+        assert 0 < a.bytes_exported <= a.payload_bytes
+        assert a.max_gap_bytes <= a.seek_bytes
+    assert any(a.n_gaps > 0 for a in audit_rows.values())
+    assert any(a.coverage < 1.0 for a in audit_rows.values())
+
+
+def test_detectors_fire_on_tampered_manifest(spark):
+    """The oracle can only show the detectors reading zero on healthy
+    data; this is the other half — each corruption class a loader
+    fears, injected into a manifest-shaped frame, must light up
+    EXACTLY its own counter (stats body parameterized over the
+    manifest, the `_ann_serve_topk` pattern)."""
+    from my_polars_ai_spark.operators.multimodal import (
+        AUDIO_PAYLOAD_BYTES,
+        _audio_manifest_integrity_stats,
+    )
+
+    rows = [
+        # doc 1: healthy — two contiguous chunks then a gap
+        (1, 1, 0, 128),
+        (1, 2, 128, 128),
+        (1, 3, 384, 128),
+        # doc 2: second chunk overlaps the first
+        (2, 1, 0, 128),
+        (2, 2, 64, 128),
+        # doc 3: byte range escapes the payload
+        (3, 1, AUDIO_PAYLOAD_BYTES - 64, 128),
+        # doc 4: ordinal sequence broken (starts at 2, then skips)
+        (4, 2, 0, 128),
+        (4, 4, 256, 128),
+    ]
+    m = spark.createDataFrame(
+        rows, "doc_id bigint, sample_idx int, byte_start long, n_bytes long"
+    )
+    out = {r.doc_id: r for r in _audio_manifest_integrity_stats(m).collect()}
+    healthy = out[1]
+    assert (healthy.n_oob, healthy.n_overlaps, healthy.n_ordinal_breaks) == (0, 0, 0)
+    assert (healthy.n_gaps, healthy.seek_bytes, healthy.max_gap_bytes) == (1, 128, 128)
+    assert out[2].n_overlaps == 1 and out[2].n_oob == 0
+    assert out[3].n_oob == 1 and out[3].n_overlaps == 0
+    assert out[4].n_ordinal_breaks == 2  # bad start AND a skip
+    assert out[4].n_gaps == 1 and out[4].seek_bytes == 128
+
+
+def test_integrity_plan_adds_zero_exchanges(spark, sf_dir):
+    """The audit's scale contract: its lag window and final aggregate
+    are both satisfied by the manifest's own doc_id partitioning, so
+    the physical plan has EXACTLY as many exchanges as the producer's
+    — an extra hashpartitioning means the manifest grain got
+    re-shuffled. (Structural assertion against Spark's plan
+    rendering; refresh on a Spark upgrade, keep the equality.)"""
+    ops = all_ops()
+    audit = ops["audio_manifest_integrity"].fn(spark, sf_dir)
+    prod = ops["audio_chunk_export_manifest"].fn(spark, sf_dir)
+    pa = audit._jdf.queryExecution().executedPlan().toString()
+    pp = prod._jdf.queryExecution().executedPlan().toString()
+    assert pa.count("Exchange") == pp.count("Exchange"), pa
+    assert "SortMergeJoin" not in pa or "SortMergeJoin" in pp
+
+
+def test_oracle_nests_the_export_sql_verbatim():
+    """One-definition discipline, one level up: the audit's oracle
+    must embed the export's registered SQL as its `man` CTE verbatim,
+    so the audited artifact and the audit cannot drift."""
+    from my_polars_ai_spark.operators.multimodal import (
+        _AUDIO_EXPORT_SQL,
+        _AUDIO_INTEGRITY_ORACLE,
+    )
+
+    assert _AUDIO_EXPORT_SQL in _AUDIO_INTEGRITY_ORACLE
