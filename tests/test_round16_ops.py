@@ -130,6 +130,36 @@ def test_integrity_plan_adds_zero_exchanges(spark, sf_dir):
     assert "SortMergeJoin" not in pa or "SortMergeJoin" in pp
 
 
+def test_audit_round_trips_through_written_manifest(spark, sf_dir, tmp_path):
+    """The ANN/classifier round-trip pattern extended to the audio
+    family's audit: at 100 TB the audit runs over the WRITTEN
+    manifest (a different process, shard-partitioned parquet), not
+    the in-session producer chain. Write the manifest the way the
+    export ships it, read it back, run the parameterized audit body
+    on the read rows, and assert row-identical output against the
+    registered op — the file is the contract."""
+    from my_polars_ai_spark.operators.multimodal import (
+        _audio_manifest_integrity_stats,
+    )
+
+    ops = all_ops()
+    path = str(tmp_path / "audio_chunk_export_manifest")
+    ops["audio_chunk_export_manifest"].fn(spark, sf_dir).write.partitionBy(
+        "shard"
+    ).parquet(path)
+    read_back = spark.read.parquet(path).select(
+        "doc_id", "sample_idx", "byte_start", "n_bytes"
+    )
+    audited = {
+        r.doc_id: r for r in _audio_manifest_integrity_stats(read_back).collect()
+    }
+    registered = {
+        r.doc_id: r
+        for r in ops["audio_manifest_integrity"].fn(spark, sf_dir).collect()
+    }
+    assert audited == registered
+
+
 def test_oracle_nests_the_export_sql_verbatim():
     """One-definition discipline, one level up: the audit's oracle
     must embed the export's registered SQL as its `man` CTE verbatim,
