@@ -8,8 +8,16 @@ zero-added-exchange plan contract over the producer."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from my_polars_ai_spark.operators import all_ops
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 
 
 @pytest.fixture(scope="module")
@@ -158,6 +166,83 @@ def test_audit_round_trips_through_written_manifest(spark, sf_dir, tmp_path):
         for r in ops["audio_manifest_integrity"].fn(spark, sf_dir).collect()
     }
     assert audited == registered
+
+
+_IDX_START = st.integers(min_value=1, max_value=3)
+_IDX_STEP = st.integers(min_value=1, max_value=2)
+# byte_start spans negative, in-payload, and past-payload (512 B) so
+# every branch of the oob predicate is reachable; n_bytes >= 1 keeps
+# the coverage ratio in ratio_round's non-negative contract.
+_CHUNK = st.tuples(
+    _IDX_STEP,
+    st.integers(min_value=-100, max_value=700),
+    st.integers(min_value=1, max_value=256),
+)
+_DOC = st.tuples(_IDX_START, st.lists(_CHUNK, min_size=1, max_size=6))
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=4))
+@_SETTINGS
+def test_integrity_stats_match_pure_python_on_arbitrary_manifests(spark, docs):
+    """The audit body against a pure-Python reference over ARBITRARY
+    manifest shapes — dense and broken ordinals, negative starts,
+    past-payload ranges, overlaps and gaps in every combination — not
+    just the healthy export plus four hand-picked corruptions. Mirrors
+    the int8-export quantization property test: the loader-facing
+    contract, independent of the DuckDB oracle's relational
+    formulation."""
+    from my_polars_ai_spark.operators.multimodal import (
+        AUDIO_PAYLOAD_BYTES,
+        _audio_manifest_integrity_stats,
+    )
+
+    rows = []
+    for doc_id, (start, chunks) in enumerate(docs):
+        idx = start
+        for step, byte_start, n_bytes in chunks:
+            rows.append((doc_id, idx, byte_start, n_bytes))
+            idx += step
+    m = spark.createDataFrame(
+        rows, "doc_id bigint, sample_idx int, byte_start long, n_bytes long"
+    )
+    got = {r.doc_id: r for r in _audio_manifest_integrity_stats(m).collect()}
+
+    assert set(got) == set(range(len(docs)))
+    for doc_id in range(len(docs)):
+        mine = sorted(
+            ((i, bs, nb) for d, i, bs, nb in rows if d == doc_id),
+            key=lambda t: t[0],
+        )
+        n_oob = sum(
+            1 for _, bs, nb in mine if bs < 0 or bs + nb > AUDIO_PAYLOAD_BYTES
+        )
+        n_overlaps = n_breaks = n_gaps = seek = max_gap = 0
+        prev_end = prev_idx = None
+        for i, bs, nb in mine:
+            if (prev_idx is None and i != 1) or (
+                prev_idx is not None and i != prev_idx + 1
+            ):
+                n_breaks += 1
+            if prev_end is not None and bs < prev_end:
+                n_overlaps += 1
+            if prev_end is not None and bs > prev_end:
+                n_gaps += 1
+                seek += bs - prev_end
+                max_gap = max(max_gap, bs - prev_end)
+            prev_end, prev_idx = bs + nb, i
+        total = sum(nb for _, _, nb in mine)
+        a = got[doc_id]
+        assert (a.n_chunks, a.bytes_exported) == (len(mine), total)
+        # half-up at scale 6, the ratio_round identity
+        assert a.coverage == (
+            (2 * 10**6 * total + AUDIO_PAYLOAD_BYTES) // (2 * AUDIO_PAYLOAD_BYTES)
+        ) / 10**6
+        assert (a.n_oob, a.n_overlaps, a.n_ordinal_breaks) == (
+            n_oob,
+            n_overlaps,
+            n_breaks,
+        )
+        assert (a.n_gaps, a.seek_bytes, a.max_gap_bytes) == (n_gaps, seek, max_gap)
 
 
 def test_oracle_nests_the_export_sql_verbatim():
