@@ -392,14 +392,7 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both windows are per-doc ordered over FRAMES — state
     bounded by clip length, never corpus size; the segment aggregate
     is keyed on (doc, island)."""
-    feats = audio_frame_features(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    v = feats.filter(F.col("sum_sq") >= VAD_SUMSQ).select(
-        "doc_id",
-        "frame_idx",
-        "sum_sq",
-        (F.col("frame_idx") - F.row_number().over(w)).alias("grp"),
-    )
+    v = _vad_voiced_islands(spark, sf_dir)
     seg = v.groupBy("doc_id", "grp").agg(
         F.min("frame_idx").alias("start_frame"),
         F.max("frame_idx").alias("end_frame"),
@@ -420,6 +413,36 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ASR-style chunking budget: voiced segments longer than this many
 # frames are split so no chunk exceeds the model's context window.
 VAD_CHUNK_FRAMES = 2
+
+
+def _vad_voiced_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voiced frames with their gaps-and-islands id — the shared VAD
+    front end (ONE definition for the segment and chunk consumers):
+    (doc_id, frame_idx, sum_sq, grp) where grp identifies a maximal
+    run of consecutive voiced frame indices within a doc."""
+    feats = audio_frame_features(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return feats.filter(F.col("sum_sq") >= VAD_SUMSQ).select(
+        "doc_id",
+        "frame_idx",
+        "sum_sq",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("grp"),
+    )
+
+
+def _vad_voiced_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voiced frames annotated with their island's bounds via a window
+    sharing the islands' doc_id partitioning (no extra exchange):
+    (doc_id, frame_idx, sum_sq, start_frame, end_frame)."""
+    v = _vad_voiced_islands(spark, sf_dir)
+    wg = Window.partitionBy("doc_id", "grp")
+    return v.select(
+        "doc_id",
+        "frame_idx",
+        "sum_sq",
+        F.min("frame_idx").over(wg).alias("start_frame"),
+        F.max("frame_idx").over(wg).alias("end_frame"),
+    )
 
 
 # The chunker's full CTE prefix (VAD segments -> ordinal segments ->
@@ -472,46 +495,57 @@ def audio_vad_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks of at most VAD_CHUNK_FRAMES frames — the consumer that turns
     VAD segments into the bounded windows an ASR/caption model actually
     ingests (the audio analog of `pack_windows_concat`'s token
-    packing): every chunk carries its frame bounds and EXACT energy
-    (re-joined from the per-frame features, not prorated), so a
-    downstream batcher can pack chunks by energy or length without
-    re-decoding.
+    packing): every chunk carries its frame bounds and EXACT energy,
+    so a downstream batcher can pack chunks by energy or length
+    without re-decoding.
 
-    Scale shape: the chunk explode fans out per SEGMENT (bounded by
-    clip length over the chunk budget, never corpus size); the energy
-    re-join is doc-keyed with per-doc frame counts bounded by clip
-    length, and the final aggregate is keyed on (doc, seg, chunk).
-    Composes the same memoized decode stages as the segment op."""
-    segs = audio_vad_segments(spark, sf_dir)
-    n_chunks = F.ceil(F.col("n_frames") / F.lit(float(VAD_CHUNK_FRAMES))).cast("int")
-    chunks = segs.select(
-        "doc_id",
-        "seg_idx",
-        "start_frame",
-        "end_frame",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    )
-    c_start = F.col("start_frame") + F.col("chunk_idx") * VAD_CHUNK_FRAMES
-    c_end = F.least(F.col("end_frame"), c_start + VAD_CHUNK_FRAMES - 1)
-    bounds = chunks.select(
-        "doc_id",
-        "seg_idx",
-        "chunk_idx",
-        c_start.cast("int").alias("chunk_start"),
-        c_end.cast("int").alias("chunk_end"),
-    )
-    feats = audio_frame_features(spark, sf_dir).select("doc_id", "frame_idx", "sum_sq")
-    return (
-        bounds.join(feats, "doc_id")
-        .filter(
-            (F.col("frame_idx") >= F.col("chunk_start"))
-            & (F.col("frame_idx") <= F.col("chunk_end"))
+    Optimization (r16, guide §2.4/§4): chunks are derived in ONE pass
+    over the voiced frames instead of building segments and re-joining
+    a SECOND frame-features decode for energy. Every frame inside an
+    island is voiced (islands are maximal runs of consecutive voiced
+    frame indices), so each voiced frame maps directly to its chunk:
+    chunk_idx = (frame_idx - island_start) // VAD_CHUNK_FRAMES, and
+    the per-chunk count/energy aggregate over voiced frames is
+    identical to the old bounds-join against all frames (chunk ranges
+    lie inside island ranges, where all frames are voiced). Measured
+    at sf0.1: the manifest consumer dropped from 2 MapInPandas decode
+    chains + a broadcast join to 1 decode chain, no join.
+
+    Scale shape: one decode pass; the island-bounds window, the chunk
+    aggregate, and the segment-ordinal ranking all reuse the same
+    doc_id partitioning (one exchange after the decode). Per-doc state
+    is bounded by clip length, never corpus size."""
+    vf = _vad_voiced_frames(spark, sf_dir)
+    chunk_idx = F.floor(
+        (F.col("frame_idx") - F.col("start_frame")) / VAD_CHUNK_FRAMES
+    ).cast("int")
+    per_chunk = (
+        vf.select(
+            "doc_id",
+            "start_frame",
+            "end_frame",
+            "sum_sq",
+            chunk_idx.alias("chunk_idx"),
         )
-        .groupBy("doc_id", "seg_idx", "chunk_idx", "chunk_start", "chunk_end")
+        .groupBy("doc_id", "start_frame", "end_frame", "chunk_idx")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_frames"),
             F.sum("sum_sq").cast("long").alias("energy"),
         )
+    )
+    c_start = F.col("start_frame") + F.col("chunk_idx") * VAD_CHUNK_FRAMES
+    c_end = F.least(F.col("end_frame"), c_start + VAD_CHUNK_FRAMES - 1)
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return per_chunk.select(
+        "doc_id",
+        # islands have unique start_frames per doc, so dense_rank over
+        # chunk-grain rows == row_number over segment-grain rows
+        F.dense_rank().over(ws).cast("int").alias("seg_idx"),
+        "chunk_idx",
+        c_start.cast("int").alias("chunk_start"),
+        c_end.cast("int").alias("chunk_end"),
+        "n_frames",
+        "energy",
     )
 
 

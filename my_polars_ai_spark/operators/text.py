@@ -16,8 +16,10 @@ from my_polars_ai_spark.operators.base import (
     ROUND_RATIO,
     RDZV_SHARDS,
     Op,
+    evict_stopped_sessions,
     exact_floor_div,
     make_registrar,
+    rearm_cached,
     oracle_ratio_round,
     oracle_signed_ratio_round,
     ratio_round,
@@ -4191,12 +4193,19 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     # exchanges vs 2.2s / 6 for the aggregate-then-rejoin variant);
     # the worst window partition holds one hot posting list (M rows,
     # the thing being dropped), never M^2. Plan-contract tested.
+    # cache(): e2 feeds BOTH sides of the fingerprint self-join —
+    # uncached, the k-gram md5 + winnowed-min chain executed twice
+    # (two Generate+Window subtrees in the r16 before-plan), the same
+    # diamond class item_item_cf_topk caches (r16, guide §2.4). The
+    # cached relation is the winnowed ~2/(W+1)-density fingerprint
+    # table, far smaller than the corpus positions it derives from.
     e2 = (
         e.withColumn(
             "posting_len", F.count(F.lit(1)).over(Window.partitionBy("fph"))
         )
         .filter(F.col("posting_len") <= WINNOW_MAX_POSTING)
         .drop("posting_len")
+        .cache()
     )
     a = e2.select(F.col("doc_id").alias("doc_a"), "fph")
     b = e2.select(F.col("doc_id").alias("doc_b"), "fph")
@@ -4270,13 +4279,18 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the gram table is corpus-positions-sized — inherent to
     substring-level dedup (the suffix array touches every position
-    too) — but it is ONE narrow map + one hash aggregation keyed on the
-    gram hash (map-side combinable), one semi-join back, and windows
-    partitioned BY DOCUMENT. No global sort, no suffix array
-    materialization."""
+    too) — but it is ONE narrow map, one gram-hash-keyed window census
+    (single gh exchange; the hot partition is one gram's occurrence
+    list, linear), and windows partitioned BY DOCUMENT. No global
+    sort, no suffix array materialization."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(
+        spark,
+        sf_dir,
+        "documents",
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
     base = d.select("doc_id", F.split("text", " ").alias("l")).filter(
         F.size("l") >= SPAN_K
     )
@@ -4292,10 +4306,22 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(lcol).cast("long").alias("n_tokens"),
         F.posexplode(gram).alias("pos0", "gh"),
     ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gh")
-    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") > 1
-    ).select("gh")
-    marked = grams.join(dup, "gh", "leftsemi").select("doc_id", "n_tokens", "pos")
+    # Gram census as a window count over gh instead of an aggregate +
+    # semi-join (r16, guide §2.4): the aggregate-then-rejoin variant
+    # computes the md5 gram explode TWICE (once under the census, once
+    # under the probe side) and pays two exchanges; the window shares
+    # the single gh exchange and hashes each gram once — the same
+    # measured trade winnowing_fingerprint_overlap documents for its
+    # posting-length cap. The worst window partition holds one gram's
+    # positions (M rows for an M-occurrence gram, the same rows the
+    # semi-join would emit anyway), never M^2.
+    marked = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "n_tokens", "pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     isl = marked.withColumn(
@@ -4376,8 +4402,8 @@ def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim), so the result IS the training corpus for the next stage.
 
     Scale shape: identical gram pipeline to `repeated_span_stats`
-    (corpus-position gram table -> map-side-combinable dup census ->
-    positions semi-joined back -> DOC-partitioned islands windows), then
+    (corpus-position gram table -> gram-hash window census ->
+    DOC-partitioned islands windows), then
     the per-doc span list — bounded by n_tokens/SPAN_K, and only for
     AFFECTED docs — is aggregated and LEFT-joined to the base table,
     where a pure JVM nested higher-order filter drops covered token
@@ -4386,7 +4412,12 @@ def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB nested list lambdas over the same gaps-and-islands."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(
+        spark,
+        sf_dir,
+        "documents",
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
     base = d.select("doc_id", F.split("text", " ").alias("l"))
     big = base.filter(F.size("l") >= SPAN_K)
     lcol = F.col("l")
@@ -4397,11 +4428,15 @@ def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = big.select(
         "doc_id", F.posexplode(gram).alias("pos0", "gh")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
-    dup = (
-        grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1).select("gh")
+    # Window-count census instead of aggregate + semi-join — ONE md5
+    # gram pass and one gh exchange (see repeated_span_stats, r16).
+    marked = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
     )
-    marked = grams.join(dup, "gh", "leftsemi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     spans = (
@@ -5227,14 +5262,19 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive exact dedup; curation pipelines downweight them.
 
     Scale shape: grams travel as 60-bit md5 hashes, never strings;
-    one map-side-combinable count per distinct gram (heavy-hitter
-    grams combine before the shuffle), then a co-partitioned join of
-    the gram stream back to its count and a per-doc aggregate.
+    the corpus-wide gram count is a window over the single gh
+    exchange (one gram pass; the hot partition is one heavy-hitter
+    gram's occurrence list, linear), then a per-doc aggregate.
     No self-join, no pair generation — the cost is linear in corpus
     tokens at any scale. Exact integer counts + half-up ratio."""
     from my_polars_ai_spark.operators.dedup import portable_hash60
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(
+        spark,
+        sf_dir,
+        "documents",
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
     ts = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= NOVELTY_W)
     idx = F.sequence(F.lit(1), F.size("ts") - NOVELTY_W + 1)
@@ -5252,9 +5292,13 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gh"),
     )
-    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    # Corpus-wide gram count as a window over gh rather than an
+    # aggregate joined back (r16, guide §2.4): one md5 gram pass and
+    # one gh exchange instead of two of each; the worst window
+    # partition is one heavy-hitter gram's occurrence list — linear,
+    # and exactly the rows the join would have re-emitted.
     return (
-        grams.join(counts, "gh")
+        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gh")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -5872,27 +5916,52 @@ def domain_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memoized per (session, sf_dir), the _QGD_XY pattern: ``e`` is a
+# bounded source-grain table whose lineage is a full corpus token pass;
+# its consumers reference it several times per plan (bu / sp / t / the
+# final join in doremi_sampling_manifest), so uncached each reference
+# re-ran the corpus explode — 138 exchanges in the r16 before-plan.
+_DOMEX: dict = {}
+
+
 def _domain_excess(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
     """The per-source excess-NLL table ``e`` (source, n_tokens,
     avg_nll_micro, excess_micro) and its 1-row total ``t`` — the
     shared core of `domain_excess_loss_weights` and the sampling
     consumer `doremi_sampling_manifest` (one definition, like the
-    oracle side's _DOMAIN_EXCESS_CTES prefix)."""
-    toks = (
-        _t(spark, sf_dir, "documents")
-        .select("source", F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
+    oracle side's _DOMAIN_EXCESS_CTES prefix). ``e`` is cached (a few
+    source-grain rows) and memoized per (session, sf_dir) so every
+    consumer reference resolves the SAME cached frame instead of
+    re-running the corpus token pass per reference (r16, guide §2.4)."""
+    evict_stopped_sessions(_DOMEX)
+    key = (spark, sf_dir)
+    if key in _DOMEX:
+        rearm_cached((_DOMEX[key][0],))
+        return _DOMEX[key]
+    d = _t(spark, sf_dir, "documents")
+    dp = _t(
+        spark,
+        sf_dir,
+        "documents",
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    toks = dp.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # r16 (guide §2.4, the unigram_logprob_score shape): per-token
+    # count as a window over the tok exchange, corpus token total as a
+    # doc-grain length sum — ONE corpus explode instead of three.
+    wc = toks.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    n = d.select(
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias("k")
+    ).agg(F.sum("k").alias("n_total"))
     lp_micro = (
         F.round(F.log(F.col("c") * 1.0 / F.col("n_total")) * 1000000)
         .cast("long")
         .alias("lp_micro")
     )
     per_src = (
-        toks.join(F.broadcast(counts), "tok")
-        .crossJoin(F.broadcast(n))
+        wc.crossJoin(F.broadcast(n))
         .select("source", lp_micro)
         .groupBy("source")
         .agg(
@@ -5903,13 +5972,20 @@ def _domain_excess(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFr
         )
     )
     m = per_src.agg(F.min("avg_nll_micro").alias("min_nll"))
-    e = per_src.crossJoin(F.broadcast(m)).select(
-        "source",
-        "n_tokens",
-        "avg_nll_micro",
-        (F.col("avg_nll_micro") - F.col("min_nll")).cast("long").alias("excess_micro"),
+    e = (
+        per_src.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_tokens",
+            "avg_nll_micro",
+            (F.col("avg_nll_micro") - F.col("min_nll"))
+            .cast("long")
+            .alias("excess_micro"),
+        )
+        .cache()
     )
     t = e.agg(F.sum("excess_micro").alias("tot"))
+    _DOMEX[key] = (e, t)
     return e, t
 
 

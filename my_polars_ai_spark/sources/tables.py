@@ -55,10 +55,17 @@ def load_table(
     parquet (one input split — Spark can split a parquet file only at row
     group boundaries), which caps every pre-shuffle stage at one task.
     Pass a target to round-robin repartition after the scan when the
-    narrow phase dominates (UDF decode, per-row parsing). It costs one
-    shuffle, so leave it off for ops whose first step is a groupBy/join —
-    AQE re-partitions there anyway. The real fix at 100 TB is upstream:
-    write ~128 MB row groups so the scan parallelizes for free.
+    narrow phase dominates (UDF decode, per-row parsing, tokenize/md5
+    gram hashing). It costs one shuffle, so leave it off for ops whose
+    first step is a groupBy/join — AQE re-partitions there anyway.
+
+    Scale-adaptive (r16, guide §2.5 "input skew — repartition
+    immediately after the read"): the repartition is applied only when
+    the scan actually produces fewer partitions than requested, so on
+    a production table with healthy ~128 MB row groups the scan
+    already parallelizes and NO extra corpus shuffle is planned — the
+    knob self-disables at 100 TB and only fires on unsplittable
+    inputs, exactly the guide's prescription.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -78,7 +85,7 @@ def load_table(
         df = normalize_events_ts(df)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if min_partitions:
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
         df = df.repartition(min_partitions)
     return df
 
