@@ -181,10 +181,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window count over the (doc, tok) table
+    # (r16, guide §2.4): the aggregate-then-broadcast-join variant
+    # re-ran the corpus explode + TF aggregate under the census side
+    # (no runtime exchange reuse — column pruning differs); the window
+    # rides one tok exchange over the SAME tf rows, one explode total.
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
