@@ -509,12 +509,18 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = po.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
     a = po.select(F.col("part").alias("pa"), "ord")
     bb = po.select(F.col("part").alias("pb"), "ord")
+    # cache(): pairs feeds BOTH branches of the sym union — the
+    # support-filtered co-purchase pair table is tiny (bounded by the
+    # support cutoff) while its lineage is the ord-keyed self-join,
+    # the op's dominant cost (r16, guide §2.4 — the contrastive
+    # miner's cached-sym pattern).
     pairs = (
         a.join(bb, "ord")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _CF_MIN_SUPPORT)
+        .cache()
     )
     sym = pairs.select(
         F.col("pa").alias("part"), F.col("pb").alias("partner"), "n_ab"
