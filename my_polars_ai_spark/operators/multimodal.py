@@ -253,11 +253,19 @@ def _synth_pcm_batches(batches) -> Iterator:
     import numpy as np
     import pandas as pd
 
+    # int(hexdigest[:15], 16) == first-8-bytes-big-endian >> 4 (drop the
+    # 16th hex digit) — digest math skips the hex-string round-trip, and
+    # the per-sample suffixes are shared by every doc (r16, guide §4:
+    # cut per-call Python overhead inside the hot UDF body; the emitted
+    # bytes are identical, property-tested against the pure reference).
+    md5 = hashlib.md5
+    suffixes = [b"%d" % i for i in range(PCM_SAMPLES)]
+
     def synth(doc_id: int) -> bytes:
+        pre = b"pcm:%d:" % doc_id
         vals = [
-            (int(hashlib.md5(f"pcm:{doc_id}:{i}".encode()).hexdigest()[:15], 16) % 65536)
-            - 32768
-            for i in range(PCM_SAMPLES)
+            ((int.from_bytes(md5(pre + s).digest()[:8], "big") >> 4) % 65536) - 32768
+            for s in suffixes
         ]
         return np.array(vals, dtype="<i2").tobytes()
 
@@ -272,23 +280,58 @@ def _pcm_frame_features_batches(batches) -> Iterator:
     stream, frame it, and emit per-frame energy (sum of squares) and
     peak amplitude as EXACT integers (no float anywhere, so the compare
     can't drift). Swapping this body for librosa/av changes nothing
-    about the plan."""
+    about the plan.
+
+    Vectorized over the whole Arrow batch (r16, guide §4): equal-length
+    clips decode as ONE (docs, frames, samples) ndarray with axis
+    reductions instead of a Python loop per (doc, frame) — identical
+    int64 arithmetic, ~5x less Python overhead. Mixed-length batches
+    (a real corpus ingesting variable clips) take the per-doc path."""
     import numpy as np
     import pandas as pd
 
-    rows = {"doc_id": [], "frame_idx": [], "n_samples": [], "sum_sq": [], "peak": []}
+    def frames_of(doc_ids, arr2d) -> pd.DataFrame:
+        # arr2d: (n_docs, n_samples) int64 with n_samples % PCM_FRAME == 0
+        n_docs, n_samples = arr2d.shape
+        nf = n_samples // PCM_FRAME
+        fr = arr2d.reshape(n_docs, nf, PCM_FRAME)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(np.asarray(doc_ids, dtype=np.int64), nf),
+                "frame_idx": np.tile(np.arange(nf, dtype=np.int32), n_docs),
+                "n_samples": np.full(n_docs * nf, PCM_FRAME, dtype=np.int32),
+                "sum_sq": (fr * fr).sum(axis=2).reshape(-1),
+                "peak": np.abs(fr).max(axis=2).reshape(-1).astype(np.int32),
+            }
+        )
+
     for pdf in batches:
-        out = {k: [] for k in rows}
-        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+        bufs = list(pdf["payload"])
+        lens = {len(b) for b in bufs}
+        if len(lens) == 1 and bufs:
+            n_bytes = lens.pop()
+            usable = (n_bytes // 2 // PCM_FRAME) * PCM_FRAME  # whole frames only
+            if usable:
+                arr = (
+                    np.frombuffer(b"".join(bufs), dtype="<i2")
+                    .reshape(len(bufs), n_bytes // 2)[:, :usable]
+                    .astype(np.int64)
+                )
+                yield frames_of(list(pdf["doc_id"]), arr)
+            else:
+                yield frames_of([], np.zeros((0, PCM_FRAME), dtype=np.int64))
+            continue
+        parts = []
+        for doc_id, buf in zip(pdf["doc_id"], bufs):
             samples = np.frombuffer(buf, dtype="<i2").astype(np.int64)
-            for f in range(len(samples) // PCM_FRAME):
-                frame = samples[f * PCM_FRAME : (f + 1) * PCM_FRAME]
-                out["doc_id"].append(int(doc_id))
-                out["frame_idx"].append(f)
-                out["n_samples"].append(len(frame))
-                out["sum_sq"].append(int((frame * frame).sum()))
-                out["peak"].append(int(np.abs(frame).max()))
-        yield pd.DataFrame(out)
+            usable = (len(samples) // PCM_FRAME) * PCM_FRAME
+            if usable:
+                parts.append(frames_of([int(doc_id)], samples[:usable].reshape(1, -1)))
+        yield (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else frames_of([], np.zeros((0, PCM_FRAME), dtype=np.int64))
+        )
 
 
 @op(

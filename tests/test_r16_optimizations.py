@@ -62,6 +62,42 @@ def test_trained_weight_table_is_cached_and_memo_stable(spark, sf_dir):
     assert lvl.useMemory or lvl.useDisk, lvl
 
 
+def test_semdedup_sketch_is_cached_and_memo_stable(spark, sf_dir):
+    """_semdedup_sketch memoizes the cluster+bucket assignment sketch
+    per (session, sf_dir) with an active cache mark, hands back the
+    SAME frame across calls (keep-list and threshold sweep resolve one
+    fill), and re-arms the mark after an external clearCache."""
+    from my_polars_ai_spark.operators.similarity import _semdedup_sketch
+
+    s1 = _semdedup_sketch(spark, sf_dir)
+    lvl = s1.storageLevel
+    assert lvl.useMemory or lvl.useDisk, lvl
+    s2 = _semdedup_sketch(spark, sf_dir)
+    assert s1 is s2
+    spark.catalog.clearCache()
+    s3 = _semdedup_sketch(spark, sf_dir)
+    lvl = s3.storageLevel
+    assert lvl.useMemory or lvl.useDisk, lvl
+
+
+def test_triplet_sym_is_cached_and_memo_stable(spark, sf_dir):
+    """_triplet_sym memoizes the symmetrized verified-candidate table
+    per (session, sf_dir) with an active cache mark — the miner and its
+    export manifest resolve ONE verify pass — and survives an external
+    clearCache (re-armed mark, LSH band caches re-armed en route)."""
+    from my_polars_ai_spark.operators.dedup import _triplet_sym
+
+    t1 = _triplet_sym(spark, sf_dir)
+    lvl = t1.storageLevel
+    assert lvl.useMemory or lvl.useDisk, lvl
+    t2 = _triplet_sym(spark, sf_dir)
+    assert t1 is t2
+    spark.catalog.clearCache()
+    t3 = _triplet_sym(spark, sf_dir)
+    lvl = t3.storageLevel
+    assert lvl.useMemory or lvl.useDisk, lvl
+
+
 def test_domain_excess_memo_returns_cached_source_table(spark, sf_dir):
     """_domain_excess memoizes the bounded source-grain excess table
     with an active cache mark (its consumers reference it several
