@@ -2765,6 +2765,7 @@ def pca_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(t, "dim")
         .crossJoin(F.broadcast(u))
         .select("dim", (F.col("n") * F.col("tv") - F.col("sa") * F.col("uu")).alias("w"))
+        .cache()
     )
     m = v1.agg(F.max(F.abs(F.col("w"))).alias("ma"))
     return v1.crossJoin(F.broadcast(m)).select(
