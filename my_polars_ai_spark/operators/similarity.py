@@ -806,9 +806,24 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical `_pq_norm_corpus`/`_pq_cdist` artifacts), so repeated
     calls share ONE normalized-corpus cache fill and codebook collect
     instead of re-registering fresh lineage per call — the documented
-    bimodality source in this op's isolated min-of-5."""
-    _, _, _, corpus, cdist = _ann_index_frames(spark, sf_dir)
-    codes = _pq_codes(cdist)
+    bimodality source in this op's isolated min-of-5.
+
+    r16 (guide §2.4): the code table is decoded from the CACHED
+    manifest's packed pq_codes (posexplode(split(...)), the serve op's
+    shape) instead of re-running the cdist argmin chain per action —
+    the manifest row IS the stored code artifact (identical by
+    construction: its csv is `_pq_codes` packed in subspace order), so
+    this removes a corpus x M explode, an M x K broadcast join, and
+    the argmin exchange from every warm call. Only the query-side LUT
+    (N_QUERIES x M x K, filter-pruned before the explode) still reads
+    cdist."""
+    manifest, _, _, corpus, cdist = _ann_index_frames(spark, sf_dir)
+    codes = (
+        manifest.select(
+            "vec_id", F.posexplode(F.split("pq_codes", ",")).alias("m", "k_str")
+        )
+        .select("vec_id", "m", F.col("k_str").cast("int").alias("k"))
+    )
     lut = cdist.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "m", "k", "d2"
     )

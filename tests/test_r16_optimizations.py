@@ -98,6 +98,50 @@ def test_triplet_sym_is_cached_and_memo_stable(spark, sf_dir):
     assert lvl.useMemory or lvl.useDisk, lvl
 
 
+def test_audio_chunk_table_is_cached_and_memo_stable(spark, sf_dir):
+    """audio_vad_chunks memoizes the chunk-grain table per (session,
+    sf_dir) with an active cache mark — the export manifest and the
+    integrity audit resolve ONE synth+decode fill instead of re-running
+    the mapInPandas chain per action — and re-arms the mark after an
+    external clearCache."""
+    from my_polars_ai_spark.operators.multimodal import audio_vad_chunks
+
+    c1 = audio_vad_chunks(spark, sf_dir)
+    lvl = c1.storageLevel
+    assert lvl.useMemory or lvl.useDisk, lvl
+    c2 = audio_vad_chunks(spark, sf_dir)
+    assert c1 is c2
+    spark.catalog.clearCache()
+    c3 = audio_vad_chunks(spark, sf_dir)
+    lvl = c3.storageLevel
+    assert lvl.useMemory or lvl.useDisk, lvl
+
+
+def test_pq_adc_decodes_codes_from_manifest(spark, sf_dir):
+    """pq_adc_topk reads its corpus code table from the cached
+    manifest's packed pq_codes (the serve op's posexplode(split(...))
+    shape) instead of re-running the cdist argmin chain per action:
+    decoded codes match _pq_codes(cdist) row-for-row."""
+    from my_polars_ai_spark.operators.similarity import (
+        _ann_index_frames,
+        _pq_codes,
+    )
+    from pyspark.sql import functions as F
+
+    manifest, _, _, _, cdist = _ann_index_frames(spark, sf_dir)
+    decoded = (
+        manifest.select(
+            "vec_id", F.posexplode(F.split("pq_codes", ",")).alias("m", "k_str")
+        )
+        .select("vec_id", "m", F.col("k_str").cast("int").alias("k"))
+    )
+    direct = _pq_codes(cdist).select(
+        "vec_id", F.col("m").cast("int").alias("m"), F.col("k").cast("int").alias("k")
+    )
+    assert decoded.exceptAll(direct).count() == 0
+    assert direct.exceptAll(decoded).count() == 0
+
+
 def test_domain_excess_memo_returns_cached_source_table(spark, sf_dir):
     """_domain_excess memoizes the bounded source-grain excess table
     with an active cache mark (its consumers reference it several
