@@ -1101,27 +1101,60 @@ _PRIORITY_R16 = (
 )
 
 # Round-17 window, staged in round 13, AMENDED in rounds 15 and 16
-# (the cascades from each round's consumer addition): the freshness
-# rotation continues with the next-oldest 47 driver rows once R13-R16
-# have run — the four r6-era rows displaced from R16's tail
-# (kaplan_meier_churn / logrank_test_churn staged in r13,
-# cusum_change_detection displaced by the r15 cascade,
-# revenue_max_drawdown by the r16 cascade), the 5 remaining r6 rows,
-# then the oldest r7-era block, registry order within each age group,
-# behind the usual 3 canaries. Computed by (effective latest round,
-# registry order) where "effective" counts staged R13-R16 membership
-# as a future row (caliper_matching_att — the youngest r7 row by
-# registry order — yielded to the displaced cusum_change_detection
-# and leads R18's r7 block; dp_noisy_counts, the next-youngest,
-# yielded to the displaced revenue_max_drawdown and follows it
-# there).
+# (the cascades from each round's consumer addition) and AMENDED
+# AGAIN at the start of round 17: the round-16 optimization rewrote
+# 22 operators but only 2 of them (audio_manifest_integrity and the
+# dedup_minhash_lsh canary) sat in the R16 window, so 20 rewritten
+# ops carried no driver-side oracle attestation of their NEW plans.
+# The r16 judge's #1 next-round item (VERDICT.md) is to attest
+# exactly those ops first — the same touched-op-amendment precedent
+# as R14. So: the 3 canaries, then the 20 r16-touched ops (rewrite
+# order: the window-census text ops, the DoReMi pair, the QGD
+# trainer's consumers, item-item CF, the memoized similarity/dedup
+# pairs, PCA, the PQ serve path, and the audio chain), then the
+# first 27 rows of the previously staged freshness tail. The 17
+# freshness rows that no longer fit: six fill the R19/R20 slots
+# vacated by touched ops pulled forward (displacement order), the
+# remaining 11 (isotonic_calibration_pav .. neyman_allocation_plan)
+# are past the round-20 horizon and keep their r7-era driver rows as
+# final attestation — the same outcome as stream_session_windows /
+# stream_tumbling_counts in the r15/r16 cascades.
 _PRIORITY_R17 = (
     # canaries — flagship + dedup + SQL, as every round
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
     "sql_api_revenue",
-    # round-6 rows (9) — the R16-displaced rows lead (displacement
-    # order), then the rest of the r6 era, registry order
+    # the 20 round-16-touched ops (the optimization rewrites whose
+    # new plans the driver's oracle has not yet attested). Three of
+    # these (winnowing + the two span ops) were already staged here
+    # by the freshness rotation; the rest are pulled forward from
+    # R19/R20/unstaged, and qgd_weights_manifest / pq_adc_topk /
+    # audio_frame_features re-attest early because their R14/R15
+    # rows predate the r16 rewrite of their plans.
+    "repeated_span_stats",
+    "repeated_span_excision",
+    "ngram_novelty_score",
+    "tfidf_top_terms",
+    "winnowing_fingerprint_overlap",
+    "domain_excess_loss_weights",
+    "doremi_sampling_manifest",
+    "quality_classifier_trained_scores",
+    "qgd_weights_manifest",
+    "item_item_cf_topk",
+    "semdedup_keep_list",
+    "semdedup_threshold_sweep",
+    "contrastive_triplet_mining",
+    "triplet_export_manifest",
+    "pca_power_iteration_step",
+    "pq_adc_topk",
+    "audio_frame_features",
+    "audio_vad_segments",
+    "audio_vad_chunks",
+    "audio_chunk_export_manifest",
+    # freshness tail (27) — the first 27 rows of the previously
+    # staged rotation: round-6 rows (9, the R16-displaced rows lead
+    # in displacement order), then the oldest r7 block, registry
+    # order
     "kaplan_meier_churn",
     "logrank_test_churn",
     "cusum_change_detection",
@@ -1131,9 +1164,6 @@ _PRIORITY_R17 = (
     "early_activity_retention_corr",
     "dow_hour_heatmap",
     "tpch_q20_top_shippers",
-    # round-7 rows (38) — the oldest r7 block, registry order
-    # (caliper_matching_att yielded in the r15 cascade,
-    # dp_noisy_counts in the r16 cascade — see the tail comment)
     "tpch_q18_large_volume_customer",
     "tpch_q17_small_qty_revenue",
     "revenue_share_of_region",
@@ -1152,31 +1182,12 @@ _PRIORITY_R17 = (
     "kcenter_coreset_greedy",
     "bpe_merge_step",
     "training_manifest",
-    "token_budget_selection",
-    "dsir_importance_weights",
-    "bpe_train_merges",
-    "phrase_search_positional",
-    "winnowing_fingerprint_overlap",
-    "repeated_span_stats",
-    "repeated_span_excision",
-    "kneser_ney_bigram_score",
-    "tokenizer_fertility_stats",
-    "isotonic_calibration_pav",
-    "multimodal_decode",
-    "frame_sample_chunks",
-    "scene_change_detection",
-    "image_resize_stats",
-    "cross_clip_frame_overlap",
-    "image_ahash_pairs",
-    "rendezvous_shard_plan",
-    "split_leakage_audit",
-    "poisson_bootstrap_ci",
-    "neyman_allocation_plan",
-    # caliper_matching_att, the youngest r7 row by registry order,
-    # yielded its slot to the R16-displaced cusum_change_detection and
-    # leads R18's r7 block; dp_noisy_counts, the next-youngest,
-    # yielded to the R16-displaced revenue_max_drawdown and follows
-    # caliper in R18's r7 block
+    # token_budget_selection / dsir_importance_weights /
+    # bpe_train_merges / phrase_search_positional fill the R19 slots
+    # vacated by the touched-op pull-forward; kneser_ney_bigram_score
+    # / tokenizer_fertility_stats fill R20's. The remaining 11
+    # displaced rows are past the round-20 horizon (r7 rows stand as
+    # final attestation).
 )
 
 # Round-18 window, staged in round 13 (one round ahead, so the R14
@@ -1284,8 +1295,10 @@ _PRIORITY_R19 = (
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     # round-8 rows (4) — the R18-displaced rows lead (displacement
-    # order), then the rest of the r8 era
-    "semdedup_keep_list",
+    # order), then the rest of the r8 era. semdedup_keep_list was
+    # pulled forward into R17 by the touched-op amendment; the
+    # R17-displaced token_budget_selection takes its slot.
+    "token_budget_selection",
     "neardup_pair_explain",
     "ccnet_perplexity_split",
     "hashed_linear_quality_score",
@@ -1309,9 +1322,12 @@ _PRIORITY_R19 = (
     "matryoshka_prefix_recall",
     "retrieval_metrics_at_k",
     "nearest_centroid_confusion",
-    "pca_power_iteration_step",
+    # pca_power_iteration_step / tfidf_top_terms pulled forward into
+    # R17 by the touched-op amendment; R17-displaced rows take their
+    # slots (displacement order)
+    "dsir_importance_weights",
     "benchmark_embedding_contamination",
-    "tfidf_top_terms",
+    "bpe_train_merges",
     "top_tokens",
     "bm25_scores",
     "token_cooccurrence_pmi",
@@ -1331,7 +1347,10 @@ _PRIORITY_R19 = (
     "bpe_encode_corpus",
     "gopher_quality_flags",
     "epoch_allocation_plan",
-    "ngram_novelty_score",
+    # ngram_novelty_score pulled forward into R17 by the touched-op
+    # amendment; the R17-displaced phrase_search_positional takes
+    # its slot
+    "phrase_search_positional",
     # minhash_jaccard_calibration, the lone r10 row staged here in
     # r14, yielded its slot to the R18-displaced semdedup_keep_list
     # and leads R20's r10 block; quality_classifier_gd_step, the
@@ -1370,7 +1389,10 @@ _PRIORITY_R20 = (
     # oldest r10 block, registry order (stream_tumbling_counts
     # yielded, see the tail comment)
     "minhash_jaccard_calibration",
-    "semdedup_threshold_sweep",
+    # semdedup_threshold_sweep pulled forward into R17 by the
+    # touched-op amendment; the R17-displaced kneser_ney_bigram_score
+    # takes its slot
+    "kneser_ney_bigram_score",
     "token_entropy_per_doc",
     "chunk_sliding_windows",
     "psi_source_drift",
@@ -1409,7 +1431,10 @@ _PRIORITY_R20 = (
     "sql_scripting_above_avg",
     "sql_parameterized_query",
     "quality_classifier_gd_convergence",
-    "quality_classifier_trained_scores",
+    # quality_classifier_trained_scores pulled forward into R17 by
+    # the touched-op amendment; the R17-displaced
+    # tokenizer_fertility_stats takes its slot
+    "tokenizer_fertility_stats",
     "quality_filter_agreement",
     # stream_gopher_gate, the youngest r10 row by registry order,
     # yielded its slot to linear_counting_distinct and falls past the
@@ -1423,17 +1448,14 @@ _PRIORITY_R20 = (
     # past-the-horizon outcome, its r10 driver row stands
 )
 
-# Round 15: the staged flip, executed. CORRECTNESS_r14 landed 50/50
-# all-green (first window with zero non-green rows), so the R14
-# window's touched-op re-attests and the four consumer first-rows are
-# all on the ledger; the freshness rotation continues with the
-# next-oldest 47 driver rows (the displaced r1 pair leads, then the
-# r2-era tail, then the oldest r5 block). The registry is fully
-# driver-attested — `tools/attestation_status.py --endgame` is the
-# standing gate, with live-window pending sanctioned for exactly the
-# new-op case — and rounds 16-20 are staged freshness rotations
-# (one-line flips).
-_PRIORITY = _PRIORITY_R16
+# Round 17: the staged flip, executed — with the touched-op
+# amendment above (the r16 judge's #1 item: driver-attest the 20
+# operators whose plans the round-16 optimization rewrote but whose
+# oracle rows predate the rewrite). CORRECTNESS_r16 landed 50/50
+# all-green. The registry is fully driver-attested —
+# `tools/attestation_status.py --endgame` is the standing gate — and
+# rounds 18-20 remain staged freshness rotations (one-line flips).
+_PRIORITY = _PRIORITY_R17
 
 
 def all_ops() -> dict[str, Op]:

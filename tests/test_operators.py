@@ -29,11 +29,11 @@ def test_registry_prefix_window_matches_rotation_contract():
     registry. Since the r3 rotation, the window is _PRIORITY verbatim:
     one green canary per LLM-data-pipeline family plus the ops being
     driver-attested for the first time this round."""
-    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R16
+    from my_polars_ai_spark.operators import _PRIORITY, _PRIORITY_R17
 
     ordered = list(all_ops())
     assert ordered[: len(_PRIORITY)] == list(_PRIORITY)
-    assert _PRIORITY == _PRIORITY_R16  # round-16 rotation is live
+    assert _PRIORITY == _PRIORITY_R17  # round-17 rotation is live
     window = set(ordered[:50])
     # R11 canaries: trimmed to 3 per the r8 verdict (flagship + dedup
     # + SQL) while the first-attestation backlog clears; the other
@@ -1794,17 +1794,19 @@ def test_r16_window_is_staged_and_valid():
 
 
 def test_r17_window_is_staged_and_valid():
-    """Staging discipline for round 17 (staged in round 13): the
-    freshness rotation continues with the next-oldest driver rows —
-    the four r6-era rows displaced from R16's tail
-    (kaplan_meier_churn/logrank_test_churn, the r15-cascade
-    cusum_change_detection, and the r16-cascade
-    revenue_max_drawdown), the remaining r6 rows, then the oldest
-    r7 block (caliper_matching_att and dp_noisy_counts yielded to
-    the cascades and lead R18). Same contract as R14-R16 — 50 real ops,
-    no duplicates, no never-attested op (those all ran by R13) — plus
-    disjointness from the R14/R15/R16 re-attest blocks, since rotating
-    the same rows again would waste the window."""
+    """Staging discipline for round 17 (staged in round 13, AMENDED
+    at the start of round 17 with the touched-op block — the r16
+    judge's #1 item): 3 canaries, then the 20 operators whose plans
+    the round-16 optimization rewrote without a driver oracle row for
+    the new code, then the first 27 rows of the previously staged
+    freshness rotation. Same contract as R14-R16 — 50 real ops, no
+    duplicates, no never-attested op (those all ran by R13) — and the
+    FRESHNESS TAIL stays disjoint from the R14/R15/R16 re-attest
+    blocks. The touched block is exempt from disjointness for exactly
+    the three ops whose prior rows predate their r16 rewrite
+    (qgd_weights_manifest in R14; pq_adc_topk / audio_frame_features
+    in R15): re-attesting a rewritten plan is the point of the
+    amendment, not a wasted slot."""
     import glob
     import json
     import os
@@ -1829,10 +1831,40 @@ def test_r17_window_is_staged_and_valid():
     scheduled = attested | set(_PRIORITY_R13)
     never = [n for n in _PRIORITY_R17 if n not in scheduled]
     assert not never, never
-    overlap = set(_PRIORITY_R17[3:]) & (
-        set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:]) | set(_PRIORITY_R16[3:])
-    )
+    touched_block = set(_PRIORITY_R17[3:23])
+    # every r16-rewritten op leads the window (rewrite attestation)
+    for name in (
+        "repeated_span_stats",
+        "repeated_span_excision",
+        "ngram_novelty_score",
+        "tfidf_top_terms",
+        "winnowing_fingerprint_overlap",
+        "domain_excess_loss_weights",
+        "doremi_sampling_manifest",
+        "quality_classifier_trained_scores",
+        "qgd_weights_manifest",
+        "item_item_cf_topk",
+        "semdedup_keep_list",
+        "semdedup_threshold_sweep",
+        "contrastive_triplet_mining",
+        "triplet_export_manifest",
+        "pca_power_iteration_step",
+        "pq_adc_topk",
+        "audio_frame_features",
+        "audio_vad_segments",
+        "audio_vad_chunks",
+        "audio_chunk_export_manifest",
+    ):
+        assert name in touched_block, name
+    recent = set(_PRIORITY_R14[3:]) | set(_PRIORITY_R15[3:]) | set(_PRIORITY_R16[3:])
+    overlap = set(_PRIORITY_R17[23:]) & recent
     assert not overlap, sorted(overlap)
+    sanctioned_reattests = {
+        "qgd_weights_manifest",      # R14 row predates the r16 w.cache() trainer
+        "pq_adc_topk",               # R15 row predates the r16 manifest-decode serve path
+        "audio_frame_features",      # R15 row predates the r16 vectorized decode body
+    }
+    assert (touched_block & recent) <= sanctioned_reattests, sorted(touched_block & recent)
 
 
 def test_r18_window_is_staged_and_valid():
