@@ -95,6 +95,53 @@ def test_census_is_aggregate_not_window(spark, sf_dir):
         assert "windowspecdefinition(tok" not in plan, name
 
 
+def test_naive_bayes_branches_agree_on_splittable_input(spark, sf_dir, tmp_path):
+    """naive_bayes_langid picks its training-pass shape from the scan
+    split count (r17): >= _NB_SPLITTABLE_MIN splits -> one shared
+    cached (doc, lang, tok, m) aggregate; below -> four concurrent
+    explode subtrees. Splitting the same documents table into 8 files
+    must flip the branch without changing a single output row."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from my_polars_ai_spark.operators import classic_ml
+    from my_polars_ai_spark.operators.classic_ml import _NB_SPLITTABLE_MIN
+
+    split_dir = tmp_path / "sf_split"
+    doc_dir = split_dir / "documents.parquet"
+    doc_dir.mkdir(parents=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    k = _NB_SPLITTABLE_MIN
+    n = t.num_rows
+    for i in range(k):
+        lo, hi = i * n // k, (i + 1) * n // k
+        pq.write_table(t.slice(lo, hi - lo), str(doc_dir / f"part-{i:04d}.parquet"))
+
+    fn = classic_ml.OPS["naive_bayes_langid"].fn
+    single = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    # pin the file-split sizing so the 8 tiny files actually plan as 8
+    # scan splits regardless of the session's core count (file packing
+    # would otherwise coalesce them below the branch threshold)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+    try:
+        split = {tuple(r) for r in fn(spark, str(split_dir)).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    assert split == single
+    # and the shared aggregate really was the branch taken: the memo
+    # now holds an entry for the split dir but not for the single-file
+    # fixture dir
+    keys = {sfd for (_s, sfd) in classic_ml._NB_TOKM3}
+    assert str(split_dir) in keys
+    assert sf_dir not in keys
+
+
 def test_item_item_deg_join_folds_before_union(spark, sf_dir):
     """The r17 degree-join fold (the r16 judge's item 6): deg attaches
     to the PAIR table before symmetrization, so the union sits ABOVE
