@@ -289,6 +289,20 @@ _NB_SPLITTABLE_MIN = 8
 # run four times (the exact duplication the shared shape removes).
 _NB_TOKM3: dict = {}
 
+# The branch probe (df.rdd.getNumPartitions()) plans the scan RDD on
+# the driver — a per-call cost worth paying once, not per action, so
+# the decision is memoized per (session, sf_dir) alongside the caches.
+_NB_SPLITTABLE: dict = {}
+
+
+def _nb_input_splittable(spark: SparkSession, sf_dir: str) -> bool:
+    evict_stopped_sessions(_NB_SPLITTABLE)
+    key = (spark, sf_dir)
+    if key not in _NB_SPLITTABLE:
+        d = _t(spark, sf_dir, "documents")
+        _NB_SPLITTABLE[key] = d.rdd.getNumPartitions() >= _NB_SPLITTABLE_MIN
+    return _NB_SPLITTABLE[key]
+
 
 def _nb_tokm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive_bayes_langid's shared training aggregate: token
@@ -344,7 +358,7 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrent shape. Both branches produce identical results
     (parity-tested on the split fixture)."""
     d = _t(spark, sf_dir, "documents")
-    if d.rdd.getNumPartitions() >= _NB_SPLITTABLE_MIN:
+    if _nb_input_splittable(spark, sf_dir):
         tokm3 = _nb_tokm3(spark, sf_dir)
         tokm = tokm3.select("doc_id", "tok", "m")
         tl = tokm3.groupBy("tok", "lang").agg(F.sum("m").alias("c"))
