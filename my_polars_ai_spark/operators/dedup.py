@@ -2189,6 +2189,15 @@ def _triplet_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_dup",
             )
         )
+        # Cache in the consumers' window layout (r17, guide §2.4
+        # "operations keyed the same way share one exchange"):
+        # InMemoryTableScan propagates the cached plan's partitioning
+        # and ordering, so the pos/neg ranking windows (partition
+        # anchor_id, order jaccard desc / partner) elide BOTH their
+        # exchange and their local sort of the ~2M-row candidate
+        # table on every action — the sort is paid once at fill.
+        .repartition("anchor_id")
+        .sortWithinPartitions("anchor_id", F.col("jaccard").desc(), "partner")
         .cache()
     )
     _TRIPLET_SYM[key] = sym
